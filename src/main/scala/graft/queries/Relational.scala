@@ -1,0 +1,375 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Generic relational operator coverage (SURVEY.md §2.5–2.7, §2.10)
+  * re-expressed over the driver's TPC-H-ish testdata so every query has a
+  * DuckDB oracle. Each query name cites the reference operator it stands
+  * in for.
+  *
+  * Oracle-parity note: SUM over doubles is order-dependent, so every sum
+  * here casts to an exact decimal first (associative ⇒ engine-order
+  * independent) and casts the final result back to double. AVG is written
+  * as exact-sum / count for the same reason.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a double column, returned as double. */
+  private def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Exact average: decimal sum divided by row count (both engines promote
+    * identically to double division). Assumes `c` is non-null.
+    */
+  private def davg(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double") / count(lit(1))
+
+  /** sum(extendedprice * (1 - discount)) with exact decimal arithmetic. */
+  private def revenue(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 4)) *
+      (lit(1.0) - discount).cast(DecimalType(18, 4))).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A4/A5-shape grouped aggregation (TPC-H Q1 pricing summary).
+    "q01_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter($"l_shipdate" <= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          revenue($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // J6/A9 shape (PRS scoring join: inner join + Σ weight×dosage).
+    "q02_revenue_by_priority" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.orders.join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(
+          revenue($"l_extendedprice", $"l_discount").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // §2.7 top-k (ORDER BY … LIMIT → TakeOrderedAndProject).
+    "q03_topk_customers" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, $"c_custkey" === $"o_custkey")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(dsum($"o_totalprice").as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"total_spent".desc, $"c_custkey")
+        .limit(10)
+    },
+
+    // J9 de-novo double anti-join (child NOT IN father AND NOT IN mother):
+    // customers with neither an URGENT nor a HIGH priority order.
+    "q04_antijoin_no_orders" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .join(t.orders.filter($"o_orderpriority" === "2-HIGH"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .orderBy($"c_custkey")
+    },
+
+    // J10 compound-het shape: groups qualifying by HAVING, then semi-join
+    // the member rows back.
+    "q05_groups_semijoin" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val qualifying = t.lineitem
+        .groupBy($"l_orderkey")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          max($"l_extendedprice").as("max_price"))
+        .filter($"n_parts" >= 2 && $"max_price" > 90000.0)
+        .select($"l_orderkey")
+      t.lineitem.join(qualifying, Seq("l_orderkey"), "left_semi")
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // §2.10 audit-hash-chain shape: lag() over an ordered per-key window.
+    "q06_window_lag_chain" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t.events
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("delta", $"value" - $"prev_value")
+        .select($"event_id", $"user_id", $"ts", $"value", $"prev_value", $"delta")
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+
+    // A5 batch-QC summary shape: count + exact avg + exact median.
+    "q07_percentile_by_type" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.events.groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          davg($"value").as("avg_value"),
+          round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+          round(min($"value"), 6).as("min_value"),
+          round(max($"value"), 6).as("max_value"))
+        .orderBy($"event_type")
+    },
+
+    // A8 cohort-frequency shape: COUNT(DISTINCT) per group.
+    "q08_distinct_users" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.events.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"event_type")
+    },
+
+    // J5 LD-block interval-containment join: small broadcast interval set,
+    // non-equi BNLJ (exactly how ld_blocks @> pos is planned on Spark).
+    "q09_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val intervals = t.orders
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(20)
+        .select($"o_orderkey".as("iv_key"),
+          $"o_orderdate".as("start_date"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("end_date"))
+      t.lineitem
+        .join(broadcast(intervals),
+          $"l_shipdate" >= $"start_date" && $"l_shipdate" < $"end_date")
+        .groupBy($"iv_key")
+        .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"iv_key")
+    },
+
+    // A10 popmax shape: per-key argmax with deterministic tie-break.
+    "q10_popmax_per_user" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"value".desc, $"event_id")
+      t.events
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("top_type"), $"value".as("top_value"))
+        .orderBy($"user_id")
+    },
+
+    // J7 matview shape: per-population filtered aggregates → pivoted wide row.
+    "q11_pivot_daily" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def f(tpe: String) =
+        sum(when($"event_type" === tpe, $"value".cast(DecimalType(28, 6))))
+          .cast("double").as(s"${tpe}_value")
+      t.events
+        .withColumn("event_date", $"ts".cast("date"))
+        .groupBy($"event_date")
+        .agg(count(lit(1)).as("n_events"),
+          f("click"), f("view"), f("purchase"), f("signup"), f("error"))
+        .orderBy($"event_date")
+    },
+
+    // T7 classification shape: CASE-WHEN class + grouped rollup.
+    "q13_classify_parts" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.part
+        .withColumn("size_class",
+          when($"p_size" < 10, "small")
+            .when($"p_size" < 25, "medium")
+            .otherwise("large"))
+        .groupBy($"p_brand", $"size_class")
+        .agg(count(lit(1)).as("n_parts"),
+          dsum($"p_retailprice").as("total_retail"))
+        .orderBy($"p_brand", $"size_class")
+    },
+
+    // J1 annotation-fold shape: fact LEFT JOIN several sources, filtered.
+    "q14_multi_join_enrich" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(t.part, $"l_partkey" === $"p_partkey", "left")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey", "left")
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"p_brand", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          revenue($"l_extendedprice", $"l_discount").as("revenue"))
+        .orderBy($"p_brand", $"o_orderpriority")
+    },
+
+    // A7 per-chromosome-counts shape: two broadcast dims + rollup.
+    "q15_region_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum($"c_acctbal").as("total_acctbal"))
+        .orderBy($"r_name")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_priority" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q03_topk_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total_spent,
+        |  COUNT(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+
+    "q04_antijoin_no_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |AND NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '2-HIGH')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_groups_semijoin" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING COUNT(DISTINCT l_partkey) >= 2 AND MAX(l_extendedprice) > 90000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q06_window_lag_chain" ->
+      """SELECT event_id, user_id, ts, value,
+        |  LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q07_percentile_by_type" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+        |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 4) AS median_value,
+        |  ROUND(MIN(value), 6) AS min_value,
+        |  ROUND(MAX(value), 6) AS max_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q08_distinct_users" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q09_interval_join" ->
+      """WITH intervals AS (
+        |  SELECT o_orderkey AS iv_key, o_orderdate AS start_date,
+        |         o_orderdate + INTERVAL 30 DAY AS end_date
+        |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+        |SELECT iv_key, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN intervals
+        |  ON l_shipdate >= start_date AND l_shipdate < end_date
+        |GROUP BY iv_key
+        |ORDER BY iv_key""".stripMargin,
+
+    "q10_popmax_per_user" ->
+      """SELECT user_id, event_type AS top_type, value AS top_value
+        |FROM (SELECT user_id, event_type, value,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q11_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS signup_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) AS error_value
+        |FROM events
+        |GROUP BY CAST(ts AS DATE)
+        |ORDER BY event_date""".stripMargin,
+
+    "q13_classify_parts" ->
+      """SELECT p_brand,
+        |  CASE WHEN p_size < 10 THEN 'small'
+        |       WHEN p_size < 25 THEN 'medium'
+        |       ELSE 'large' END AS size_class,
+        |  COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS total_retail
+        |FROM part
+        |GROUP BY 1, 2
+        |ORDER BY p_brand, size_class""".stripMargin,
+
+    "q14_multi_join_enrich" ->
+      """SELECT p_brand, o_orderpriority,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY p_brand, o_orderpriority
+        |ORDER BY p_brand, o_orderpriority""".stripMargin,
+
+    "q15_region_rollup" ->
+      """SELECT r_name,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin
+  )
+}
