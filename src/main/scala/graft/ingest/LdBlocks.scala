@@ -1,0 +1,55 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J5 — LD-block interval-containment join
+  * (`references/ld_blocks.py:151-219`: `int8range(start,end,'[]') @> pos`).
+  *
+  * Scale shape: the block table is ~1.7k rows, so this is a broadcast
+  * nested-loop join with a non-equi predicate — the Spark-native
+  * equivalent of the reference's GiST range index probe. If a block table
+  * ever grew large, the genome would be binned to recover an equi-join
+  * (SURVEY §4 note); at the reference's actual sizes the BNLJ is optimal
+  * because the probe side streams and nothing shuffles.
+  */
+object LdBlocks {
+
+  /** Assign ld_block_id to variants; only rows whose current ld_block_id
+    * is null are (re)assigned when the column pre-exists, mirroring the
+    * reference's `WHERE ld_block_id IS NULL` update. Inclusive bounds
+    * `[start, end]` match `int8range(..,'[]')`.
+    */
+  def assignBlocks(variants: DataFrame, blocks: DataFrame,
+                   population: String, build: String = "GRCh37"): DataFrame = {
+    import variants.sparkSession.implicits._
+    val filtered = blocks
+      .filter($"population" === population.toUpperCase &&
+        $"genome_build" === build)
+      .select($"chrom".as("b_chrom"), $"start_pos".as("b_start"),
+        $"end_pos".as("b_end"), $"block_id".as("b_block_id"))
+
+    val hasExisting = variants.columns.contains("ld_block_id")
+    val base = if (hasExisting) variants.withColumnRenamed("ld_block_id", "_prev_block")
+               else variants.withColumn("_prev_block", lit(null).cast("long"))
+
+    base
+      .join(broadcast(filtered),
+        regexp_replace($"chrom", "^chr", "") === $"b_chrom" &&
+          $"pos" >= $"b_start" && $"pos" <= $"b_end" &&
+          $"_prev_block".isNull,
+        "left")
+      .withColumn("ld_block_id", coalesce($"_prev_block", $"b_block_id"))
+      .drop("b_chrom", "b_start", "b_end", "b_block_id", "_prev_block")
+  }
+
+  /** J11 — `variant_ld_block_summary` view (`references/schema.py:61-76`). */
+  def blockSummary(blocks: DataFrame, variants: DataFrame): DataFrame = {
+    import blocks.sparkSession.implicits._
+    blocks
+      .join(variants.select($"ld_block_id", $"pos"), $"block_id" === $"ld_block_id", "left")
+      .groupBy($"block_id", $"chrom", $"start_pos", $"end_pos", $"population")
+      .agg(count($"pos").as("n_variants"))
+      .orderBy($"chrom", $"start_pos")
+  }
+}

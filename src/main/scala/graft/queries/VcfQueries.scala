@@ -80,6 +80,115 @@ object VcfQueries {
       import s.implicits._
       VcfReader.variants(s, s"$fixtures/gnomad_subset.vcf.gz")
         .select($"chrom", $"pos", $"ref", $"alt", $"rs_id", $"qual", $"variant_type")
+    },
+
+    // S5 + J2: PGS scoring file matched to variants with priority fallback
+    "vcf_pgs_match" -> { (s, _) =>
+      import s.implicits._
+      val v = VcfReader.variants(s, s"$fixtures/hapmap3_overlap.vcf")
+      val (_, weights) = graft.ingest.PgsReader.read(s, s"$fixtures/pgs_test_beta.txt")
+      graft.ingest.VariantMatching.matchToVariants(
+        weights, v, chromCol = "chr_name", posCol = "chr_position")
+        .select($"rsid", $"chr_name", $"chr_position", $"effect_allele",
+          $"other_allele", $"effect_weight", $"variant_id", $"match_type")
+    },
+
+    // S6 + J4: HapMap3 panel flagging with allele/complement matching
+    "vcf_hapmap3_flag" -> { (s, _) =>
+      import s.implicits._
+      val v = VcfReader.variants(s, s"$fixtures/hapmap3_overlap.vcf")
+      val panel = graft.ingest.RefPanels.hapmap3(s, s"$fixtures/hapmap3_test.tsv")
+      graft.ingest.VariantMatching.flagHapmap3(v, panel)
+        .select($"chrom", $"pos", $"ref", $"alt", $"rs_id",
+          $"variant_id", $"in_hapmap3", $"hapmap3_rsid")
+    },
+
+    // S7 + J5 + J11: LD-block interval assignment + block summary
+    "vcf_ld_blocks" -> { (s, _) =>
+      import s.implicits._
+      val v = VcfReader.variants(s, s"$fixtures/hapmap3_overlap.vcf")
+      val blocks = graft.ingest.RefPanels.ldBlocks(
+        s, s"$fixtures/ld_blocks_eur_grch37.bed", "EUR", "grch37")
+      val assigned = graft.ingest.LdBlocks.assignBlocks(v, blocks, "EUR")
+      graft.ingest.LdBlocks.blockSummary(blocks, assigned)
+    },
+
+    // F2: echtvar filter expression compiled into a Catalyst predicate
+    "vcf_filter_expression" -> { (s, _) =>
+      import s.implicits._
+      val v = VcfReader.variants(s, s"$fixtures/gnomad_subset.vcf.gz")
+      graft.query.FilterExpression.applyFilter(v,
+        "qual > 100 && rs_id IS NOT NULL && variant_type == 'snp'")
+        .select($"chrom", $"pos", $"ref", $"alt", $"rs_id", $"qual")
+    },
+
+    // A9/J6: PRS score = per-sample Σ(weight × dosage) with GT fallback
+    "vcf_prs_score" -> { (s, _) =>
+      import s.implicits._
+      val g = VcfReader.genotypes(s, s"$fixtures/with_annotations.vcf")
+        .withColumn("variant_id", graft.ingest.VariantMatching.variantIdCol(
+          $"chrom", $"pos", $"ref", $"alt_raw"))
+      val weights = VcfReader.variants(s, s"$fixtures/with_annotations.vcf")
+        .select(graft.ingest.VariantMatching.variantIdCol(
+          $"chrom", $"pos", $"ref", $"alt").as("variant_id"),
+          coalesce($"info"("AF").cast("double"), lit(0.1)).as("effect_weight"))
+      graft.prs.PrsScoring.score(g, weights)
+    },
+
+    // K6: PLINK --score export format (join+filter+orderBy+select)
+    "vcf_export_plink" -> { (s, _) =>
+      import s.implicits._
+      val v = graft.ingest.VariantMatching.withVariantId(
+        VcfReader.variants(s, s"$fixtures/hapmap3_overlap.vcf"))
+      val (_, w) = graft.ingest.PgsReader.read(s, s"$fixtures/pgs_test_beta.txt")
+      val matched = graft.ingest.VariantMatching.matchToVariants(
+        w, v, chromCol = "chr_name", posCol = "chr_position")
+        .filter($"variant_id".isNotNull)
+        .withColumn("beta", $"effect_weight")
+      graft.export.PrsFormats.plinkScore(
+        matched, v.select($"variant_id", $"chrom", $"pos", $"rs_id"))
+    },
+
+    // S9 + A10: gnomAD wide→long unpivot + popmax (bottlenecked excluded)
+    "vcf_popmax" -> { (s, _) =>
+      val vcf = writeGnomadStyleFixture()
+      val v = VcfReader.variants(s, vcf)
+      val long = graft.transform.PopulationFreq.toLong(v)
+      graft.transform.PopulationFreq.popmax(long)
+    },
+
+    // A6: variant_qc_summary matview pipeline over trio QC metrics
+    "vcf_qc_summary" -> { (s, _) =>
+      import s.implicits._
+      val g = VcfReader.genotypes(s, s"$fixtures/with_annotations.vcf")
+      val qc = VariantQc.fromGenotypes(g)
+        .withColumn("in_hapmap3", lit(false))
+        .withColumn("info_score", lit(null).cast("double"))
+      graft.views.PrsViews.variantQcSummary(qc)
     }
   )
+
+  /** gnomAD-style population-field VCF used by vcf_popmax (the public
+    * gnomad_subset fixture declares but doesn't populate these fields). */
+  private def writeGnomadStyleFixture(): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_gnomad_style.vcf")
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.writeString(p,
+        """##fileformat=VCFv4.2
+          |##INFO=<ID=AF,Number=A,Type=Float,Description="AF">
+          |##INFO=<ID=AC_afr,Number=A,Type=Integer,Description="">
+          |##INFO=<ID=AN_afr,Number=1,Type=Integer,Description="">
+          |##INFO=<ID=AF_afr,Number=A,Type=Float,Description="">
+          |##INFO=<ID=AF_nfe,Number=A,Type=Float,Description="">
+          |##INFO=<ID=AF_eas,Number=A,Type=Float,Description="">
+          |##INFO=<ID=AF_fin,Number=A,Type=Float,Description="">
+          |##INFO=<ID=nhomalt_afr,Number=A,Type=Integer,Description="">
+          |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+          |chr1	100	rs1	A	G	50	PASS	AF=0.1;AC_afr=20;AN_afr=100;AF_afr=0.2;AF_nfe=0.05;AF_fin=0.9;nhomalt_afr=3
+          |chr1	200	rs2	C	T	50	PASS	AF=0.2;AF_nfe=0.4;AF_eas=0.35;AF_fin=0.95
+          |chr2	300	rs3	G	A	50	PASS	AF=0.3;AF_afr=0.01;AF_nfe=0.02
+          |""".stripMargin)
+    }
+    p.toString
+  }
 }

@@ -1,0 +1,263 @@
+package graft.ingest
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.query.FilterExpression
+import graft.transform.PopulationFreq
+import graft.prs.PrsScoring
+import org.apache.spark.sql.functions._
+
+class GwasReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTsv(lines: String*): String = {
+    val f = Files.createTempFile("gwas", ".tsv")
+    Files.writeString(f, lines.mkString("\n") + "\n")
+    f.toString
+  }
+
+  test("alias normalization and typed parse") {
+    val p = writeTsv(
+      "CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tN\tSNP",
+      "1\t1000000\ta\tg\t1e-8\t0.05\t0.01\t0.25\t50000.0\trs123",
+      "chr2\t2000000\tT\tC\t0.5\t-0.01\t0.02\t\t\trs456")
+    val df = GwasReader.read(spark, p)
+    assert(df.columns.toSet.contains("chromosome"))
+    val r = df.orderBy($"base_pair_location").head()
+    assert(r.getAs[String]("chromosome") == "1")
+    assert(r.getAs[Long]("base_pair_location") == 1000000L)
+    assert(r.getAs[String]("effect_allele") == "A") // upper-cased
+    assert(r.getAs[Double]("p_value") == 1e-8)
+    assert(r.getAs[Int]("n") == 50000) // int(float(x))
+    assert(r.getAs[String]("rsid") == "rs123")
+  }
+
+  test("missing required column raises") {
+    val p = writeTsv("chr\tpos\tea\tpval", "1\t100\tA\t0.5")
+    val e = intercept[GwasReader.GwasParseError](GwasReader.read(spark, p))
+    assert(e.getMessage.contains("other_allele"))
+  }
+}
+
+class PgsReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("metadata header + aliased body") {
+    val (meta, body) = PgsReader.read(spark, fixture("pgs_test_beta.txt"))
+    assert(meta.pgsId == "PGS000001")
+    assert(PgsReader.normalizeBuild(meta.genomeBuild) == "GRCh38")
+    assert(meta.weightType.contains("beta"))
+    assert(meta.nVariants.contains(10))
+    val r = body.filter($"rsid" === "rs3094315").head()
+    assert(r.getAs[String]("chr_name") == "1")
+    assert(r.getAs[Long]("chr_position") == 752566L)
+    assert(math.abs(r.getAs[Double]("effect_weight") - 0.0234) < 1e-12)
+    assert(r.getAs[String]("pgs_id") == "PGS000001")
+  }
+
+  test("odds-ratio weights convert to beta via ln") {
+    val (meta, body) = PgsReader.read(spark, fixture("pgs_test_or.txt"))
+    assert(meta.pgsId == "PGS000002")
+    val w = body.select($"effect_weight").filter($"effect_weight".isNotNull)
+      .head().getDouble(0)
+    // ln of an OR near 1 is near 0 but not equal to the raw OR
+    assert(math.abs(w) < 1.0)
+  }
+}
+
+class RefPanelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hapmap3 TSV loads bare-chrom typed rows") {
+    val p = RefPanels.hapmap3(spark, fixture("hapmap3_test.tsv"))
+    assert(p.count() == 25)
+    val r = p.filter($"rsid" === "rs3094315").head()
+    assert(r.getAs[String]("chrom") == "1")
+    assert(r.getAs[Long]("position") == 752566L)
+    assert(r.getAs[String]("a1") == "G" && r.getAs[String]("a2") == "A")
+  }
+
+  test("LD blocks BED with population/build normalization") {
+    val b = RefPanels.ldBlocks(spark, fixture("ld_blocks_eur_grch37.bed"), "eur", "grch37")
+    assert(b.count() > 0)
+    val r = b.orderBy($"start_pos").head()
+    assert(r.getAs[String]("population") == "EUR")
+    assert(r.getAs[String]("genome_build") == "GRCh37")
+    assert(r.getAs[Long]("start_pos") == 10583L)
+    val stats = RefPanels.ldBlockStats(b).head()
+    assert(stats.getAs[Long]("n_blocks") == b.count())
+  }
+}
+
+class VariantMatchingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val variants = Seq(
+    ("chr1", 100L, "A", "G", "rs1"),
+    ("chr1", 200L, "C", "T", "rs2"),
+    ("chr2", 300L, "G", "GA", null.asInstanceOf[String])
+  ).toDF("chrom", "pos", "ref", "alt", "rs_id")
+
+  test("priority: direct beats swapped beats rsid") {
+    val stats = Seq(
+      // direct: (oa,ea) == (ref,alt)
+      ("1", 100L, "G", "A", null.asInstanceOf[String]),
+      // swapped: (ea,oa) == (ref,alt)
+      ("1", 200L, "C", "T", null.asInstanceOf[String]),
+      // no positional match; rsid fallback
+      ("1", 999L, "A", "G", "rs2"),
+      // unmatched
+      ("3", 1L, "A", "G", null.asInstanceOf[String])
+    ).toDF("chromosome", "base_pair_location", "effect_allele", "other_allele", "rsid")
+
+    val m = VariantMatching.matchToVariants(stats, variants).cache()
+    val byPos = m.collect().map(r =>
+      (r.getAs[Long]("base_pair_location"), r.getAs[String]("match_type"))).toMap
+    assert(byPos(100L) == "direct")
+    assert(byPos(200L) == "swapped")
+    assert(byPos(999L) == "rsid")
+    assert(byPos(1L) == null)
+    // matched variant_id equals the deterministic surrogate of the variant
+    val vids = VariantMatching.withVariantId(variants)
+      .select($"pos", $"variant_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = m.filter($"base_pair_location" === 100L).head().getAs[Long]("variant_id")
+    assert(got == vids(100L))
+  }
+
+  test("isEffectAlleleAlt harmonization directions") {
+    val df = Seq(
+      ("G", "A", "A", "G", Some(true)),   // ea==alt, oa==ref
+      ("A", "G", "A", "G", Some(false)),  // ea==ref
+      ("C", "T", "A", "G", Some(true)),   // complement: C→G alt, T→A ref
+      ("G", "A", "T", "C", Some(false)),  // complement hits ref
+      ("A", "G", "A", "C", None)          // unmatched in any orientation
+    ).toDF("ea", "oa", "ref", "alt", "exp")
+    val rows = df.withColumn("m",
+      VariantMatching.isEffectAlleleAlt($"ea", $"oa", $"ref", $"alt")).collect()
+    assert(rows(0).getAs[Boolean]("m") == true)
+    assert(rows(1).getAs[Boolean]("m") == false)
+    assert(rows(2).getAs[Boolean]("m") == true)
+    assert(rows(4).isNullAt(rows(4).fieldIndex("m")))
+  }
+
+  test("hapmap3 flagging on overlap fixture") {
+    val v = graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf"))
+    val panel = RefPanels.hapmap3(spark, fixture("hapmap3_test.tsv"))
+    val flagged = VariantMatching.flagHapmap3(v, panel).cache()
+    // first 5 sites in the fixture are exact hapmap3 entries
+    val hit = flagged.filter($"in_hapmap3")
+    assert(hit.count() >= 5)
+    assert(flagged.filter($"pos" === 752566L).head().getAs[String]("hapmap3_rsid") == "rs3094315")
+    // non-panel site not flagged
+    assert(!flagged.filter($"pos" === 850000L).head().getAs[Boolean]("in_hapmap3"))
+  }
+
+  test("LD block interval assignment") {
+    val v = Seq(("chr1", 11000L, "A", "G"), ("chr1", 2000000L, "C", "T"),
+      ("chr9", 11000L, "A", "G"))
+      .toDF("chrom", "pos", "ref", "alt")
+    val blocks = RefPanels.ldBlocks(spark, fixture("ld_blocks_eur_grch37.bed"), "EUR")
+    val assigned = LdBlocks.assignBlocks(v, blocks, "EUR").cache()
+    val b1 = assigned.filter($"pos" === 11000L && $"chrom" === "chr1").head()
+    assert(!b1.isNullAt(b1.fieldIndex("ld_block_id"))) // inside block 1
+    val b2 = assigned.filter($"pos" === 2000000L).head()
+    assert(!b2.isNullAt(b2.fieldIndex("ld_block_id"))) // block 2
+    assert(b1.getAs[Long]("ld_block_id") != b2.getAs[Long]("ld_block_id"))
+    val none = assigned.filter($"chrom" === "chr9").head()
+    assert(none.isNullAt(none.fieldIndex("ld_block_id"))) // chr9 has no blocks in EUR file? (file covers chr1..)
+  }
+}
+
+class FilterExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("operator translation") {
+    val fields = Set("gnomad_af", "clinvar_sig")
+    assert(FilterExpression.parse("gnomad_af < 0.01 && clinvar_sig == 'Pathogenic'", fields) ==
+      "gnomad_af < 0.01 AND clinvar_sig = 'Pathogenic'")
+    assert(FilterExpression.parse("gnomad_af < 0.01 || gnomad_af IS NULL", fields) ==
+      "gnomad_af < 0.01 OR gnomad_af IS NULL")
+    assert(FilterExpression.parse("clinvar_sig != 'Benign'", fields) ==
+      "clinvar_sig <> 'Benign'")
+    assert(FilterExpression.parse("", fields) == "TRUE")
+  }
+
+  test("validation errors") {
+    val fields = Set("af")
+    assert(FilterExpression.validate("unknown_field < 1", fields)
+      .exists(_.contains("Unknown field")))
+    assert(FilterExpression.validate("(af < 1", fields)
+      .contains("Unbalanced parentheses"))
+    assert(FilterExpression.validate("af == 'open", fields)
+      .contains("Unclosed string literal"))
+    assert(FilterExpression.validate("af < 0.01 && af IS NOT NULL", fields).isEmpty)
+  }
+
+  test("applyFilter executes through Catalyst") {
+    val df = Seq((0.001, "Pathogenic"), (0.5, "Benign")).toDF("gnomad_af", "clinvar_sig")
+    val out = FilterExpression.applyFilter(df,
+      "gnomad_af < 0.01 && clinvar_sig == 'Pathogenic'")
+    assert(out.count() == 1)
+    intercept[IllegalArgumentException] {
+      FilterExpression.applyFilter(df, "nope == 1")
+    }
+  }
+}
+
+class PrsScoringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-sample weighted dosage sum with GT fallback") {
+    val genotypes = Seq(
+      // variant_id, sample, dosage, a1, a2
+      (1L, "S1", Some(1.0), Some(0), Some(1)),
+      (2L, "S1", None, Some(1), Some(1)),      // fallback → 2
+      (1L, "S2", Some(0.0), Some(0), Some(0)),
+      (2L, "S2", None, None, None)             // missing → excluded
+    ).toDF("variant_id", "sample_id", "dosage", "a1", "a2")
+    val weights = Seq((1L, 0.5), (2L, -0.25)).toDF("variant_id", "effect_weight")
+    val s = PrsScoring.score(genotypes, weights).collect()
+      .map(r => r.getAs[String]("sample_id") ->
+        (r.getAs[Double]("prs_score"), r.getAs[Long]("n_variants_used"))).toMap
+    assert(math.abs(s("S1")._1 - (0.5 * 1.0 + -0.25 * 2.0)) < 1e-12)
+    assert(s("S1")._2 == 2)
+    assert(math.abs(s("S2")._1 - 0.0) < 1e-12)
+    assert(s("S2")._2 == 1)
+  }
+}
+
+class PopulationFreqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gnomAD wide INFO unpivots to long rows; popmax excludes bottlenecked") {
+    // the gnomad_subset fixture declares population fields in the header
+    // but its body rows don't carry them — synthesize a gnomAD-style VCF
+    val vcf = Files.createTempFile("gnomad_style", ".vcf")
+    Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=AF,Number=A,Type=Float,Description="AF">
+        |##INFO=<ID=AC_afr,Number=A,Type=Integer,Description="">
+        |##INFO=<ID=AN_afr,Number=1,Type=Integer,Description="">
+        |##INFO=<ID=AF_afr,Number=A,Type=Float,Description="">
+        |##INFO=<ID=AF_nfe,Number=A,Type=Float,Description="">
+        |##INFO=<ID=AF_fin,Number=A,Type=Float,Description="">
+        |##INFO=<ID=nhomalt_afr,Number=A,Type=Integer,Description="">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	rs1	A	G	50	PASS	AF=0.1;AC_afr=20;AN_afr=100;AF_afr=0.2;AF_nfe=0.05;AF_fin=0.9;nhomalt_afr=3
+        |chr1	200	rs2	C	T	50	PASS	AF=0.2;AF_nfe=0.4;AF_fin=0.95
+        |""".stripMargin)
+    val v = graft.vcf.VcfReader.variants(spark, vcf.toString).cache()
+    val long = PopulationFreq.toLong(v).cache()
+    // rs1 → AFR,NFE,FIN rows; rs2 → NFE,FIN rows
+    assert(long.count() == 5)
+    val afr = long.filter($"pos" === 100L && $"population" === "AFR").head()
+    assert(afr.getAs[Int]("ac") == 20 && afr.getAs[Int]("an") == 100)
+    assert(math.abs(afr.getAs[Double]("af") - 0.2) < 1e-9)
+    assert(afr.getAs[Int]("hom_count") == 3)
+    val pm = PopulationFreq.popmax(long).cache()
+    // FIN excluded: rs1 popmax = AFR 0.2 (not FIN 0.9); rs2 = NFE 0.4
+    val byVid = pm.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(byVid.values.toSet == Set((0.2, "AFR"), (0.4, "NFE")))
+  }
+}
