@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every method avoids the O(n²) all-pairs comparison —
+  * exact dedup is one hash aggregation; MinHash/SimHash reduce candidate
+  * generation to equi-joins on band buckets (shuffle on bucket key, skew
+  * bounded by band width); only candidate pairs within a bucket pay the
+  * verification cost.
+  */
+object Dedup {
+
+  // ---- exact (hash groupBy) ----
+
+  /** Exact-duplicate clusters: normalized-text hash → count + member ids. */
+  def exactDupClusters(docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    docs
+      .withColumn("text_hash", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("n_copies") > 1)
+  }
+
+  /** Keep the first (min id) representative of each exact-dup cluster. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** MinHash signature over word shingles: numHashes independent hash
+    * families via seed-salted xxhash64; each signature slot is an
+    * array_min — pure expressions, no UDF. */
+  def minhashSignature(toks: Column, shingleK: Int, numHashes: Int): Column = {
+    val shingles = TextAnalysis.wordShingles(toks, shingleK)
+    array((0 until numHashes).map { h =>
+      array_min(transform(shingles, s => xxhash64(lit(h), s)))
+    }: _*)
+  }
+
+  /** LSH banding: (band_idx, hash(band slice)) rows, one per band. */
+  def lshBands(df: DataFrame, sigCol: String, bands: Int, rowsPerBand: Int,
+               idCol: String = "doc_id"): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(concat_ws(",",
+          slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))).as("band_hash"))
+    }
+    df.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
+      .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
+  }
+
+  /** Candidate pairs = docs sharing any band bucket; verified by the
+    * estimated Jaccard (fraction of equal signature slots). The bucket
+    * join is the only shuffle; pairs are deduped across bands.
+    */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String = "text",
+                            idCol: String = "doc_id", shingleK: Int = 3,
+                            numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = docs
+      .withColumn("_sig", minhashSignature(TextAnalysis.tokens(col(textCol)), shingleK, numHashes))
+      .select(col(idCol), col("_sig"))
+
+    val bandsDf = lshBands(withSig, "_sig", bands, rowsPerBand, idCol)
+    val left = bandsDf.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
+    val right = bandsDf.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
+
+    val pairs = left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sigA = withSig.select(col(idCol).as("id_a"), col("_sig").as("sig_a"))
+    val sigB = withSig.select(col(idCol).as("id_b"), col("_sig").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+          x => x)).cast(DoubleType) / size(col("sig_a")))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over tokens: per-token 64-bit hash votes per bit.
+    * The bit loop is genuinely imperative → one small pure UDF (the
+    * reference preference order allows this; a custom Expression with
+    * codegen is the upgrade path). */
+  private def simhash64(tokens: Seq[String]): Long = {
+    if (tokens == null || tokens.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong & 0xffffffffL
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** Near-dup pairs by SimHash: band the 64-bit signature into 16-bit
+    * chunks (any equal chunk → candidate; guarantees recall for hamming
+    * distance ≤ 3), verify with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val withSig = docs
+      .withColumn("_sig", simhashUdf(TextAnalysis.tokens(col(textCol))))
+      .select(col(idCol), col("_sig"))
+
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftrightunsigned(col("_sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+    }
+    val banded = withSig.select(col(idCol), col("_sig"), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("_sig"), col("c.chunk_idx"), col("c.chunk"))
+
+    val left = banded.select(col(idCol).as("id_a"), col("_sig").as("sig_a"),
+      col("chunk_idx"), col("chunk"))
+    val right = banded.select(col(idCol).as("id_b"), col("_sig").as("sig_b"),
+      col("chunk_idx"), col("chunk"))
+
+    left.join(right, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- n-gram Jaccard ----
+
+  /** Exact Jaccard similarity between two token arrays' k-shingle sets. */
+  def ngramJaccard(toksA: Column, toksB: Column, k: Int): Column = {
+    val sa = array_distinct(TextAnalysis.wordShingles(toksA, k))
+    val sb = array_distinct(TextAnalysis.wordShingles(toksB, k))
+    val inter = size(array_intersect(sa, sb))
+    val union = size(array_union(sa, sb))
+    when(union > 0, inter.cast(DoubleType) / union)
+  }
+
+  // ---- embedding cosine near-dup ----
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
+    * generated by the similarity module's LSH buckets (avoids all-pairs). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       planes: Int = 12): DataFrame = {
+    val bucketed = Similarity.withLshBucket(embeddings, vecCol, planes)
+    val left = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("lsh_bucket"))
+    val right = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("lsh_bucket"))
+    left.join(right, Seq("lsh_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the corpus, ranked per query. Scale path: random-
+  * hyperplane LSH buckets turn candidate generation into an equi-join;
+  * with B planes the corpus shards into 2^B buckets and only same-bucket
+  * pairs are scored (IVF-style recall/cost trade controlled by B).
+  *
+  * The dot product is a `zip_with` + `aggregate` fold — a native
+  * expression, evaluated left-to-right exactly like any sequential dot
+  * product (deterministic, codegen'd, no UDF).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (self excluded). Queries side is broadcast; ranking uses a
+    * per-query window with deterministic tie-break on id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes (seeded Gaussian) as literal
+    * arrays — driver-side metadata, broadcast inside the plan. */
+  private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Add an `lsh_bucket` column: sign pattern of the vector against
+    * `planes` hyperplanes packed into a long. */
+  def withLshBucket(df: DataFrame, vecCol: String, planes: Int,
+                    dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(dim, planes, seed)
+    val bits: Seq[Column] = hp.zipWithIndex.map { case (plane, i) =>
+      val planeLit = array(plane.map(lit(_)): _*)
+      val dot = aggregate(
+        zip_with(col(vecCol), planeLit, (x, p) => x.cast(DoubleType) * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.withColumn("lsh_bucket", bits.reduce(_ + _))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket.
+    * Same output schema as bruteForceTopK (rank within found candidates);
+    * recall < 1 by construction — the scale path when the corpus no
+    * longer fits a broadcast cross-join. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = withLshBucket(corpus, vecCol, planes)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("lsh_bucket"))
+    val q = withLshBucket(queries, vecCol, planes)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("lsh_bucket"))
+    val scored = c.join(q, Seq("lsh_bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * dedup family, ANN search, text analysis, multimodal plumbing.
+  * SQL-expressible ops carry DuckDB oracles; hash-based ops (engine hash
+  * functions differ) are rows-only with exact semantics covered by
+  * ScalaTest.
+  */
+object Pipeline {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup stats (hash-groupBy shape) per source.
+    "p01_doc_exact_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct($"text").as("n_distinct_texts"))
+        .withColumn("n_dups", $"n_docs" - $"n_distinct_texts")
+        .orderBy($"source")
+    },
+
+    // Token counting: whitespace + BPE-ish subword proxy.
+    "p02_doc_token_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents.select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        size(TextAnalysis.tokens($"text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount($"text").as("n_bpeish"))
+        .orderBy($"doc_id")
+    },
+
+    // Quality scoring ratios.
+    "p03_doc_quality" -> { (s, dir) =>
+      import s.implicits._
+      TextAnalysis.withQuality(Tables(s, dir).documents)
+        .select($"doc_id", $"n_chars", $"n_tokens",
+          round($"mean_token_len", 6).as("mean_token_len"),
+          round($"punct_ratio", 6).as("punct_ratio"),
+          round($"upper_ratio", 6).as("upper_ratio"),
+          round($"stopword_ratio", 6).as("stopword_ratio"),
+          $"quality_score")
+        .orderBy($"doc_id")
+    },
+
+    // n-gram Jaccard between adjacent doc ids (deterministic pairing).
+    "p05_ngram_jaccard_adjacent" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents
+      val a = d.select($"doc_id".as("id_a"), TextAnalysis.tokens($"text").as("toks_a"))
+      val b = d.select($"doc_id".as("id_b"), TextAnalysis.tokens($"text").as("toks_b"))
+      a.join(b, $"id_a" + 1 === $"id_b")
+        .select($"id_a", $"id_b",
+          round(Dedup.ngramJaccard($"toks_a", $"toks_b", 3), 6).as("jaccard3"))
+        .orderBy($"id_a")
+    },
+
+    // Brute-force cosine top-k ANN baseline.
+    "p06_embedding_topk" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(e, e.filter($"vec_id" < 4), k = 5)
+        .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+
+    // MinHash+LSH near-dup candidates (hash-based → rows-only); near-dups
+    // synthesized deterministically so recall is observable.
+    "p07_minhash_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.limit(200)
+      val mutated = d.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" appended tail token")).as("text"))
+      val corpus = d.select($"doc_id", $"text").union(mutated)
+      Dedup.minhashCandidatePairs(corpus)
+        .filter($"est_jaccard" >= 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // SimHash near-dup pairs (hash-based → rows-only).
+    "p08_simhash_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.limit(200)
+      val mutated = d.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" x")).as("text"))
+      val corpus = d.select($"doc_id", $"text").union(mutated)
+      Dedup.simhashPairs(corpus, maxHamming = 3)
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // Language ID heuristic vs the table's labeled lang.
+    "p09_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"lang".as("lang_label"),
+          TextAnalysis.langIdCol($"text").as("lang_pred"))
+        .withColumn("correct", $"lang_label" === $"lang_pred")
+        .orderBy($"doc_id")
+    },
+
+    // Document fingerprinting (rolling-hash analogue; engine-specific hash
+    // → rows-only).
+    "p10_doc_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", TextAnalysis.fingerprint($"text").as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+
+    // Multimodal plumbing: binary payload → per-partition stub decode.
+    "p11_media_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(Tables(s, dir).documents)
+      Multimodal.extractFeatures(media).toDF()
+        .select($"media_id", $"media_type", $"n_bytes", $"content_hash",
+          $"n_frames_sampled")
+        .orderBy($"media_id")
+    },
+
+    // Embedding near-dup via LSH buckets; exact-dup copies synthesized so
+    // cosine=1 pairs exist.
+    "p12_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings.select($"vec_id", $"embedding")
+      val copies = e.filter($"vec_id" < 20)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+      Dedup.embeddingNearDup(e.union(copies), threshold = 0.95)
+        .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    },
+
+    // LSH-bucketed ANN (scale path of p06).
+    "p13_lsh_topk" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      Similarity.lshTopK(e, e.filter($"vec_id" < 4), k = 5, planes = 6)
+        .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank")
+        .orderBy($"query_id", $"rank")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p01_doc_exact_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT text) AS n_distinct_texts,
+        |  COUNT(*) - COUNT(DISTINCT text) AS n_dups
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "p02_doc_token_stats" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars,
+        |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p03_doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, LENGTH(text) AS n_chars,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, n_chars, LEN(toks) AS n_tokens,
+        |  ROUND(CASE WHEN LEN(toks) > 0 THEN
+        |    CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks) END, 6)
+        |    AS mean_token_len,
+        |  ROUND(CASE WHEN n_chars > 0 THEN
+        |    CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chars END, 6)
+        |    AS punct_ratio,
+        |  ROUND(CASE WHEN n_chars > 0 THEN
+        |    CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS DOUBLE) / n_chars END, 6)
+        |    AS upper_ratio,
+        |  ROUND(CASE WHEN LEN(toks) > 0 THEN
+        |    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], LOWER(x)))) AS DOUBLE) / LEN(toks) END, 6)
+        |    AS stopword_ratio,
+        |  CAST(CASE WHEN LEN(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END +
+        |   CASE WHEN (CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
+        |   CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / n_chars) < 0.2 THEN 0.25 ELSE 0.0 END +
+        |   CASE WHEN (CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS DOUBLE) / n_chars) < 0.3 THEN 0.25 ELSE 0.0 END
+        |   AS DOUBLE) AS quality_score
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "p05_ngram_jaccard_adjacent" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    LIST_DISTINCT(CASE WHEN LEN(toks) >= 3 THEN
+        |      LIST_TRANSFORM(RANGE(LEN(toks) - 2),
+        |        i -> CONCAT_WS(' ', toks[i+1], toks[i+2], toks[i+3]))
+        |      ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS shingles
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) > 0 THEN
+        |    CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE) /
+        |    LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) END, 6) AS jaccard3
+        |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY id_a""".stripMargin,
+
+    "p06_embedding_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+        |  FROM embeddings WHERE vec_id < 4),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    LIST_COSINE_SIMILARITY(q_vec, CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id != query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY ROUND(cos, 5) DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / bpeish counts") {
+    val df = Seq("hello, world!  two  spaces").toDF("text")
+      .select(size(TextAnalysis.tokens($"text")).as("n"),
+        TextAnalysis.bpeishTokenCount($"text").as("b"))
+    val r = df.head()
+    assert(r.getInt(0) == 4)           // hello, world! two spaces
+    assert(r.getInt(1) == 6)           // hello , world ! two spaces
+  }
+
+  test("language ID: script detection + stopword vote") {
+    // NOTE: the testdata documents table carries a `lang` label but its
+    // text is uniformly English-like synthetic prose, so accuracy-vs-label
+    // is untestable there; assert the mechanism on real-language samples.
+    val samples = Seq(
+      ("zh", "这是一个中文文档的例子 其中包含很多汉字 用于测试语言识别"),
+      ("ja", "これは日本語のテキストです ひらがなとカタカナを含みます"),
+      ("ru", "Это пример русского текста для определения языка"),
+      ("en", "the quick brown fox is on the hill and it was a fine day for all of us"),
+      ("de", "der schnelle braune fuchs ist auf dem hügel und es war ein schöner tag für alle"),
+      ("fr", "le renard brun est sur la colline et il était une belle journée pour tous les gens"),
+      ("es", "el zorro marrón está en la colina y era un buen día para todos los que estaban")
+    ).toDF("expected", "text")
+    val got = samples.withColumn("pred", TextAnalysis.langIdCol($"text"))
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+    // on the synthetic English-soup corpus, predictions are en/unknown
+    val preds = graft.Tables(spark, sfDir).documents
+      .select(TextAnalysis.langIdCol($"text").as("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "unknown")))
+  }
+
+  test("word shingles") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextAnalysis.wordShingles(TextAnalysis.tokens($"text"), 3).as("sh"))
+    val rows = df.collect().map(_.getAs[scala.collection.Seq[String]]("sh").toSeq)
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq("a b")) // shorter than k → single joined form
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog yesterday"), // near dup
+    (4L, "completely different text about spark distributed computing engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup clusters and representative selection") {
+    val clusters = Dedup.exactDupClusters(docs).collect()
+    assert(clusters.length == 1)
+    assert(clusters(0).getAs[Long]("n_copies") == 2)
+    val kept = Dedup.exactDedup(docs).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L)) // min-id representative survives
+  }
+
+  test("minhash LSH finds near-dup pair, skips unrelated") {
+    val pairs = Dedup.minhashCandidatePairs(docs, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(pairSet.contains((1L, 2L))) // exact dup always collides
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+    assert(pairSet.contains((1L, 3L)) || pairSet.contains((2L, 3L))) // near dup
+    assert(!pairSet.exists(p => p._2 == 4L && p._1 <= 3L) ||
+      pairs.filter(p => p._2 == 4L).forall(_._3 < 0.3)) // unrelated low sim
+  }
+
+  test("simhash hamming distance near-dups") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.isDefined && exact.get._3 == 0) // identical text → distance 0
+  }
+
+  test("ngram jaccard exact computation") {
+    val df = Seq(("a b c d e", "a b c d x")).toDF("ta", "tb")
+      .select(Dedup.ngramJaccard(
+        TextAnalysis.tokens($"ta"), TextAnalysis.tokens($"tb"), 3).as("j"))
+    // shingles A: {abc,bcd,cde}; B: {abc,bcd,cdx}; inter 2, union 4
+    assert(math.abs(df.head().getDouble(0) - 0.5) < 1e-12)
+  }
+
+  test("embedding near-dup via LSH buckets finds identical vectors") {
+    val e = graft.Tables(spark, sfDir).embeddings.limit(100)
+    val copies = e.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding")
+    val pairs = Dedup.embeddingNearDup(e.select($"vec_id", $"embedding").union(copies), 0.999)
+    // every copied vector pairs with its source at cosine 1
+    assert(pairs.filter($"id_b" >= 1000L && $"cosine" > 0.9999).count() == 5)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1; orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    ).toDF("a", "b").select(Similarity.cosine($"a", $"b").as("c"))
+    val c = df.collect().map(_.getDouble(0))
+    assert(math.abs(c(0) - 1.0) < 1e-12)
+    assert(math.abs(c(1)) < 1e-12)
+  }
+
+  test("brute force top-k: ranks by cosine, excludes self, k bounded") {
+    val e = graft.Tables(spark, sfDir).embeddings
+    val topk = Similarity.bruteForceTopK(e, e.filter($"vec_id" === 0), 5).cache()
+    assert(topk.count() == 5)
+    val rows = topk.orderBy($"rank").collect()
+    assert(rows.forall(_.getAs[Long]("neighbor_id") != 0L))
+    val cosines = rows.map(_.getAs[Double]("cosine"))
+    assert(cosines.sliding(2).forall(p => p(0) >= p(1) - 1e-9)) // descending
+  }
+
+  test("LSH top-k returns a subset consistent with brute force scores") {
+    val e = graft.Tables(spark, sfDir).embeddings
+    val q = e.filter($"vec_id" === 0)
+    val lsh = Similarity.lshTopK(e, q, 5, planes = 4).collect()
+    assert(lsh.nonEmpty) // bucket contains some candidates
+    // every LSH result's cosine matches the exact cosine for that pair
+    val brute = Similarity.bruteForceTopK(e, q, 2000).collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
+    lsh.foreach { r =>
+      val nid = r.getAs[Long]("neighbor_id")
+      assert(math.abs(brute(nid) - r.getAs[Double]("cosine")) < 1e-9)
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table schema and deterministic stub features") {
+    val media = Multimodal.mediaFromDocuments(
+      graft.Tables(spark, sfDir).documents.limit(50)).cache()
+    assert(media.count() == 50)
+    val types = media.select($"media_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("image", "audio", "video"))
+    val feats = Multimodal.extractFeatures(media).cache()
+    assert(feats.count() == 50)
+    val f = feats.filter(_.media_id == 1L).head()
+    assert(f.feature_vec.length == 16)
+    assert(f.n_bytes > 0)
+    // determinism: re-extraction yields identical hashes
+    val again = Multimodal.extractFeatures(media)
+      .filter(_.media_id == 1L).head()
+    assert(again.content_hash == f.content_hash)
+  }
+
+  test("frame-sample plan targets videos only") {
+    val media = Multimodal.mediaFromDocuments(
+      graft.Tables(spark, sfDir).documents.limit(30))
+    val plan = Multimodal.frameSamplePlan(media, 10)
+    assert(plan.filter($"media_type" =!= "video").count() == 0)
+    assert(plan.filter($"n_samples" < 1).count() == 0)
+  }
+}
