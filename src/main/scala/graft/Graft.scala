@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin CLI mapping the reference's verbs (`cli.py:245-2490`) onto the
+  * library. The "database" is a parquet directory layout:
+  *
+  *   <db>/variants/         chrom-partitioned variants (K1)
+  *   <db>/genotypes/        genotype long table
+  *   <db>/gwas_stats/       matched summary stats
+  *   <db>/prs_weights/      matched PGS weights
+  *   <db>/ledger/           load-audit ledger (idempotent reload)
+  *   <db>/views/<name>/     materialized views
+  *
+  * Usage: graft.Graft <verb> [args] — run with `sbt "runMain graft.Graft
+  * load sample.vcf --db /tmp/db"`.
+  */
+object Graft {
+
+  private def arg(args: Array[String], flag: String): Option[String] = {
+    val i = args.indexOf(flag)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def has(args: Array[String], flag: String): Boolean = args.contains(flag)
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(1) }
+    val spark = Tables.session()
+    graft.qc.Hwe.register(spark)
+    graft.functions.GenomicsFunctions.register(spark)
+    graft.transform.Normalizer.register(spark)
+    graft.transform.Annotations.register(spark)
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    import spark.implicits._
+    val verb = args.head
+    val db = arg(args, "--db").getOrElse("/tmp/graft_db")
+    def variants = spark.read.parquet(s"$db/variants")
+
+    verb match {
+      case "load" =>
+        val vcf = args(1)
+        val ledger = new graft.audit.Audit.Ledger(spark, s"$db/ledger")
+        val hash = graft.audit.Audit.fileSha256(vcf)
+        val existing = ledger.checkExisting(hash)
+        if (existing.isDefined && !has(args, "--force-reload")) {
+          println(s"skip: file already loaded (batch ${existing.get})")
+          return
+        }
+        val batchId = java.util.UUID.randomUUID().toString
+        val opts = graft.vcf.VcfReader.Options(
+          normalize = has(args, "--normalize"),
+          humanGenome = !has(args, "--no-human-genome"),
+          minInfoScore = arg(args, "--min-info-score").map(_.toDouble))
+        var v = graft.vcf.VcfReader.variants(spark, vcf, opts)
+          .withColumn("load_batch_id", lit(batchId))
+        val header = graft.vcf.VcfHeader.read(spark, vcf)
+        if (header.samples.nonEmpty) {
+          val g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
+            .withColumn("load_batch_id", lit(batchId))
+          val qc = graft.qc.VariantQc.fromGenotypes(g)
+          v = v.join(qc.drop("n_samples"),
+            Seq("chrom", "pos", "ref"), "left")
+            .drop(qc("alt_raw"))
+          g.write.mode("append").parquet(s"$db/genotypes")
+        }
+        val prevBatch = if (has(args, "--force-reload")) existing else None
+        val base = prevBatch match {
+          case Some(b) if new java.io.File(s"$db/variants").exists() =>
+            // materialize before overwriting the directory we read from
+            graft.audit.Audit.dropBatch(variants, b).unionByName(v, true)
+              .localCheckpoint()
+          case _ => v
+        }
+        graft.sinks.Writers.writeVariants(
+          graft.ingest.VariantMatching.withVariantId(base), s"$db/variants",
+          mode = "overwrite")
+        val n = spark.read.parquet(s"$db/variants").count()
+        ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
+          "completed", n, new java.sql.Timestamp(System.currentTimeMillis())))
+        println(s"loaded $n variants (batch $batchId)")
+
+      case "validate" =>
+        val dups = variants.groupBy($"chrom", $"pos", $"ref", $"alt")
+          .count().filter($"count" > 1).count()
+        println(s"variants=${variants.count()} duplicate_sites=$dups")
+
+      case "import-gwas" =>
+        val stats = graft.ingest.GwasReader.read(spark, args(1))
+        val matched = graft.ingest.VariantMatching.matchToVariants(stats, variants)
+        matched.filter($"variant_id".isNotNull)
+          .write.mode("overwrite").parquet(s"$db/gwas_stats")
+        val n = matched.count()
+        val m = matched.filter($"variant_id".isNotNull).count()
+        println(s"imported=$n matched=$m unmatched=${n - m}")
+
+      case "import-pgs" =>
+        val (meta, weights) = graft.ingest.PgsReader.read(spark, args(1))
+        val matched = graft.ingest.VariantMatching.matchToVariants(
+          weights, variants, chromCol = "chr_name", posCol = "chr_position")
+        matched.filter($"variant_id".isNotNull)
+          .write.mode("overwrite").parquet(s"$db/prs_weights")
+        println(s"pgs=${meta.pgsId} matched=${matched.filter($"variant_id".isNotNull).count()}")
+
+      case "load-reference" =>
+        val panel = graft.ingest.RefPanels.hapmap3(spark, args(1))
+        val flagged = graft.ingest.VariantMatching.flagHapmap3(variants, panel)
+          .localCheckpoint() // cut lineage before overwriting the source dir
+        graft.sinks.Writers.writeVariants(flagged, s"$db/variants")
+        println(s"flagged in_hapmap3=${variants.filter($"in_hapmap3").count()}")
+
+      case "annotate-ld-blocks" =>
+        val blocks = graft.ingest.RefPanels.ldBlocks(spark, args(1),
+          arg(args, "--population").getOrElse("EUR"),
+          arg(args, "--build").getOrElse("grch37"))
+        val assigned = graft.ingest.LdBlocks.assignBlocks(variants, blocks,
+          arg(args, "--population").getOrElse("EUR"),
+          arg(args, "--build").map(b => graft.ingest.PgsReader.normalizeBuild(b))
+            .getOrElse("GRCh37"))
+          .localCheckpoint() // cut lineage before overwriting the source dir
+        graft.sinks.Writers.writeVariants(assigned, s"$db/variants")
+        println("ld blocks assigned")
+
+      case "compute-sample-qc" =>
+        val g = spark.read.parquet(s"$db/genotypes")
+        val sqc = graft.qc.SampleQc.compute(g, graft.qc.VariantQc.fromGenotypes(g))
+        sqc.write.mode("overwrite").parquet(s"$db/sample_qc")
+        graft.qc.SampleQc.batchSummary(sqc).show()
+
+      case "refresh-views" =>
+        val timings = graft.views.PrsViews.refresh(s"$db/views", Map(
+          "variant_qc_summary" -> graft.views.PrsViews.variantQcSummary(variants),
+          "chromosome_variant_counts" -> graft.views.PrsViews.chromosomeVariantCounts(variants)))
+        timings.foreach { case (n, t) => println(f"$n refreshed in $t%.2fs") }
+
+      case "annotate" =>
+        val filterExpr = arg(args, "--filter")
+        val out = graft.query.Annotator.annotate(variants, Seq.empty,
+          filterExpr, limit = arg(args, "--limit").map(_.toInt))
+        arg(args, "--output") match {
+          case Some(p) => graft.sinks.Writers.writeTsv(out, p)
+          case None    => out.show(20, truncate = false)
+        }
+
+      case "annotation-query" =>
+        variants.createOrReplaceTempView("variants")
+        spark.sql(args(1)).show(50, truncate = false)
+
+      case "export-plink" | "export-prscs" | "export-ldpred2" | "export-prsice" =>
+        val stats = spark.read.parquet(s"$db/gwas_stats")
+          .withColumn("beta", coalesce($"beta", log($"odds_ratio")))
+        val vf = graft.export.PrsFormats.VariantFilter(
+          hapmap3Only = has(args, "--hapmap3-only"),
+          minInfo = arg(args, "--min-info").map(_.toDouble),
+          minMaf = arg(args, "--min-maf").map(_.toDouble))
+        val vSel = variants.select("variant_id", "chrom", "pos", "rs_id")
+        val out = verb match {
+          case "export-plink"   => graft.export.PrsFormats.plinkScore(stats, vSel, vf)
+          case "export-prscs"   => graft.export.PrsFormats.prsCs(stats, vSel, vf = vf)
+          case "export-ldpred2" => graft.export.PrsFormats.ldpred2(stats, vSel,
+            arg(args, "--n-cases").map(_.toLong), arg(args, "--n-controls").map(_.toLong),
+            arg(args, "--sample-size").map(_.toLong), vf)
+          case _                => graft.export.PrsFormats.prsice2(stats, vSel, vf)
+        }
+        graft.sinks.Writers.writeTsv(out, args(1))
+        println(s"exported ${out.count()} rows to ${args(1)}")
+
+      case "benchmark" =>
+        Bench.main(Array.empty)
+
+      case other =>
+        println(s"unknown verb: $other"); usage(); sys.exit(1)
+    }
+  }
+
+  private def usage(): Unit = println(
+    """graft <verb> [options]
+      |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
+      |  validate --db DIR
+      |  import-gwas <tsv> --db DIR
+      |  import-pgs <scoring-file> --db DIR
+      |  load-reference <hapmap3-tsv> --db DIR
+      |  annotate-ld-blocks <bed> --db DIR [--population EUR] [--build grch37]
+      |  compute-sample-qc --db DIR
+      |  refresh-views --db DIR
+      |  annotate --db DIR [--filter EXPR] [--limit N] [--output PATH]
+      |  annotation-query "<sql>" --db DIR
+      |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
+      |  benchmark""".stripMargin)
+}

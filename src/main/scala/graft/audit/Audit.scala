@@ -1,0 +1,139 @@
+package graft.audit
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Load-audit ledger + idempotent reload (SURVEY T15/K4,
+  * `loader.py:73-83,182-252`) and the HIPAA audit hash chain (§2.10,
+  * `audit/integrity.py:92-239`).
+  */
+object Audit {
+
+  /** T15 — chunked SHA-256 of a file (reload identity key). */
+  def fileSha256(path: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = new java.io.FileInputStream(path)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  final case class LedgerEntry(
+      load_batch_id: String,
+      file_path: String,
+      file_hash: String,
+      status: String,        // completed | failed | in_progress
+      n_variants: Long,
+      completed_at: java.sql.Timestamp)
+
+  /** Parquet-backed batch ledger (replaces `variant_load_audit`). */
+  final class Ledger(spark: SparkSession, dir: String) {
+    import spark.implicits._
+
+    def read(): DataFrame =
+      if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+      else Seq.empty[LedgerEntry].toDF()
+
+    /** K4 semantics (`loader.py:182-252`): an existing completed batch
+      * with the same file hash means "skip" unless force-reload; on
+      * force, the caller filters the previous batch's rows out of the
+      * variants table (delete-then-insert ≡ filter + union). Returns the
+      * batch id to delete, if any. */
+    def checkExisting(fileHash: String): Option[String] = {
+      val df = read()
+      if (!df.columns.contains("file_hash")) None
+      else df.filter($"file_hash" === fileHash && $"status" === "completed")
+        .orderBy($"completed_at".desc)
+        .limit(1).collect().headOption.map(_.getAs[String]("load_batch_id"))
+    }
+
+    def append(entry: LedgerEntry): Unit =
+      Seq(entry).toDF().write.mode("append").parquet(dir)
+  }
+
+  /** Drop a reloaded batch's rows (the DELETE side of delete-then-insert;
+    * `loader.py:244-252`). */
+  def dropBatch(variants: DataFrame, batchId: String): DataFrame = {
+    import variants.sparkSession.implicits._
+    variants.filter($"load_batch_id" =!= batchId || $"load_batch_id".isNull)
+  }
+
+  // ---- §2.10: audit hash chain ----
+
+  val GenesisHash: String = "0" * 64
+
+  /** Canonical JSON + SHA-256, byte-compatible with the reference's
+    * `json.dumps(..., separators=(", ", ": "))` format
+    * (`audit/integrity.py:92-125`). */
+  def entryHash(eventTime: String, eventType: String, userName: String,
+                action: String, success: Boolean, previousHash: String): String = {
+    def js(s: String): String =
+      if (s == null) "null"
+      else "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val canonical =
+      s"""{"event_time": ${js(eventTime)}, "event_type": ${js(eventType)}, """ +
+      s""""user_name": ${js(userName)}, "action": ${js(action)}, """ +
+      s""""success": ${if (success) "true" else "false"}, "details": {}, """ +
+      s""""previous_hash": ${js(previousHash)}}"""
+    MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private val entryHashUdf = udf(entryHash _)
+
+  /** Compute the chain over an ordered audit DataFrame: each row's hash
+    * covers its fields plus the previous row's hash — `lag` over the
+    * id-ordered window (`audit/integrity.py:157-239`).
+    *
+    * Scale note: a hash chain is inherently sequential, so the window is
+    * a single global ordering — correct but single-reducer; the reference
+    * has the same property (row-by-row walk). Chains are audit-sized, not
+    * data-sized.
+    */
+  def withChainHashes(audit: DataFrame): DataFrame = {
+    import audit.sparkSession.implicits._
+    val w = Window.orderBy($"audit_id")
+    // the chain is recursive, so it folds on the driver over the (small,
+    // ordered) audit rows; the window form below verifies link-locally
+    val rows = audit.orderBy($"audit_id").collect()
+    var prev = GenesisHash
+    val hashed = rows.map { r =>
+      val h = entryHash(
+        r.getAs[String]("event_time"), r.getAs[String]("event_type"),
+        r.getAs[String]("user_name"), r.getAs[String]("action"),
+        r.getAs[Boolean]("success"), prev)
+      val out = (r.getAs[Long]("audit_id"), prev, h)
+      prev = h
+      out
+    }
+    val hdf = audit.sparkSession.createDataFrame(hashed.toSeq)
+      .toDF("audit_id", "previous_hash", "entry_hash")
+    audit.join(hdf, "audit_id")
+  }
+
+  /** Verify chain integrity: recompute each row's hash from its fields +
+    * the lag of entry_hash; report mismatches (`audit/integrity.py:157-239`). */
+  def verifyChain(audit: DataFrame): DataFrame = {
+    import audit.sparkSession.implicits._
+    val w = Window.orderBy($"audit_id")
+    audit
+      .withColumn("expected_prev",
+        coalesce(lag($"entry_hash", 1).over(w), lit(GenesisHash)))
+      .withColumn("recomputed", entryHashUdf(
+        $"event_time", $"event_type", $"user_name", $"action", $"success",
+        $"expected_prev"))
+      .withColumn("chain_valid",
+        $"previous_hash" === $"expected_prev" && $"recomputed" === $"entry_hash")
+  }
+}

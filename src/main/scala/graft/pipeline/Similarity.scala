@@ -28,18 +28,28 @@ object Similarity {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb))
   }
 
+  private def dotCol(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (self excluded). Queries side is broadcast; ranking uses a
-    * per-query window with deterministic tie-break on id. */
+    * per-query window with deterministic tie-break on id. Norms are
+    * precomputed per side so each pair pays ONE dot product (the naive
+    * cosine() per pair costs three interpreted HOF folds). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        when(col("q_norm") > 0 && col("c_norm") > 0,
+          dotCol(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -79,11 +89,15 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val c = withLshBucket(corpus, vecCol, planes)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("lsh_bucket"))
+      .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
     val q = withLshBucket(queries, vecCol, planes)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("lsh_bucket"))
+      .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
     val scored = c.join(q, Seq("lsh_bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine",
+        when(col("q_norm") > 0 && col("c_norm") > 0,
+          dotCol(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

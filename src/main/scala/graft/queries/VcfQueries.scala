@@ -165,6 +165,49 @@ object VcfQueries {
         .withColumn("in_hapmap3", lit(false))
         .withColumn("info_score", lit(null).cast("double"))
       graft.views.PrsViews.variantQcSummary(qc)
+    },
+
+    // S8 + J1: dynamic annotation source folded onto variants with an
+    // echtvar filter expression
+    "vcf_annotation_join" -> { (s, _) =>
+      import s.implicits._
+      val cfgPath = {
+        val p = java.nio.file.Paths.get("/tmp/graft_anno_cfg.json")
+        if (!java.nio.file.Files.exists(p))
+          java.nio.file.Files.writeString(p,
+            """[{"field": "AC", "alias": "src_ac"}, {"field": "AF", "alias": "src_af", "multiplier": 10}]""")
+        p.toString
+      }
+      val cfg = graft.ingest.AnnotationLoader.loadFieldConfig(cfgPath)
+      val anno = graft.ingest.AnnotationLoader.load(s, s"$fixtures/gnomad_subset.vcf.gz", cfg)
+      val v = VcfReader.variants(s, s"$fixtures/gnomad_subset.vcf.gz")
+        .select($"chrom", $"pos", $"ref", $"alt", $"rs_id")
+      graft.query.Annotator.annotate(v,
+        Seq(graft.query.Annotator.Source("gnomad", anno, Seq("src_ac", "src_af"))),
+        filterExpr = Some("src_af IS NOT NULL"), limit = Some(1000))
+    },
+
+    // A13: validation duplicate-site check (`cli.py:548-570`)
+    "vcf_validate_dups" -> { (s, _) =>
+      import s.implicits._
+      val v = VcfReader.variants(s, s"$fixtures/gnomad_subset.vcf.gz")
+      v.groupBy($"chrom", $"pos", $"ref", $"alt")
+        .count()
+        .withColumn("is_dup", $"count" > 1)
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when($"is_dup", 1).otherwise(0)).as("n_dup_sites"))
+    },
+
+    // §2.10: audit hash chain build + verification round trip
+    "vcf_audit_chain" -> { (s, _) =>
+      import s.implicits._
+      val audit = Seq(
+        (1L, "2024-01-01T00:00:00", "load", "pipeline", "load_vcf", true),
+        (2L, "2024-01-01T01:00:00", "qc", "pipeline", "sample_qc", true),
+        (3L, "2024-01-01T02:00:00", "export", "pipeline", "export_plink", true)
+      ).toDF("audit_id", "event_time", "event_type", "user_name", "action", "success")
+      graft.audit.Audit.verifyChain(graft.audit.Audit.withChainHashes(audit))
+        .select($"audit_id", $"entry_hash", $"previous_hash", $"chain_valid")
     }
   )
 

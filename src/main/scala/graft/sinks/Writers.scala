@@ -1,0 +1,53 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sink surface (SURVEY §2.2).
+  *
+  * K1: the variants table persists as parquet partitioned by chromosome —
+  * the direct analogue of the reference's LIST-partitioned table
+  * (`schema.py:186-203`); chrom filters prune whole directories.
+  * Rows are sorted by pos within partitions so parquet min/max stats
+  * prune row groups for region queries (the analogue of the reference's
+  * recreate-indexes-after-load step, `schema.py:347-359`).
+  */
+object Writers {
+
+  /** K1 — write the variants table. */
+  def writeVariants(variants: DataFrame, path: String,
+                    mode: String = "overwrite"): Unit =
+    variants
+      .repartition(col("chrom"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode(mode)
+      .partitionBy("chrom")
+      .parquet(path)
+
+  /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,
+    * existing rows without a match survive (left_anti + union). */
+  def upsert(existing: DataFrame, incoming: DataFrame,
+             keys: Seq[String]): DataFrame =
+    incoming.unionByName(
+      existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+      allowMissingColumns = false)
+
+  /** K2 — dedupe-on-insert (ON CONFLICT DO NOTHING): existing rows win. */
+  def insertIgnore(existing: DataFrame, incoming: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      incoming
+        .dropDuplicates(keys)
+        .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** K5 — TSV / JSON result output. */
+  def writeTsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+  }
+
+  def writeJson(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+/** End-to-end CLI verbs over a temp parquet database: load → validate →
+  * idempotent reload skip → import-pgs → export-plink. */
+class GraftCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("load / skip-reload / validate / import-pgs / export round trip") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = fixture("hapmap3_overlap.vcf")
+
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.count() == 10)
+    assert(v.columns.contains("variant_id"))
+    // chrom partitioning on disk (K1)
+    assert(new java.io.File(s"$db/variants/chrom=chr1").exists())
+
+    // idempotent reload: same file hash → skip (ledger row exists)
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    assert(spark.read.parquet(s"$db/ledger").count() == 1)
+
+    Graft.run(spark, Array("validate", "--db", db))
+
+    // hapmap3 flagging pass
+    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    val flagged = spark.read.parquet(s"$db/variants")
+    assert(flagged.filter($"in_hapmap3").count() >= 5)
+
+    // PGS weights match against loaded variants
+    Graft.run(spark, Array("import-pgs", fixture("pgs_test_beta.txt"), "--db", db))
+    val w = spark.read.parquet(s"$db/prs_weights")
+    assert(w.count() > 0)
+
+    // export via the gwas path needs gwas_stats; use import-pgs output as
+    // a stats stand-in is not the contract — exercise export directly:
+    val stats = w.select($"variant_id", $"effect_allele", $"other_allele",
+      $"effect_weight".as("beta"))
+      .withColumn("standard_error", org.apache.spark.sql.functions.lit(0.01))
+      .withColumn("p_value", org.apache.spark.sql.functions.lit(1e-8))
+    val out = graft.export.PrsFormats.plinkScore(stats,
+      flagged.select($"variant_id", $"chrom", $"pos", $"rs_id"))
+    assert(out.columns.toSeq == Seq("SNP", "A1", "BETA"))
+    assert(out.count() > 0)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (the Spark analogue of the reference's
+  * `verify_partition_pruning`, `partitions.py:49-96`): pushdown reaches
+  * the parquet scan, dimension joins broadcast, the VCF read pipeline
+  * stays shuffle-free, and hot paths stay inside whole-stage codegen.
+  * These guard the 100 TB plan shape, not just correctness.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter pushes down to the parquet scan") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+  }
+
+  test("q01: column pruning — scan reads only needed lineitem columns") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val p = plan(df)
+    // l_orderkey/l_partkey etc. must NOT be read
+    assert(!p.contains("l_partkey"), "scan reads pruned column l_partkey")
+    assert(p.contains("l_returnflag"))
+  }
+
+  test("q15: dimension joins are broadcast hash joins") {
+    val df = SparkEntry.queries("q15_region_rollup")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"no BHJ in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join degenerated to SMJ")
+  }
+
+  test("q09: interval join is a broadcast nested-loop, not a cartesian") {
+    val df = SparkEntry.queries("q09_interval_join")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"no BNLJ in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("VCF variants pipeline is shuffle-free (single narrow stage)") {
+    val df = graft.vcf.VcfReader.variants(spark, fixture("multiallelic.vcf"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"unexpected shuffle in VCF scan:\n$p")
+  }
+
+  test("VCF genotypes pipeline is shuffle-free") {
+    val df = graft.vcf.VcfReader.genotypes(spark, fixture("with_annotations.vcf"))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"unexpected shuffle in genotypes scan:\n$p")
+  }
+
+  test("PRS scoring joins weights via broadcast") {
+    val g = graft.vcf.VcfReader.genotypes(spark, fixture("with_annotations.vcf"))
+      .withColumn("variant_id", graft.ingest.VariantMatching.variantIdCol(
+        $"chrom", $"pos", $"ref", $"alt_raw"))
+    val w = Seq((1L, 0.5)).toDF("variant_id", "effect_weight")
+    val p = plan(graft.prs.PrsScoring.score(g, w))
+    assert(p.contains("BroadcastHashJoin"), s"weights join not broadcast:\n$p")
+  }
+
+  test("hapmap3 flagging broadcasts the panel") {
+    val v = graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf"))
+    val panel = graft.ingest.RefPanels.hapmap3(spark, fixture("hapmap3_test.tsv"))
+    val p = plan(graft.ingest.VariantMatching.flagHapmap3(v, panel))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"panel not broadcast:\n$p")
+  }
+
+  test("pricing summary aggregates inside whole-stage codegen") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    // WSCG stages render as "*(n) Operator" in the executed-plan string
+    val finalPlan = df.queryExecution.executedPlan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+    }.getOrElse(plan(df))
+    assert(finalPlan.contains("*(1)"), s"no codegen stage in:\n$finalPlan")
+  }
+
+  test("text analysis quality columns stay codegen'd (no UDF barrier)") {
+    val df = graft.pipeline.TextAnalysis.withQuality(Tables(spark, sfDir).documents)
+    val p = plan(df)
+    assert(!p.contains("BatchEvalPython"))
+    assert(p.contains("WholeStageCodegen") || p.contains("Project"))
+  }
+}

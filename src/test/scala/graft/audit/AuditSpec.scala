@@ -1,0 +1,156 @@
+package graft.audit
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file sha256 is stable and matches a known vector") {
+    val f = Files.createTempFile("hash", ".txt")
+    Files.writeString(f, "hello graft\n")
+    val h1 = Audit.fileSha256(f.toString)
+    assert(h1 == Audit.fileSha256(f.toString))
+    assert(h1.length == 64 && h1.matches("[0-9a-f]+"))
+  }
+
+  test("ledger: skip-on-same-hash, reload drops previous batch") {
+    val dir = Files.createTempDirectory("ledger").toString + "/ledger"
+    val ledger = new Audit.Ledger(spark, dir)
+    assert(ledger.checkExisting("abc").isEmpty)
+    ledger.append(Audit.LedgerEntry("batch-1", "/x.vcf", "abc", "completed",
+      100L, new java.sql.Timestamp(1000)))
+    assert(ledger.checkExisting("abc").contains("batch-1"))
+    assert(ledger.checkExisting("other").isEmpty)
+
+    val variants = Seq(("chr1", 1L, "batch-1"), ("chr1", 2L, "batch-2"))
+      .toDF("chrom", "pos", "load_batch_id")
+    val after = Audit.dropBatch(variants, "batch-1")
+    assert(after.count() == 1)
+    assert(after.head().getAs[String]("load_batch_id") == "batch-2")
+  }
+
+  test("hash chain: compute then verify; tamper detection") {
+    val audit = Seq(
+      (1L, "2024-01-01T00:00:00", "load", "alice", "load_vcf", true),
+      (2L, "2024-01-01T01:00:00", "query", "bob", "annotate", true),
+      (3L, "2024-01-01T02:00:00", "export", "alice", "export_plink", false)
+    ).toDF("audit_id", "event_time", "event_type", "user_name", "action", "success")
+
+    val chained = Audit.withChainHashes(audit)
+    val verified = Audit.verifyChain(chained)
+    assert(verified.filter(!$"chain_valid").count() == 0)
+    // first row chains from genesis
+    assert(verified.orderBy($"audit_id").head().getAs[String]("expected_prev") ==
+      Audit.GenesisHash)
+
+    // tamper with a middle row's action → its recomputed hash mismatches
+    val tampered = chained.withColumn("action",
+      when($"audit_id" === 2L, "TAMPERED").otherwise($"action"))
+    val bad = Audit.verifyChain(tampered).filter(!$"chain_valid")
+    assert(bad.count() == 1)
+    assert(bad.head().getAs[Long]("audit_id") == 2L)
+  }
+}
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sinks.Writers
+
+  test("variants write partitions by chrom with pos sorted for pruning") {
+    val dir = Files.createTempDirectory("variants").toString + "/t"
+    val v = Seq(("chr1", 100L, "A", "G"), ("chr2", 5L, "C", "T"),
+      ("chr1", 50L, "G", "A")).toDF("chrom", "pos", "ref", "alt")
+    Writers.writeVariants(v, dir)
+    assert(new java.io.File(s"$dir/chrom=chr1").exists())
+    assert(new java.io.File(s"$dir/chrom=chr2").exists())
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // partition pruning: a chrom filter scans one directory
+    val pruned = back.filter($"chrom" === "chr1")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 2)
+    assert(scan.contains("PartitionFilters"))
+  }
+
+  test("upsert: incoming wins, unmatched existing survives") {
+    val existing = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
+    val incoming = Seq((1L, "new"), (3L, "add")).toDF("id", "v")
+    val merged = graft.sinks.Writers.upsert(existing, incoming, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "new", 2L -> "keep", 3L -> "add"))
+  }
+
+  test("insertIgnore: existing wins, duplicate incoming dropped") {
+    val existing = Seq((1L, "old")).toDF("id", "v")
+    val incoming = Seq((1L, "new"), (2L, "add"), (2L, "dup")).toDF("id", "v")
+    val merged = graft.sinks.Writers.insertIgnore(existing, incoming, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged(1L) == "old")
+    assert(merged.contains(2L) && merged.size == 2)
+  }
+}
+
+class AnnotationLoaderSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ingest.AnnotationLoader
+
+  test("echtvar JSON config parse with type inference") {
+    val f = Files.createTempFile("cfg", ".json")
+    Files.writeString(f,
+      """[
+        |{"field": "AC", "alias": "gnomad_ac"},
+        |{"field": "AF", "alias": "gnomad_af", "multiplier": 2000000},
+        |{"field": "FILTER", "alias": "gnomad_filter", "missing_string": "PASS"}
+        |]""".stripMargin)
+    val cfg = AnnotationLoader.loadFieldConfig(f.toString)
+    assert(cfg.map(_.alias) == Seq("gnomad_ac", "gnomad_af", "gnomad_filter"))
+    assert(cfg(0).fieldType == "Integer")
+    assert(cfg(1).fieldType == "Float" && cfg(1).multiplier == 2000000)
+    assert(cfg(2).fieldType == "String" && cfg(2).missingString == "PASS")
+    val schema = AnnotationLoader.schemaFor(cfg)
+    assert(schema.fieldNames.toSeq ==
+      Seq("chrom", "pos", "ref", "alt", "gnomad_ac", "gnomad_af", "gnomad_filter"))
+  }
+
+  test("annotation source load from VCF with aliases and dedup") {
+    val f = Files.createTempFile("cfg", ".json")
+    Files.writeString(f,
+      """[{"field": "AC", "alias": "src_ac"}, {"field": "AF", "alias": "src_af", "multiplier": 10}]""")
+    val cfg = AnnotationLoader.loadFieldConfig(f.toString)
+    val anno = AnnotationLoader.load(spark, fixture("gnomad_subset.vcf.gz"), cfg)
+      .cache()
+    assert(anno.columns.toSeq == Seq("chrom", "pos", "ref", "alt", "src_ac", "src_af"))
+    assert(anno.count() > 0)
+    assert(anno.filter($"src_af".isNotNull).count() > 0)
+    // J1: fold-join against variants via Annotator
+    val v = graft.vcf.VcfReader.variants(spark, fixture("gnomad_subset.vcf.gz"))
+      .select($"chrom", $"pos", $"ref", $"alt", $"rs_id").limit(100)
+    val annotated = graft.query.Annotator.annotate(v,
+      Seq(graft.query.Annotator.Source("gnomad", anno, Seq("src_ac", "src_af"))),
+      filterExpr = Some("src_af IS NOT NULL"))
+    assert(annotated.count() > 0)
+    assert(annotated.columns.contains("src_af"))
+  }
+}
+
+class PhiSanitizerSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.transform.PhiSanitizer
+
+  test("redacts SSN/MRN/emails/dates, preserves structural lines") {
+    val lines = Seq(
+      "##fileformat=VCFv4.2",
+      "##sample=<ID=S1,Contact=jane.doe@hospital.org,MRN:12345>",
+      "##note=patient_id:P-998 visited on 03/15/2021",
+      "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"depth\">")
+    val r = PhiSanitizer.sanitizeHeader(lines)
+    assert(r.lines(0) == lines(0))                      // preserved
+    assert(r.lines(3) == lines(3))                      // preserved prefix
+    assert(!r.lines(1).contains("jane.doe@hospital.org"))
+    assert(!r.lines(1).contains("12345"))
+    assert(!r.lines(2).contains("03/15/2021"))
+    assert(r.redactions.map(_.category).toSet.intersect(
+      Set("email", "mrn", "patient_id", "date_us")).size >= 3)
+  }
+}
