@@ -52,10 +52,17 @@ object Bench {
       results(name) = try time { fn(spark, sfDir).count(); () } catch { case _: Throwable => -1.0 }
     }
 
-    // VCF parse throughput (BASELINE.md §parsing): 100k variants.
+    // VCF parse throughput (BASELINE.md §parsing): 100k variants. A small
+    // warmup parse first so codegen compilation of the reader expressions
+    // doesn't land in the measured run.
     val vcfPath = "/tmp/graft_bench_100k.vcf"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcfPath)))
       graft.vcf.SyntheticVcf.write(vcfPath, 100000)
+    val warmupVcf = "/tmp/graft_bench_warmup.vcf"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(warmupVcf)))
+      graft.vcf.SyntheticVcf.write(warmupVcf, 1000)
+    graft.vcf.VcfReader.variants(spark, warmupVcf).count()
+    graft.vcf.VcfReader.genotypes(spark, warmupVcf).count()
     results("vcf_parse_100k") = time {
       graft.vcf.VcfReader.variants(spark, vcfPath).count(); ()
     }

@@ -109,6 +109,31 @@ class VcfReaderSpec extends SparkSpec {
     assert(missing.count() == 0) // trio fixture has no missing GTs
   }
 
+  test("Number=R and Number=G slicing for multi-allelic sites") {
+    // AD is Number=R ([ref, this-alt]); PL is Number=G (biallelic triple
+    // [idx00, idx_0alt, idx_altalt] with idx_altalt = (i+1)(i+2)/2+(i+1))
+    val vcf = java.nio.file.Files.createTempFile("numrg", ".vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=ADI,Number=R,Type=Integer,Description="per-allele depth">
+        |##INFO=<ID=PLI,Number=G,Type=Integer,Description="likelihoods">
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	.	A	G,T	50	PASS	ADI=10,20,30;PLI=0,1,2,3,4,5;DP=60
+        |""".stripMargin)
+    val df = VcfReader.variants(spark, vcf.toString).orderBy($"alt_idx").cache()
+    val rows = df.select($"alt", $"info"("ADI"), $"info"("PLI"), $"info"("DP")).collect()
+    // alt G (idx 0): R → [v0, v1]; G → [pl0, pl1, pl2]
+    assert(rows(0).getString(1) == "10,20")
+    assert(rows(0).getString(2) == "0,1,2")
+    // alt T (idx 1): R → [v0, v2]; G → [pl0, pl2, pl5]
+    //   (idx_0alt = alt_idx+1 = 2; idx_altalt = (2·3)/2 + 2 = 5)
+    assert(rows(1).getString(1) == "10,30")
+    assert(rows(1).getString(2) == "0,2,5")
+    // Number=1 untouched on both
+    assert(rows.forall(_.getString(3) == "60"))
+  }
+
   test("gz VCF reads end-to-end") {
     val df = VcfReader.variants(spark, fixture("gnomad_subset.vcf.gz"))
     assert(df.count() > 0)
