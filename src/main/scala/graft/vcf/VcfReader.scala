@@ -27,7 +27,12 @@ object VcfReader {
       humanGenome: Boolean = true,
       /** minimac4 | beagle | impute2 | auto | unknown (auto = header sniff). */
       imputationSource: String = "auto",
-      minInfoScore: Option[Double] = None)
+      minInfoScore: Option[Double] = None,
+      /** Drop body lines that don't parse as variants (missing columns,
+        * non-numeric POS, empty REF) instead of surfacing null-field rows
+        * — mirrors the reference's malformed-input tolerance
+        * (`tests/unit/test_malformed_vcf.py`). */
+      skipMalformed: Boolean = true)
 
   /** The fixed body columns of any VCF line. */
   private def baseColumns(line: Column): Seq[Column] = {
@@ -60,7 +65,14 @@ object VcfReader {
     val body = spark.read.text(path)
       .filter(!$"value".startsWith("#") && length($"value") > 0)
 
-    val parsed = body.select(baseColumns($"value"): _*)
+    val parsedRaw = body.select(baseColumns($"value"): _*)
+    val parsedValid =
+      if (opts.skipMalformed)
+        parsedRaw.filter($"pos".isNotNull && $"ref".isNotNull && $"ref" =!= "" &&
+          $"alt_raw".isNotNull && $"alt_raw" =!= "")
+      else parsedRaw
+
+    val parsed = parsedValid
       .withColumn("alts", split($"alt_raw", ","))
       .withColumn("n_alts", size($"alts"))
       // T1 multi-allelic decomposition (`vcf_parser.py:290-388`)
