@@ -29,6 +29,7 @@ object Graft {
     val spark = Tables.session()
     graft.qc.Hwe.register(spark)
     graft.functions.GenomicsFunctions.register(spark)
+    graft.functions.VectorExpressions.register(spark)
     graft.transform.Normalizer.register(spark)
     graft.transform.Annotations.register(spark)
     try run(spark, args) finally spark.stop()

@@ -18,19 +18,20 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double.
+    * The dot product is the native codegen'd VectorDot expression
+    * (left-to-right sum — same order as an interpreted fold, so oracle
+    * parity holds). */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.VectorExpressions.vecDot(x, y)
     val na = sqrt(dot(a, a))
     val nb = sqrt(dot(b, b))
     when(na > 0 && nb > 0, dot(a, b) / (na * nb))
   }
 
   private def dotCol(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vecDot(x, y)
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (self excluded). Queries side is broadcast; ranking uses a
@@ -71,9 +72,7 @@ object Similarity {
     val hp = hyperplanes(dim, planes, seed)
     val bits: Seq[Column] = hp.zipWithIndex.map { case (plane, i) =>
       val planeLit = array(plane.map(lit(_)): _*)
-      val dot = aggregate(
-        zip_with(col(vecCol), planeLit, (x, p) => x.cast(DoubleType) * p),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.VectorExpressions.vecDot(col(vecCol), planeLit)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     df.withColumn("lsh_bucket", bits.reduce(_ + _))

@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vec_dot matches the interpreted HOF fold bit-for-bit") {
+    val e = graft.Tables(spark, sfDir).embeddings.limit(200)
+    val hof = aggregate(
+      zip_with($"embedding", $"embedding",
+        (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = e.select(
+      (VectorExpressions.vecDot($"embedding", $"embedding") - hof).as("d"))
+      .agg(max(abs($"d"))).head().getDouble(0)
+    assert(diff == 0.0, s"max |native - hof| = $diff")
+  }
+
+  test("mixed float/double arrays and SQL registration") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d")
+      .head().getDouble(0)
+    assert(math.abs(r - 11.0) < 1e-12)
+    // null-safe: null array → null result
+    val n = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS d").head()
+    assert(n.isNullAt(0))
+  }
+
+  test("codegen path executes (no fallback errors) on a join-shaped plan") {
+    val e = graft.Tables(spark, sfDir).embeddings.limit(50)
+    val topk = graft.pipeline.Similarity.bruteForceTopK(e, e.filter($"vec_id" === 0), 5)
+    assert(topk.count() == 5)
+  }
+}
