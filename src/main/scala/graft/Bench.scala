@@ -78,6 +78,19 @@ object Bench {
     results("vcf_genotypes_100k") = time2 {
       graft.vcf.VcfReader.genotypes(spark, vcfPath).count(); ()
     }
+    // 1M-variant parse (normalize on): the full-GIAB-scale comparison
+    // point (BASELINE: ~4M variants at 20-50K var/s). Larger input
+    // amortizes job overhead, so per-variant throughput should rise.
+    // (Best-of-two here too: this host shows sporadic multi-core stalls
+    // from vCPU migration — observed 7x wall-clock variance between
+    // back-to-back identical runs.)
+    val vcf1m = "/tmp/graft_bench_1m.vcf"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcf1m)))
+      graft.vcf.SyntheticVcf.write(vcf1m, 1000000)
+    results("vcf_parse_1m_norm") = time2 {
+      graft.vcf.VcfReader.variants(spark, vcf1m,
+        graft.vcf.VcfReader.Options(normalize = true)).count(); ()
+    }
 
     // Query-latency benchmarks over the persisted chrom-partitioned store
     // (BASELINE.md lookup/region/gene rows). Spark's per-job scheduling
