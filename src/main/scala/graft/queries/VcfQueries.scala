@@ -198,6 +198,22 @@ object VcfQueries {
           sum(when($"is_dup", 1).otherwise(0)).as("n_dup_sites"))
     },
 
+    // Trio inheritance patterns (acceptance-test narratives): autosomal
+    // recessive + compound het over a deterministic trio
+    "vcf_inheritance" -> { (s, _) =>
+      import s.implicits._
+      val trio = writeTrioFixture()
+      val g = VcfReader.genotypes(s, trio)
+      val v = VcfReader.variants(s, trio)
+      val ar = graft.qc.Inheritance.autosomalRecessive(g, "CHILD", "FATHER", "MOTHER")
+        .select($"chrom", $"pos", $"ref", $"alt_raw", lit("autosomal_recessive").as("pattern"))
+      val dn = graft.qc.Inheritance.deNovo(g, "CHILD", "FATHER", "MOTHER")
+        .select($"chrom", $"pos", $"ref", $"alt_raw", lit("de_novo").as("pattern"))
+      val ch = graft.qc.Inheritance.compoundHet(g, v, "CHILD", "FATHER", "MOTHER")
+        .select($"chrom", $"pos", $"ref", $"alt_raw", lit("compound_het").as("pattern"))
+      ar.unionByName(dn).unionByName(ch).orderBy($"chrom", $"pos")
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
@@ -210,6 +226,26 @@ object VcfQueries {
         .select($"audit_id", $"entry_hash", $"previous_hash", $"chain_valid")
     }
   )
+
+  /** Deterministic trio VCF mirroring the reference's acceptance fixture
+    * (de novo, autosomal-recessive, compound-het sites). */
+  private def writeTrioFixture(): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_trio.vcf")
+    if (!java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.writeString(p,
+        """##fileformat=VCFv4.2
+          |##INFO=<ID=SYMBOL,Number=1,Type=String,Description="gene">
+          |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+          |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	CHILD	FATHER	MOTHER
+          |chr1	1000	.	A	G	50	PASS	SYMBOL=GENE0	GT	0/1	0/0	0/0
+          |chr2	2000	.	C	T	50	PASS	SYMBOL=GENE2	GT	1/1	0/1	0/1
+          |chr3	3000	.	G	A	50	PASS	SYMBOL=GENE1	GT	0/1	0/1	0/0
+          |chr3	3100	.	T	C	50	PASS	SYMBOL=GENE1	GT	0/1	0/0	0/1
+          |chr4	4000	.	A	C	50	PASS	SYMBOL=GENE3	GT	0/1	0/1	0/0
+          |""".stripMargin)
+    }
+    p.toString
+  }
 
   /** gnomAD-style population-field VCF used by vcf_popmax (the public
     * gnomad_subset fixture declares but doesn't populate these fields). */
