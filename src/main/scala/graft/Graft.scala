@@ -62,10 +62,11 @@ object Graft {
         if (header.samples.nonEmpty) {
           val g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
             .withColumn("load_batch_id", lit(batchId))
+          // join on the full decomposed key — (chrom,pos,ref) alone would
+          // row-multiply sites that share a position across ALTs
           val qc = graft.qc.VariantQc.fromGenotypes(g)
           v = v.join(qc.drop("n_samples"),
-            Seq("chrom", "pos", "ref"), "left")
-            .drop(qc("alt_raw"))
+            Seq("chrom", "pos", "ref", "alt"), "left")
           g.write.mode("append").parquet(s"$db/genotypes")
         }
         val prevBatch = if (has(args, "--force-reload")) existing else None

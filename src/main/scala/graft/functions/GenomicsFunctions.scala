@@ -69,6 +69,14 @@ object GenomicsFunctions {
   def bareChrom(chrom: Column): Column =
     regexp_replace(chrom, "^chr", "")
 
+  /** Deterministic 60-bit surrogate id from natural-key columns: the
+    * leading 15 hex chars of md5 over the ':'-joined key. Engine-portable
+    * (md5 is standardized, unlike xxhash64), so external oracles can
+    * reproduce ids bit-for-bit: DuckDB twin is
+    * `CAST(('0x' || substr(md5(k1||':'||...),1,15)) AS BIGINT)`. */
+  def stableId(cols: Column*): Column =
+    conv(substring(md5(concat_ws(":", cols: _*)), 1, 15), 16, 10).cast(LongType)
+
   /** Register the SQL-callable set (plus Hwe.register / Normalizer
     * .register elsewhere) so `spark.sql` queries can use the same surface
     * the reference installs into Postgres

@@ -51,7 +51,8 @@ object RefPanels {
       .withColumn("genome_build", lit(buildNorm))
       .withColumn("source", lit(source))
       .withColumn("block_id",
-        xxhash64(col("chrom"), col("start_pos"), col("end_pos"),
+        graft.functions.GenomicsFunctions.stableId(
+          col("chrom"), col("start_pos"), col("end_pos"),
           col("population"), col("genome_build"), col("source")))
   }
 

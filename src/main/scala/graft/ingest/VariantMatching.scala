@@ -21,9 +21,10 @@ object VariantMatching {
 
   /** Deterministic surrogate variant id from the natural key (bare chrom,
     * pos, REF, ALT) — stable across jobs/partitions, unlike
-    * monotonically_increasing_id (SURVEY §7 risk 4). */
+    * monotonically_increasing_id (SURVEY §7 risk 4), and engine-portable
+    * (md5-derived, reproducible by the DuckDB oracle). */
   def variantIdCol(chrom: Column, pos: Column, ref: Column, alt: Column): Column =
-    xxhash64(regexp_replace(chrom, "^chr", ""), pos, upper(ref), upper(alt))
+    stableId(regexp_replace(chrom, "^chr", ""), pos, upper(ref), upper(alt))
 
   def withVariantId(variants: DataFrame): DataFrame = {
     import variants.sparkSession.implicits._

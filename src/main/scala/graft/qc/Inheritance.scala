@@ -20,7 +20,7 @@ object Inheritance {
     genotypes.withColumn("_cls", VariantQc.genotypeClass($"gt", $"a1", $"a2"))
   }
 
-  private val key = Seq("chrom", "pos", "ref", "alt_raw")
+  private val key = Seq("chrom", "pos", "ref", "alt")
 
   private def sampleSlice(g: DataFrame, sample: String, alias: String): DataFrame = {
     import g.sparkSession.implicits._
@@ -88,7 +88,7 @@ object Inheritance {
       .filter($"n_variants" >= 2 && $"n_from_father" >= 1 && $"n_from_mother" >= 1)
 
     sites.join(genes.select($"gene"), Seq("gene"), "left_semi")
-      .select($"gene", $"chrom", $"pos", $"ref", $"alt_raw",
+      .select($"gene", $"chrom", $"pos", $"ref", $"alt",
         $"from_father", $"from_mother")
   }
 }

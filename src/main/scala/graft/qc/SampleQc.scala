@@ -39,11 +39,10 @@ object SampleQc {
     val cls = VariantQc.genotypeClass($"gt", $"a1", $"a2")
     val joined = genotypes
       .withColumn("_cls", cls)
-      .join(variantQc.select($"chrom", $"pos", $"ref", $"alt_raw", $"maf", $"mac"),
-        Seq("chrom", "pos", "ref", "alt_raw"), "left")
-      .withColumn("_is_snp",
-        length($"ref") === 1 && length($"alt_raw") === 1 && !$"alt_raw".contains(","))
-      .withColumn("_titv", GenomicsFunctions.tiTvClass($"ref", $"alt_raw"))
+      .join(variantQc.select($"chrom", $"pos", $"ref", $"alt", $"maf", $"mac"),
+        Seq("chrom", "pos", "ref", "alt"), "left")
+      .withColumn("_is_snp", length($"ref") === 1 && length($"alt") === 1)
+      .withColumn("_titv", GenomicsFunctions.tiTvClass($"ref", $"alt"))
       .withColumn("_called", $"_cls" =!= "missing")
       .withColumn("_carries_alt", $"_cls".isin("het", "hom_alt"))
       .withColumn("_on_x",

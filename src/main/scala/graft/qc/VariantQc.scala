@@ -29,7 +29,8 @@ object VariantQc {
   }
 
   /** Aggregate a genotypes long DataFrame (VcfReader.genotypes schema) to
-    * per-site QC metrics keyed (chrom, pos, ref, alt_raw):
+    * per-site QC metrics keyed (chrom, pos, ref, alt) — the decomposed
+    * per-ALT key, so QC rows join the decomposed variants table 1:1:
     * n_called/n_het/n_hom_ref/n_hom_alt, aaf, maf, mac, hwe_p.
     *
     * Scale note: one hash aggregation, partial aggregation map-side; the
@@ -41,7 +42,7 @@ object VariantQc {
     val cls = genotypeClass($"gt", $"a1", $"a2")
     val agg = genotypes
       .withColumn("_cls", cls)
-      .groupBy($"chrom", $"pos", $"ref", $"alt_raw")
+      .groupBy($"chrom", $"pos", $"ref", $"alt")
       .agg(
         sum(when($"_cls" === "het", 1).otherwise(0)).cast(IntegerType).as("n_het"),
         sum(when($"_cls" === "hom_ref", 1).otherwise(0)).cast(IntegerType).as("n_hom_ref"),

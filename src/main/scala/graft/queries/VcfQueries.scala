@@ -42,9 +42,16 @@ object VcfQueries {
           $"original_pos", $"original_ref", $"original_alt")
     },
 
-    // T12-T14 + F3: genotype long table
+    // T12-T14 + F3: genotype long table (driver-facing: array columns
+    // stringified — the harness canonicalizer can't hash raw arrays)
     "vcf_genotypes" -> { (s, _) =>
+      import s.implicits._
       VcfReader.genotypes(s, s"$fixtures/with_annotations.vcf")
+        .select($"chrom", $"pos", $"ref", $"alt", $"alt_idx", $"n_alts",
+          $"sample_id", $"gt", $"phased", $"a1", $"a2", $"gq", $"dp",
+          concat_ws(",", $"ad").as("ad_csv"), $"ds",
+          concat_ws(",", $"gp").as("gp_csv"),
+          $"dosage", $"allele_balance", $"passes_adj")
     },
 
     // A1-A3: per-variant QC with HWE
@@ -66,8 +73,8 @@ object VcfQueries {
       val carriers = g
         .withColumn("_cls", VariantQc.genotypeClass($"gt", $"a1", $"a2"))
         .filter($"_cls".isin("het", "hom_alt"))
-        .select($"chrom", $"pos", $"ref", $"alt_raw", $"sample_id")
-      val key = Seq("chrom", "pos", "ref", "alt_raw")
+        .select($"chrom", $"pos", $"ref", $"alt", $"sample_id")
+      val key = Seq("chrom", "pos", "ref", "alt")
       carriers.filter($"sample_id" === "HG002")
         .join(carriers.filter($"sample_id" === "HG003").select(key.map(col): _*),
           key, "left_anti")
@@ -122,13 +129,18 @@ object VcfQueries {
         .select($"chrom", $"pos", $"ref", $"alt", $"rs_id", $"qual")
     },
 
-    // A9/J6: PRS score = per-sample Σ(weight × dosage) with GT fallback
+    // A9/J6: PRS score = per-sample Σ(weight × dosage) with GT fallback.
+    // Runs over the trio fixture, whose chr5 site is multi-allelic
+    // (ALT=G,T): both sides key by the DECOMPOSED alt, so each ALT's
+    // weight meets its own per-ALT genotype rows (the round-1 alt_raw
+    // keying silently zeroed multi-allelic contributions).
     "vcf_prs_score" -> { (s, _) =>
       import s.implicits._
-      val g = VcfReader.genotypes(s, s"$fixtures/with_annotations.vcf")
+      val trio = writeTrioFixture()
+      val g = VcfReader.genotypes(s, trio)
         .withColumn("variant_id", graft.ingest.VariantMatching.variantIdCol(
-          $"chrom", $"pos", $"ref", $"alt_raw"))
-      val weights = VcfReader.variants(s, s"$fixtures/with_annotations.vcf")
+          $"chrom", $"pos", $"ref", $"alt"))
+      val weights = VcfReader.variants(s, trio)
         .select(graft.ingest.VariantMatching.variantIdCol(
           $"chrom", $"pos", $"ref", $"alt").as("variant_id"),
           coalesce($"info"("AF").cast("double"), lit(0.1)).as("effect_weight"))
@@ -206,12 +218,12 @@ object VcfQueries {
       val g = VcfReader.genotypes(s, trio)
       val v = VcfReader.variants(s, trio)
       val ar = graft.qc.Inheritance.autosomalRecessive(g, "CHILD", "FATHER", "MOTHER")
-        .select($"chrom", $"pos", $"ref", $"alt_raw", lit("autosomal_recessive").as("pattern"))
+        .select($"chrom", $"pos", $"ref", $"alt", lit("autosomal_recessive").as("pattern"))
       val dn = graft.qc.Inheritance.deNovo(g, "CHILD", "FATHER", "MOTHER")
-        .select($"chrom", $"pos", $"ref", $"alt_raw", lit("de_novo").as("pattern"))
+        .select($"chrom", $"pos", $"ref", $"alt", lit("de_novo").as("pattern"))
       val ch = graft.qc.Inheritance.compoundHet(g, v, "CHILD", "FATHER", "MOTHER")
-        .select($"chrom", $"pos", $"ref", $"alt_raw", lit("compound_het").as("pattern"))
-      ar.unionByName(dn).unionByName(ch).orderBy($"chrom", $"pos")
+        .select($"chrom", $"pos", $"ref", $"alt", lit("compound_het").as("pattern"))
+      ar.unionByName(dn).unionByName(ch).orderBy($"chrom", $"pos", $"alt", $"pattern")
     },
 
     // §2.10: audit hash chain build + verification round trip
@@ -228,20 +240,26 @@ object VcfQueries {
   )
 
   /** Deterministic trio VCF mirroring the reference's acceptance fixture
-    * (de novo, autosomal-recessive, compound-het sites). */
-  private def writeTrioFixture(): String = {
+    * (de novo, autosomal-recessive, compound-het sites) plus a
+    * multi-allelic site (chr5, ALT=G,T with Number=A AF) that exercises
+    * per-ALT genotype decomposition end-to-end. */
+  private[graft] def writeTrioFixture(): String = {
     val p = java.nio.file.Paths.get("/tmp/graft_trio.vcf")
-    if (!java.nio.file.Files.exists(p)) {
+    // always overwrite: a stale cached copy from a previous run would
+    // silently pin old fixture content
+    locally {
       java.nio.file.Files.writeString(p,
         """##fileformat=VCFv4.2
           |##INFO=<ID=SYMBOL,Number=1,Type=String,Description="gene">
+          |##INFO=<ID=AF,Number=A,Type=Float,Description="alt AF">
           |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
           |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	CHILD	FATHER	MOTHER
-          |chr1	1000	.	A	G	50	PASS	SYMBOL=GENE0	GT	0/1	0/0	0/0
-          |chr2	2000	.	C	T	50	PASS	SYMBOL=GENE2	GT	1/1	0/1	0/1
-          |chr3	3000	.	G	A	50	PASS	SYMBOL=GENE1	GT	0/1	0/1	0/0
-          |chr3	3100	.	T	C	50	PASS	SYMBOL=GENE1	GT	0/1	0/0	0/1
-          |chr4	4000	.	A	C	50	PASS	SYMBOL=GENE3	GT	0/1	0/1	0/0
+          |chr1	1000	.	A	G	50	PASS	SYMBOL=GENE0;AF=0.5	GT	0/1	0/0	0/0
+          |chr2	2000	.	C	T	50	PASS	SYMBOL=GENE2;AF=0.25	GT	1/1	0/1	0/1
+          |chr3	3000	.	G	A	50	PASS	SYMBOL=GENE1;AF=0.125	GT	0/1	0/1	0/0
+          |chr3	3100	.	T	C	50	PASS	SYMBOL=GENE1;AF=0.4	GT	0/1	0/0	0/1
+          |chr4	4000	.	A	C	50	PASS	SYMBOL=GENE3;AF=0.3	GT	0/1	0/1	0/0
+          |chr5	5000	.	A	G,T	50	PASS	SYMBOL=GENE4;AF=0.3,0.2	GT	1/2	0/1	0/2
           |""".stripMargin)
     }
     p.toString
@@ -251,7 +269,7 @@ object VcfQueries {
     * gnomad_subset fixture declares but doesn't populate these fields). */
   private def writeGnomadStyleFixture(): String = {
     val p = java.nio.file.Paths.get("/tmp/graft_gnomad_style.vcf")
-    if (!java.nio.file.Files.exists(p)) {
+    locally {
       java.nio.file.Files.writeString(p,
         """##fileformat=VCFv4.2
           |##INFO=<ID=AF,Number=A,Type=Float,Description="AF">

@@ -211,10 +211,21 @@ object VcfReader {
     * `genotypes/genotype_loader.py:224-423`): FORMAT parse (T12), dosage
     * from GP (T13), allele balance (T14), ADJ filter (F3).
     *
-    * One row per (site, sample); the ALT decomposition for genotypes keyed
-    * per-ALT happens at join time on (chrom,pos,ref,alt). Sample names are
-    * driver-side header metadata turned into an exploded literal array —
-    * still a single narrow projection over the text scan.
+    * One row per (site, ALT, sample): like the variants side, genotype
+    * rows are decomposed per-ALT (the reference advances its genotype
+    * `variant_id` per decomposed record, `genotype_loader.py:254-315`), so
+    * genotypes join the decomposed variants table — and PRS weights keyed
+    * by the decomposed alt — directly on (chrom,pos,ref,alt). Per-ALT
+    * remapping follows the bcftools-norm biallelic convention:
+    *   - a1/a2: allele index k → 1, any other non-missing allele → 0
+    *   - DS (Number=A): the k-th value
+    *   - GP (Number=G): the biallelic likelihood triple
+    *     [0, k, k(k+1)/2+k], same slicing as INFO Number=G
+    * gt keeps the original canonical call string; ad/gp keep the full
+    * per-line arrays (allele balance and the ADJ filter are defined over
+    * the whole record, `loader:99-172`). Sample names are driver-side
+    * header metadata turned into an exploded literal array — still a
+    * single narrow projection over the text scan, no shuffle.
     */
   def genotypes(spark: SparkSession, path: String,
                 humanGenome: Boolean = true): DataFrame = {
@@ -235,10 +246,13 @@ object VcfReader {
 
     val long = body.select(baseColumns($"value"): _*)
       .withColumn("chrom", chromCol)
+      .withColumn("alts", split($"alt_raw", ","))
+      .withColumn("n_alts", size($"alts"))
       .withColumn("format_keys", split(col("fields").getItem(8), ":"))
-      .select($"chrom", $"pos", $"ref", $"alt_raw", $"format_keys",
-        explode(array(sampleStructs: _*)).as("s"))
-      .select($"chrom", $"pos", $"ref", $"alt_raw", $"format_keys",
+      .select($"chrom", $"pos", $"ref", $"alt_raw", $"alts", $"n_alts",
+        $"format_keys", explode(array(sampleStructs: _*)).as("s"))
+      .select($"chrom", $"pos", $"ref", $"alt_raw", $"alts", $"n_alts",
+        $"format_keys",
         $"s.sample_id".as("sample_id"), split($"s.sval", ":").as("vals"))
       // FORMAT fields can be dropped from the tail per-sample (VCF spec)
       .withColumn("gmap", map_from_arrays(
@@ -255,18 +269,18 @@ object VcfReader {
     val withFields = long
       .withColumn("gt_raw", gt)
       .withColumn("phased", gt.contains("|"))
-      .withColumn("a1", a1)
-      .withColumn("a2", a2)
+      .withColumn("a1_line", a1)
+      .withColumn("a2_line", a2)
       // canonical GT string from parsed alleles (`_format_gt`, loader:377-395)
       .withColumn("gt", concat_ws("",
-        coalesce($"a1".cast(StringType), lit(".")),
+        coalesce($"a1_line".cast(StringType), lit(".")),
         when($"phased", "|").otherwise("/"),
-        coalesce($"a2".cast(StringType), lit("."))))
+        coalesce($"a2_line".cast(StringType), lit("."))))
       .withColumn("gq", nullIfDot(fmt("GQ")).cast(IntegerType))
       .withColumn("dp", nullIfDot(fmt("DP")).cast(IntegerType))
       .withColumn("ad", transform(split(fmt("AD"), ","),
         v => nullIfDot(v).cast(IntegerType)))
-      .withColumn("ds", nullIfDot(fmt("DS")).cast(DoubleType))
+      .withColumn("ds_raw", fmt("DS"))
       .withColumn("gp", transform(split(fmt("GP"), ","),
         v => nullIfDot(v).cast(DoubleType)))
 
@@ -274,21 +288,50 @@ object VcfReader {
     val adAlt = aggregate(slice($"ad", lit(2), greatest(size($"ad") - 1, lit(0))),
       lit(0), (acc, x) => acc + coalesce(x, lit(0)))
 
-    withFields
+    val perRecord = withFields
       // T14 allele balance = Σ ad[1:] / Σ ad, null on 0 (loader:99-118)
       .withColumn("allele_balance",
         when($"ad".isNull || size($"ad") < 2 || adTotal === 0, lit(null))
           .otherwise(adAlt.cast(DoubleType) / adTotal))
-      // T13 dosage: DS passthrough else GP[1] + 2·GP[2] (loader:121-137)
-      .withColumn("dosage", coalesce($"ds",
-        when(size($"gp") === 3, element_at($"gp", 2) + lit(2) * element_at($"gp", 3))))
       // F3 ADJ: GQ≥20 ∧ DP≥10 ∧ (het ⇒ AB≥0.2), missing passes (loader:140-172)
       .withColumn("passes_adj",
         !(($"gq".isNotNull && $"gq" < 20) ||
           ($"dp".isNotNull && $"dp" < 10) ||
           ($"gt".isin("0/1", "1/0", "0|1", "1|0") &&
             $"allele_balance".isNotNull && $"allele_balance" < 0.2)))
-      .select($"chrom", $"pos", $"ref", $"alt_raw", $"sample_id", $"gt", $"phased",
+
+    // Per-ALT decomposition (T1 on the genotype side). k = alt_idx + 1 is
+    // this ALT's allele index in the original line.
+    val decomposed = perRecord
+      .select($"*", posexplode($"alts").as(Seq("alt_idx", "alt")))
+      .filter($"alt" =!= "" && $"alt" =!= ".")
+    val k = $"alt_idx" + 1
+
+    def remap(aLine: Column): Column =
+      when(aLine.isNull, lit(null).cast(IntegerType))
+        .when(aLine === k, 1).otherwise(0)
+
+    // Number=G slice of GP for this ALT (1-based element_at): genotype
+    // indices {0, k, k(k+1)/2+k} of the full likelihood vector.
+    val gpHomAltIdx = ((k * (k + 1)).cast(DoubleType) / 2).cast(IntegerType) + k + 1
+    val gpK = when($"n_alts" === 1, $"gp")
+      .otherwise(array(element_at($"gp", 1), element_at($"gp", k + 1),
+        element_at($"gp", gpHomAltIdx)))
+
+    decomposed
+      .withColumn("a1", remap($"a1_line"))
+      .withColumn("a2", remap($"a2_line"))
+      // Number=A slice of DS for this ALT
+      .withColumn("ds", nullIfDot(element_at(split($"ds_raw", ","), k)).cast(DoubleType))
+      // T13 dosage: DS passthrough else GP[1] + 2·GP[2] on this ALT's
+      // biallelic triple (loader:121-137)
+      .withColumn("_gp_k", gpK)
+      .withColumn("dosage", coalesce($"ds",
+        when(size($"_gp_k") === 3 &&
+          element_at($"_gp_k", 2).isNotNull && element_at($"_gp_k", 3).isNotNull,
+          element_at($"_gp_k", 2) + lit(2) * element_at($"_gp_k", 3))))
+      .select($"chrom", $"pos", $"ref", $"alt_raw", $"alt", $"alt_idx", $"n_alts",
+        $"sample_id", $"gt", $"phased",
         $"a1", $"a2", $"gq", $"dp", $"ad", $"ds", $"gp", $"dosage",
         $"allele_balance", $"passes_adj")
   }
