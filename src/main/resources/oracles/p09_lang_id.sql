@@ -1,0 +1,41 @@
+WITH t AS (
+  SELECT doc_id, lang AS lang_label, text,
+    GREATEST(LENGTH(text), 1) AS n,
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang_label,
+    1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{3040}-\x{30ff}]', '', 'g')) AS DOUBLE) / n AS kana,
+    1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / n AS han,
+    1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{ac00}-\x{d7af}]', '', 'g')) AS DOUBLE) / n AS hangul,
+    1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS DOUBLE) / n AS cyr,
+    1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{0600}-\x{06ff}]', '', 'g')) AS DOUBLE) / n AS arab,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS en,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['der','die','das','und','oder','von','zu','in','ist','sind','war','es','dass','für','auf','mit','als','ein','eine'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS de,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','les','et','ou','de','du','à','en','est','sont','était','il','que','ce','pour','sur','avec','un','une'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS fr,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','los','las','y','o','de','del','a','en','es','son','era','que','este','para','sobre','con','un','una'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS es
+  FROM t
+)
+SELECT doc_id, lang_label,
+  CASE WHEN kana > 0.05 THEN 'ja'
+       WHEN han > 0.3 THEN 'zh'
+       WHEN hangul > 0.3 THEN 'ko'
+       WHEN cyr > 0.3 THEN 'ru'
+       WHEN arab > 0.3 THEN 'ar'
+       WHEN GREATEST(en, de, fr, es) = 0.0 THEN 'unknown'
+       WHEN GREATEST(en, de, fr, es) = en THEN 'en'
+       WHEN GREATEST(en, de, fr, es) = de THEN 'de'
+       WHEN GREATEST(en, de, fr, es) = fr THEN 'fr'
+       ELSE 'es' END AS lang_pred,
+  lang_label = (CASE WHEN kana > 0.05 THEN 'ja'
+       WHEN han > 0.3 THEN 'zh'
+       WHEN hangul > 0.3 THEN 'ko'
+       WHEN cyr > 0.3 THEN 'ru'
+       WHEN arab > 0.3 THEN 'ar'
+       WHEN GREATEST(en, de, fr, es) = 0.0 THEN 'unknown'
+       WHEN GREATEST(en, de, fr, es) = en THEN 'en'
+       WHEN GREATEST(en, de, fr, es) = de THEN 'de'
+       WHEN GREATEST(en, de, fr, es) = fr THEN 'fr'
+       ELSE 'es' END) AS correct
+FROM r ORDER BY doc_id

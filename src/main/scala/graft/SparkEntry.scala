@@ -19,8 +19,10 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.VcfQueries.queries ++
       graft.queries.Pipeline.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** For each key in queries, equivalent SQL runnable by DuckDB — over
+    * the sf parquet tables for the relational/pipeline set, and over the
+    * public VCF fixtures (line-mode read_csv) for the genomics set. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.Pipeline.oracle
+    graft.queries.Relational.oracle ++ graft.queries.Pipeline.oracle ++
+      graft.queries.VcfOracles.oracle
 }

@@ -33,11 +33,14 @@ object VcfQueries {
         .filter($"gene".isNotNull)
     },
 
-    // T5: vt normalization over an indel corpus
+    // T5: vt normalization over an indel corpus that actually exercises
+    // right-trim, left-trim, the pos=1 guard and the no-genome
+    // empty-allele stop (multiallelic.vcf's alleles are all already
+    // parsimonious, which made this a no-op check)
     "vcf_normalize" -> { (s, _) =>
       import s.implicits._
-      VcfReader.variants(s, s"$fixtures/multiallelic.vcf",
-        VcfReader.Options(normalize = true))
+      val norm = writeNormFixture()
+      VcfReader.variants(s, norm, VcfReader.Options(normalize = true))
         .select($"chrom", $"pos", $"ref", $"alt", $"normalized",
           $"original_pos", $"original_ref", $"original_alt")
     },
@@ -194,9 +197,13 @@ object VcfQueries {
       val anno = graft.ingest.AnnotationLoader.load(s, s"$fixtures/gnomad_subset.vcf.gz", cfg)
       val v = VcfReader.variants(s, s"$fixtures/gnomad_subset.vcf.gz")
         .select($"chrom", $"pos", $"ref", $"alt", $"rs_id")
+      // deterministic top-N: sort on the site key before limiting (a bare
+      // limit returns an arbitrary — unverifiable — subset)
       graft.query.Annotator.annotate(v,
         Seq(graft.query.Annotator.Source("gnomad", anno, Seq("src_ac", "src_af"))),
-        filterExpr = Some("src_af IS NOT NULL"), limit = Some(1000))
+        filterExpr = Some("src_af IS NOT NULL"))
+        .orderBy($"chrom", $"pos", $"ref", $"alt")
+        .limit(1000)
     },
 
     // A13: validation duplicate-site check (`cli.py:548-570`)
@@ -260,6 +267,28 @@ object VcfQueries {
           |chr3	3100	.	T	C	50	PASS	SYMBOL=GENE1;AF=0.4	GT	0/1	0/0	0/1
           |chr4	4000	.	A	C	50	PASS	SYMBOL=GENE3;AF=0.3	GT	0/1	0/1	0/0
           |chr5	5000	.	A	G,T	50	PASS	SYMBOL=GENE4;AF=0.3,0.2	GT	1/2	0/1	0/2
+          |""".stripMargin)
+    }
+    p.toString
+  }
+
+  /** Indel corpus for vcf_normalize: right-trim, left-trim, combined,
+    * the pos=1 parsimony guard, and the no-genome empty-allele stop
+    * (`normalizer.py:13-85` edge cases). */
+  private[graft] def writeNormFixture(): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_norm.vcf")
+    locally {
+      java.nio.file.Files.writeString(p,
+        """##fileformat=VCFv4.2
+          |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+          |chr1	100	.	GCC	GCA	50	PASS	.
+          |chr1	200	.	AT	ATT	50	PASS	.
+          |chr1	300	.	A	G	50	PASS	.
+          |chr1	400	.	CTCC	CCC	50	PASS	.
+          |chr2	500	.	GCGC	GCGA,GCGT	50	PASS	.
+          |chr3	1	.	AT	TT	50	PASS	.
+          |chrM	1	.	C	CAC	50	PASS	.
+          |chr4	700	.	A	CA	50	PASS	.
           |""".stripMargin)
     }
     p.toString
