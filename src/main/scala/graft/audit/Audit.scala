@@ -70,27 +70,41 @@ object Audit {
 
   /** Canonical JSON + SHA-256, byte-compatible with the reference's
     * `json.dumps(..., separators=(", ", ": "))` format
-    * (`audit/integrity.py:92-125`). */
+    * (`audit/integrity.py:92-125`): Python defaults to ensure_ascii=True,
+    * so every char > 0x7F is \uXXXX-escaped (astral chars as two
+    * surrogate escapes — which is exactly what escaping each UTF-16 char
+    * produces); `details` is a string map serialized in insertion order,
+    * like a Python dict. */
   def entryHash(eventTime: String, eventType: String, userName: String,
-                action: String, success: Boolean, previousHash: String): String = {
+                action: String, success: Boolean, previousHash: String,
+                details: Seq[(String, String)]): String = {
     def js(s: String): String =
       if (s == null) "null"
       else "\"" + s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c if c < ' ' || c > '\u007f' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    val detailsJson =
+      details.map { case (k, v) => s"${js(k)}: ${js(v)}" }.mkString("{", ", ", "}")
     val canonical =
       s"""{"event_time": ${js(eventTime)}, "event_type": ${js(eventType)}, """ +
       s""""user_name": ${js(userName)}, "action": ${js(action)}, """ +
-      s""""success": ${if (success) "true" else "false"}, "details": {}, """ +
+      s""""success": ${if (success) "true" else "false"}, "details": $detailsJson, """ +
       s""""previous_hash": ${js(previousHash)}}"""
     MessageDigest.getInstance("SHA-256")
       .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private val entryHashUdf = udf(entryHash _)
+  def entryHash(eventTime: String, eventType: String, userName: String,
+                action: String, success: Boolean, previousHash: String): String =
+    entryHash(eventTime, eventType, userName, action, success, previousHash, Nil)
+
+  private val entryHashUdf = udf(
+    (eventTime: String, eventType: String, userName: String, action: String,
+     success: Boolean, previousHash: String) =>
+      entryHash(eventTime, eventType, userName, action, success, previousHash))
 
   /** Compute the chain over an ordered audit DataFrame: each row's hash
     * covers its fields plus the previous row's hash — `lag` over the

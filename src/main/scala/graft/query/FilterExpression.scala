@@ -20,15 +20,26 @@ object FilterExpression {
     Set("<", "<=", ">", ">=", "==", "!=", "=", "<>")
 
   /** Compile to a Spark-SQL boolean expression string; throws
-    * IllegalArgumentException with all validation errors otherwise. */
+    * IllegalArgumentException with all validation errors otherwise.
+    *
+    * The SQL is rebuilt from the token stream, applying the operator map
+    * only to non-string tokens — the reference's whole-string
+    * `str.replace` (`expression.py:60-66`) corrupts operators inside
+    * quoted literals (`gene == 'A==B'` → `'A = B'`), which is a bug, not
+    * behavior worth preserving. */
   def parse(expression: String, availableFields: Set[String]): String = {
     if (expression == null || expression.trim.isEmpty) return "TRUE"
     val errors = validate(expression, availableFields)
     if (errors.nonEmpty)
       throw new IllegalArgumentException(s"Invalid expression: ${errors.mkString("; ")}")
-    var sql = expression
-    OperatorMap.foreach { case (from, to) => sql = sql.replace(from, s" $to ") }
-    sql.replaceAll("\\s+", " ").trim
+    val opMap = OperatorMap.toMap
+    tokenize(expression)
+      .map { t =>
+        if (t.nonEmpty && (t.head == '"' || t.head == '\'')) t
+        else opMap.getOrElse(t, t)
+      }
+      .mkString(" ")
+      .replaceAll("\\s+", " ").trim
   }
 
   /** Validation errors: unknown fields, unbalanced parens, unclosed

@@ -27,21 +27,41 @@ object PhiSanitizer {
     ("""/(?:home|Users)/[a-zA-Z][a-zA-Z0-9._-]*/""".r, "home_path"),
     ("""(?i)\b(?:accession|acc)[:\s=]?\S+""".r, "accession"))
 
-  /** Header keys that are never redacted (tool provenance, not PHI). */
-  val PreserveLinePrefixes: Seq[String] =
-    Seq("##fileformat", "##INFO", "##FORMAT", "##FILTER", "##ALT", "##contig")
+  /** ID= values whose lines are never redacted (genome provenance, not
+    * PHI) — the reference's `preserve_fields`
+    * (`phi/header_sanitizer.py:26,166-169`). Every other `##` meta line is
+    * scanned, including INFO/FORMAT/FILTER Descriptions: PHI embedded in a
+    * Description (home paths, emails, patient ids) must not pass through.
+    */
+  val PreserveIdFields: Seq[String] = Seq("reference", "assembly")
 
   final case class SanitizedHeader(lines: Seq[String], redactions: Seq[Redaction])
 
+  private val CommandLineQuoted = """CommandLine="[^"]*"""".r
+  private val CommandLineAngled = """CommandLine=<[^>]*>""".r
+
   def sanitizeLine(line: String): (String, Seq[Redaction]) = {
-    if (PreserveLinePrefixes.exists(line.startsWith)) (line, Nil)
+    // only ## meta lines are sanitized (`header_sanitizer.py:129-137`)
+    if (!line.startsWith("##")) (line, Nil)
+    // CommandLine is wholesale-redacted first (`:149-163`)
+    else if (line.contains("CommandLine")) {
+      var out = CommandLineQuoted.replaceAllIn(line, "CommandLine=\"[REDACTED]\"")
+      out = CommandLineAngled.replaceAllIn(out, "CommandLine=<[REDACTED]>")
+      if (out == line) (line, Nil)
+      else (out, Seq(Redaction("CommandLine", "commandline")))
+    } else if (PreserveIdFields.exists(k => line.toLowerCase.contains(s"id=$k")))
+      (line, Nil)
     else {
       var out = line
       val hits = scala.collection.mutable.ArrayBuffer[Redaction]()
       BuiltinPatterns.foreach { case (re, cat) =>
-        if (re.findFirstIn(out).isDefined) {
-          re.findAllIn(out).toSeq.foreach(m => hits += Redaction(m, cat))
-          out = re.replaceAllIn(out, "[REDACTED]")
+        val matches = re.findAllIn(out).toSeq
+          .filterNot(m => PreserveIdFields.exists(m.toLowerCase.contains(_)))
+        if (matches.nonEmpty) {
+          matches.foreach { m =>
+            hits += Redaction(m, cat)
+            out = out.replace(m, "[REDACTED]")
+          }
         }
       }
       (out, hits.toSeq)

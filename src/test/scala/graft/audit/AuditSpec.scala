@@ -135,6 +135,19 @@ class AnnotationLoaderSpec extends SparkSpec {
   }
 }
 
+class AuditHashFidelitySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.audit.Audit
+
+  test("entryHash \\uXXXX-escapes non-ASCII and serializes details like json.dumps") {
+    // differential vector produced with CPython:
+    // json.dumps({...}, separators=(', ', ': ')) -> sha256
+    val h = Audit.entryHash(
+      "2024-01-01T00:00:00", "load", "Jos\u00e9 \ud83d\ude00", "acc\u00e8s",
+      success = true, previousHash = "0" * 64, details = Seq("k" -> "v\u00fc"))
+    assert(h == "07ce74039c145cef474a2a0a42e9384065099b533f4f6dcb2ea2cc4c739887ca")
+  }
+}
+
 class PhiSanitizerSpec extends org.scalatest.funsuite.AnyFunSuite {
   import graft.transform.PhiSanitizer
 
@@ -152,5 +165,19 @@ class PhiSanitizerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!r.lines(2).contains("03/15/2021"))
     assert(r.redactions.map(_.category).toSet.intersect(
       Set("email", "mrn", "patient_id", "date_us")).size >= 3)
+  }
+
+  test("scans INFO/FORMAT descriptions; preserves ID=reference/assembly lines") {
+    val lines = Seq(
+      "##INFO=<ID=X,Number=1,Type=String,Description=\"from /home/jdoe/run1/ by jane@lab.org\">",
+      "##genome=<ID=reference,File=/home/jdoe/genomes/hg19.fa>",
+      "##contig=<ID=1,length=249250621,assembly=b37>",
+      "##GATKCommandLine=<CommandLine=\"-I /home/jdoe/p.bam\",Version=4>")
+    val r = PhiSanitizer.sanitizeHeader(lines)
+    assert(!r.lines(0).contains("/home/jdoe/"))          // INFO Description scanned
+    assert(!r.lines(0).contains("jane@lab.org"))
+    assert(r.lines(1) == lines(1))                       // ID=reference preserved
+    assert(r.lines(2) == lines(2))                       // assembly preserved
+    assert(r.lines(3) == "##GATKCommandLine=<[REDACTED]>") // both sub forms apply, like the reference
   }
 }

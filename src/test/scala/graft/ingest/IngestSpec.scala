@@ -181,6 +181,9 @@ class FilterExpressionSpec extends SparkSpec {
     assert(FilterExpression.parse("clinvar_sig != 'Benign'", fields) ==
       "clinvar_sig <> 'Benign'")
     assert(FilterExpression.parse("", fields) == "TRUE")
+    // operators inside string literals must survive intact
+    assert(FilterExpression.parse("clinvar_sig == 'A==B&&C'", fields) ==
+      "clinvar_sig = 'A==B&&C'")
   }
 
   test("validation errors") {
