@@ -93,8 +93,20 @@ object Graft {
       case "import-gwas" =>
         val stats = graft.ingest.GwasReader.read(spark, args(1))
         val matched = graft.ingest.VariantMatching.matchToVariants(stats, variants)
-        matched.filter($"variant_id".isNotNull)
-          .write.mode("overwrite").parquet(s"$db/gwas_stats")
+        // J3: harmonize orientation against the matched variant's alleles,
+        // with AF-proximity rescue for strand-ambiguous SNPs
+        // (`gwas/loader.py:115-190`)
+        val vAlleles = variants.select($"variant_id", $"ref".as("_v_ref"),
+          $"alt".as("_v_alt"), $"info"("AF").cast("double").as("_v_af"))
+        val harmonized = matched.filter($"variant_id".isNotNull)
+          .join(vAlleles, Seq("variant_id"), "left")
+          .withColumn("_h", graft.ingest.VariantMatching.harmonizeAlleles(
+            $"effect_allele", $"other_allele", $"_v_ref", $"_v_alt",
+            $"effect_allele_frequency", $"_v_af"))
+          .withColumn("is_effect_allele_alt", $"_h.is_effect_allele_alt")
+          .withColumn("is_strand_flipped", $"_h.is_flipped")
+          .drop("_h", "_v_ref", "_v_alt", "_v_af")
+        harmonized.write.mode("overwrite").parquet(s"$db/gwas_stats")
         val n = matched.count()
         val m = matched.filter($"variant_id".isNotNull).count()
         println(s"imported=$n matched=$m unmatched=${n - m}")
@@ -106,6 +118,30 @@ object Graft {
         matched.filter($"variant_id".isNotNull)
           .write.mode("overwrite").parquet(s"$db/prs_weights")
         println(s"pgs=${meta.pgsId} matched=${matched.filter($"variant_id".isNotNull).count()}")
+
+      case "import-frequencies" =>
+        // `cli.py:1193-1291`: parse gnomAD-style INFO population fields
+        // into the long population_frequencies table; compute popmax
+        // (bottlenecked ASJ/FIN excluded) and attach it to variants.
+        val source = arg(args, "--source").getOrElse("gnomAD_v3")
+        val subset = arg(args, "--subset").getOrElse("all")
+        val prefix = arg(args, "--prefix").getOrElse("")
+        val freqVcf = graft.vcf.VcfReader.variants(spark, args(1))
+        val long = graft.transform.PopulationFreq.toLong(
+          freqVcf, source = source, prefix = prefix, subset = subset)
+        long.write.mode("overwrite").parquet(s"$db/population_frequencies")
+        val nFreq = spark.read.parquet(s"$db/population_frequencies").count()
+        if (!has(args, "--no-update-popmax") &&
+            new java.io.File(s"$db/variants").exists()) {
+          val pm = graft.transform.PopulationFreq.popmax(
+            spark.read.parquet(s"$db/population_frequencies"))
+          val updated = variants
+            .drop("popmax_af", "popmax_population")
+            .join(pm, Seq("variant_id"), "left")
+            .localCheckpoint() // cut lineage before overwriting the source dir
+          graft.sinks.Writers.writeVariants(updated, s"$db/variants")
+        }
+        println(s"imported $nFreq population-frequency rows (source=$source)")
 
       case "load-reference" =>
         val panel = graft.ingest.RefPanels.hapmap3(spark, args(1))

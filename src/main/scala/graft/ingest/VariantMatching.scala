@@ -123,6 +123,45 @@ object VariantMatching {
       .otherwise(lit(null).cast(BooleanType))
   }
 
+  /** J3 full harmonization with AF-proximity rescue for strand-ambiguous
+    * SNPs — behavioral twin of `harmonize_alleles`
+    * (`gwas/loader.py:115-190`): direct allele-set match, then
+    * strand-complemented, then — for A/T, C/G GWAS pairs whose set
+    * matches neither orientation — |EAF − VCF ALT AF| < 0.1 keeps the
+    * effect allele as ALT, |(1−EAF) − VCF ALT AF| < 0.1 as REF.
+    * Returns struct(is_match, is_flipped, is_effect_allele_alt,
+    * harmonized_effect_allele, harmonized_other_allele); pure column
+    * expression, evaluated inside the join projection.
+    */
+  def harmonizeAlleles(ea: Column, oa: Column, ref: Column, alt: Column,
+                       eaf: Column, vcfAltAf: Column): Column = {
+    val (e, o) = (upper(ea), upper(oa))
+    val (r, a) = (upper(ref), upper(alt))
+    val (ec, oc) = (complement(ea), complement(oa))
+    val directSet = (e === r && o === a) || (e === a && o === r)
+    val compSet = (ec === r && oc === a) || (ec === a && oc === r)
+    // A/T and C/G pairs: the complement IS the swap (`loader.py:68-72`)
+    val ambiguous = ec === o
+    val fdDirect = abs(eaf - vcfAltAf)
+    val fdFlipped = abs(lit(1.0) - eaf - vcfAltAf)
+    val freqUsable = ambiguous && eaf.isNotNull && vcfAltAf.isNotNull
+
+    def result(m: Boolean, flipped: Column, eaAlt: Column, he: Column, ho: Column) =
+      struct(lit(m).as("is_match"), flipped.as("is_flipped"),
+        eaAlt.as("is_effect_allele_alt"),
+        he.as("harmonized_effect_allele"), ho.as("harmonized_other_allele"))
+
+    when(directSet, result(m = true, lit(false), e === a, e, o))
+      .when(compSet, result(m = true, lit(true), ec === a, ec, oc))
+      .when(freqUsable && fdDirect < 0.1,
+        result(m = true, lit(false), lit(true), e, o))
+      .when(freqUsable && fdDirect >= 0.1 && fdFlipped < 0.1,
+        result(m = true, lit(false), lit(false), e, o))
+      .otherwise(result(m = false,
+        lit(null).cast(BooleanType), lit(null).cast(BooleanType),
+        lit(null).cast(StringType), lit(null).cast(StringType)))
+  }
+
   /** J4 HapMap3 flagging: broadcast the panel, join on (bare chrom, pos),
     * accept exact allele-set match or (for non-ambiguous SNPs) the
     * complemented set (`references/hapmap3.py:53-107`); first match per

@@ -91,4 +91,24 @@ object Inheritance {
       .select($"gene", $"chrom", $"pos", $"ref", $"alt",
         $"from_father", $"from_mother")
   }
+
+  /** J10 (reference CTE shape) — compound-het candidates from the
+    * annotated variants table alone: genes carrying ≥2 variants of which
+    * at least one is impact='HIGH'; returns every variant of a
+    * qualifying gene (`tests/integration/test_database_queries.py:196-218`).
+    * Complements the trio-aware parent-of-origin form above; two
+    * broadcastable semi-joins on gene, no wide shuffle. */
+  def compoundHetByImpact(variants: DataFrame): DataFrame = {
+    import variants.sparkSession.implicits._
+    val geneVariants = variants.filter($"gene".isNotNull)
+      .select($"gene", $"chrom", $"pos", $"ref", $"alt", $"impact")
+    val genesWithHigh = geneVariants.filter($"impact" === "HIGH")
+      .select($"gene").distinct()
+    val genesMulti = geneVariants.groupBy($"gene")
+      .agg(count(lit(1)).as("n")).filter($"n" >= 2).select($"gene")
+    geneVariants
+      .join(genesWithHigh, Seq("gene"), "left_semi")
+      .join(genesMulti, Seq("gene"), "left_semi")
+      .orderBy($"gene", $"pos")
+  }
 }

@@ -161,16 +161,21 @@ object Relational {
     },
 
     // A10 popmax shape: per-key argmax with deterministic tie-break.
+    // max_by aggregation, not a row_number window: partial aggregation
+    // combines map-side and there is no per-group sort — at 100× the
+    // window form's full shuffle+sort is the bottleneck, this isn't.
     "q10_popmax_per_user" -> { (s, dir) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val t = Tables(s, dir)
-      val w = Window.partitionBy($"user_id")
-        .orderBy($"value".desc, $"event_id")
       t.events
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"user_id", $"event_type".as("top_type"), $"value".as("top_value"))
+        .groupBy($"user_id")
+        .agg(max_by(
+          struct($"event_type", $"value"),
+          // argmax on value, ties broken toward the SMALLEST event_id —
+          // same ordering the row_number window used
+          struct($"value", (lit(-1L) * $"event_id").as("neg_id"))).as("m"))
+        .select($"user_id", $"m.event_type".as("top_type"),
+          $"m.value".as("top_value"))
         .orderBy($"user_id")
     },
 

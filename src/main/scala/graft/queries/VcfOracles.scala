@@ -24,7 +24,8 @@ object VcfOracles {
     "vcf_denovo_antijoin", "vcf_qc_summary", "vcf_inheritance",
     "vcf_prs_score", "vcf_hapmap3_flag", "vcf_pgs_match", "vcf_export_plink",
     "vcf_ld_blocks", "vcf_popmax", "vcf_worst_consequence", "vcf_audit_chain",
-    "vcf_normalize", "vcf_annotation_join", "p09_lang_id")
+    "vcf_normalize", "vcf_annotation_join", "vcf_compound_het_impact",
+    "p09_lang_id")
 
   private def readResource(path: String): String = {
     val in = getClass.getResourceAsStream(path)

@@ -233,6 +233,13 @@ object VcfQueries {
       ar.unionByName(dn).unionByName(ch).orderBy($"chrom", $"pos", $"alt", $"pattern")
     },
 
+    // J10 reference-CTE shape: genes with ≥2 variants, at least one HIGH
+    // (`test_database_queries.py:196-218`) over the SnpEff-annotated corpus
+    "vcf_compound_het_impact" -> { (s, _) =>
+      graft.qc.Inheritance.compoundHetByImpact(
+        VcfReader.variants(s, s"$fixtures/snpeff/cancer.ann.vcf"))
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
@@ -293,6 +300,10 @@ object VcfQueries {
     }
     p.toString
   }
+
+  /** Test hook: the gnomAD-style fixture path (also used by the
+    * import-frequencies CLI round-trip spec). */
+  private[graft] def writeGnomadFixtureForTest(): String = writeGnomadStyleFixture()
 
   /** gnomAD-style population-field VCF used by vcf_popmax (the public
     * gnomad_subset fixture declares but doesn't populate these fields). */

@@ -45,4 +45,24 @@ class GraftCliSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("SNP", "A1", "BETA"))
     assert(out.count() > 0)
   }
+
+  test("import-frequencies loads the long table and attaches popmax (cli.py:1193-1291)") {
+    val db = Files.createTempDirectory("graftdb").toString
+    // db variants = the same sites the frequency VCF annotates
+    val freqVcf = graft.queries.VcfQueries.writeGnomadFixtureForTest()
+    Graft.run(spark, Array("load", freqVcf, "--db", db))
+    Graft.run(spark, Array("import-frequencies", freqVcf, "--db", db,
+      "--source", "gnomAD_v3"))
+
+    val long = spark.read.parquet(s"$db/population_frequencies")
+    assert(long.columns.toSet.contains("population") && long.count() > 0)
+    assert(long.select($"source").distinct().head().getString(0) == "gnomAD_v3")
+
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.columns.contains("popmax_af"))
+    // rs1: AFR 0.2 beats NFE 0.05 (FIN 0.9 excluded as bottlenecked)
+    val rs1 = v.filter($"rs_id" === "rs1").head()
+    assert(rs1.getAs[Double]("popmax_af") == 0.2)
+    assert(rs1.getAs[String]("popmax_population") == "AFR")
+  }
 }

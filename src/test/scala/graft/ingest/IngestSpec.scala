@@ -141,6 +141,34 @@ class VariantMatchingSpec extends SparkSpec {
     assert(rows(4).isNullAt(rows(4).fieldIndex("m")))
   }
 
+  test("harmonizeAlleles: direct/flip/AF-proximity rescue (gwas/loader.py:115-190 vectors)") {
+    // (ea, oa, ref, alt, eaf, vcfAf) -> (is_match, is_flipped, is_effect_allele_alt)
+    val df = Seq(
+      ("A", "G", "G", "A", None, None),                 // direct: match, ea==alt
+      ("T", "C", "G", "A", None, None),                 // strand flip: match, flipped
+      ("A", "T", "A", "T", Some(0.3), Some(0.7)),       // ambiguous, set matches -> direct branch
+      ("ATG", "A", "C", "T", None, None),               // incompatible
+      ("A", "T", "C", "G", Some(0.28), Some(0.3)),      // ambiguous mismatch, |EAF-AF|<0.1 -> EA=ALT
+      ("A", "T", "C", "G", Some(0.65), Some(0.3)),      // flipped freq within 0.1 -> EA=REF
+      ("A", "T", "C", "G", Some(0.5), Some(0.2)),       // neither within 0.1 -> no match
+      ("A", "T", "C", "G", None, Some(0.3))             // ambiguous, no EAF -> no match
+    ).toDF("ea", "oa", "ref", "alt", "eaf", "vcfaf")
+    val rows = df.withColumn("h", VariantMatching.harmonizeAlleles(
+        $"ea", $"oa", $"ref", $"alt", $"eaf", $"vcfaf"))
+      .select($"h.is_match", $"h.is_flipped", $"h.is_effect_allele_alt").collect()
+    def triple(i: Int) = (rows(i).getBoolean(0),
+      if (rows(i).isNullAt(1)) null else rows(i).getBoolean(1),
+      if (rows(i).isNullAt(2)) null else rows(i).getBoolean(2))
+    assert(triple(0) == ((true, false, true)))
+    assert(triple(1) == ((true, true, true)))
+    assert(triple(2) == ((true, false, false)))
+    assert(triple(3) == ((false, null, null)))
+    assert(triple(4) == ((true, false, true)))
+    assert(triple(5) == ((true, false, false)))
+    assert(triple(6) == ((false, null, null)))
+    assert(triple(7) == ((false, null, null)))
+  }
+
   test("hapmap3 flagging on overlap fixture") {
     val v = graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf"))
     val panel = RefPanels.hapmap3(spark, fixture("hapmap3_test.tsv"))
