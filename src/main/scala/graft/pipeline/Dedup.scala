@@ -50,11 +50,15 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int, numHashes: Int): DataFrame = {
+    // both base hashes are 48-bit slices of ONE md5 (engine-portable and
+    // one hash call per shingle); h1 + 63·h2 < 2^54 — no signed overflow,
+    // so an external oracle computes identical signatures
     val exploded = docs
       .select(col(idCol),
         explode(array_distinct(
           TextAnalysis.wordShingles(TextAnalysis.tokens(col(textCol)), shingleK))).as("_s"))
-      .select(col(idCol), xxhash64(col("_s")).as("_h1"), xxhash64(lit(1), col("_s")).as("_h2"))
+      .select(col(idCol), TextAnalysis.md5Bits(col("_s"), 1, 12).as("_h1"),
+        TextAnalysis.md5Bits(col("_s"), 13, 12).as("_h2"))
     val aggs = (0 until numHashes).map(i =>
       min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_m$i"))
     exploded.groupBy(col(idCol))
@@ -67,8 +71,8 @@ object Dedup {
                idCol: String = "doc_id"): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
-        xxhash64(concat_ws(",",
-          slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))).as("band_hash"))
+        TextAnalysis.md5Bits(concat_ws(",",
+          slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)), 1, 15).as("band_hash"))
     }
     df.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
@@ -103,17 +107,27 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash over tokens: per-token 64-bit hash votes per bit.
-    * The bit loop is genuinely imperative → one small pure UDF (the
-    * reference preference order allows this; a custom Expression with
-    * codegen is the upgrade path). */
-  private def simhash64(tokens: Seq[String]): Long = {
+  /** 64-bit SimHash over tokens: per-token hash votes per bit. The bit
+    * loop is genuinely imperative → one small pure UDF (the reference
+    * preference order allows this; a custom Expression with codegen is
+    * the upgrade path). Token hashes are the leading 60 bits of md5, so
+    * an external oracle reproduces signatures exactly (top 4 signature
+    * bits are structurally 0 — harmless for banding/hamming). */
+  private[pipeline] def simhash64(tokens: Seq[String]): Long = {
     if (tokens == null || tokens.isEmpty) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     tokens.foreach { t =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0).toLong & 0xffffffffL
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 1).toLong & 0xffffffffL
-      val h = (h1 << 32) | h2
+      val d = md.digest(t.getBytes("UTF-8"))
+      md.reset()
+      // first 15 hex chars = high 60 bits of the digest, big-endian
+      var h = 0L
+      var j = 0
+      while (j < 15) {
+        val nib = (d(j / 2) >> (if (j % 2 == 0) 4 else 0)) & 0xf
+        h = (h << 4) | nib
+        j += 1
+      }
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

@@ -77,6 +77,20 @@ object Multimodal {
     (vec, frames)
   }
 
+  /** 60-bit md5-derived content hash — engine-portable (a SQL oracle
+    * reproduces it as the leading 15 hex chars of md5), unlike a
+    * JVM-specific polynomial hash. */
+  private def contentHash60(content: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(content)
+    var h = 0L
+    var j = 0
+    while (j < 15) {
+      h = (h << 4) | ((d(j / 2) >> (if (j % 2 == 0) 4 else 0)) & 0xf)
+      j += 1
+    }
+    h
+  }
+
   /** Per-partition feature extraction: one decoder "session" per
     * partition, streaming over its rows — the batch shape a real codec
     * needs (matches the mapInPandas contract from the PySpark world). */
@@ -86,10 +100,8 @@ object Multimodal {
       // real impl: initialize decoder/codec context once here
       rows.map { r =>
         val (vec, frames) = decodeStub(r.content, r.media_type)
-        var h = 1125899906842597L
-        var i = 0
-        while (i < r.content.length) { h = 31 * h + r.content(i); i += 1 }
-        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong, h, vec, frames)
+        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
+          contentHash60(r.content), vec, frames)
       }
     }
   }

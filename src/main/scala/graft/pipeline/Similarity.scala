@@ -58,22 +58,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Deterministic random hyperplanes (seeded Gaussian) as literal
-    * arrays — driver-side metadata, broadcast inside the plan. */
-  private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
-    val rng = new java.util.Random(seed)
-    Seq.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
-  }
-
-  /** Add an `lsh_bucket` column: sign pattern of the vector against
-    * `planes` hyperplanes packed into a long. */
+  /** Add an `lsh_bucket` column: sign pattern of `planes` strided
+    * coordinates packed into a long — axis-aligned random-hyperplane LSH.
+    * Coordinate signs are deterministic and engine-portable (an external
+    * oracle reproduces the buckets exactly), where seeded-Gaussian
+    * hyperplanes are not; for roughly isotropic embeddings each
+    * coordinate sign splits the corpus ~50/50, which is the same
+    * balance property the Gaussian planes bought. */
   def withLshBucket(df: DataFrame, vecCol: String, planes: Int,
-                    dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(dim, planes, seed)
-    val bits: Seq[Column] = hp.zipWithIndex.map { case (plane, i) =>
-      val planeLit = array(plane.map(lit(_)): _*)
-      val dot = graft.functions.VectorExpressions.vecDot(col(vecCol), planeLit)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+                    dim: Int = 64): DataFrame = {
+    val stride = math.max(1, dim / planes)
+    val bits: Seq[Column] = (0 until planes).map { i =>
+      when(element_at(col(vecCol), i * stride + 1) >= 0, lit(1L << i))
+        .otherwise(lit(0L))
     }
     df.withColumn("lsh_bucket", bits.reduce(_ + _))
   }

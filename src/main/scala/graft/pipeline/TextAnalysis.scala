@@ -94,10 +94,18 @@ object TextAnalysis {
       .otherwise("es")
   }
 
-  /** Whole-document fingerprint: 64-bit hash of the normalized text
-    * (rolling-hash analogue for content identity). */
+  /** Slice of md5(c) parsed as a long — the engine-portable hash
+    * primitive (md5 is standardized; xxhash64 is Spark-specific and
+    * unverifiable by an external oracle). `len` ≤ 15 keeps the value in
+    * positive signed-64 range. Codegen'd builtins, still scan-speed. */
+  private[pipeline] def md5Bits(c: Column, start: Int, len: Int): Column =
+    conv(substring(md5(c), start, len), 16, 10).cast(LongType)
+
+  /** Whole-document fingerprint: 60-bit md5-derived hash of the
+    * normalized text (rolling-hash analogue for content identity),
+    * reproducible in any engine with md5. */
   def fingerprint(text: Column): Column =
-    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+    md5Bits(lower(regexp_replace(trim(text), "\\s+", " ")), 1, 15)
 
   /** Word k-shingles as space-joined strings (basis for minhash /
     * jaccard). Documents shorter than k words yield their single joined

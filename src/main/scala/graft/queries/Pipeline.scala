@@ -74,7 +74,8 @@ object Pipeline {
     // synthesized deterministically so recall is observable.
     "p07_minhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      val d = Tables(s, dir).documents.limit(200)
+      // deterministic subset (a bare limit returns arbitrary rows)
+      val d = Tables(s, dir).documents.filter($"doc_id" < 200)
       val mutated = d.filter($"doc_id" < 20)
         .select(($"doc_id" + 1000000).as("doc_id"),
           concat($"text", lit(" appended tail token")).as("text"))
@@ -87,7 +88,7 @@ object Pipeline {
     // SimHash near-dup pairs (hash-based → rows-only).
     "p08_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
-      val d = Tables(s, dir).documents.limit(200)
+      val d = Tables(s, dir).documents.filter($"doc_id" < 200)
       val mutated = d.filter($"doc_id" < 20)
         .select(($"doc_id" + 1000000).as("doc_id"),
           concat($"text", lit(" x")).as("text"))
