@@ -20,6 +20,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // single-file synthetic VCFs are ~115 MB: the default 128 MB split
+      // size gives a ONE-partition (single-core) scan. 8 MB splits spread
+      // the parse across cores — the local analogue of the many-file
+      // parallelism a real cohort has at scale.
+      .config("spark.sql.files.maxPartitionBytes", "8388608")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,10 +51,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Timing-sensitive point metrics take the best of two runs to damp
-    // transient host load / GC noise; throughput metrics are what the
+    // Timing-sensitive point metrics take the MEDIAN of three runs: this
+    // host shows sporadic multi-core stalls (observed 7x wall variance
+    // between identical runs), and a median survives one stalled run
+    // where best-of-2 needs luck twice. Throughput metrics are what the
     // baseline comparison reads.
-    def time2(body: => Unit): Double = math.min(time(body), time(body))
+    def time2(body: => Unit): Double = {
+      val ts = Seq(time(body), time(body), time(body)).sorted
+      ts(1)
+    }
+
+    // Pre-touch a file into page cache so the first timed run doesn't pay
+    // cold-disk I/O that the later runs don't.
+    def preTouch(path: String): Unit = {
+      val in = new java.io.FileInputStream(path)
+      val buf = new Array[Byte](1 << 20)
+      try { while (in.read(buf) > 0) () } finally in.close()
+    }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { name =>
@@ -68,6 +86,7 @@ object Bench {
       graft.vcf.SyntheticVcf.write(warmupVcf, 1000)
     graft.vcf.VcfReader.variants(spark, warmupVcf).count()
     graft.vcf.VcfReader.genotypes(spark, warmupVcf).count()
+    preTouch(vcfPath)
     results("vcf_parse_100k") = time2 {
       graft.vcf.VcfReader.variants(spark, vcfPath).count(); ()
     }
@@ -87,30 +106,50 @@ object Bench {
     val vcf1m = "/tmp/graft_bench_1m.vcf"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcf1m)))
       graft.vcf.SyntheticVcf.write(vcf1m, 1000000)
+    preTouch(vcf1m)
     results("vcf_parse_1m_norm") = time2 {
       graft.vcf.VcfReader.variants(spark, vcf1m,
         graft.vcf.VcfReader.Options(normalize = true)).count(); ()
     }
+    // throughput forms of the parse metrics (what BASELINE.md quotes)
+    results("vcf_parse_100k_var_s") = 100000.0 / results("vcf_parse_100k")
+    results("vcf_parse_1m_var_s") = 1000000.0 / results("vcf_parse_1m_norm")
 
     // Query-latency benchmarks over the persisted chrom-partitioned store
     // (BASELINE.md lookup/region/gene rows). Spark's per-job scheduling
     // floor (~tens of ms) applies; the interesting signal is that pruning
     // keeps these flat as data grows.
-    val dbPath = "/tmp/graft_bench_db/variants"
+    // v2: ids/schema changed since round 1 — a stale cached store from a
+    // previous round must not serve the lookups
+    val dbPath = "/tmp/graft_bench_db_v2/variants"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dbPath))) {
       val v = graft.vcf.VcfReader.variants(spark, vcfPath)
       graft.sinks.Writers.writeVariants(
         graft.ingest.VariantMatching.withVariantId(v), dbPath)
     }
+    val rsidIdxPath = "/tmp/graft_bench_db_v2/rsid_idx"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(rsidIdxPath)))
+      graft.sinks.Writers.writeRsidIndex(
+        spark.read.parquet(dbPath), rsidIdxPath)
     val store = spark.read.parquet(dbPath)
+    val rsidIdx = spark.read.parquet(rsidIdxPath)
     import org.apache.spark.sql.functions.col
     // warm the store read path once
     store.filter(col("chrom") === "chr2" && col("pos") === 1L).count()
+    rsidIdx.filter(col("rs_id") === "rs1").count()
     results("lookup_single_pos") = time2 {
       store.filter(col("chrom") === "chr1" && col("pos") === 110000L).count(); ()
     }
+    // rsID probe via the secondary projection (row-group-pruned sorted
+    // scan), then the full row from the main store with chrom/pos
+    // partition pruning — the reference's HASH-index probe shape
     results("lookup_rsid") = time2 {
-      store.filter(col("rs_id") === "rs5000000").count(); ()
+      val hit = rsidIdx.filter(col("rs_id") === "rs5000000")
+        .select("chrom", "pos").collect()
+      hit.foreach { r =>
+        store.filter(col("chrom") === r.getString(0) &&
+          col("pos") === r.getLong(1) && col("rs_id") === "rs5000000").count()
+      }
     }
     results("region_100kb") = time2 {
       store.filter(col("chrom") === "chr1" &&
@@ -124,7 +163,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // derived throughput metrics are not seconds — keep them out of total
+    val total = results.collect {
+      case (k, v) if v >= 0 && !k.endsWith("_var_s") => v
+    }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

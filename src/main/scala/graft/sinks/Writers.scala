@@ -24,6 +24,27 @@ object Writers {
       .partitionBy("chrom")
       .parquet(path)
 
+  /** rsID secondary projection — the scale-safe analogue of the
+    * reference's partial HASH index on rs_id (`schema.py:271-275`).
+    * rs_id carries no locality in the chrom/pos-partitioned main store,
+    * so an rsID probe there is a full scan at scale. This slim projection
+    * (6 narrow columns) is range-partitioned AND sorted by rs_id: a
+    * lookup prunes to one range partition, then parquet min/max stats
+    * prune row groups within it — I/O stays O(row-group), flat as data
+    * grows. Join back to the main store on (chrom,pos) for the full row
+    * (partition-pruned by chrom).
+    */
+  def writeRsidIndex(variants: DataFrame, path: String,
+                     mode: String = "overwrite"): Unit =
+    variants
+      .filter(col("rs_id").isNotNull)
+      .select(col("rs_id"), col("chrom"), col("pos"), col("ref"), col("alt"),
+        col("variant_id"))
+      .repartitionByRange(col("rs_id"))
+      .sortWithinPartitions(col("rs_id"))
+      .write.mode(mode)
+      .parquet(path)
+
   /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,
     * existing rows without a match survive (left_anti + union). */
   def upsert(existing: DataFrame, incoming: DataFrame,

@@ -84,6 +84,22 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("*(1)"), s"no codegen stage in:\n$finalPlan")
   }
 
+  test("rsID secondary projection: probe pushes rs_id to the scan of a sorted slim table") {
+    val dir = java.nio.file.Files.createTempDirectory("rsididx").toString
+    val v = graft.ingest.VariantMatching.withVariantId(
+      graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf")))
+    graft.sinks.Writers.writeRsidIndex(v, s"$dir/rsid_idx")
+    val idx = spark.read.parquet(s"$dir/rsid_idx")
+    val probe = idx.filter($"rs_id" === "rs3094315")
+    val p = plan(probe)
+    assert(p.contains("PushedFilters: [IsNotNull(rs_id), EqualTo(rs_id,rs3094315)]"),
+      s"rs_id probe not pushed down:\n$p")
+    // the projection carries only the slim 6-column schema
+    assert(idx.columns.toSet ==
+      Set("rs_id", "chrom", "pos", "ref", "alt", "variant_id"))
+    assert(probe.count() == 1)
+  }
+
   test("text analysis quality columns stay codegen'd (no UDF barrier)") {
     val df = graft.pipeline.TextAnalysis.withQuality(Tables(spark, sfDir).documents)
     val p = plan(df)
