@@ -1,0 +1,63 @@
+WITH raw AS (
+  SELECT string_split(column0, chr(9)) AS f
+  FROM read_csv('/tmp/graft_dosage.vcf',
+    sep=chr(1), quote='', header=false, columns={'column0':'VARCHAR'})
+  WHERE column0 NOT LIKE '#%'
+),
+gts AS (
+  SELECT 'chr' || regexp_replace(f[1], '^chr', '') AS chrom,
+    CAST(f[2] AS BIGINT) AS pos, f[4] AS ref,
+    string_split(f[5], ',') AS alts,
+    string_split(f[9], ':') AS fkeys,
+    unnest(['S1', 'S2', 'S3']) AS sample_id,
+    unnest([f[10], f[11], f[12]]) AS sval
+  FROM raw
+),
+parsed AS (
+  SELECT *, string_split(sval, ':') AS vals,
+    least(len(fkeys), len(string_split(sval, ':'))) AS nk
+  FROM gts
+),
+fmtv AS (
+  SELECT *,
+    CASE WHEN list_position(fkeys, 'GT') BETWEEN 1 AND nk
+         THEN vals[list_position(fkeys, 'GT')] END AS gt_raw,
+    CASE WHEN list_position(fkeys, 'DS') BETWEEN 1 AND nk
+         THEN vals[list_position(fkeys, 'DS')] END AS ds_raw,
+    CASE WHEN list_position(fkeys, 'GP') BETWEEN 1 AND nk
+         THEN vals[list_position(fkeys, 'GP')] END AS gp_raw
+  FROM parsed
+),
+rec AS (
+  SELECT *,
+    TRY_CAST(NULLIF(NULLIF(string_split_regex(gt_raw, '[/|]')[1], '.'), '') AS INT) AS a1_line,
+    TRY_CAST(NULLIF(NULLIF(string_split_regex(gt_raw, '[/|]')[2], '.'), '') AS INT) AS a2_line,
+    contains(gt_raw, '|') AS phased,
+    CASE WHEN gp_raw IS NULL THEN NULL
+         ELSE list_transform(string_split(gp_raw, ','),
+                x -> TRY_CAST(NULLIF(NULLIF(x, '.'), '') AS DOUBLE)) END AS gp
+  FROM fmtv
+),
+dec AS (
+  SELECT *, unnest(alts) AS alt,
+    unnest(generate_series(1, len(alts))) AS k,
+    CAST(len(alts) AS INT) AS n_alts
+  FROM rec
+),
+sliced AS (
+  SELECT chrom, pos, ref, alt, CAST(k - 1 AS INT) AS alt_idx, n_alts, sample_id,
+    COALESCE(CAST(a1_line AS VARCHAR), '.') ||
+      (CASE WHEN phased THEN '|' ELSE '/' END) ||
+      COALESCE(CAST(a2_line AS VARCHAR), '.') AS gt,
+    CASE WHEN a1_line IS NULL THEN NULL WHEN a1_line = k THEN 1 ELSE 0 END AS a1,
+    CASE WHEN a2_line IS NULL THEN NULL WHEN a2_line = k THEN 1 ELSE 0 END AS a2,
+    TRY_CAST(NULLIF(NULLIF(string_split(ds_raw, ',')[k], '.'), '') AS DOUBLE) AS ds,
+    COALESCE(array_to_string(list_transform(gp, x -> CAST(x AS VARCHAR)), ','), '') AS gp_csv,
+    CASE WHEN n_alts = 1 THEN gp
+         ELSE [gp[1], gp[k + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END AS gp_k
+  FROM dec
+)
+SELECT chrom, pos, ref, alt, alt_idx, n_alts, sample_id, gt, a1, a2, ds, gp_csv,
+  COALESCE(ds, CASE WHEN len(gp_k) = 3 AND gp_k[2] IS NOT NULL AND gp_k[3] IS NOT NULL
+    THEN gp_k[2] + 2 * gp_k[3] END) AS dosage
+FROM sliced

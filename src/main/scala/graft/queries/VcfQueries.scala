@@ -240,6 +240,84 @@ object VcfQueries {
         VcfReader.variants(s, s"$fixtures/snpeff/cancer.ann.vcf"))
     },
 
+    // S2/S3: header scan + annotation sub-schema discovery, surfaced as a
+    // relational (kind, id, number, vtype) catalog so the driver can
+    // verify the parse against the raw header lines
+    "vcf_header_info" -> { (s, _) =>
+      import s.implicits._
+      val h = graft.vcf.VcfHeader.read(s, s"$fixtures/snpeff/cancer.ann.vcf")
+      val rows =
+        h.infoFields.values.toSeq.sortBy(_.id).map(m =>
+          ("INFO", m.id, m.number, m.tpe)) ++
+        h.formatFields.values.toSeq.sortBy(_.id).map(m =>
+          ("FORMAT", m.id, m.number, m.tpe)) ++
+        h.annFields.zipWithIndex.map { case (f, i) =>
+          ("ANN_FIELD", f, (i + 1).toString, null: String) } ++
+        h.csqFields.zipWithIndex.map { case (f, i) =>
+          ("CSQ_FIELD", f, (i + 1).toString, null: String) } ++
+        h.samples.zipWithIndex.map { case (n, i) =>
+          ("SAMPLE", n, (i + 1).toString, null: String) } ++
+        Seq(("IMPUTATION_SOURCE", h.imputationSource, null: String, null: String))
+      rows.toDF("kind", "id", "number", "vtype")
+    },
+
+    // S4 + J2 + J3: GWAS-SSF scan matched to variants with priority and
+    // full allele harmonization including the AF-proximity rescue for
+    // strand-ambiguous SNPs
+    "vcf_gwas_match" -> { (s, _) =>
+      import s.implicits._
+      val (vcf, tsv) = writeGwasFixtures()
+      val v = VcfReader.variants(s, vcf)
+      val stats = graft.ingest.GwasReader.read(s, tsv)
+      val matched = graft.ingest.VariantMatching.matchToVariants(stats, v)
+      val vAf = v.select(
+        graft.ingest.VariantMatching.variantIdCol(
+          $"chrom", $"pos", $"ref", $"alt").as("variant_id"),
+        $"ref".as("v_ref"), $"alt".as("v_alt"),
+        $"info"("AF").cast("double").as("v_af"))
+      matched.join(vAf, Seq("variant_id"), "left")
+        .withColumn("h", graft.ingest.VariantMatching.harmonizeAlleles(
+          $"effect_allele", $"other_allele", $"v_ref", $"v_alt",
+          $"effect_allele_frequency", $"v_af"))
+        .select($"rsid", $"chromosome", $"base_pair_location",
+          $"effect_allele", $"other_allele", $"effect_allele_frequency",
+          $"variant_id", $"match_type",
+          $"h.is_match".as("is_match"), $"h.is_flipped".as("is_flipped"),
+          $"h.is_effect_allele_alt".as("is_effect_allele_alt"))
+    },
+
+    // T11: imputation metrics for minimac4 (R2/IMPUTED/TYPED) and Beagle
+    // (DR2/IMP + the DR2>=1 ∧ ¬IMP typed rule), sources auto-sniffed
+    "vcf_imputation" -> { (s, _) =>
+      import s.implicits._
+      val (mini, beagle) = writeImputationFixtures()
+      def slice(path: String) = VcfReader.variants(s, path)
+        .select($"chrom", $"pos", $"ref", $"alt", $"info_score",
+          $"imputation_r2", $"is_imputed", $"is_typed", $"imputation_source")
+      slice(mini).unionByName(slice(beagle))
+    },
+
+    // T10: ClinVar significance normalization precedence
+    "vcf_clinvar" -> { (s, _) =>
+      import s.implicits._
+      val vcf = writeClinvarFixture()
+      VcfReader.variants(s, vcf)
+        .select($"chrom", $"pos", $"ref", $"alt", $"clinvar_sig",
+          graft.transform.Annotations.normalizeClinvarUdf($"clinvar_sig")
+            .as("clinvar_norm"))
+    },
+
+    // T13: dosage — DS passthrough (Number=A sliced per ALT) and the GP
+    // biallelic-triple fallback, over a multi-allelic fixture
+    "vcf_dosage" -> { (s, _) =>
+      import s.implicits._
+      val vcf = writeDosageFixture()
+      VcfReader.genotypes(s, vcf)
+        .select($"chrom", $"pos", $"ref", $"alt", $"alt_idx", $"n_alts",
+          $"sample_id", $"gt", $"a1", $"a2", $"ds",
+          concat_ws(",", $"gp").as("gp_csv"), $"dosage")
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
@@ -298,6 +376,107 @@ object VcfQueries {
           |chr4	700	.	A	CA	50	PASS	.
           |""".stripMargin)
     }
+    p.toString
+  }
+
+  /** Variants VCF + GWAS-SSF TSV covering every match/harmonization
+    * branch: direct, swapped, complement-only (rsid fallback), ambiguous
+    * with AF rescue in both directions, ambiguous unresolvable, and a
+    * position-miss rsid fallback. */
+  private[graft] def writeGwasFixtures(): (String, String) = {
+    val vcf = java.nio.file.Paths.get("/tmp/graft_gwas_variants.vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=AF,Number=A,Type=Float,Description="alt AF">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	rs100	A	G	50	PASS	AF=0.3
+        |chr1	200	rs200	C	T	50	PASS	AF=0.4
+        |chr1	300	rs300	G	A	50	PASS	AF=0.2
+        |chr1	400	rs400	A	T	50	PASS	AF=0.25
+        |chr1	500	rs500	C	G	50	PASS	AF=0.6
+        |chr1	600	rs600	G	C	50	PASS	AF=0.5
+        |""".stripMargin)
+    val tsv = java.nio.file.Paths.get("/tmp/graft_gwas_stats.tsv")
+    java.nio.file.Files.writeString(tsv,
+      """chromosome	base_pair_location	effect_allele	other_allele	p_value	beta	standard_error	eaf	rsid
+        |1	100	G	A	1e-8	0.12	0.01	0.31	rs100
+        |1	200	C	T	1e-7	-0.08	0.02	0.42	rs200
+        |1	300	T	C	1e-6	0.05	0.01	0.19	rs300
+        |1	400	A	T	1e-5	0.02	0.01	0.3	rs400
+        |1	500	A	T	1e-4	0.01	0.01	0.58	rs500
+        |1	500	T	A	1e-4	0.01	0.01	0.15
+        |1	600	G	C	1e-3	0.03	0.01	0.5	rs600
+        |1	999	G	A	1e-2	0.04	0.01	0.3	rs100
+        |""".stripMargin)
+    (vcf.toString, tsv.toString)
+  }
+
+  /** Minimac4- and Beagle-style imputed VCFs (source auto-sniff via
+    * ##source; Beagle's multi-allelic DR2 exercises Number=A slicing). */
+  private[graft] def writeImputationFixtures(): (String, String) = {
+    val mini = java.nio.file.Paths.get("/tmp/graft_imp_minimac.vcf")
+    java.nio.file.Files.writeString(mini,
+      """##fileformat=VCFv4.2
+        |##source=Minimac4
+        |##INFO=<ID=R2,Number=1,Type=Float,Description="r2">
+        |##INFO=<ID=IMPUTED,Number=0,Type=Flag,Description="">
+        |##INFO=<ID=TYPED,Number=0,Type=Flag,Description="">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	.	A	G	50	PASS	R2=0.85;IMPUTED
+        |chr1	200	.	C	T	50	PASS	R2=0.99;TYPED
+        |chr1	300	.	G	A	50	PASS	.
+        |""".stripMargin)
+    val beagle = java.nio.file.Paths.get("/tmp/graft_imp_beagle.vcf")
+    java.nio.file.Files.writeString(beagle,
+      """##fileformat=VCFv4.2
+        |##source=beagle5.4
+        |##INFO=<ID=DR2,Number=A,Type=Float,Description="dr2">
+        |##INFO=<ID=IMP,Number=0,Type=Flag,Description="">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr2	100	.	A	G	50	PASS	DR2=0.75;IMP
+        |chr2	200	.	C	T	50	PASS	DR2=1.0
+        |chr2	300	.	G	A	50	PASS	DR2=0.5
+        |chr2	400	.	T	G,C	50	PASS	DR2=1.0,0.4;IMP
+        |""".stripMargin)
+    (mini.toString, beagle.toString)
+  }
+
+  /** CLNSIG precedence corpus (`type_mapping.py:90-138` cases). */
+  private[graft] def writeClinvarFixture(): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_clinvar.vcf")
+    java.nio.file.Files.writeString(p,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=CLNSIG,Number=1,Type=String,Description="clinvar">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	.	A	G	50	PASS	CLNSIG=Pathogenic
+        |chr1	200	.	C	T	50	PASS	CLNSIG=Likely_pathogenic
+        |chr1	300	.	G	A	50	PASS	CLNSIG=Benign
+        |chr1	400	.	T	C	50	PASS	CLNSIG=Likely_benign
+        |chr1	500	.	A	C	50	PASS	CLNSIG=Uncertain_significance
+        |chr1	600	.	C	G	50	PASS	CLNSIG=Conflicting_interpretations_of_pathogenicity
+        |chr1	700	.	G	T	50	PASS	CLNSIG=Pathogenic/Likely_pathogenic
+        |chr1	800	.	T	A	50	PASS	CLNSIG=Benign,drug_response
+        |chr1	900	.	A	T	50	PASS	CLNSIG=Likely_benign,risk_factor
+        |chr1	1000	.	C	A	50	PASS	CLNSIG=drug_response
+        |chr1	1100	.	G	C	50	PASS	DP=10
+        |""".stripMargin)
+    p.toString
+  }
+
+  /** DS/GP dosage fixture: single-alt DS passthrough + GP fallback, and a
+    * multi-allelic line exercising the Number=A DS slice and the
+    * Number=G GP biallelic-triple per ALT. */
+  private[graft] def writeDosageFixture(): String = {
+    val p = java.nio.file.Paths.get("/tmp/graft_dosage.vcf")
+    java.nio.file.Files.writeString(p,
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+        |##FORMAT=<ID=DS,Number=A,Type=Float,Description="dosage">
+        |##FORMAT=<ID=GP,Number=G,Type=Float,Description="probs">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1	S2	S3
+        |chr1	100	.	A	G	50	PASS	.	GT:DS:GP	0/1:0.9:0.1,0.7,0.2	0/0:.:0.8,0.15,0.05	1/1
+        |chr1	200	.	C	T,G	50	PASS	.	GT:DS:GP	1/2:0.5,1.2:0.1,0.2,0.3,0.15,0.05,0.2	0/1:.:0.6,0.3,0.02,0.05,0.02,0.01	0/2
+        |""".stripMargin)
     p.toString
   }
 
