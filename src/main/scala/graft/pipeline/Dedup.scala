@@ -81,14 +81,30 @@ object Dedup {
   /** Candidate pairs = docs sharing any band bucket; verified by the
     * estimated Jaccard (fraction of equal signature slots). The bucket
     * join is the only shuffle; pairs are deduped across bands.
+    *
+    * `maxBucketSize` caps a single bucket's membership: a pathological
+    * bucket (e.g. thousands of byte-identical documents) otherwise
+    * degenerates the self-join quadratically. Buckets over the cap are
+    * dropped entirely — at scale the right recall story for such
+    * clusters is exact dedup first (identical docs share a fingerprint),
+    * LSH after; the cap is the skew guard for what remains.
     */
   def minhashCandidatePairs(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", shingleK: Int = 3,
-                            numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                            numHashes: Int = 64, bands: Int = 16,
+                            maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = minhashSignatures(docs, textCol, idCol, shingleK, numHashes)
 
-    val bandsDf = lshBands(withSig, "_sig", bands, rowsPerBand, idCol)
+    val bandsAll = lshBands(withSig, "_sig", bands, rowsPerBand, idCol)
+    val bandsDf = maxBucketSize match {
+      case None => bandsAll
+      case Some(cap) =>
+        val ok = bandsAll.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
+          .select("band_idx", "band_hash")
+        bandsAll.join(ok, Seq("band_idx", "band_hash"), "left_semi")
+    }
     val left = bandsDf.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
     val right = bandsDf.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
 

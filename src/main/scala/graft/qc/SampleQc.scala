@@ -94,15 +94,24 @@ object SampleQc {
   }
 
   /** A5 per-batch roll-up (`qc/schema.py:74-97`): pass/fail counts plus
-    * exact median call rate. */
-  def batchSummary(sampleQc: DataFrame): DataFrame = {
+    * median call rate.
+    *
+    * `approxMedian`: exact `percentile` holds every group value in
+    * memory — fine at cohort sizes, a per-group memory risk at 100×.
+    * The scale path is `approx_percentile` (t-digest, bounded memory,
+    * partial-aggregatable); exact stays the default for oracle parity.
+    */
+  def batchSummary(sampleQc: DataFrame, approxMedian: Boolean = false): DataFrame = {
     import sampleQc.sparkSession.implicits._
+    val median =
+      if (approxMedian) expr("approx_percentile(call_rate, 0.5, 10000)")
+      else expr("percentile(call_rate, 0.5)")
     sampleQc.agg(
       count(lit(1)).as("n_samples"),
       sum(when($"qc_pass", 1).otherwise(0)).as("n_pass"),
       sum(when(!$"qc_pass", 1).otherwise(0)).as("n_fail"),
       avg($"call_rate").as("mean_call_rate"),
-      expr("percentile(call_rate, 0.5)").as("median_call_rate"),
+      median.as("median_call_rate"),
       min($"call_rate").as("min_call_rate"),
       max($"call_rate").as("max_call_rate"))
   }

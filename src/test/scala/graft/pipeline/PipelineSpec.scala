@@ -77,6 +77,20 @@ class DedupSpec extends SparkSpec {
       pairs.filter(p => p._2 == 4L).forall(_._3 < 0.3)) // unrelated low sim
   }
 
+  test("minhash bucket cap drops pathological all-identical buckets") {
+    // 30 byte-identical docs: uncapped → C(30,2)+... pairs; cap 5 → none
+    val clones = (1L to 30L).map(i => (i, "same same same text body here"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidatePairs(clones).count()
+    assert(uncapped == 30L * 29 / 2)
+    val capped = Dedup.minhashCandidatePairs(clones, maxBucketSize = Some(5)).count()
+    assert(capped == 0L)
+    // the cap must not drop small, legitimate buckets
+    val normal = Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(normal.contains((1L, 2L)))
+  }
+
   test("simhash hamming distance near-dups") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
