@@ -318,6 +318,25 @@ object VcfQueries {
           concat_ws(",", $"gp").as("gp_csv"), $"dosage")
     },
 
+    // T6 (CSQ branch): VEP CSQ worst-consequence over a real
+    // VEP-annotated corpus whose Allele field matches the decomposed ALT
+    // (cancer.ann.vcf covers the SnpEff ANN branch)
+    "vcf_csq_scan" -> { (s, _) =>
+      import s.implicits._
+      VcfReader.variants(s, s"$fixtures/annotated_ranked.vcf.gz")
+        .select($"chrom", $"pos", $"ref", $"alt", $"rs_id",
+          $"gene", $"impact", $"consequence", $"hgvs_c", $"hgvs_p")
+    },
+
+    // S1 robustness: structural-variant corpus — symbolic alleles
+    // (<DEL>/<DUP>/<INV>), END extraction, sv classification
+    "vcf_sv_scan" -> { (s, _) =>
+      import s.implicits._
+      VcfReader.variants(s, s"$fixtures/genmod_sv.vcf.gz")
+        .select($"chrom", $"pos", $"alt", $"end_pos", $"variant_type",
+          concat_ws(";", $"filter").as("filters"))
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
