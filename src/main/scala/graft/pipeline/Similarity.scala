@@ -75,6 +75,71 @@ object Similarity {
     df.withColumn("lsh_bucket", bits.reduce(_ + _))
   }
 
+  /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
+    * `nCentroids` inverted lists; each query probes its `nProbe` nearest
+    * lists and ranks only their members — the classic recall/cost dial
+    * (recall grows with nProbe, cost ~ nProbe/nCentroids of the corpus).
+    *
+    * The quantizer here is sampled, not trained: the first `nCentroids`
+    * corpus vectors (by id) serve as centroids. That keeps the operator
+    * deterministic and externally verifiable end-to-end; production
+    * would swap in k-means centroids — every downstream step (assign,
+    * probe, rank) is identical.
+    *
+    * Scale shape: centroids broadcast to both assignment passes (narrow,
+    * no shuffle); the probe join shuffles on centroid_id only; ranking
+    * is a per-query window over ~nProbe/nCentroids of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+
+    // negative dot with precomputed norms = cosine argmax without sqrt
+    // per pair; ties break toward the smaller centroid id
+    def nearestCentroids(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cent))
+        .withColumn("_cd",
+          when(sqrt(dotCol(col(vec), col(vec))) > 0 &&
+               sqrt(dotCol(col("cent_vec"), col("cent_vec"))) > 0,
+            dotCol(col(vec), col("cent_vec")) /
+              (sqrt(dotCol(col(vec), col(vec))) *
+               sqrt(dotCol(col("cent_vec"), col("cent_vec"))))))
+      val w = Window.partitionBy(col(id))
+        .orderBy(round(col("_cd"), 5).desc, col("cent_id"))
+      scored.withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= n)
+        .select(col(id), col("cent_id"))
+    }
+
+    val assigned = nearestCentroids(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "neighbor_id", "c_vec", 1)
+    val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .join(assigned, "neighbor_id")
+      .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
+
+    val probes = nearestCentroids(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "query_id", "q_vec", nProbe)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .join(probes, "query_id")
+      .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
+
+    val scored = lists.join(q, Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        when(col("q_norm") > 0 && col("c_norm") > 0,
+          dotCol(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket.
     * Same output schema as bruteForceTopK (rank within found candidates);
     * recall < 1 by construction — the scale path when the corpus no

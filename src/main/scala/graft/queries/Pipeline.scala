@@ -145,6 +145,16 @@ object Pipeline {
       Similarity.lshTopK(e, e.filter($"vec_id" < 4), k = 5, planes = 6)
         .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank")
         .orderBy($"query_id", $"rank")
+    },
+
+    // IVF ANN (inverted-list scale path; recall dialed by nProbe).
+    "p14_ivf_topk" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+      Similarity.ivfTopK(e, e.filter($"vec_id".between(4, 7)), k = 5,
+        nCentroids = 8, nProbe = 2)
+        .select($"query_id", $"neighbor_id", round($"cosine", 6).as("cosine"), $"rank")
+        .orderBy($"query_id", $"rank")
     }
   )
 

@@ -29,7 +29,7 @@ object VcfOracles {
     "vcf_dosage", "vcf_csq_scan", "vcf_sv_scan",
     "p09_lang_id", "p07_minhash_pairs", "p08_simhash_pairs",
     "p10_doc_fingerprint", "p11_media_features", "p12_embedding_neardup",
-    "p13_lsh_topk")
+    "p13_lsh_topk", "p14_ivf_topk")
 
   private def readResource(path: String): String = {
     val in = getClass.getResourceAsStream(path)

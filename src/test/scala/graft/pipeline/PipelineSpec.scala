@@ -154,6 +154,30 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF top-k: probed lists find the exact top hit for near-dup queries") {
+    val e = graft.Tables(spark, sfDir).embeddings.limit(100)
+    // a copy of vector 10 must be found as its own top-1 neighbor
+    val copies = e.filter($"vec_id" === 10L)
+      .select(org.apache.spark.sql.functions.lit(5000L).as("vec_id"), $"embedding")
+    val corpus = e.select($"vec_id", $"embedding").union(copies)
+    val top = Similarity.ivfTopK(corpus, copies, k = 3, nCentroids = 8, nProbe = 2)
+      .filter($"rank" === 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 10L)
+    assert(top.getAs[Double]("cosine") > 0.9999)
+  }
+
+  test("IVF candidate cost shrinks with fewer probes") {
+    val e = graft.Tables(spark, sfDir).embeddings.limit(200)
+    val q = e.filter($"vec_id" < 2)
+    val all = Similarity.bruteForceTopK(e, q, k = 200).count()
+    val probed = Similarity.ivfTopK(e, q, k = 200, nCentroids = 8, nProbe = 2).count()
+    assert(probed < all) // candidate set is a strict subset of the corpus
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
