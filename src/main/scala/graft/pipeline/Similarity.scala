@@ -128,7 +128,11 @@ object Similarity {
       .join(probes, "query_id")
       .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
 
-    val scored = lists.join(q, Seq("cent_id"))
+    // queries × nProbe is the small side — broadcast it so the corpus
+    // lists stream through without a cent_id shuffle (cent_id has only
+    // nCentroids distinct values: a sort-merge join on it would both
+    // shuffle the whole corpus and skew)
+    val scored = lists.join(broadcast(q), Seq("cent_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         when(col("q_norm") > 0 && col("c_norm") > 0,
