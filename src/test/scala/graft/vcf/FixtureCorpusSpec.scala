@@ -17,7 +17,14 @@ class FixtureCorpusSpec extends SparkSpec {
     "multiallelic.vcf", "with_annotations.vcf", "hapmap3_overlap.vcf",
     "gnomad_subset.vcf.gz", "dbsnp_subset.vcf.gz", "mills_indels.vcf.gz",
     "snpeff/test.ann.vcf", "snpeff/cancer.ann.vcf", "gridss_sv.vcf",
-    "sarscov2.vcf.gz")
+    "sarscov2.vcf.gz",
+    // caller-specific corpora: somatic (Mutect2, Strelka), long-read
+    // repeats (PacBio), SV (genmod/Manta), VEP-ranked, SnpEff variants
+    "mutect2_chr22.vcf.gz", "strelka_snvs_chr22.vcf.gz",
+    "strelka_indels_chr22.vcf.gz", "pacbio_repeats.vcf.gz",
+    "genmod_sv.vcf.gz", "annotated_ranked.vcf.gz",
+    "snpeff/test.EFF_V2.vcf", "snpeff/test.chr22.ann.subset.vcf",
+    "snpeff/test_vcf_ann_plus_sign.vcf")
 
   test("decomposed record count equals the independent per-line ALT count") {
     corpus.foreach { name =>
@@ -31,6 +38,19 @@ class FixtureCorpusSpec extends SparkSpec {
         .agg(sum($"n")).head().getLong(0)
       val got = VcfReader.variants(spark, path).count()
       assert(got == expected, s"$name: decomposed $got != expected $expected")
+    }
+  }
+
+  test("per-ALT genotype rows = decomposed variants x samples on multi-sample corpora") {
+    Seq("with_annotations.vcf", "mutect2_chr22.vcf.gz",
+      "strelka_snvs_chr22.vcf.gz").foreach { name =>
+      val path = fixture(name)
+      val nSamples = VcfHeader.read(spark, path).samples.size
+      assert(nSamples > 0, s"$name: expected sample columns")
+      val nVariants = VcfReader.variants(spark, path).count()
+      val nGeno = VcfReader.genotypes(spark, path).count()
+      assert(nGeno == nVariants * nSamples,
+        s"$name: genotypes $nGeno != variants $nVariants x samples $nSamples")
     }
   }
 
