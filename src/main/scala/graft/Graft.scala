@@ -30,6 +30,7 @@ object Graft {
     graft.qc.Hwe.register(spark)
     graft.functions.GenomicsFunctions.register(spark)
     graft.functions.VectorExpressions.register(spark)
+    graft.functions.SimHashExpression.register(spark)
     graft.transform.Normalizer.register(spark)
     graft.transform.Annotations.register(spark)
     try run(spark, args) finally spark.stop()

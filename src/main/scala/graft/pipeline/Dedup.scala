@@ -160,11 +160,14 @@ object Dedup {
 
   /** Near-dup pairs by SimHash: band the 64-bit signature into 16-bit
     * chunks (any equal chunk → candidate; guarantees recall for hamming
-    * distance ≤ 3), verify with bit_count(xor) ≤ maxHamming. */
+    * distance ≤ 3), verify with bit_count(xor) ≤ maxHamming. Signatures
+    * come from the native codegen'd SimHash64 expression (the UDF above
+    * remains as its differential twin for tests). */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
     val withSig = docs
-      .withColumn("_sig", simhashUdf(TextAnalysis.tokens(col(textCol))))
+      .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
+        TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("_sig"))
 
     val chunks = (0 until 4).map { c =>

@@ -36,3 +36,29 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(topk.count() == 5)
   }
 }
+
+class SimHashExpressionSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("native SimHash64 expression matches the UDF twin bit-for-bit") {
+    val docs = Seq(
+      "the quick brown fox", "the quick brown fox", "completely different",
+      "", "single"
+    ).toDF("text")
+    val toks = graft.pipeline.TextAnalysis.tokens($"text")
+    val rows = docs.select(
+      graft.functions.SimHashExpression.simhash64(toks).as("native"),
+      graft.pipeline.Dedup.simhashUdf(toks).as("udf")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("SimHash64 is SQL-registered and codegen survives wholestage") {
+    graft.functions.SimHashExpression.register(spark)
+    Seq("a b c").toDF("text").createOrReplaceTempView("sh_t")
+    val v = spark.sql(
+      "SELECT simhash64(filter(split(text, '\\s+'), t -> t != '')) AS s FROM sh_t")
+      .head().getLong(0)
+    assert(v != 0L)
+  }
+}
