@@ -337,6 +337,33 @@ object VcfQueries {
           concat_ws(";", $"filter").as("filters"))
     },
 
+    // A12: per-chromosome partition stats over the multi-chrom SV corpus
+    "vcf_partition_stats" -> { (s, _) =>
+      graft.views.Dashboards.partitionStats(
+        VcfReader.variants(s, s"$fixtures/genmod_sv.vcf.gz"))
+    },
+
+    // A12 + F7: genotype-table stats plus the dosage-range
+    // CHECK-constraint violation count over the DS/GP fixture
+    "vcf_genotype_stats" -> { (s, _) =>
+      import s.implicits._
+      val g = VcfReader.genotypes(s, writeDosageFixture())
+      graft.views.Dashboards.genotypeStats(g)
+        .crossJoin(graft.views.Dashboards.dosageViolations(g)
+          .agg(count(lit(1)).as("n_dosage_violations")))
+    },
+
+    // J12: PGS score listing — scores joined to matched weights
+    "vcf_pgs_listing" -> { (s, _) =>
+      import s.implicits._
+      val v = VcfReader.variants(s, s"$fixtures/hapmap3_overlap.vcf")
+      val (meta, weights) = graft.ingest.PgsReader.read(s, s"$fixtures/pgs_test_beta.txt")
+      val matched = graft.ingest.VariantMatching.matchToVariants(
+        weights, v, chromCol = "chr_name", posCol = "chr_position")
+      val scores = Seq(meta.pgsId).toDF("pgs_id")
+      graft.views.Dashboards.pgsScoreListing(scores, matched)
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
