@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions.udf
 object Hwe {
 
   /** Two-sided exact p-value from genotype counts
-    * (nHet, nHomRef, nHomAlt). */
+    * (nHet, nHomRef, nHomAlt).
+    *
+    * Known reference-faithful quirk: `minHet = |nA−nB| % 2` is always 0
+    * (nA+nB = 2n is even), so for ODD allele counts the distribution is
+    * computed on the even-het lattice while the observed het count is
+    * odd — p_obs reads a never-filled slot and the p-value collapses to
+    * 0.0 (`qc/variant_qc.py:177-238` does exactly this). Kept
+    * bug-for-bug: behavioral parity with the reference outranks
+    * statistical nicety, and the twin is differential-tested. */
   def hwePValue(nHet: Int, nHomRef: Int, nHomAlt: Int): Double = {
     val nCalled = nHet + nHomRef + nHomAlt
     if (nCalled == 0) return Double.NaN

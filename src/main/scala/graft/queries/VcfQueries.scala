@@ -364,6 +364,29 @@ object VcfQueries {
       graft.views.Dashboards.pgsScoreListing(scores, matched)
     },
 
+    // J7 + F4 + §2.12: the prs_candidate_variants matview, end-to-end —
+    // variants + per-ALT QC + HapMap3 flagging + population frequencies +
+    // matched GWAS stats through the full matview join graph. The fixture
+    // mixes passing sites with each single-filter failure (low info
+    // score, not-in-panel, maf=0) and a no-GWAS site dropped by the
+    // inner join.
+    "vcf_prs_candidates" -> { (s, _) =>
+      import s.implicits._
+      val (vcf, panelTsv, gwasTsv) = writePrsCandidateFixtures()
+      val v = VcfReader.variants(s, vcf)
+      val g = VcfReader.genotypes(s, vcf)
+      val qc = VariantQc.fromGenotypes(g).drop("n_samples")
+      val merged = v.join(qc, Seq("chrom", "pos", "ref", "alt"), "left")
+      val panel = graft.ingest.RefPanels.hapmap3(s, panelTsv)
+      val flagged = graft.ingest.VariantMatching.flagHapmap3(merged, panel)
+      val popFreqs = graft.transform.PopulationFreq.toLong(v)
+      val gwas = graft.ingest.GwasReader.read(s, gwasTsv)
+      val stats = graft.ingest.VariantMatching.matchToVariants(gwas, flagged)
+        .filter($"variant_id".isNotNull)
+        .select($"variant_id", $"beta", $"standard_error", $"p_value")
+      graft.views.PrsViews.prsCandidateVariants(flagged, popFreqs, stats)
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
@@ -524,6 +547,47 @@ object VcfQueries {
         |chr1	200	.	C	T,G	50	PASS	.	GT:DS:GP	1/2:0.5,1.2:0.1,0.2,0.3,0.15,0.05,0.2	0/1:.:0.6,0.3,0.02,0.05,0.02,0.01	0/2
         |""".stripMargin)
     p.toString
+  }
+
+  /** VCF + HapMap3 panel + GWAS TSV for the prs_candidate_variants
+    * matview: R2 info scores, per-ALT QC from 4 samples, panel overlap,
+    * population AFs, and GWAS rows in direct orientation. */
+  private[graft] def writePrsCandidateFixtures(): (String, String, String) = {
+    val vcf = java.nio.file.Paths.get("/tmp/graft_prscand.vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=R2,Number=1,Type=Float,Description="imputation r2">
+        |##INFO=<ID=AF_nfe,Number=A,Type=Float,Description="">
+        |##INFO=<ID=AF_afr,Number=A,Type=Float,Description="">
+        |##INFO=<ID=AF_eas,Number=A,Type=Float,Description="">
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	SA	SB	SC	SD
+        |chr1	100	rs1	A	G	50	PASS	R2=0.9;AF_nfe=0.2;AF_afr=0.1	GT	0/1	0/1	0/0	0/0
+        |chr1	200	rs2	C	T	50	PASS	R2=0.4;AF_nfe=0.3	GT	0/1	0/0	0/0	0/0
+        |chr1	300	rs3	G	A	50	PASS	R2=0.95;AF_afr=0.2	GT	0/1	0/1	0/0	0/0
+        |chr1	400	rs4	T	C	50	PASS	R2=0.8;AF_eas=0.05	GT	0/0	0/0	0/0	0/0
+        |chr1	500	rs5	A	C	50	PASS	R2=0.9;AF_eas=0.4	GT	0/1	0/1	1/1	0/0
+        |chr1	600	rs6	G	T	50	PASS	R2=0.9;AF_nfe=0.1	GT	0/1	0/0	0/0	0/0
+        |""".stripMargin)
+    val panel = java.nio.file.Paths.get("/tmp/graft_prscand_panel.tsv")
+    java.nio.file.Files.writeString(panel,
+      """rsid	chrom	position	a1	a2
+        |rs1	1	100	A	G
+        |rs2	1	200	C	T
+        |rs4	1	400	T	C
+        |rs5	1	500	A	C
+        |rs6	1	600	G	T
+        |""".stripMargin)
+    val gwas = java.nio.file.Paths.get("/tmp/graft_prscand_gwas.tsv")
+    java.nio.file.Files.writeString(gwas,
+      """chromosome	base_pair_location	effect_allele	other_allele	p_value	beta	standard_error
+        |1	100	G	A	1e-8	0.12	0.01
+        |1	200	T	C	1e-7	0.08	0.02
+        |1	300	A	G	1e-6	0.05	0.01
+        |1	400	C	T	1e-5	0.02	0.01
+        |1	500	C	A	1e-4	0.04	0.015
+        |""".stripMargin)
+    (vcf.toString, panel.toString, gwas.toString)
   }
 
   /** Test hook: the gnomAD-style fixture path (also used by the

@@ -10,6 +10,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * (`qc/variant_qc.py:compute_hwe_pvalue`) — our port must match bit-wise
   * behavior including its edge-case quirks. */
 class HweSpec extends AnyFunSuite {
+
+  test("odd allele counts collapse to p=0 (reference parity-lattice quirk, variant_qc.py:177-238)") {
+    // nHet=3, nHomRef=1, nHomAlt=0 -> nA=5 (odd): the reference computes
+    // the even-het lattice, p_obs reads an unfilled slot -> 0.0
+    assert(Hwe.hwePValue(3, 1, 0) == 0.0)
+  }
   val vectors: Seq[(Int, Int, Int, Double)] = Seq(
     (50, 25, 25, 1.0),
     (80, 10, 10, 1.40147223442904e-09),
