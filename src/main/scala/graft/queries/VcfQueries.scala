@@ -387,6 +387,43 @@ object VcfQueries {
       graft.views.PrsViews.prsCandidateVariants(flagged, popFreqs, stats)
     },
 
+    // T15: chunked file SHA-256 (the idempotent-reload identity key)
+    "vcf_file_hash" -> { (s, _) =>
+      import s.implicits._
+      val p = s"$fixtures/multiallelic.vcf"
+      Seq((p, graft.audit.Audit.fileSha256(p))).toDF("path", "sha256")
+    },
+
+    // F1: info-score pushdown load filter — null scores pass, scored rows
+    // must clear the threshold (`vcf_parser.py:634-650`)
+    "vcf_info_score_filter" -> { (s, _) =>
+      import s.implicits._
+      val (mini, _) = writeImputationFixtures()
+      VcfReader.variants(s, mini,
+        VcfReader.Options(minInfoScore = Some(0.9)))
+        .select($"chrom", $"pos", $"ref", $"alt", $"info_score")
+    },
+
+    // K2 + K3: dedupe-on-insert and upsert merge semantics over
+    // deterministic tables, tagged by mode
+    "vcf_upsert" -> { (s, _) =>
+      import s.implicits._
+      val existing = Seq(
+        ("chr1", 100L, "A", "G", 10.0),
+        ("chr1", 200L, "C", "T", 20.0),
+        ("chr2", 300L, "G", "A", 30.0)).toDF("chrom", "pos", "ref", "alt", "qual")
+      val incoming = Seq(
+        ("chr1", 200L, "C", "T", 99.0),   // conflicts: upsert wins, ignore loses
+        ("chr3", 400L, "T", "C", 40.0),   // new row: both keep
+        ("chr3", 400L, "T", "C", 40.0))   // in-batch dup (identical): ignore dedupes
+        .toDF("chrom", "pos", "ref", "alt", "qual")
+      val keys = Seq("chrom", "pos", "ref", "alt")
+      graft.sinks.Writers.upsert(existing, incoming, keys)
+        .withColumn("mode", lit("upsert"))
+        .unionByName(graft.sinks.Writers.insertIgnore(existing, incoming, keys)
+          .withColumn("mode", lit("insert_ignore")))
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
