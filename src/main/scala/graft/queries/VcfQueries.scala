@@ -424,6 +424,30 @@ object VcfQueries {
           .withColumn("mode", lit("insert_ignore")))
     },
 
+    // K6 + F5 + A14: LDpred2 export — bare-chrom projection, per-study
+    // n_eff = 4/(1/cases+1/controls), and the export-time variant filter
+    // (hapmap3-only + min MAF) over the matview fixture pipeline
+    "vcf_export_ldpred2" -> { (s, _) =>
+      import s.implicits._
+      val (vcf, panelTsv, gwasTsv) = writePrsCandidateFixtures()
+      val v = VcfReader.variants(s, vcf)
+      val qc = VariantQc.fromGenotypes(VcfReader.genotypes(s, vcf)).drop("n_samples")
+      val flagged = graft.ingest.VariantMatching.flagHapmap3(
+        v.join(qc, Seq("chrom", "pos", "ref", "alt"), "left"),
+        graft.ingest.RefPanels.hapmap3(s, panelTsv))
+      val gwas = graft.ingest.GwasReader.read(s, gwasTsv)
+      val stats = graft.ingest.VariantMatching.matchToVariants(gwas, flagged)
+        .filter($"variant_id".isNotNull)
+        .select($"variant_id", $"effect_allele", $"other_allele",
+          $"beta", $"standard_error", $"p_value")
+      graft.export.PrsFormats.ldpred2(stats,
+        flagged.select($"variant_id", $"chrom", $"pos", $"rs_id",
+          $"in_hapmap3", $"maf"),
+        nCases = Some(1000L), nControls = Some(2000L), sampleSize = None,
+        vf = graft.export.PrsFormats.VariantFilter(
+          hapmap3Only = true, minMaf = Some(0.01)))
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
