@@ -448,6 +448,34 @@ object VcfQueries {
           hapmap3Only = true, minMaf = Some(0.01)))
     },
 
+    // T9: FILTER split — PASS/'.' mean no failed filters, otherwise the
+    // ';'-separated failure list, over gnomAD's real FILTER values
+    "vcf_filter_split" -> { (s, _) =>
+      import s.implicits._
+      VcfReader.variants(s, s"$fixtures/gnomad_subset.vcf.gz")
+        .select($"chrom", $"pos", $"ref", $"alt",
+          concat_ws(";", $"filter").as("filters"),
+          size($"filter").as("n_failed"))
+    },
+
+    // S11: TOML config scan — sectioned keys flattened to dotted form
+    "vcf_toml_config" -> { (s, _) =>
+      import s.implicits._
+      val p = java.nio.file.Paths.get("/tmp/graft_config.toml")
+      java.nio.file.Files.writeString(p,
+        """# graft pipeline config
+          |title = "graft"
+          |[load]
+          |batch_size = 10000   # rows per batch
+          |normalize = true
+          |min_info_score = 0.6
+          |[export]
+          |format = 'plink'
+          |""".stripMargin)
+      val cfg = graft.config.GraftConfig.load(p.toString)
+      cfg.values.toSeq.sortBy(_._1).toDF("key", "value")
+    },
+
     // §2.10: audit hash chain build + verification round trip
     "vcf_audit_chain" -> { (s, _) =>
       import s.implicits._
