@@ -46,6 +46,19 @@ class GraftCliSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("force-reload replaces the batch instead of duplicating it (K4, loader.py:182-252)") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = fixture("hapmap3_overlap.vcf")
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    assert(spark.read.parquet(s"$db/variants").count() == 10)
+    // same file hash + --force-reload: delete-then-insert, not append
+    Graft.run(spark, Array("load", vcf, "--db", db, "--force-reload"))
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.count() == 10)
+    assert(v.select($"load_batch_id").distinct().count() == 1) // only the new batch
+    assert(spark.read.parquet(s"$db/ledger").count() == 2)     // both loads audited
+  }
+
   test("import-frequencies loads the long table and attaches popmax (cli.py:1193-1291)") {
     val db = Files.createTempDirectory("graftdb").toString
     // db variants = the same sites the frequency VCF annotates
