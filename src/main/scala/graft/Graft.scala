@@ -53,6 +53,25 @@ object Graft {
           return
         }
         val batchId = java.util.UUID.randomUUID().toString
+        // PHI scan before any load work (`loader.py:275-298`): the header
+        // is the PHI surface (CommandLine, Descriptions, sample names);
+        // --fail-on-phi aborts, otherwise findings go to the ledger note.
+        var ledgerNote = ""
+        if (has(args, "--phi-scan")) {
+          val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
+          val scanned = graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
+          if (scanned.redactions.nonEmpty) {
+            val cats = scanned.redactions.map(_.category).distinct.sorted
+            ledgerNote = s"phi_scan: ${scanned.redactions.length} findings " +
+              cats.mkString("(", ",", ")")
+            println(s"WARNING: PHI detected in VCF header: " +
+              s"${scanned.redactions.length} items ${cats.mkString(",")}")
+            if (has(args, "--fail-on-phi"))
+              sys.error(s"PHI detected in VCF file " +
+                s"(${scanned.redactions.length} findings). " +
+                "Drop --fail-on-phi to load anyway.")
+          } else ledgerNote = "phi_scan: clean"
+        }
         val opts = graft.vcf.VcfReader.Options(
           normalize = has(args, "--normalize"),
           humanGenome = !has(args, "--no-human-genome"),
@@ -61,8 +80,21 @@ object Graft {
           .withColumn("load_batch_id", lit(batchId))
         val header = graft.vcf.VcfHeader.read(spark, vcf)
         if (header.samples.nonEmpty) {
-          val g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
+          var g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
             .withColumn("load_batch_id", lit(batchId))
+          // Sample anonymization (`loader.py:326+`, phi/anonymizer):
+          // deterministic ANON_<sha256[:12]> ids; the vault mapping keeps
+          // only the digest, never the original id (cli.py:5299).
+          if (has(args, "--anonymize")) {
+            val anonId = concat(lit("ANON_"),
+              substring(sha2($"sample_id", 256), 1, 12))
+            g.select($"sample_id").distinct()
+              .select(anonId.as("anon_id"),
+                sha2($"sample_id", 256).as("original_sha256"),
+                lit(batchId).as("load_batch_id"))
+              .write.mode("append").parquet(s"$db/phi_vault/sample_id_mapping")
+            g = g.withColumn("sample_id", anonId)
+          }
           // join on the full decomposed key — (chrom,pos,ref) alone would
           // row-multiply sites that share a position across ALTs
           val qc = graft.qc.VariantQc.fromGenotypes(g)
@@ -83,7 +115,8 @@ object Graft {
           mode = "overwrite")
         val n = spark.read.parquet(s"$db/variants").count()
         ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
-          "completed", n, new java.sql.Timestamp(System.currentTimeMillis())))
+          "completed", n, new java.sql.Timestamp(System.currentTimeMillis()),
+          ledgerNote))
         println(s"loaded $n variants (batch $batchId)")
 
       case "validate" =>
@@ -175,9 +208,40 @@ object Graft {
           "chromosome_variant_counts" -> graft.views.PrsViews.chromosomeVariantCounts(variants)))
         timings.foreach { case (n, t) => println(f"$n refreshed in $t%.2fs") }
 
+      case "load-annotation" =>
+        // S8: annotation VCF → <db>/anno_<name>/ with the echtvar field
+        // config applied (cli.py annotation-load face)
+        val name = arg(args, "--name").getOrElse(
+          sys.error("load-annotation needs --name"))
+        val config = arg(args, "--config") match {
+          case Some(p) => graft.ingest.AnnotationLoader.loadFieldConfig(p)
+          case None    => sys.error("load-annotation needs --config <json>")
+        }
+        val src = graft.ingest.AnnotationLoader.load(spark, args(1), config)
+        src.write.mode("overwrite").parquet(s"$db/anno_$name")
+        println(s"loaded annotation source $name " +
+          s"(${spark.read.parquet(s"$db/anno_$name").count()} sites, " +
+          s"fields ${config.map(_.alias).mkString(",")})")
+
       case "annotate" =>
+        // J1 query face (annotator.py:28-60, cli.py:1363-1452): variants
+        // LEFT JOIN each named source from the db layout. Duplicate field
+        // names across sources resolve first-wins, mirroring the
+        // reference's field→alias first-claim (_qualify_filter_fields);
+        // with unique top-level columns the filter needs no qualification.
+        val sources = arg(args, "--anno").map(_.split(",").toSeq)
+          .getOrElse(Seq.empty)
+        val claimed = scala.collection.mutable.Set[String]()
+        val srcDfs = sources.map { name =>
+          val df = spark.read.parquet(s"$db/anno_$name")
+          val fields = df.columns.toSeq
+            .filterNot(graft.query.Annotator.JoinKey.contains)
+            .filterNot(claimed.contains)
+          claimed ++= fields
+          graft.query.Annotator.Source(name, df, fields)
+        }
         val filterExpr = arg(args, "--filter")
-        val out = graft.query.Annotator.annotate(variants, Seq.empty,
+        val out = graft.query.Annotator.annotate(variants, srcDfs,
           filterExpr, limit = arg(args, "--limit").map(_.toInt))
         arg(args, "--output") match {
           case Some(p) => graft.sinks.Writers.writeTsv(out, p)
@@ -218,6 +282,7 @@ object Graft {
   private def usage(): Unit = println(
     """graft <verb> [options]
       |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
+      |       [--phi-scan] [--fail-on-phi] [--anonymize]
       |  validate --db DIR
       |  import-gwas <tsv> --db DIR
       |  import-pgs <scoring-file> --db DIR
@@ -225,7 +290,8 @@ object Graft {
       |  annotate-ld-blocks <bed> --db DIR [--population EUR] [--build grch37]
       |  compute-sample-qc --db DIR
       |  refresh-views --db DIR
-      |  annotate --db DIR [--filter EXPR] [--limit N] [--output PATH]
+      |  load-annotation <vcf> --name NAME --config cfg.json --db DIR
+      |  annotate --db DIR [--anno a,b] [--filter EXPR] [--limit N] [--output PATH]
       |  annotation-query "<sql>" --db DIR
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |  benchmark""".stripMargin)

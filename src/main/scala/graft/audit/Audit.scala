@@ -30,7 +30,8 @@ object Audit {
       file_hash: String,
       status: String,        // completed | failed | in_progress
       n_variants: Long,
-      completed_at: java.sql.Timestamp)
+      completed_at: java.sql.Timestamp,
+      note: String = "")     // e.g. PHI-scan outcome (loader.py:275-298)
 
   /** Parquet-backed batch ledger (replaces `variant_load_audit`). */
   final class Ledger(spark: SparkSession, dir: String) {

@@ -76,9 +76,9 @@ object Inheritance {
       .withColumn("from_mother",
         $"mother_cls".isin("het", "hom_alt") &&
           !coalesce($"father_cls", lit("hom_ref")).isin("het", "hom_alt"))
-      .join(variants.select($"chrom", $"pos", $"ref", $"gene").dropDuplicates(
-        "chrom", "pos", "ref"),
-        Seq("chrom", "pos", "ref"), "left")
+      .join(variants.select($"chrom", $"pos", $"ref", $"alt", $"gene")
+        .dropDuplicates("chrom", "pos", "ref", "alt"),
+        Seq("chrom", "pos", "ref", "alt"), "left")
       .filter($"gene".isNotNull)
 
     val genes = sites.groupBy($"gene")

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * The reference synthesizes SQL with N LEFT JOINs and lets Postgres
   * plan; here the fold of DataFrame joins hands Catalyst the same shape —
-  * filters on source fields push into the join, small sources broadcast
-  * automatically (or via the `broadcastSources` hint for dimension-sized
-  * annotations).
+  * filters on source fields push into the join. Broadcast is an OPT-IN
+  * hint (`broadcastSources = true`) for verified dimension-sized
+  * annotations: a gnomAD-sized source is not dimension-sized, and
+  * force-broadcasting it would OOM the driver at scale, so by default
+  * AQE decides from runtime sizes.
   */
 object Annotator {
 
@@ -29,7 +31,7 @@ object Annotator {
                filterExpr: Option[String] = None,
                selectFields: Option[Seq[String]] = None,
                limit: Option[Int] = None,
-               broadcastSources: Boolean = true): DataFrame = {
+               broadcastSources: Boolean = false): DataFrame = {
     val joined = sources.foldLeft(variants) { (acc, src) =>
       val payload = src.df.select((JoinKey.map(col) ++ src.fields.map(col)): _*)
       val right = if (broadcastSources) broadcast(payload) else payload

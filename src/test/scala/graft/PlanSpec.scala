@@ -106,4 +106,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython"))
     assert(p.contains("WholeStageCodegen") || p.contains("Project"))
   }
+
+  test("annotator does NOT force-broadcast sources by default (gnomAD-sized " +
+    "sources would OOM the driver); broadcast stays the opt-in hint") {
+    // a statically-unsized source (no parquet stats): only an explicit
+    // hint may plan it as a broadcast join
+    val big = spark.range(0, 1000000)
+      .selectExpr("'chr1' as chrom", "id as pos", "'A' as ref", "'G' as alt",
+        "cast(id % 100 as double) / 100 as src_af")
+    val variants = Tables(spark, sfDir).lineitem
+      .selectExpr("'chr1' as chrom", "l_orderkey as pos", "'A' as ref",
+        "'G' as alt")
+    val src = graft.query.Annotator.Source("gnomad", big, Seq("src_af"))
+    val noHint = plan(graft.query.Annotator.annotate(variants, Seq(src)))
+    assert(!noHint.contains("BroadcastHashJoin"),
+      s"default plan force-broadcasts the source:\n$noHint")
+    val hinted = plan(graft.query.Annotator.annotate(variants, Seq(src),
+      broadcastSources = true))
+    assert(hinted.contains("BroadcastHashJoin"), s"hint ignored:\n$hinted")
+  }
 }

@@ -44,6 +44,31 @@ class InheritanceSpec extends SparkSpec {
     assert(ar(0).getAs[Long]("pos") == 2000L)
   }
 
+  test("compound het joins genes on the full (chrom,pos,ref,alt) key — " +
+    "multi-ALT sites keep per-ALT gene attribution") {
+    // chr5:5000 A→G carries GENE5, A→T carries GENE6 (per-ALT CSQ); the
+    // child is het only for G. With a (chrom,pos,ref)-keyed gene join the
+    // site nondeterministically attributed GENE6 and the pair vanished.
+    val f = Files.createTempFile("trio_ma", ".vcf")
+    Files.writeString(f,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=CSQ,Number=.,Type=String,Description="Consequence annotations from Ensembl VEP. Format: Allele|SYMBOL|IMPACT">
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	CHILD	FATHER	MOTHER
+        |chr5	5000	.	A	G,T	50	PASS	CSQ=G|GENE5|MODERATE,T|GENE6|MODERATE	GT	0/1	0/1	0/0
+        |chr5	5100	.	C	T	50	PASS	CSQ=T|GENE5|MODERATE	GT	0/1	0/0	0/1
+        |""".stripMargin)
+    val g = graft.vcf.VcfReader.genotypes(spark, f.toString)
+    val v = graft.vcf.VcfReader.variants(spark, f.toString)
+    val ch = Inheritance.compoundHet(g, v, "CHILD", "FATHER", "MOTHER").cache()
+    assert(ch.select($"gene").distinct().collect().map(_.getString(0)).toSet
+      == Set("GENE5"))
+    val byPos = ch.collect().map(r =>
+      r.getAs[Long]("pos") -> (r.getAs[Boolean]("from_father"), r.getAs[Boolean]("from_mother"))).toMap
+    assert(byPos(5000L) == (true, false))
+    assert(byPos(5100L) == (false, true))
+  }
+
   test("compound het: GENE1 pair with one variant from each parent") {
     val ch = Inheritance.compoundHet(genotypes, variants, "CHILD", "FATHER", "MOTHER")
       .cache()
