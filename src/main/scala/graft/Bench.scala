@@ -17,17 +17,38 @@ import org.apache.spark.sql.types.MapType
   *     plans), so timings here hash every output column of every row
   *     (`xxhash64(struct(*))`, maps via `to_json`) — the same work the
   *     reference's 106K var/s figure pays when it builds VariantRecords.
-  *   - Timing-sensitive metrics run FIVE INTERLEAVED ROUNDS (A B C, A B C,
-  *     … — not AAA BBB CCC): this host shows sporadic multi-core stalls
-  *     (observed 40x wall variance: the same materialized 1M-variant parse
-  *     measured 165.6s and then 3.8s back-to-back), and repeats of one
-  *     metric can land entirely inside a single stall window. The reported
-  *     value is the per-metric median across rounds, which survives two
-  *     stalled rounds out of five.
-  *   - ALL raw per-run times are emitted under "raw", plus a fixed-work
-  *     single-thread CPU probe ("cpu_probe" — 3e8 xorshift64 steps) timed
-  *     once per round: if the host stalls, the probe shows it in the
-  *     artifact itself.
+  *
+  * Stall-robust protocol (the round-4 verdict's gate): this host suffers
+  * episodic multi-core degradation windows lasting ~10+ minutes (observed
+  * in-JVM on an otherwise-idle box: the identical materialized 1M parse
+  * ran 4.2s and 322s in adjacent rounds; a 32-thread fixed-work spin that
+  * takes 0.59s clean inflates >5x inside a window while the single-thread
+  * version barely moves — consistent with hypervisor CPU capping, which
+  * throttles 32 busy vCPUs but leaves 1 busy vCPU near full speed).
+  * Countermeasures, all visible in the artifact:
+  *
+  *   - Metrics run in INTERLEAVED ROUNDS (A B C, A B C, ...), each round
+  *     bracketed by a PARALLEL fixed-work CPU probe (one xorshift64 spin
+  *     per core on plain Java threads; ~0.6s clean on this box). A round
+  *     is "clean" iff both bracketing probes finish under
+  *     `CleanProbeSec` (1.25s ≈ 2x clean) — fixed work, so the absolute
+  *     threshold is meaningful.
+  *   - The reported value per metric is the MEDIAN OVER CLEAN ROUNDS;
+  *     if no round was clean, the median over all rounds (the raw
+  *     probe series then proves in-artifact that every round stalled).
+  *   - Rounds stop early once `minClean` clean rounds are banked, and a
+  *     wall-clock budget bounds the worst case (a fixed round count can
+  *     sit entirely inside one 10-minute window; early-stop + budget
+  *     cannot).
+  *   - ALL raw per-run times are emitted under "raw" (round order), plus
+  *     the full single-thread ("cpu_probe") and parallel
+  *     ("cpu_probe_par") probe series, per-round JVM GC seconds
+  *     ("gc_sec"), and the per-group clean-round masks under "clean".
+  *   - Residual risk, accepted: a stall shorter than one round can fall
+  *     entirely between the bracketing probes and poison one sample of a
+  *     "clean" round (observed in validation: a 45s vcf_parse_100k inside
+  *     a probe-clean round). The median over >=5 samples absorbs up to two
+  *     such hits; the raw arrays expose any that slip through.
   */
 object Bench {
 
@@ -42,14 +63,38 @@ object Bench {
     ()
   }
 
-  /** Fixed-work single-thread probe (~0.3s unstalled): xorshift64 steps,
-    * result consumed so the loop can't be dead-code-eliminated. */
-  private def cpuProbe(): Long = {
-    var x = 0x9E3779B97F4A7C15L
+  /** Fixed-work xorshift64 spin (~0.5s/core unstalled); result consumed so
+    * the loop can't be dead-code-eliminated. */
+  private def spin(seed: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L ^ seed
     var i = 0
     while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
     x
   }
+
+  /** Single-thread probe: near-immune to multi-core capping (it keeps one
+    * vCPU busy); a baseline for per-core clock health. */
+  private def cpuProbe(): Long = spin(0)
+
+  /** Parallel probe: the stall detector. One fixed spin per core on plain
+    * Java threads (independent of Spark's scheduler). Clean wall time is
+    * ~= the single-thread time; hypervisor capping inflates it by the
+    * oversubscription factor. */
+  private def cpuProbePar(): Unit = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val threads = (0 until cores).map { i =>
+      val t = new Thread(() => { sink.addAndGet(spin(i.toLong)); () })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    if (sink.get() == 42L) println("")
+  }
+
+  /** A round is clean iff its bracketing parallel probes both finish under
+    * this (fixed work; 0.59s measured clean on the target box — see
+    * scaladoc). */
+  val CleanProbeSec = 1.25
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,10 +103,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // single-file synthetic VCFs are ~115 MB: the default 128 MB split
-      // size gives a ONE-partition (single-core) scan. 8 MB splits spread
-      // the parse across cores — the local analogue of the many-file
-      // parallelism a real cohort has at scale.
-      .config("spark.sql.files.maxPartitionBytes", "8388608")
+      // size gives a ONE-partition (single-core) scan. 4 MB splits spread
+      // the parse across all 32 slots (8 MB gave only 14) — the local
+      // analogue of the many-file parallelism a real cohort has at scale.
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -87,43 +132,79 @@ object Bench {
     val raw = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     def record(name: String, t: Double): Unit =
       raw.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer[Double]()) += t
-    def median(name: String): Double = {
-      val ts = raw(name).sorted
-      ts(ts.length / 2)
+
+    def gcSeconds(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
+
+    /** Run `metrics` in interleaved probe-bracketed rounds; returns the
+      * per-round clean mask. Early-stops at `minClean` clean rounds or
+      * `budgetSec` wall seconds (whichever first), never past
+      * `maxRounds`. */
+    def measureGroup(metrics: Seq[(String, () => Unit)], maxRounds: Int,
+                     minClean: Int, budgetSec: Double): Seq[Boolean] = {
+      val cleanMask = scala.collection.mutable.ArrayBuffer[Boolean]()
+      val t0 = System.nanoTime()
+      def elapsed = (System.nanoTime() - t0) / 1e9
+      var pre = time(cpuProbePar()); record("cpu_probe_par", pre)
+      var clean = 0
+      var r = 0
+      while (r < maxRounds && clean < minClean && elapsed < budgetSec) {
+        val gc0 = gcSeconds()
+        record("cpu_probe", time { if (cpuProbe() == 0) println("") })
+        metrics.foreach { case (name, body) =>
+          record(name, try time(body()) catch { case _: Throwable => -1.0 })
+        }
+        record("gc_sec", gcSeconds() - gc0)
+        val post = time(cpuProbePar()); record("cpu_probe_par", post)
+        val ok = pre <= CleanProbeSec && post <= CleanProbeSec
+        cleanMask += ok
+        if (ok) clean += 1
+        pre = post
+        r += 1
+      }
+      cleanMask.toSeq
+    }
+
+    /** Median over clean rounds; all rounds if none were clean. */
+    def medianClean(name: String, mask: Seq[Boolean]): Double = {
+      val ts = raw.getOrElse(name, Nil).toSeq
+      val cleanTs = ts.zip(mask).collect { case (t, true) if t >= 0 => t }
+      val use = if (cleanTs.nonEmpty) cleanTs else ts.filter(_ >= 0)
+      if (use.isEmpty) -1.0
+      else { val s = use.sorted; s(s.length / 2) }
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     // ---- headline set: sf-scaled relational + pipeline queries ----
-    val headline =
+    val headlineNames =
       (graft.queries.Relational.queries.keys ++ graft.queries.Pipeline.queries.keys)
         .toSeq.sorted
+    val headline: Seq[(String, () => Unit)] = headlineNames.map { name =>
+      name -> (() => materialize(SparkEntry.queries(name)(spark, sfDir)))
+    } :+ ("q07_percentile_approx" -> (() => {
+      // A5 scale path: the batch-summary percentile via approx_percentile
+      // (t-digest, bounded memory) instead of the oracle-parity exact
+      // form — the shape q07 would run at 100x.
+      val ev = Tables(spark, sfDir).events
+      materialize(ev.groupBy(col("event_type")).agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("p95"),
+        count(lit(1)).as("n")))
+    }))
 
     // Warm the JVM/codegen paths once so first-query JIT cost doesn't
     // pollute the measurements.
     materialize(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
 
-    headline.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      results(name) =
-        try {
-          val t = time(materialize(fn(spark, sfDir)))
-          record(name, t); t
-        } catch { case _: Throwable => -1.0 }
+    val headlineMask = measureGroup(headline, maxRounds = 5, minClean = 3,
+      budgetSec = 900)
+    headline.foreach { case (name, _) =>
+      results(name) = medianClean(name, headlineMask)
     }
-    // A5 scale path: the batch-summary percentile via approx_percentile
-    // (t-digest, bounded memory) instead of the oracle-parity exact form —
-    // the shape q07 would run at 100x (SampleQc.batchSummary(approxMedian)).
-    results("q07_percentile_approx") = try {
-      val t = time {
-        val ev = Tables(spark, sfDir).events
-        materialize(ev.groupBy(col("event_type")).agg(
-          expr("approx_percentile(value, 0.5, 10000)").as("p50"),
-          expr("approx_percentile(value, 0.95, 10000)").as("p95"),
-          count(lit(1)).as("n")))
-      }
-      record("q07_percentile_approx", t); t
-    } catch { case _: Throwable => -1.0 }
 
     // ---- VCF parse + latency metrics: interleaved rounds ----
     val vcfPath = "/tmp/graft_bench_100k.vcf"
@@ -159,7 +240,7 @@ object Bench {
     store.filter(col("chrom") === "chr2" && col("pos") === 1L).collect()
     rsidIdx.filter(col("rs_id") === "rs1").count()
 
-    val interleaved: Seq[(String, () => Unit)] = Seq(
+    val parseMetrics: Seq[(String, () => Unit)] = Seq(
       "vcf_parse_100k" -> (() =>
         materialize(graft.vcf.VcfReader.variants(spark, vcfPath))),
       "vcf_parse_100k_norm" -> (() =>
@@ -198,27 +279,32 @@ object Bench {
           col("qual") > 500 && col("variant_type") === "snp" &&
           col("info").getItem("DP").cast("int") > 100))))
 
-    (1 to 5).foreach { _ =>
-      record("cpu_probe", time { if (cpuProbe() == 0) println("") })
-      interleaved.foreach { case (name, body) => record(name, time(body())) }
+    val parseMask = measureGroup(parseMetrics, maxRounds = 9, minClean = 5,
+      budgetSec = 1800)
+    parseMetrics.foreach { case (name, _) =>
+      results(name) = medianClean(name, parseMask)
     }
-    record("cpu_probe", time { if (cpuProbe() == 0) println("") })
-    interleaved.foreach { case (name, _) => results(name) = median(name) }
 
     // throughput forms of the parse metrics (what BASELINE.md quotes)
-    results("vcf_parse_100k_var_s") = 100000.0 / results("vcf_parse_100k")
-    results("vcf_parse_1m_var_s") = 1000000.0 / results("vcf_parse_1m_norm")
+    if (results("vcf_parse_100k") > 0)
+      results("vcf_parse_100k_var_s") = 100000.0 / results("vcf_parse_100k")
+    if (results("vcf_parse_1m_norm") > 0)
+      results("vcf_parse_1m_var_s") = 1000000.0 / results("vcf_parse_1m_norm")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rawJson = raw.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    def maskJson(mask: Seq[Boolean]) = mask.mkString("[", ",", "]")
+    val cleanJson = "{\"headline\":" + maskJson(headlineMask) +
+      ",\"parse\":" + maskJson(parseMask) +
+      ",\"probe_clean_threshold_sec\":" + CleanProbeSec + "}"
     // derived throughput metrics are not seconds — keep them out of total
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_var_s") => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"clean":$cleanJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,71 +53,154 @@ object Graft {
           return
         }
         val batchId = java.util.UUID.randomUUID().toString
-        // PHI scan before any load work (`loader.py:275-298`): the header
-        // is the PHI surface (CommandLine, Descriptions, sample names);
-        // --fail-on-phi aborts, otherwise findings go to the ledger note.
+        def now() = new java.sql.Timestamp(System.currentTimeMillis())
+        // PHI scan before any load work (`loader.py:275-298`). The scan
+        // surface matches the reference's detector (`phi/detector.py:
+        // 160-214`): ## meta lines, sample names on the #CHROM line, and
+        // a bounded sample of data rows (ID/INFO/FORMAT/sample columns —
+        // the reference scans with sample_rate/max_records; 1000 rows is
+        // a fixed-size driver sample, not a data-sized collect).
+        // --fail-on-phi implies the scan: passing it alone must never be
+        // a silent no-op.
         var ledgerNote = ""
-        if (has(args, "--phi-scan")) {
+        if (has(args, "--phi-scan") || has(args, "--fail-on-phi")) {
           val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
-          val scanned = graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
-          if (scanned.redactions.nonEmpty) {
-            val cats = scanned.redactions.map(_.category).distinct.sorted
-            ledgerNote = s"phi_scan: ${scanned.redactions.length} findings " +
-              cats.mkString("(", ",", ")")
-            println(s"WARNING: PHI detected in VCF header: " +
-              s"${scanned.redactions.length} items ${cats.mkString(",")}")
+          val meta = graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
+            .redactions.map(r =>
+              graft.transform.PhiSanitizer.Detection(r.pattern, r.category, "HEADER"))
+          val sampleIds = headerLines.filter(_.startsWith("#CHROM"))
+            .flatMap(graft.transform.PhiSanitizer.scanChromLine)
+          val dataRows = spark.read.textFile(vcf)
+            .filter(!$"value".startsWith("#")).limit(1000).collect().toSeq
+            .flatMap(graft.transform.PhiSanitizer.scanDataLine)
+          val findings = meta ++ sampleIds ++ dataRows
+          if (findings.nonEmpty) {
+            val cats = findings.map(_.category).distinct.sorted
+            val where = findings.map(_.context.takeWhile(_ != '[')).distinct.sorted
+            ledgerNote = s"phi_scan: ${findings.length} findings " +
+              cats.mkString("(", ",", ")") + " in " + where.mkString(",")
+            println(s"WARNING: PHI detected in VCF: ${findings.length} items " +
+              s"${cats.mkString(",")} in ${where.mkString(",")}")
             if (has(args, "--fail-on-phi"))
               sys.error(s"PHI detected in VCF file " +
-                s"(${scanned.redactions.length} findings). " +
+                s"(${findings.length} findings). " +
                 "Drop --fail-on-phi to load anyway.")
           } else ledgerNote = "phi_scan: clean"
         }
-        val opts = graft.vcf.VcfReader.Options(
-          normalize = has(args, "--normalize"),
-          humanGenome = !has(args, "--no-human-genome"),
-          minInfoScore = arg(args, "--min-info-score").map(_.toDouble))
-        var v = graft.vcf.VcfReader.variants(spark, vcf, opts)
-          .withColumn("load_batch_id", lit(batchId))
-        val header = graft.vcf.VcfHeader.read(spark, vcf)
-        if (header.samples.nonEmpty) {
-          var g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
-            .withColumn("load_batch_id", lit(batchId))
-          // Sample anonymization (`loader.py:326+`, phi/anonymizer):
-          // deterministic ANON_<sha256[:12]> ids; the vault mapping keeps
-          // only the digest, never the original id (cli.py:5299).
-          if (has(args, "--anonymize")) {
-            val anonId = concat(lit("ANON_"),
-              substring(sha2($"sample_id", 256), 1, 12))
-            g.select($"sample_id").distinct()
-              .select(anonId.as("anon_id"),
-                sha2($"sample_id", 256).as("original_sha256"),
-                lit(batchId).as("load_batch_id"))
-              .write.mode("append").parquet(s"$db/phi_vault/sample_id_mapping")
-            g = g.withColumn("sample_id", anonId)
-          }
-          // join on the full decomposed key — (chrom,pos,ref) alone would
-          // row-multiply sites that share a position across ALTs
-          val qc = graft.qc.VariantQc.fromGenotypes(g)
-          v = v.join(qc.drop("n_samples"),
-            Seq("chrom", "pos", "ref", "alt"), "left")
-          g.write.mode("append").parquet(s"$db/genotypes")
-        }
-        val prevBatch = if (has(args, "--force-reload")) existing else None
-        val base = prevBatch match {
-          case Some(b) if new java.io.File(s"$db/variants").exists() =>
-            // materialize before overwriting the directory we read from
-            graft.audit.Audit.dropBatch(variants, b).unionByName(v, true)
-              .localCheckpoint()
-          case _ => v
-        }
-        graft.sinks.Writers.writeVariants(
-          graft.ingest.VariantMatching.withVariantId(base), s"$db/variants",
-          mode = "overwrite")
-        val n = spark.read.parquet(s"$db/variants").count()
+        // The reference writes the audit row BEFORE loading and flips it on
+        // completion/rollback (`loader.py:547-623`, `schema.py:207-241`):
+        // a crash mid-load must leave a visible in_progress/failed row, not
+        // silence. checkExisting only honors status='completed', so these
+        // rows never satisfy the skip check.
         ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
-          "completed", n, new java.sql.Timestamp(System.currentTimeMillis()),
-          ledgerNote))
-        println(s"loaded $n variants (batch $batchId)")
+          "in_progress", 0L, now(), ledgerNote))
+        val progress = new graft.audit.LoadProgress(spark)
+        val prevBatch = if (has(args, "--force-reload")) existing else None
+        try {
+          val opts = graft.vcf.VcfReader.Options(
+            normalize = has(args, "--normalize"),
+            humanGenome = !has(args, "--no-human-genome"),
+            minInfoScore = arg(args, "--min-info-score").map(_.toDouble))
+          var v = graft.vcf.VcfReader.variants(spark, vcf, opts)
+            .withColumn("load_batch_id", lit(batchId))
+          val header = graft.vcf.VcfHeader.read(spark, vcf)
+          // Sample anonymization (`loader.py:326+`, phi/anonymizer):
+          // deterministic ANON_<sha256(salt||id)[:12]> ids. The mapping is
+          // ONE-WAY by design (deviation from the reference's encrypted
+          // phi_vault, documented): no recoverable original id is stored
+          // anywhere. --anonymize-salt keys the hash so low-entropy sample
+          // ids can't be brute-forced from the anon id.
+          var anonIds: Option[DataFrame] = None
+          val anonSalt = arg(args, "--anonymize-salt").getOrElse("")
+          def anonId(c: org.apache.spark.sql.Column) =
+            concat(lit("ANON_"), substring(sha2(concat(lit(anonSalt), c), 256), 1, 12))
+          if (header.samples.nonEmpty) {
+            var g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
+              .withColumn("load_batch_id", lit(batchId))
+            if (has(args, "--anonymize")) {
+              anonIds = Some(g.select($"sample_id").distinct()
+                .select(anonId($"sample_id").as("anon_id")))
+              g = g.withColumn("sample_id", anonId($"sample_id"))
+            }
+            // join on the full decomposed key — (chrom,pos,ref) alone would
+            // row-multiply sites that share a position across ALTs
+            val qc = progress.stage("genotype_qc") {
+              graft.qc.VariantQc.fromGenotypes(g).localCheckpoint()
+            }
+            v = v.join(qc.drop("n_samples"),
+              Seq("chrom", "pos", "ref", "alt"), "left")
+            progress.stage("write_genotypes") {
+              prevBatch match {
+                case Some(b) if new java.io.File(s"$db/genotypes").exists() =>
+                  // force-reload drops the previous batch's genotype rows
+                  // too — append alone would double them on every reload
+                  graft.audit.Audit.dropBatch(
+                      spark.read.parquet(s"$db/genotypes"), b)
+                    .unionByName(g, allowMissingColumns = true)
+                    .localCheckpoint()
+                    .write.mode("overwrite").parquet(s"$db/genotypes")
+                case _ =>
+                  g.write.mode("append").parquet(s"$db/genotypes")
+              }
+            }
+          } else prevBatch.foreach { b =>
+            // sample-free reload of a file whose previous batch had
+            // samples: its old genotype rows still must go
+            if (new java.io.File(s"$db/genotypes").exists())
+              progress.stage("write_genotypes") {
+                graft.audit.Audit.dropBatch(
+                    spark.read.parquet(s"$db/genotypes"), b)
+                  .localCheckpoint()
+                  .write.mode("overwrite").parquet(s"$db/genotypes")
+              }
+          }
+          val base = prevBatch match {
+            case Some(b) if new java.io.File(s"$db/variants").exists() =>
+              // materialize before overwriting the directory we read from
+              graft.audit.Audit.dropBatch(variants, b).unionByName(v, true)
+                .localCheckpoint()
+            case _ => v
+          }
+          progress.stage("write_variants") {
+            graft.sinks.Writers.writeVariants(
+              graft.ingest.VariantMatching.withVariantId(base), s"$db/variants",
+              mode = "overwrite")
+          }
+          val n = spark.read.parquet(s"$db/variants").count()
+          ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
+            "completed", n, now(), ledgerNote))
+          // vault write only after the load committed (no orphan vault rows
+          // from failed loads), deduped against prior loads of the same
+          // samples (the reference upserts ON CONFLICT,
+          // `phi/anonymizer.py get_or_create_anonymous_id`)
+          anonIds.foreach { ids =>
+            val vaultDir = s"$db/phi_vault/sample_id_mapping"
+            val fresh =
+              if (new java.io.File(vaultDir).exists())
+                ids.join(spark.read.parquet(vaultDir).select("anon_id"),
+                  Seq("anon_id"), "left_anti")
+              else ids
+            fresh.withColumn("load_batch_id", lit(batchId))
+              .write.mode("append").parquet(vaultDir)
+          }
+          progress.print()
+          println(s"loaded $n variants (batch $batchId)")
+        } catch {
+          case e: Throwable =>
+            // roll back this batch's genotype appends (best-effort), then
+            // ledger the failure — orphan data with no audit trace is the
+            // reference's explicit no-no (`loader.py:547-623`)
+            try {
+              if (new java.io.File(s"$db/genotypes").exists())
+                graft.audit.Audit.dropBatch(
+                    spark.read.parquet(s"$db/genotypes"), batchId)
+                  .localCheckpoint()
+                  .write.mode("overwrite").parquet(s"$db/genotypes")
+            } catch { case _: Throwable => () }
+            ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
+              "failed", 0L, now(), s"error: ${e.getMessage}"))
+            throw e
+        } finally progress.close()
 
       case "validate" =>
         val dups = variants.groupBy($"chrom", $"pos", $"ref", $"alt")
@@ -140,9 +223,12 @@ object Graft {
           .withColumn("is_effect_allele_alt", $"_h.is_effect_allele_alt")
           .withColumn("is_strand_flipped", $"_h.is_flipped")
           .drop("_h", "_v_ref", "_v_alt", "_v_af")
+        // one join execution: write, then count from the written parquet
+        // (matched) and the raw stats scan (total) — no re-run of the
+        // matching join for bookkeeping
         harmonized.write.mode("overwrite").parquet(s"$db/gwas_stats")
-        val n = matched.count()
-        val m = matched.filter($"variant_id".isNotNull).count()
+        val n = stats.count()
+        val m = spark.read.parquet(s"$db/gwas_stats").count()
         println(s"imported=$n matched=$m unmatched=${n - m}")
 
       case "import-pgs" =>
@@ -225,20 +311,28 @@ object Graft {
 
       case "annotate" =>
         // J1 query face (annotator.py:28-60, cli.py:1363-1452): variants
-        // LEFT JOIN each named source from the db layout. Duplicate field
-        // names across sources resolve first-wins, mirroring the
-        // reference's field→alias first-claim (_qualify_filter_fields);
-        // with unique top-level columns the filter needs no qualification.
+        // LEFT JOIN each named source from the db layout. The first source
+        // to claim a field name keeps it bare (so unqualified filter
+        // expressions resolve first-claim, mirroring the reference's
+        // _qualify_filter_fields); a LATER source's same-named column is
+        // prefixed `<source>_<field>` instead of dropped — every source's
+        // value stays in the output, as in the reference's SELECT of every
+        // source column (annotator.py:143-146).
         val sources = arg(args, "--anno").map(_.split(",").toSeq)
           .getOrElse(Seq.empty)
         val claimed = scala.collection.mutable.Set[String]()
         val srcDfs = sources.map { name =>
-          val df = spark.read.parquet(s"$db/anno_$name")
-          val fields = df.columns.toSeq
+          val df0 = spark.read.parquet(s"$db/anno_$name")
+          val payload = df0.columns.toSeq
             .filterNot(graft.query.Annotator.JoinKey.contains)
-            .filterNot(claimed.contains)
-          claimed ++= fields
-          graft.query.Annotator.Source(name, df, fields)
+          val renames = payload.map { c =>
+            c -> (if (claimed.contains(c)) s"${name}_$c" else c)
+          }
+          val df = renames.foldLeft(df0) { case (d, (from, to)) =>
+            if (from == to) d else d.withColumnRenamed(from, to)
+          }
+          claimed ++= renames.map(_._2)
+          graft.query.Annotator.Source(name, df, renames.map(_._2))
         }
         val filterExpr = arg(args, "--filter")
         val out = graft.query.Annotator.annotate(variants, srcDfs,
@@ -249,7 +343,31 @@ object Graft {
         }
 
       case "annotation-query" =>
-        variants.createOrReplaceTempView("variants")
+        // The raw-SQL escape hatch (`cli.py:1454-1501`) queries the WHOLE
+        // db, not just variants: every anno_<src> table (via
+        // Annotator.registerViews), the core long tables, and any
+        // materialized views — first ad-hoc SQL against an annotation
+        // source must not fail on an unknown table.
+        val dbDir = new java.io.File(db)
+        val annoSources =
+          if (dbDir.isDirectory)
+            dbDir.listFiles().toSeq
+              .filter(f => f.isDirectory && f.getName.startsWith("anno_"))
+              .map(f => graft.query.Annotator.Source(
+                f.getName.stripPrefix("anno_"),
+                spark.read.parquet(f.getPath), Nil))
+          else Nil
+        graft.query.Annotator.registerViews(variants, annoSources)
+        Seq("genotypes", "gwas_stats", "prs_weights", "sample_qc",
+            "population_frequencies", "ledger").foreach { t =>
+          if (new java.io.File(s"$db/$t").exists())
+            spark.read.parquet(s"$db/$t").createOrReplaceTempView(t)
+        }
+        val viewsDir = new java.io.File(s"$db/views")
+        if (viewsDir.isDirectory)
+          viewsDir.listFiles().toSeq.filter(_.isDirectory).foreach { f =>
+            spark.read.parquet(f.getPath).createOrReplaceTempView(f.getName)
+          }
         spark.sql(args(1)).show(50, truncate = false)
 
       case "export-plink" | "export-prscs" | "export-ldpred2" | "export-prsice" =>
@@ -282,7 +400,7 @@ object Graft {
   private def usage(): Unit = println(
     """graft <verb> [options]
       |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
-      |       [--phi-scan] [--fail-on-phi] [--anonymize]
+      |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
       |  validate --db DIR
       |  import-gwas <tsv> --db DIR
       |  import-pgs <scoring-file> --db DIR

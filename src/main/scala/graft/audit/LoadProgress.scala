@@ -1,0 +1,60 @@
+package graft.audit
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Load-stage progress surface (§2.13 remnant — `loader.py:31,379-391`'s
+  * `progress_callback(rows_loaded, chunk)`). The reference invokes a
+  * callback per COPY chunk; Spark's execution is declarative, so the
+  * analogue is cluster-wide task metrics: a listener accumulates records
+  * read/written across all tasks, and `stage(...)` snapshots the deltas
+  * around each named load stage. Counters are task-granular, so a
+  * long-running distributed write shows progress as its tasks finish —
+  * the same observability the per-chunk callback gives.
+  */
+object LoadProgress {
+  final case class StageReport(name: String, seconds: Double,
+                               recordsRead: Long, recordsWritten: Long)
+}
+
+final class LoadProgress(spark: SparkSession) extends SparkListener {
+  import LoadProgress.StageReport
+
+  private val recordsRead = new AtomicLong()
+  private val recordsWritten = new AtomicLong()
+
+  private val reports = scala.collection.mutable.ArrayBuffer[StageReport]()
+
+  spark.sparkContext.addSparkListener(this)
+
+  override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
+    val m = taskEnd.taskMetrics
+    if (m != null) {
+      recordsRead.addAndGet(m.inputMetrics.recordsRead)
+      recordsWritten.addAndGet(m.outputMetrics.recordsWritten)
+    }
+  }
+
+  /** Run a named load stage; record wall time and the task-metric deltas
+    * it produced. */
+  def stage[T](name: String)(body: => T): T = {
+    val (r0, w0) = (recordsRead.get(), recordsWritten.get())
+    val t0 = System.nanoTime()
+    val out = body
+    reports += StageReport(name, (System.nanoTime() - t0) / 1e9,
+      recordsRead.get() - r0, recordsWritten.get() - w0)
+    out
+  }
+
+  def report(): Seq[StageReport] = reports.toSeq
+
+  /** One line per stage, the `load` verb's progress output. */
+  def print(): Unit = report().foreach { r =>
+    println(f"  stage ${r.name}%-18s ${r.seconds}%8.2fs  " +
+      f"read=${r.recordsRead}%,d written=${r.recordsWritten}%,d")
+  }
+
+  def close(): Unit = spark.sparkContext.removeSparkListener(this)
+}

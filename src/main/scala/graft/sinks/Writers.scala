@@ -61,9 +61,20 @@ object Writers {
         .dropDuplicates(keys)
         .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
-  /** K5 — TSV / JSON result output. */
+  /** K5 — TSV / JSON result output. The CSV writer rejects complex types,
+    * so map/array/struct columns (e.g. variants' info map and filter
+    * array) are JSON-stringified in place — the reference's TSV face
+    * serializes them as strings too. */
   def writeTsv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val flat = df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: MapType | _: ArrayType | _: StructType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+    val out = if (singleFile) flat.coalesce(1) else flat
     out.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
   }
 

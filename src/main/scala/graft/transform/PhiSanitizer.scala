@@ -72,4 +72,48 @@ object PhiSanitizer {
     val results = lines.map(sanitizeLine)
     SanitizedHeader(results.map(_._1), results.flatMap(_._2))
   }
+
+  // ---- scan-only surface (no rewriting) ----
+  // The reference's PHI *scanner* (`phi/detector.py:160-214`) covers more
+  // than the header sanitizer: ## meta lines, the #CHROM line's sample
+  // names (each scanned as SAMPLE_ID[i]) and sampled data rows (ID, INFO,
+  // FORMAT and per-sample columns). MRN-style sample ids or embedded
+  // emails/dates in INFO must be detectable, not just header text.
+
+  final case class Detection(value: String, category: String, context: String)
+
+  /** Run every builtin pattern over one value (`detector.py:61-120`). */
+  def scanValue(value: String, context: String): Seq[Detection] =
+    BuiltinPatterns.flatMap { case (re, cat) =>
+      re.findAllIn(value).toSeq
+        .filterNot(m => PreserveIdFields.exists(m.toLowerCase.contains(_)))
+        .map(m => Detection(m, cat, context))
+    }
+
+  /** Scan the #CHROM column-header line's sample names
+    * (`detector.py:180-186`). */
+  def scanChromLine(line: String): Seq[Detection] = {
+    val parts = line.split("\t", -1)
+    if (!line.startsWith("#CHROM") || parts.length <= 9) Nil
+    else parts.drop(9).toSeq.zipWithIndex.flatMap { case (s, i) =>
+      scanValue(s, s"SAMPLE_ID[$i]")
+    }
+  }
+
+  /** Scan one data row's PHI-bearing fields: ID, INFO, FORMAT, sample
+    * columns (`detector.py:196-214`). */
+  def scanDataLine(line: String): Seq[Detection] = {
+    val p = line.split("\t", -1)
+    if (line.startsWith("#") || p.length < 8) Nil
+    else {
+      val id = if (p(2) != ".") scanValue(p(2), "ID") else Nil
+      val info = if (p(7) != ".") scanValue(p(7), "INFO") else Nil
+      val fmt = if (p.length > 8) scanValue(p(8), "FORMAT") else Nil
+      val samples =
+        if (p.length > 9) p.drop(9).toSeq.zipWithIndex.flatMap { case (s, i) =>
+          scanValue(s, s"SAMPLE[$i]")
+        } else Nil
+      id ++ info ++ fmt ++ samples
+    }
+  }
 }

@@ -18,9 +18,12 @@ class GraftCliSpec extends SparkSpec {
     // chrom partitioning on disk (K1)
     assert(new java.io.File(s"$db/variants/chrom=chr1").exists())
 
-    // idempotent reload: same file hash → skip (ledger row exists)
+    // idempotent reload: same file hash → skip (completed ledger row
+    // exists; the load also wrote its up-front in_progress row)
     Graft.run(spark, Array("load", vcf, "--db", db))
-    assert(spark.read.parquet(s"$db/ledger").count() == 1)
+    val ledger1 = spark.read.parquet(s"$db/ledger")
+    assert(ledger1.filter($"status" === "completed").count() == 1)
+    assert(ledger1.filter($"status" === "in_progress").count() == 1)
 
     Graft.run(spark, Array("validate", "--db", db))
 
@@ -56,7 +59,144 @@ class GraftCliSpec extends SparkSpec {
     val v = spark.read.parquet(s"$db/variants")
     assert(v.count() == 10)
     assert(v.select($"load_batch_id").distinct().count() == 1) // only the new batch
-    assert(spark.read.parquet(s"$db/ledger").count() == 2)     // both loads audited
+    assert(spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").count() == 2)         // both loads audited
+  }
+
+  test("force-reload keeps genotype counts stable and drops the old batch's rows") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = fixture("multiallelic.vcf") // sample-bearing fixture
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    val n0 = spark.read.parquet(s"$db/genotypes").count()
+    assert(n0 > 0)
+    Graft.run(spark, Array("load", vcf, "--db", db, "--force-reload"))
+    val g = spark.read.parquet(s"$db/genotypes")
+    assert(g.count() == n0) // append-only would double it
+    assert(g.select($"load_batch_id").distinct().count() == 1)
+  }
+
+  test("failed load writes a 'failed' ledger row, and skip never honors it") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = fixture("hapmap3_overlap.vcf")
+    intercept[NumberFormatException] {
+      Graft.run(spark, Array("load", vcf, "--db", db,
+        "--min-info-score", "not-a-number"))
+    }
+    val ledger = spark.read.parquet(s"$db/ledger")
+    assert(ledger.filter($"status" === "failed").count() == 1)
+    assert(ledger.filter($"status" === "in_progress").count() == 1)
+    assert(ledger.filter($"status" === "completed").count() == 0)
+    // the failed batch must not satisfy the idempotency skip: a real load
+    // of the same file afterwards goes through
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    assert(spark.read.parquet(s"$db/variants").count() == 10)
+    assert(spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").count() == 1)
+  }
+
+  test("phi scan covers sample names and data rows; --fail-on-phi implies the scan") {
+    val db = Files.createTempDirectory("graftdb").toString
+    // sample-name PHI: an MRN used as a sample id lives on the #CHROM
+    // line, which the header sanitizer alone never scans
+    val vcf = Files.createTempDirectory("phivcf").resolve("mrn.vcf")
+    Files.write(vcf, java.util.Arrays.asList(
+      "##fileformat=VCFv4.2",
+      "##contig=<ID=chr1,length=248956422>",
+      "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tMRN12345",
+      "chr1\t100\t.\tA\tT\t50\tPASS\t.\tGT\t0/1"))
+    // --fail-on-phi alone (no --phi-scan) must still scan and abort
+    val e = intercept[RuntimeException] {
+      Graft.run(spark, Array("load", vcf.toString, "--db", db, "--fail-on-phi"))
+    }
+    assert(e.getMessage.contains("PHI detected"))
+
+    // data-row PHI (an email smuggled into INFO) is caught by the sampled
+    // record scan
+    import graft.transform.PhiSanitizer
+    val hits = PhiSanitizer.scanDataLine(
+      "chr1\t100\t.\tA\tT\t50\tPASS\tNOTE=contact bob@example.com\tGT\t0/1")
+    assert(hits.exists(d => d.category == "email" && d.context == "INFO"))
+    assert(PhiSanitizer.scanChromLine(
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tMRN12345")
+      .exists(_.category == "mrn"))
+    // a clean VCF scans clean end-to-end (no false positives on GT rows)
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"),
+      "--db", db, "--phi-scan"))
+    val note = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").select($"note").head().getString(0)
+    assert(note == "phi_scan: clean")
+  }
+
+  test("anonymize: one-way salted vault, deduped across reloads") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = fixture("multiallelic.vcf")
+    Graft.run(spark, Array("load", vcf, "--db", db,
+      "--anonymize", "--anonymize-salt", "pepper"))
+    val vault = spark.read.parquet(s"$db/phi_vault/sample_id_mapping")
+    // one-way mapping: anon id + provenance only, no recoverable original
+    assert(vault.columns.toSet == Set("anon_id", "load_batch_id"))
+    val n0 = vault.count()
+    assert(n0 > 0)
+    val g = spark.read.parquet(s"$db/genotypes")
+    assert(g.filter(!$"sample_id".startsWith("ANON_")).count() == 0)
+    // same samples reloaded → no duplicate vault rows (reference upserts
+    // ON CONFLICT, phi/anonymizer get_or_create_anonymous_id)
+    Graft.run(spark, Array("load", vcf, "--db", db, "--force-reload",
+      "--anonymize", "--anonymize-salt", "pepper"))
+    assert(spark.read.parquet(s"$db/phi_vault/sample_id_mapping").count() == n0)
+    // the salt keys the hash: the same samples under a different salt get
+    // different anon ids (low-entropy ids can't be table-look-up'd)
+    val db2 = Files.createTempDirectory("graftdb2").toString
+    Graft.run(spark, Array("load", vcf, "--db", db2,
+      "--anonymize", "--anonymize-salt", "other"))
+    val ids1 = vault.select($"anon_id").collect().map(_.getString(0)).toSet
+    val ids2 = spark.read.parquet(s"$db2/phi_vault/sample_id_mapping")
+      .select($"anon_id").collect().map(_.getString(0)).toSet
+    assert(ids1.intersect(ids2).isEmpty)
+  }
+
+  test("annotation-query registers anno_<src> and core tables (cli.py:1454-1501)") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    // a tiny annotation source over the same sites
+    val cfgPath = Files.createTempDirectory("annocfg").resolve("cfg.json")
+    Files.write(cfgPath, java.util.Arrays.asList(
+      """[{"field": "FILTER", "alias": "anno_filter", "missing_string": "PASS"}]"""))
+    Graft.run(spark, Array("load-annotation", fixture("multiallelic.vcf"),
+      "--name", "testsrc", "--config", cfgPath.toString, "--db", db))
+    // the escape hatch must resolve variants, anno_testsrc AND genotypes
+    Graft.run(spark, Array("annotation-query",
+      """SELECT count(*) FROM variants v
+         JOIN anno_testsrc a USING (chrom, pos, ref, alt)
+         JOIN (SELECT DISTINCT chrom, pos FROM genotypes) g
+           ON v.chrom = g.chrom AND v.pos = g.pos""",
+      "--db", db))
+    // and the views registered by name still answer through spark.sql
+    assert(spark.sql("SELECT count(*) FROM anno_testsrc").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM genotypes").head().getLong(0) > 0)
+  }
+
+  test("annotate prefixes a later source's colliding field instead of dropping it") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    val cfgPath = Files.createTempDirectory("annocfg").resolve("cfg.json")
+    Files.write(cfgPath, java.util.Arrays.asList(
+      """[{"field": "FILTER", "alias": "shared_af", "missing_string": "PASS"}]"""))
+    Graft.run(spark, Array("load-annotation", fixture("multiallelic.vcf"),
+      "--name", "src1", "--config", cfgPath.toString, "--db", db))
+    Graft.run(spark, Array("load-annotation", fixture("multiallelic.vcf"),
+      "--name", "src2", "--config", cfgPath.toString, "--db", db))
+    val out = Files.createTempDirectory("annoout").resolve("out.tsv").toString
+    Graft.run(spark, Array("annotate", "--db", db, "--anno", "src1,src2",
+      "--output", out))
+    val headerCols = scala.io.Source.fromFile(
+      new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .head)
+      .getLines().next().split("\t").toSeq
+    assert(headerCols.contains("shared_af"))      // first claim keeps the bare name
+    assert(headerCols.contains("src2_shared_af")) // later source prefixed, not dropped
   }
 
   test("import-frequencies loads the long table and attaches popmax (cli.py:1193-1291)") {
