@@ -156,6 +156,41 @@ class GraftCliSpec extends SparkSpec {
     assert(ids1.intersect(ids2).isEmpty)
   }
 
+  test("import-gwas executes the matching join exactly once") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    val tsv = Files.createTempDirectory("gwas").resolve("stats.tsv")
+    Files.write(tsv, java.util.Arrays.asList(
+      "CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tSNP",
+      "1\t752566\tA\tG\t1e-8\t0.05\t0.01\t0.25\trs3094315",
+      "1\t752721\tG\tA\t1e-6\t0.02\t0.01\t0.40\trs3131972"))
+    // bookkeeping counts must come from the raw scan and the written
+    // parquet — re-running the matching join for them tripled the load's
+    // most expensive stage. Count executed actions whose physical plan
+    // contains a join: exactly the single gwas_stats write.
+    val joinRuns = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (qe.executedPlan.toString.contains("Join")) joinRuns.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Graft.run(spark, Array("import-gwas", tsv.toString, "--db", db))
+      // the listener bus is async — give it a bounded settle window
+      val deadline = System.currentTimeMillis() + 10000
+      while (joinRuns.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500) // catch any late extra executions
+      assert(joinRuns.get() == 1)
+    } finally spark.listenerManager.unregister(listener)
+    assert(spark.read.parquet(s"$db/gwas_stats").count() == 2)
+  }
+
   test("annotation-query registers anno_<src> and core tables (cli.py:1454-1501)") {
     val db = Files.createTempDirectory("graftdb").toString
     Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
