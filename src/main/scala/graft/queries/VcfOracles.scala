@@ -29,7 +29,8 @@ object VcfOracles {
     "vcf_dosage", "vcf_csq_scan", "vcf_sv_scan",
     "vcf_partition_stats", "vcf_genotype_stats", "vcf_pgs_listing",
     "vcf_prs_candidates", "vcf_file_hash", "vcf_info_score_filter",
-    "vcf_upsert", "vcf_export_ldpred2", "vcf_filter_split", "vcf_toml_config",
+    "vcf_upsert", "vcf_reload_ledger", "vcf_export_ldpred2",
+    "vcf_filter_split", "vcf_toml_config",
     "p09_lang_id", "p07_minhash_pairs", "p08_simhash_pairs",
     "p10_doc_fingerprint", "p11_media_features", "p12_embedding_neardup",
     "p13_lsh_topk", "p14_ivf_topk")

@@ -424,6 +424,43 @@ object VcfQueries {
           .withColumn("mode", lit("insert_ignore")))
     },
 
+    // K4 + §2.13: delete-then-insert reload over a deterministic
+    // two-batch store with a status-bearing ledger (`loader.py:182-252`).
+    // checkExisting resolves the LATEST COMPLETED batch for the file hash
+    // (failed / in_progress rows are invisible to the skip check),
+    // dropBatch deletes its rows, and the incoming batch unions in.
+    "vcf_reload_ledger" -> { (s, _) =>
+      import s.implicits._
+      val vDir = "/tmp/graft_reload_variants.parquet"
+      val lDir = "/tmp/graft_reload_ledger.parquet"
+      Seq(
+        ("chr1", 100L, "A", "G", "b1"),
+        ("chr1", 200L, "C", "T", "b1"),
+        ("chr2", 300L, "G", "A", "b2"),
+        ("chr2", 400L, "T", "C", "b2"))
+        .toDF("chrom", "pos", "ref", "alt", "load_batch_id")
+        .coalesce(1).write.mode("overwrite").parquet(vDir)
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      Seq(
+        graft.audit.Audit.LedgerEntry("b1", "a.vcf", "hashA", "completed", 2L, ts(1000L)),
+        graft.audit.Audit.LedgerEntry("b2", "b.vcf", "hashB", "completed", 2L, ts(2000L)),
+        graft.audit.Audit.LedgerEntry("b3", "a.vcf", "hashA", "failed", 0L, ts(3000L)),
+        graft.audit.Audit.LedgerEntry("b4", "a.vcf", "hashA", "in_progress", 0L, ts(4000L)))
+        .toDF().coalesce(1).write.mode("overwrite").parquet(lDir)
+      val ledger = new graft.audit.Audit.Ledger(s, lDir)
+      val prev = ledger.checkExisting("hashA")
+        .getOrElse(sys.error("ledger must resolve b1"))
+      val incoming = Seq(
+        ("chr1", 100L, "A", "G", "b5"),
+        ("chr1", 250L, "C", "G", "b5"))
+        .toDF("chrom", "pos", "ref", "alt", "load_batch_id")
+      graft.audit.Audit.dropBatch(s.read.parquet(vDir), prev)
+        .unionByName(incoming)
+        .groupBy($"load_batch_id")
+        .agg(count(lit(1)).as("n_variants"))
+        .orderBy($"load_batch_id")
+    },
+
     // K6 + F5 + A14: LDpred2 export — bare-chrom projection, per-study
     // n_eff = 4/(1/cases+1/controls), and the export-time variant filter
     // (hapmap3-only + min MAF) over the matview fixture pipeline
