@@ -30,7 +30,8 @@ object VcfOracles {
     "vcf_partition_stats", "vcf_genotype_stats", "vcf_pgs_listing",
     "vcf_prs_candidates", "vcf_file_hash", "vcf_info_score_filter",
     "vcf_upsert", "vcf_reload_ledger", "vcf_export_ldpred2",
-    "vcf_filter_split", "vcf_toml_config",
+    "vcf_filter_split", "vcf_toml_config", "vcf_synthetic_scan",
+    "vcf_store_roundtrip", "vcf_tsv_roundtrip", "vcf_sample_join",
     "p09_lang_id", "p07_minhash_pairs", "p08_simhash_pairs",
     "p10_doc_fingerprint", "p11_media_features", "p12_embedding_neardup",
     "p13_lsh_topk", "p14_ivf_topk")

@@ -461,6 +461,72 @@ object VcfQueries {
         .orderBy($"load_batch_id")
     },
 
+    // S10: the synthetic VCF generator is deterministic for a given seed —
+    // generate, parse, and let the oracle re-derive the decomposed rows
+    // from the same /tmp file (Number=A AF slicing included)
+    "vcf_synthetic_scan" -> { (s, _) =>
+      import s.implicits._
+      val p = "/tmp/graft_synth_50.vcf"
+      graft.vcf.SyntheticVcf.write(p, 50, samples = Seq("S1", "S2"), seed = 7L)
+      VcfReader.variants(s, p)
+        .select($"chrom", $"pos", $"ref", $"alt", $"alt_idx", $"n_alts",
+          $"rs_id", $"qual", $"info"("DP").cast("int").as("dp"),
+          $"info"("AF").as("af_sliced"), $"variant_type")
+    },
+
+    // K1: chrom-partitioned store round trip — writeVariants partitions by
+    // chrom and sorts by pos; reading the directory back (partition column
+    // restored from the hive layout) must reproduce the rows bit-for-bit
+    "vcf_store_roundtrip" -> { (s, _) =>
+      import s.implicits._
+      val dir = "/tmp/graft_store_roundtrip"
+      val df = Seq(
+        ("chr1", 100L, "A", "G", 10.0),
+        ("chr1", 50L, "C", "T", 20.0),
+        ("chr2", 300L, "G", "A", 30.0),
+        ("chr10", 7L, "T", "C", 40.0)).toDF("chrom", "pos", "ref", "alt", "qual")
+      graft.sinks.Writers.writeVariants(df, dir)
+      s.read.parquet(dir).select($"chrom", $"pos", $"ref", $"alt", $"qual")
+        .orderBy($"chrom", $"pos")
+    },
+
+    // K5: TSV sink round trip — complex columns (info map, filter array)
+    // JSON-stringify on write; the RFC-4180 output must read back
+    // identically in any standard reader (the oracle uses DuckDB's)
+    "vcf_tsv_roundtrip" -> { (s, _) =>
+      import s.implicits._
+      val dir = "/tmp/graft_tsv_roundtrip"
+      val df = Seq(
+        ("chr1", 100L, Map("DP" -> "30", "AF" -> "0.5"),
+          Seq("q10", "lowconf"), 1.5),
+        ("chr2", 200L, Map("DP" -> "7"), Seq.empty[String], 2.5))
+        .toDF("chrom", "pos", "info", "filter", "score")
+      graft.sinks.Writers.writeTsv(df, dir)
+      s.read.option("sep", "\t").option("header", "true")
+        .option("escape", "\"").csv(dir)
+        .select($"chrom", $"pos".cast("long").as("pos"), $"info", $"filter",
+          $"score".cast("double").as("score"))
+        .orderBy($"chrom")
+    },
+
+    // J13: sample id-map join — genotypes keyed by sample natural key
+    // joined to the (broadcast, sample-count-sized) attribute dimension,
+    // then cohort-grouped (the reference's sample_id_map join face)
+    "vcf_sample_join" -> { (s, _) =>
+      import s.implicits._
+      val g = Seq(
+        ("chr1", 100L, "S1", 2.0), ("chr1", 100L, "S2", 1.0),
+        ("chr1", 200L, "S1", 0.0), ("chr1", 200L, "S3", 1.0))
+        .toDF("chrom", "pos", "sample_id", "dosage")
+      val dim = Seq(
+        ("S1", "EUR", "case"), ("S2", "AFR", "control"), ("S3", "EUR", "control"))
+        .toDF("sample_id", "ancestry", "phenotype")
+      g.join(broadcast(dim), Seq("sample_id"), "left")
+        .groupBy($"ancestry", $"phenotype")
+        .agg(count(lit(1)).as("n_gt"), sum($"dosage").as("dose_sum"))
+        .orderBy($"ancestry", $"phenotype")
+    },
+
     // K6 + F5 + A14: LDpred2 export — bare-chrom projection, per-study
     // n_eff = 4/(1/cases+1/controls), and the export-time variant filter
     // (hapmap3-only + min MAF) over the matview fixture pipeline

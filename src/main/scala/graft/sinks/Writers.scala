@@ -75,7 +75,10 @@ object Writers {
       }
     }.toSeq: _*)
     val out = if (singleFile) flat.coalesce(1) else flat
-    out.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)
+    // escape=" gives RFC-4180 doubled-quote escaping (Spark defaults to
+    // backslash), so any standard TSV/CSV reader can parse the output
+    out.write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .option("escape", "\"").csv(path)
   }
 
   def writeJson(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
