@@ -107,6 +107,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WholeStageCodegen") || p.contains("Project"))
   }
 
+  test("annotator fold join shuffles variants once — later sources reuse the " +
+    "(chrom,pos,ref,alt) partitioning, so N sources cost N+1 exchanges, not 2N") {
+    // non-literal keys (literals constant-fold out of the join key) and
+    // broadcast disabled, so the fold plans as the SMJ chain it would be
+    // for gnomAD-sized sources at scale
+    val mk = (tag: String) => spark.range(0, 100000)
+      .selectExpr("concat('chr', id % 2 + 1) as chrom", "id as pos",
+        "substr('ACGT', cast(id % 4 + 1 as int), 1) as ref",
+        "substr('TGCA', cast(id % 4 + 1 as int), 1) as alt",
+        s"cast(id as double) as ${tag}_af")
+    val variants = mk("v").drop("v_af")
+    val sources = Seq(
+      graft.query.Annotator.Source("s1", mk("s1"), Seq("s1_af")),
+      graft.query.Annotator.Source("s2", mk("s2"), Seq("s2_af")),
+      graft.query.Annotator.Source("s3", mk("s3"), Seq("s3_af")))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.query.Annotator.annotate(variants, sources))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(p.contains("SortMergeJoin"), s"expected SMJ chain in:\n$p")
+      assert(exchanges == sources.length + 1,
+        s"expected ${sources.length + 1} exchanges (variants shuffled once), " +
+          s"got $exchanges in:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("annotator does NOT force-broadcast sources by default (gnomAD-sized " +
     "sources would OOM the driver); broadcast stays the opt-in hint") {
     // a statically-unsized source (no parquet stats): only an explicit
