@@ -6,12 +6,12 @@ import org.apache.spark.sql.functions._
 /** J5 — LD-block interval-containment join
   * (`references/ld_blocks.py:151-219`: `int8range(start,end,'[]') @> pos`).
   *
-  * Scale shape: the block table is ~1.7k rows, so this is a broadcast
-  * nested-loop join with a non-equi predicate — the Spark-native
-  * equivalent of the reference's GiST range index probe. If a block table
-  * ever grew large, the genome would be binned to recover an equi-join
-  * (SURVEY §4 note); at the reference's actual sizes the BNLJ is optimal
-  * because the probe side streams and nothing shuffles.
+  * Scale shape: the block table is ~1.7k rows, so [[assignBlocks]] is a
+  * broadcast nested-loop join with a non-equi predicate — the
+  * Spark-native equivalent of the reference's GiST range index probe; the
+  * probe side streams and nothing shuffles. When an interval table
+  * outgrows broadcast, [[assignBlocksBinned]] is the same operator as a
+  * binned shuffle equi-join.
   */
 object LdBlocks {
 
@@ -41,6 +41,52 @@ object LdBlocks {
         "left")
       .withColumn("ld_block_id", coalesce($"_prev_block", $"b_block_id"))
       .drop("b_chrom", "b_start", "b_end", "b_block_id", "_prev_block")
+  }
+
+  /** The at-scale form of [[assignBlocks]]: fixed-width genomic binning
+    * recovers a shuffle EQUI-join when the interval table outgrows
+    * broadcast (many populations × builds × fine-grained blocks, or any
+    * future interval source). Each variant maps to exactly one bin
+    * (`pos / binSize`); each block explodes to every bin it overlaps, so
+    * a (variant, block) containment pair meets in exactly one
+    * (chrom, bin) bucket — no duplicate matches — and the residual range
+    * predicate filters within the bucket. Both sides shuffle on the
+    * high-cardinality (chrom, bin) key; nothing broadcasts, nothing
+    * nested-loops. Semantics are identical to [[assignBlocks]]
+    * (asserted in LdBlocksSpec).
+    *
+    * binSize trades shuffle width against explode factor: 1 Mb ≈ the
+    * median LD-block span (`references/ld_blocks.py` data), so blocks
+    * explode to ~2 bins on average.
+    */
+  def assignBlocksBinned(variants: DataFrame, blocks: DataFrame,
+                         population: String, build: String = "GRCh37",
+                         binSize: Long = 1000000L): DataFrame = {
+    import variants.sparkSession.implicits._
+    val exploded = blocks
+      .filter($"population" === population.toUpperCase &&
+        $"genome_build" === build)
+      .select($"chrom".as("b_chrom"), $"start_pos".as("b_start"),
+        $"end_pos".as("b_end"), $"block_id".as("b_block_id"))
+      .withColumn("b_bin",
+        explode(sequence(($"b_start" / binSize).cast("long"),
+          ($"b_end" / binSize).cast("long"))))
+
+    val hasExisting = variants.columns.contains("ld_block_id")
+    val base = if (hasExisting) variants.withColumnRenamed("ld_block_id", "_prev_block")
+               else variants.withColumn("_prev_block", lit(null).cast("long"))
+
+    base
+      .withColumn("_bare_chrom", regexp_replace($"chrom", "^chr", ""))
+      .withColumn("_bin", ($"pos" / binSize).cast("long"))
+      .join(exploded,
+        $"_bare_chrom" === $"b_chrom" && $"_bin" === $"b_bin" &&
+          $"pos" >= $"b_start" && $"pos" <= $"b_end" &&
+          $"_prev_block".isNull,
+        "left")
+      .withColumn("ld_block_id", coalesce($"_prev_block", $"b_block_id"))
+      .drop("b_chrom", "b_start", "b_end", "b_block_id", "b_bin",
+        "_prev_block", "_bare_chrom", "_bin")
   }
 
   /** J11 — `variant_ld_block_summary` view (`references/schema.py:61-76`). */

@@ -23,7 +23,8 @@ object VcfOracles {
     "vcf_validate_dups", "vcf_genotypes", "vcf_variant_qc", "vcf_sample_qc",
     "vcf_denovo_antijoin", "vcf_qc_summary", "vcf_inheritance",
     "vcf_prs_score", "vcf_hapmap3_flag", "vcf_pgs_match", "vcf_export_plink",
-    "vcf_ld_blocks", "vcf_popmax", "vcf_worst_consequence", "vcf_audit_chain",
+    "vcf_ld_blocks", "vcf_ld_blocks_binned", "vcf_popmax",
+    "vcf_worst_consequence", "vcf_audit_chain",
     "vcf_normalize", "vcf_annotation_join", "vcf_compound_het_impact",
     "vcf_header_info", "vcf_gwas_match", "vcf_imputation", "vcf_clinvar",
     "vcf_dosage", "vcf_csq_scan", "vcf_sv_scan",

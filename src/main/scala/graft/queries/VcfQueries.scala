@@ -123,6 +123,18 @@ object VcfQueries {
       graft.ingest.LdBlocks.blockSummary(blocks, assigned)
     },
 
+    // J5 scale path: the SAME interval-containment semantics as
+    // vcf_ld_blocks, through the binned shuffle equi-join (the plan a
+    // broadcast-too-big interval table gets at 100 TB)
+    "vcf_ld_blocks_binned" -> { (s, _) =>
+      import s.implicits._
+      val v = VcfReader.variants(s, s"$fixtures/hapmap3_overlap.vcf")
+      val blocks = graft.ingest.RefPanels.ldBlocks(
+        s, s"$fixtures/ld_blocks_eur_grch37.bed", "EUR", "grch37")
+      val assigned = graft.ingest.LdBlocks.assignBlocksBinned(v, blocks, "EUR")
+      graft.ingest.LdBlocks.blockSummary(blocks, assigned)
+    },
+
     // F2: echtvar filter expression compiled into a Catalyst predicate
     "vcf_filter_expression" -> { (s, _) =>
       import s.implicits._

@@ -195,6 +195,36 @@ class VariantMatchingSpec extends SparkSpec {
     val none = assigned.filter($"chrom" === "chr9").head()
     assert(none.isNullAt(none.fieldIndex("ld_block_id"))) // chr9 has no blocks in EUR file? (file covers chr1..)
   }
+
+  test("binned LD assignment ≡ broadcast interval join, and plans as a " +
+    "shuffle equi-join (the broadcast-too-big scale path)") {
+    val v = graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf"))
+    val blocks = RefPanels.ldBlocks(spark, fixture("ld_blocks_eur_grch37.bed"), "EUR")
+    val bnlj = LdBlocks.assignBlocks(v, blocks, "EUR")
+      .select($"chrom", $"pos", $"ref", $"alt", $"ld_block_id")
+    val binned = LdBlocks.assignBlocksBinned(v, blocks, "EUR")
+      .select($"chrom", $"pos", $"ref", $"alt", $"ld_block_id")
+    assert(binned.exceptAll(bnlj).count() == 0)
+    assert(bnlj.exceptAll(binned).count() == 0)
+    // binning crosses boundaries: a variant whose bin differs from its
+    // block's start bin still matches (block 2 spans 1,200,001-3,500,000;
+    // pos 2,000,000 sits in bin 2 while the block starts in bin 1)
+    val vCross = Seq(("chr1", 2000000L, "C", "T"))
+      .toDF("chrom", "pos", "ref", "alt")
+    val crossBin = LdBlocks.assignBlocksBinned(vCross, blocks, "EUR").head()
+    assert(!crossBin.isNullAt(crossBin.fieldIndex("ld_block_id")))
+    // with broadcast off the binned form must stay an equi-join — no
+    // nested loop, no cartesian
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = LdBlocks.assignBlocksBinned(v, blocks, "EUR")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"binned join not an equi-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
 
 class FilterExpressionSpec extends SparkSpec {
