@@ -134,11 +134,11 @@ object Graft {
                 case Some(b) if new java.io.File(s"$db/genotypes").exists() =>
                   // force-reload drops the previous batch's genotype rows
                   // too — append alone would double them on every reload
-                  graft.audit.Audit.dropBatch(
-                      spark.read.parquet(s"$db/genotypes"), b)
-                    .unionByName(g, allowMissingColumns = true)
-                    .localCheckpoint()
-                    .write.mode("overwrite").parquet(s"$db/genotypes")
+                  graft.sinks.Writers.replaceInPlace(
+                    graft.audit.Audit.dropBatch(
+                        spark.read.parquet(s"$db/genotypes"), b)
+                      .unionByName(g, allowMissingColumns = true),
+                    s"$db/genotypes")((d, p) => d.write.parquet(p))
                 case _ =>
                   g.write.mode("append").parquet(s"$db/genotypes")
               }
@@ -148,23 +148,23 @@ object Graft {
             // samples: its old genotype rows still must go
             if (new java.io.File(s"$db/genotypes").exists())
               progress.stage("write_genotypes") {
-                graft.audit.Audit.dropBatch(
-                    spark.read.parquet(s"$db/genotypes"), b)
-                  .localCheckpoint()
-                  .write.mode("overwrite").parquet(s"$db/genotypes")
+                graft.sinks.Writers.replaceInPlace(
+                  graft.audit.Audit.dropBatch(
+                    spark.read.parquet(s"$db/genotypes"), b),
+                  s"$db/genotypes")((d, p) => d.write.parquet(p))
               }
           }
           val base = prevBatch match {
             case Some(b) if new java.io.File(s"$db/variants").exists() =>
-              // materialize before overwriting the directory we read from
               graft.audit.Audit.dropBatch(variants, b).unionByName(v, true)
-                .localCheckpoint()
             case _ => v
           }
           progress.stage("write_variants") {
-            graft.sinks.Writers.writeVariants(
-              graft.ingest.VariantMatching.withVariantId(base), s"$db/variants",
-              mode = "overwrite")
+            // write-then-swap: the plan reads the live store during the
+            // temp write; the store is replaced only once fully written
+            graft.sinks.Writers.replaceInPlace(
+              graft.ingest.VariantMatching.withVariantId(base),
+              s"$db/variants")(graft.sinks.Writers.writeVariants(_, _))
           }
           val n = spark.read.parquet(s"$db/variants").count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
@@ -192,10 +192,10 @@ object Graft {
             // reference's explicit no-no (`loader.py:547-623`)
             try {
               if (new java.io.File(s"$db/genotypes").exists())
-                graft.audit.Audit.dropBatch(
-                    spark.read.parquet(s"$db/genotypes"), batchId)
-                  .localCheckpoint()
-                  .write.mode("overwrite").parquet(s"$db/genotypes")
+                graft.sinks.Writers.replaceInPlace(
+                  graft.audit.Audit.dropBatch(
+                    spark.read.parquet(s"$db/genotypes"), batchId),
+                  s"$db/genotypes")((d, p) => d.write.parquet(p))
             } catch { case _: Throwable => () }
             ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
               "failed", 0L, now(), s"error: ${e.getMessage}"))
@@ -258,16 +258,16 @@ object Graft {
           val updated = variants
             .drop("popmax_af", "popmax_population")
             .join(pm, Seq("variant_id"), "left")
-            .localCheckpoint() // cut lineage before overwriting the source dir
-          graft.sinks.Writers.writeVariants(updated, s"$db/variants")
+          graft.sinks.Writers.replaceInPlace(updated, s"$db/variants")(
+            graft.sinks.Writers.writeVariants(_, _))
         }
         println(s"imported $nFreq population-frequency rows (source=$source)")
 
       case "load-reference" =>
         val panel = graft.ingest.RefPanels.hapmap3(spark, args(1))
         val flagged = graft.ingest.VariantMatching.flagHapmap3(variants, panel)
-          .localCheckpoint() // cut lineage before overwriting the source dir
-        graft.sinks.Writers.writeVariants(flagged, s"$db/variants")
+        graft.sinks.Writers.replaceInPlace(flagged, s"$db/variants")(
+          graft.sinks.Writers.writeVariants(_, _))
         println(s"flagged in_hapmap3=${variants.filter($"in_hapmap3").count()}")
 
       case "annotate-ld-blocks" =>
@@ -278,8 +278,8 @@ object Graft {
           arg(args, "--population").getOrElse("EUR"),
           arg(args, "--build").map(b => graft.ingest.PgsReader.normalizeBuild(b))
             .getOrElse("GRCh37"))
-          .localCheckpoint() // cut lineage before overwriting the source dir
-        graft.sinks.Writers.writeVariants(assigned, s"$db/variants")
+        graft.sinks.Writers.replaceInPlace(assigned, s"$db/variants")(
+          graft.sinks.Writers.writeVariants(_, _))
         println("ld blocks assigned")
 
       case "compute-sample-qc" =>

@@ -45,6 +45,36 @@ object Writers {
       .write.mode(mode)
       .parquet(path)
 
+  /** Overwrite a dataset IN PLACE while its plan reads from the same
+    * directory: write to a temp sibling, then swap by rename. Replaces
+    * the localCheckpoint-then-overwrite pattern, which (a) materializes
+    * the whole table into executor block storage — memory/disk pressure
+    * proportional to table size at scale, and lost on executor failure —
+    * and (b) truncates the original data before the rewrite is known
+    * good. Here the source directory stays intact until the new data is
+    * fully written; a crash leaves either the old directory or a
+    * recoverable `.old-*` sibling, never a half-written table. Renames
+    * are O(1) metadata ops on local/HDFS filesystems.
+    */
+  def replaceInPlace(df: DataFrame, path: String)
+                    (write: (DataFrame, String) => Unit): Unit = {
+    val spark = df.sparkSession
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$suffix")
+    val old = new org.apache.hadoop.fs.Path(s"$path.old-$suffix")
+    write(df, tmp.toString) // the plan may scan `path`; it is untouched
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      sys.error(s"replaceInPlace: could not stage $path aside")
+    if (!fs.rename(tmp, dst)) {
+      // restore the original before failing — never leave the path empty
+      if (fs.exists(old)) fs.rename(old, dst)
+      sys.error(s"replaceInPlace: could not move new data into $path")
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
   /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,
     * existing rows without a match survive (left_anti + union). */
   def upsert(existing: DataFrame, incoming: DataFrame,
