@@ -11,10 +11,14 @@ import org.apache.spark.sql.types._
   * The Spark-side shape is real and tested — schema, partitioning,
   * iterator-based batch processing via typed `mapPartitions` (the
   * Scala-native equivalent of the mapInPandas batch contract: one
-  * decoder init per partition, streaming over rows). The actual codec
-  * call is STUBBED with a deterministic fake because no image/audio
-  * libraries ship in this environment — `decodeStub` is the single seam
-  * where a real decoder (e.g. javax.imageio / ffmpeg bindings) plugs in.
+  * decoder init per partition, streaming over rows). Decoding is REAL
+  * for the formats the JDK ships codecs for — PNG/JPEG/BMP/GIF via
+  * `javax.imageio` (16-dim 4x4 mean-luminance grid features) and PCM
+  * WAV via `javax.sound.sampled` (16-segment RMS energy envelope) — no
+  * external libraries needed. Payloads in any other container (video:
+  * no JDK codec exists) fall back to `decodeStub`, the single seam
+  * where an ffmpeg-style binding would plug in; the `decoder` column
+  * records which path each row took.
   */
 object Multimodal {
 
@@ -32,9 +36,9 @@ object Multimodal {
       media_type: String,
       n_bytes: Long,
       content_hash: Long,
-      // stub "decoded" features: deterministic from the payload
       feature_vec: Array[Float],
-      n_frames_sampled: Int)
+      n_frames_sampled: Int,
+      decoder: String)        // imageio | wav_pcm | stub
 
   /** Demo media table synthesized from the documents table: each text
     * payload becomes an opaque binary blob with typed metadata. At scale
@@ -56,10 +60,111 @@ object Multimodal {
     ).as[MediaRow]
   }
 
-  /** STUB decoder: stands in for the real image/audio codec. Produces a
-    * deterministic 16-dim feature vector from payload bytes so the
-    * pipeline shape (batch iteration, schema, partitioning) is fully
-    * exercisable. Replace the body with a real decode to productionize.
+  /** Decoded payload: dims for images, duration for audio, and a 16-dim
+    * feature vector (luminance grid / RMS envelope). */
+  final case class Decoded(featureVec: Array[Float], nFrames: Int,
+                           decoder: String)
+
+  private val ImageMagics: Seq[Array[Byte]] = Seq(
+    Array(0x89.toByte, 'P', 'N', 'G'),                        // PNG
+    Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte),             // JPEG
+    Array('B'.toByte, 'M'.toByte),                            // BMP
+    Array('G'.toByte, 'I'.toByte, 'F'.toByte, '8'.toByte))    // GIF
+
+  private def startsWith(content: Array[Byte], magic: Array[Byte]): Boolean =
+    content.length >= magic.length &&
+      magic.indices.forall(i => content(i) == magic(i))
+
+  private def isRiffWave(c: Array[Byte]): Boolean =
+    c.length >= 12 && c(0) == 'R' && c(1) == 'I' && c(2) == 'F' && c(3) == 'F' &&
+      c(8) == 'W' && c(9) == 'A' && c(10) == 'V' && c(11) == 'E'
+
+  /** REAL image decode (JDK `javax.imageio`): 4x4 mean-luminance grid as
+    * the 16-dim feature vector, pixel-subsampled so a huge image costs
+    * O(4096) reads, not O(w*h). */
+  private def decodeImage(content: Array[Byte]): Option[Decoded] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= 0 || h <= 0) None
+      else {
+        val sum = new Array[Float](16)
+        val cnt = new Array[Int](16)
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (0.299f * ((rgb >> 16) & 0xff) +
+              0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)) / 255.0f
+            val cell = math.min(3, y * 4 / h) * 4 + math.min(3, x * 4 / w)
+            sum(cell) += lum
+            cnt(cell) += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        val vec = Array.tabulate(16)(i => if (cnt(i) == 0) 0f else sum(i) / cnt(i))
+        Some(Decoded(vec, 1, "imageio"))
+      }
+    }
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled`, PCM WAV): 16-segment
+    * RMS energy envelope over the normalized samples. */
+  private def decodeWav(content: Array[Byte]): Option[Decoded] = {
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) None
+        else {
+          val sumSq = new Array[Double](16)
+          val cnt = new Array[Int](16)
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                      else java.nio.ByteOrder.LITTLE_ENDIAN
+          val buf = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          var i = 0
+          while (i < n) {
+            val s = buf.get(i) / 32768.0
+            val seg = math.min(15, i * 16 / n)
+            sumSq(seg) += s * s
+            cnt(seg) += 1
+            i += 1
+          }
+          val vec = Array.tabulate(16) { i =>
+            if (cnt(i) == 0) 0f else math.sqrt(sumSq(i) / cnt(i)).toFloat
+          }
+          Some(Decoded(vec, n, "wav_pcm"))
+        }
+      }
+    } finally in.close()
+  }
+
+  /** Dispatch on container magic: JDK-decodable payloads get the real
+    * decode; everything else (incl. all video) returns None for the
+    * caller's stub fallback. */
+  def decode(content: Array[Byte]): Option[Decoded] =
+    try {
+      if (ImageMagics.exists(startsWith(content, _))) decodeImage(content)
+      else if (isRiffWave(content)) decodeWav(content)
+      else None
+    } catch { case _: Exception => None } // corrupt container → fallback
+
+  /** STUB decoder: the fallback for payloads the JDK has no codec for
+    * (video containers; corrupt/unknown media). Produces a deterministic
+    * 16-dim feature vector from payload bytes so the pipeline shape
+    * (batch iteration, schema, partitioning) is fully exercisable.
+    * An ffmpeg-style binding replaces this body to productionize.
     */
   private def decodeStub(content: Array[Byte], mediaType: String): (Array[Float], Int) = {
     var h = 1125899906842597L
@@ -97,11 +202,16 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: initialize decoder/codec context once here
+      // per-partition scope: a codec needing init/teardown hooks in here
       rows.map { r =>
-        val (vec, frames) = decodeStub(r.content, r.media_type)
+        val (vec, frames, decoder) = decode(r.content) match {
+          case Some(d) => (d.featureVec, d.nFrames, d.decoder)
+          case None =>
+            val (v, f) = decodeStub(r.content, r.media_type)
+            (v, f, "stub")
+        }
         MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
-          contentHash60(r.content), vec, frames)
+          contentHash60(r.content), vec, frames, decoder)
       }
     }
   }

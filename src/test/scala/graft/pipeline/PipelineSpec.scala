@@ -206,4 +206,50 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.filter($"media_type" =!= "video").count() == 0)
     assert(plan.filter($"n_samples" < 1).count() == 0)
   }
+
+  test("real JDK decode: PNG luminance grid and PCM-WAV RMS envelope, " +
+    "with stub fallback for undecodable payloads") {
+    // a mid-gray 16x16 PNG, generated with the same JDK codec that decodes
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val pngOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngOut)
+    val png = pngOut.toByteArray
+
+    // one second of 440 Hz sine, 16-bit mono PCM at 8 kHz, wrapped as WAV
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](16000)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 8000)
+      bb.putShort((math.sin(2 * math.Pi * 440 * i / 8000.0) * 20000).toShort)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 8000),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val wav = wavOut.toByteArray
+
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", png, "t", Some(16), Some(16), None),
+      Multimodal.MediaRow(2L, "audio", wav, "t", None, None, Some(1000L)),
+      Multimodal.MediaRow(3L, "video", "not-a-container".getBytes, "t",
+        None, None, Some(5000L))).toDS()
+    val feats = Multimodal.extractFeatures(rows).collect()
+      .map(f => f.media_id -> f).toMap
+
+    val pf = feats(1L)
+    assert(pf.decoder == "imageio")
+    // uniform 0x80 gray: every luminance cell = 128/255
+    assert(pf.feature_vec.forall(v => math.abs(v - 128f / 255f) < 1e-3))
+
+    val wf = feats(2L)
+    assert(wf.decoder == "wav_pcm")
+    assert(wf.n_frames_sampled == 8000)
+    // sine RMS = amplitude/sqrt(2): (20000/32768)/1.414 ≈ 0.4316
+    assert(wf.feature_vec.forall(v => math.abs(v - 0.4316f) < 0.01))
+
+    assert(feats(3L).decoder == "stub")
+    assert(feats(3L).feature_vec.length == 16)
+  }
 }
