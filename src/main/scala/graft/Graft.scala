@@ -237,7 +237,9 @@ object Graft {
           weights, variants, chromCol = "chr_name", posCol = "chr_position")
         matched.filter($"variant_id".isNotNull)
           .write.mode("overwrite").parquet(s"$db/prs_weights")
-        println(s"pgs=${meta.pgsId} matched=${matched.filter($"variant_id".isNotNull).count()}")
+        // count from the written parquet — don't re-run the matching join
+        println(s"pgs=${meta.pgsId} " +
+          s"matched=${spark.read.parquet(s"$db/prs_weights").count()}")
 
       case "import-frequencies" =>
         // `cli.py:1193-1291`: parse gnomAD-style INFO population fields
@@ -286,7 +288,9 @@ object Graft {
         val g = spark.read.parquet(s"$db/genotypes")
         val sqc = graft.qc.SampleQc.compute(g, graft.qc.VariantQc.fromGenotypes(g))
         sqc.write.mode("overwrite").parquet(s"$db/sample_qc")
-        graft.qc.SampleQc.batchSummary(sqc).show()
+        // summarize from the written parquet — don't re-run the QC aggs
+        graft.qc.SampleQc.batchSummary(
+          spark.read.parquet(s"$db/sample_qc")).show()
 
       case "refresh-views" =>
         val timings = graft.views.PrsViews.refresh(s"$db/views", Map(
@@ -387,7 +391,10 @@ object Graft {
           case _                => graft.export.PrsFormats.prsice2(stats, vSel, vf)
         }
         graft.sinks.Writers.writeTsv(out, args(1))
-        println(s"exported ${out.count()} rows to ${args(1)}")
+        // count from the written TSV — don't re-run the export joins
+        val nOut = spark.read.option("sep", "\t").option("header", "true")
+          .csv(args(1)).count()
+        println(s"exported $nOut rows to ${args(1)}")
 
       case "benchmark" =>
         Bench.main(Array.empty)
