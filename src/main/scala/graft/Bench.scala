@@ -56,7 +56,7 @@ object Bench {
     * (MapType via to_json — hash() on maps is disallowed/order-unstable)
     * and reduce to one driver-side long. Nothing prunable remains. */
   def materialize(df: DataFrame): Unit = {
-    val cols = df.schema.fields.map { f =>
+    val cols = df.schema.fields.toSeq.map { f =>
       if (f.dataType.isInstanceOf[MapType]) to_json(col(f.name)) else col(f.name)
     }
     df.select(xxhash64(struct(cols: _*)).as("_h")).agg(sum("_h")).collect()
