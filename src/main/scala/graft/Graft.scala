@@ -339,9 +339,17 @@ object Graft {
           graft.query.Annotator.Source(name, df, renames.map(_._2))
         }
         val filterExpr = arg(args, "--filter")
-        val out = graft.query.Annotator.annotate(variants, srcDfs,
+        // the reference annotates one load batch (`cli.py:1363-1365`);
+        // --batch scopes the same way, default = whole store
+        val scoped = arg(args, "--batch") match {
+          case Some(b) => variants.filter($"load_batch_id" === b)
+          case None    => variants
+        }
+        val out = graft.query.Annotator.annotate(scoped, srcDfs,
           filterExpr, limit = arg(args, "--limit").map(_.toInt))
         arg(args, "--output") match {
+          case Some(p) if arg(args, "--format").contains("json") =>
+            graft.sinks.Writers.writeJson(out, p)
           case Some(p) => graft.sinks.Writers.writeTsv(out, p)
           case None    => out.show(20, truncate = false)
         }
@@ -372,7 +380,13 @@ object Graft {
           viewsDir.listFiles().toSeq.filter(_.isDirectory).foreach { f =>
             spark.read.parquet(f.getPath).createOrReplaceTempView(f.getName)
           }
-        spark.sql(args(1)).show(50, truncate = false)
+        val result = spark.sql(args(1))
+        arg(args, "--output") match {
+          case Some(p) if arg(args, "--format").contains("json") =>
+            graft.sinks.Writers.writeJson(result, p)
+          case Some(p) => graft.sinks.Writers.writeTsv(result, p)
+          case None    => result.show(50, truncate = false)
+        }
 
       case "export-plink" | "export-prscs" | "export-ldpred2" | "export-prsice" =>
         val stats = spark.read.parquet(s"$db/gwas_stats")
@@ -416,8 +430,9 @@ object Graft {
       |  compute-sample-qc --db DIR
       |  refresh-views --db DIR
       |  load-annotation <vcf> --name NAME --config cfg.json --db DIR
-      |  annotate --db DIR [--anno a,b] [--filter EXPR] [--limit N] [--output PATH]
-      |  annotation-query "<sql>" --db DIR
+      |  annotate --db DIR [--anno a,b] [--batch ID] [--filter EXPR] [--limit N]
+      |       [--output PATH] [--format tsv|json]
+      |  annotation-query "<sql>" --db DIR [--output PATH] [--format tsv|json]
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |  benchmark""".stripMargin)
 }

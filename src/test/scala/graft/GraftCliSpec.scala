@@ -210,6 +210,24 @@ class GraftCliSpec extends SparkSpec {
     // and the views registered by name still answer through spark.sql
     assert(spark.sql("SELECT count(*) FROM anno_testsrc").head().getLong(0) > 0)
     assert(spark.sql("SELECT count(*) FROM genotypes").head().getLong(0) > 0)
+    // --output/--format json mirror the reference's output options
+    val outDir = Files.createTempDirectory("aqout").resolve("rows.json").toString
+    Graft.run(spark, Array("annotation-query",
+      "SELECT chrom, pos FROM variants ORDER BY chrom, pos", "--db", db,
+      "--output", outDir, "--format", "json"))
+    assert(spark.read.json(outDir).count() ==
+      spark.read.parquet(s"$db/variants").count())
+    // --batch scopes annotate to one load batch (reference's positional arg)
+    val batch = spark.read.parquet(s"$db/variants")
+      .select($"load_batch_id").head().getString(0)
+    val annOut = Files.createTempDirectory("annout").resolve("o.json").toString
+    Graft.run(spark, Array("annotate", "--db", db, "--anno", "testsrc",
+      "--batch", batch, "--output", annOut, "--format", "json"))
+    assert(spark.read.json(annOut).count() > 0)
+    val annOut2 = Files.createTempDirectory("annout2").resolve("o2.json").toString
+    Graft.run(spark, Array("annotate", "--db", db, "--anno", "testsrc",
+      "--batch", "no-such-batch", "--output", annOut2, "--format", "json"))
+    assert(spark.read.json(annOut2).isEmpty)
   }
 
   test("annotate prefixes a later source's colliding field instead of dropping it") {
