@@ -102,11 +102,9 @@ object Normalizer {
 
   // ---- Spark surface ----
 
-  /** UDF: (pos, ref, alt) → struct(pos, ref, alt, was_normalized). Applied
-    * post-decomposition, exactly where the reference normalizes
-    * (`vcf_parser.py:311-325`). Pure per-row string work: stays inside a
-    * single projection, no shuffle.
-    */
+  /** Reference UDF form of (pos, ref, alt) → struct(pos, ref, alt,
+    * was_normalized) — kept as the differential-test oracle for the
+    * native expression that replaced it in the parse path. */
   val normalizeUdf = udf { (pos: Long, ref: String, alt: String) =>
     val (p, r, as) = normalize("", pos, ref, Seq(alt), None)
     val a = if (as.nonEmpty) as.head else alt
@@ -119,18 +117,17 @@ object Normalizer {
     isNormalized(ref, Seq(alt))
   }
 
+  /** Applied post-decomposition, exactly where the reference normalizes
+    * (`vcf_parser.py:311-325`). Native codegen'd expression (see
+    * NormalizeExpression) — pure per-row work inside a single projection,
+    * no shuffle, no whole-stage-codegen barrier. */
   def normalizeCol(pos: Column, ref: Column, alt: Column): Column =
-    normalizeUdf(pos, ref, alt)
+    graft.functions.NormalizeExpression.normalizeVariant(pos, ref, alt)
 
   /** Register SQL-callable forms: normalize_variant / classify_variant /
     * is_normalized. */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("normalize_variant",
-      (pos: Long, ref: String, alt: String) => {
-        val (p, r, as) = normalize("", pos, ref, Seq(alt), None)
-        val a = if (as.nonEmpty) as.head else alt
-        Result(p, r, a, p != pos || r != ref || a != alt)
-      })
+    graft.functions.NormalizeExpression.register(spark)
     spark.udf.register("classify_variant", (ref: String, alt: String) => classify(ref, alt))
     spark.udf.register("is_normalized", (ref: String, alt: String) => isNormalized(ref, Seq(alt)))
   }
