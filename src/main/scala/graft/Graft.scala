@@ -24,6 +24,61 @@ object Graft {
   }
   private def has(args: Array[String], flag: String): Boolean = args.contains(flag)
 
+  /** `studies` registry row (`gwas` schema — study_id/accession/trait/
+    * sizes/build; `cli.py:997-1058` list-studies surface). */
+  final case class StudyEntry(
+      study_accession: String, trait_name: Option[String],
+      trait_ontology_id: Option[String], publication_pmid: Option[String],
+      sample_size: Option[Long], n_cases: Option[Long], n_controls: Option[Long],
+      genome_build: String, n_imported: Long, n_matched: Long,
+      created_at: java.sql.Timestamp)
+
+  /** `pgs_scores` registry row (`prs/schema.py` scores table;
+    * `cli.py:1139-1192` list-pgs surface). */
+  final case class PgsEntry(
+      pgs_id: String, trait_name: Option[String],
+      trait_ontology_id: Option[String], publication_pmid: Option[String],
+      weight_type: Option[String], genome_build: String,
+      n_variants_declared: Option[Int], weight_count: Long, matched_count: Long,
+      created_at: java.sql.Timestamp)
+
+  /** `annotation_sources` registry row (`annotation_schema.py:233-253`
+    * list_sources surface). */
+  final case class AnnotationEntry(
+      name: String, source_type: String, version: Option[String],
+      vcf_path: String, fields: String, variant_count: Long,
+      loaded_at: java.sql.Timestamp)
+
+  /** Upsert one registry row — the analogue of the reference's ON
+    * CONFLICT registry upserts: drop any existing row with the same key,
+    * append the new one. Registries are small metadata tables. */
+  private def upsertRegistry(spark: SparkSession, dir: String,
+                             row: DataFrame, key: String): Unit = {
+    if (new java.io.File(dir).exists()) {
+      val keep = spark.read.parquet(dir).join(row.select(col(key)), Seq(key), "left_anti")
+      graft.sinks.Writers.replaceInPlace(
+        keep.unionByName(row, allowMissingColumns = true),
+        dir)((d, p) => d.write.parquet(p))
+    } else row.write.parquet(dir)
+  }
+
+  /** Replace one key's rows in a fact table (per-study / per-score
+    * delete-then-insert, so several studies coexist as in the reference's
+    * keyed tables); whole-table overwrite when the existing layout
+    * predates the key column. One action: the incoming plan executes
+    * exactly once, inside the write. */
+  private def replaceByKey(spark: SparkSession, dir: String,
+                           incoming: DataFrame, key: String): Unit = {
+    if (new java.io.File(dir).exists() &&
+        spark.read.parquet(dir).columns.contains(key)) {
+      val keep = spark.read.parquet(dir)
+        .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti")
+      graft.sinks.Writers.replaceInPlace(
+        keep.unionByName(incoming, allowMissingColumns = true),
+        dir)((d, p) => d.write.parquet(p))
+    } else incoming.write.mode("overwrite").parquet(dir)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(1) }
     val spark = Tables.session()
@@ -207,6 +262,23 @@ object Graft {
           .count().filter($"count" > 1).count()
         println(s"variants=${variants.count()} duplicate_sites=$dups")
 
+      case "init-db" =>
+        // `cli.py:587-665`: the schema-creation face. The parquet-layout
+        // analogue: create the db directory + an empty schema-correct
+        // ledger (so audit reads work before the first load); the SQL
+        // validation functions (hwe_exact_test, alleles_match,
+        // af_from_dosages, n_eff, ...) are session-registered in main.
+        new java.io.File(db).mkdirs()
+        new java.io.File(s"$db/views").mkdirs()
+        println(s"ok: database layout initialized at $db")
+        if (!has(args, "--skip-audit")) {
+          if (!new java.io.File(s"$db/ledger").exists())
+            Seq.empty[graft.audit.Audit.LedgerEntry].toDF()
+              .write.parquet(s"$db/ledger")
+          println("ok: load-audit ledger created")
+        }
+        println("ok: validation functions registered for the session")
+
       case "import-gwas" =>
         val stats = graft.ingest.GwasReader.read(spark, args(1))
         val matched = graft.ingest.VariantMatching.matchToVariants(stats, variants)
@@ -223,23 +295,51 @@ object Graft {
           .withColumn("is_effect_allele_alt", $"_h.is_effect_allele_alt")
           .withColumn("is_strand_flipped", $"_h.is_flipped")
           .drop("_h", "_v_ref", "_v_alt", "_v_af")
-        // one join execution: write, then count from the written parquet
-        // (matched) and the raw stats scan (total) — no re-run of the
-        // matching join for bookkeeping
-        harmonized.write.mode("overwrite").parquet(s"$db/gwas_stats")
+        // study identity + metadata (`cli.py:902-1000` options); stats
+        // rows are stamped so several studies coexist, as in the
+        // reference's study_id-keyed gwas_stats table
+        val accession = arg(args, "--study-accession").getOrElse(
+          new java.io.File(args(1)).getName
+            .replaceAll("\\.(tsv|txt|csv)(\\.gz)?$", ""))
+        // one join execution: write (replacing this study's prior rows),
+        // then count from the written parquet (matched) and the raw stats
+        // scan (total) — no re-run of the matching join for bookkeeping
+        replaceByKey(spark, s"$db/gwas_stats",
+          harmonized.withColumn("study_accession", lit(accession)),
+          "study_accession")
         val n = stats.count()
-        val m = spark.read.parquet(s"$db/gwas_stats").count()
-        println(s"imported=$n matched=$m unmatched=${n - m}")
+        val m = spark.read.parquet(s"$db/gwas_stats")
+          .filter($"study_accession" === accession).count()
+        upsertRegistry(spark, s"$db/studies", Seq(StudyEntry(
+          accession, arg(args, "--trait"), arg(args, "--efo"),
+          arg(args, "--pmid"), arg(args, "--sample-size").map(_.toLong),
+          arg(args, "--n-cases").map(_.toLong),
+          arg(args, "--n-controls").map(_.toLong),
+          arg(args, "--genome-build").getOrElse("GRCh38"), n, m,
+          new java.sql.Timestamp(System.currentTimeMillis()))).toDF(),
+          "study_accession")
+        println(s"study=$accession imported=$n matched=$m unmatched=${n - m}")
 
       case "import-pgs" =>
         val (meta, weights) = graft.ingest.PgsReader.read(spark, args(1))
         val matched = graft.ingest.VariantMatching.matchToVariants(
           weights, variants, chromCol = "chr_name", posCol = "chr_position")
-        matched.filter($"variant_id".isNotNull)
-          .write.mode("overwrite").parquet(s"$db/prs_weights")
-        // count from the written parquet — don't re-run the matching join
-        println(s"pgs=${meta.pgsId} " +
-          s"matched=${spark.read.parquet(s"$db/prs_weights").count()}")
+        // per-score replace (weights are pgs_id-stamped by the reader) so
+        // several scores coexist, as in the reference's scores table
+        replaceByKey(spark, s"$db/prs_weights",
+          matched.filter($"variant_id".isNotNull), "pgs_id")
+        // counts from the raw body scan and the written parquet — don't
+        // re-run the matching join
+        val wc = weights.count()
+        val mc = spark.read.parquet(s"$db/prs_weights")
+          .filter($"pgs_id" === meta.pgsId).count()
+        upsertRegistry(spark, s"$db/pgs_scores", Seq(PgsEntry(
+          meta.pgsId, meta.traitName, meta.traitOntologyId,
+          meta.publicationPmid, meta.weightType, meta.genomeBuild,
+          meta.nVariants, wc, mc,
+          new java.sql.Timestamp(System.currentTimeMillis()))).toDF(),
+          "pgs_id")
+        println(s"pgs=${meta.pgsId} weights=$wc matched=$mc")
 
       case "import-frequencies" =>
         // `cli.py:1193-1291`: parse gnomAD-style INFO population fields
@@ -309,9 +409,34 @@ object Graft {
         }
         val src = graft.ingest.AnnotationLoader.load(spark, args(1), config)
         src.write.mode("overwrite").parquet(s"$db/anno_$name")
-        println(s"loaded annotation source $name " +
-          s"(${spark.read.parquet(s"$db/anno_$name").count()} sites, " +
+        val nSites = spark.read.parquet(s"$db/anno_$name").count()
+        // registry row for list-annotations (`annotation_schema.py:
+        // 130-253` register_source/update_variant_count/list_sources)
+        upsertRegistry(spark, s"$db/annotation_sources", Seq(AnnotationEntry(
+          name, arg(args, "--source-type").getOrElse("vcf"),
+          arg(args, "--version"), args(1),
+          config.map(_.alias).mkString(","), nSites,
+          new java.sql.Timestamp(System.currentTimeMillis()))).toDF(), "name")
+        println(s"loaded annotation source $name ($nSites sites, " +
           s"fields ${config.map(_.alias).mkString(",")})")
+
+      case "list-annotations" | "list-studies" | "list-pgs" =>
+        // `cli.py:851-900,997-1058,1139-1192`: registry listings with a
+        // --json face. Registries are small metadata tables; collect OK.
+        val (dir, key) = verb match {
+          case "list-annotations" => (s"$db/annotation_sources", "name")
+          case "list-studies"     => (s"$db/studies", "study_accession")
+          case _                  => (s"$db/pgs_scores", "pgs_id")
+        }
+        if (!new java.io.File(dir).exists()) {
+          if (has(args, "--json")) println("[]")
+          else println(s"no ${dir.split('/').last} registered")
+        } else {
+          val listing = spark.read.parquet(dir).orderBy(col(key))
+          if (has(args, "--json"))
+            println(listing.toJSON.collect().mkString("[", ",", "]"))
+          else listing.show(100, truncate = false)
+        }
 
       case "annotate" =>
         // J1 query face (annotator.py:28-60, cli.py:1363-1452): variants
@@ -371,7 +496,8 @@ object Graft {
           else Nil
         graft.query.Annotator.registerViews(variants, annoSources)
         Seq("genotypes", "gwas_stats", "prs_weights", "sample_qc",
-            "population_frequencies", "ledger").foreach { t =>
+            "population_frequencies", "ledger", "studies", "pgs_scores",
+            "annotation_sources").foreach { t =>
           if (new java.io.File(s"$db/$t").exists())
             spark.read.parquet(s"$db/$t").createOrReplaceTempView(t)
         }
@@ -389,7 +515,15 @@ object Graft {
         }
 
       case "export-plink" | "export-prscs" | "export-ldpred2" | "export-prsice" =>
-        val stats = spark.read.parquet(s"$db/gwas_stats")
+        // --study scopes the export to one study's stats (the reference's
+        // exports are study-id-scoped, `cli.py:7249-7270`)
+        val statsAll = spark.read.parquet(s"$db/gwas_stats")
+        val statsScoped = arg(args, "--study") match {
+          case Some(s) if statsAll.columns.contains("study_accession") =>
+            statsAll.filter($"study_accession" === s)
+          case _ => statsAll
+        }
+        val stats = statsScoped
           .withColumn("beta", coalesce($"beta", log($"odds_ratio")))
         val vf = graft.export.PrsFormats.VariantFilter(
           hapmap3Only = has(args, "--hapmap3-only"),
@@ -422,17 +556,23 @@ object Graft {
     """graft <verb> [options]
       |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
       |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
+      |  init-db --db DIR [--skip-audit]
       |  validate --db DIR
-      |  import-gwas <tsv> --db DIR
+      |  import-gwas <tsv> --db DIR [--study-accession A] [--trait T] [--efo ID]
+      |       [--pmid P] [--sample-size N] [--n-cases N] [--n-controls N]
+      |       [--genome-build GRCh38]
       |  import-pgs <scoring-file> --db DIR
+      |  list-annotations|list-studies|list-pgs --db DIR [--json]
       |  load-reference <hapmap3-tsv> --db DIR
       |  annotate-ld-blocks <bed> --db DIR [--population EUR] [--build grch37]
       |  compute-sample-qc --db DIR
       |  refresh-views --db DIR
       |  load-annotation <vcf> --name NAME --config cfg.json --db DIR
+      |       [--version V] [--source-type vcf]
       |  annotate --db DIR [--anno a,b] [--batch ID] [--filter EXPR] [--limit N]
       |       [--output PATH] [--format tsv|json]
       |  annotation-query "<sql>" --db DIR [--output PATH] [--format tsv|json]
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
+      |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]
       |  benchmark""".stripMargin)
 }

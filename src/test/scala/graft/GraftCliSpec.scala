@@ -271,4 +271,89 @@ class GraftCliSpec extends SparkSpec {
     assert(rs1.getAs[Double]("popmax_af") == 0.2)
     assert(rs1.getAs[String]("popmax_population") == "AFR")
   }
+
+  test("init-db creates the layout and an empty ledger the first load appends to") {
+    val db = Files.createTempDirectory("graftdb").toString + "/sub"
+    Graft.run(spark, Array("init-db", "--db", db))
+    assert(new java.io.File(s"$db/views").isDirectory)
+    // empty but schema-correct: readable, zero rows, has the status column
+    val ledger0 = spark.read.parquet(s"$db/ledger")
+    assert(ledger0.count() == 0 && ledger0.columns.contains("status"))
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    assert(spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").count() == 1)
+  }
+
+  test("studies coexist per-accession; re-import replaces, not duplicates; export scopes by --study") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    val dir = Files.createTempDirectory("gwas")
+    val tsvA = dir.resolve("a.tsv"); val tsvB = dir.resolve("b.tsv")
+    Files.write(tsvA, java.util.Arrays.asList(
+      "CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tSNP",
+      "1\t752566\tA\tG\t1e-8\t0.05\t0.01\t0.25\trs3094315",
+      "1\t752721\tG\tA\t1e-6\t0.02\t0.01\t0.40\trs3131972"))
+    Files.write(tsvB, java.util.Arrays.asList(
+      "CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tSNP",
+      "1\t752566\tA\tG\t1e-4\t0.01\t0.01\t0.25\trs3094315"))
+    Graft.run(spark, Array("import-gwas", tsvA.toString, "--db", db,
+      "--study-accession", "GCST_A", "--trait", "Height",
+      "--sample-size", "1000"))
+    Graft.run(spark, Array("import-gwas", tsvB.toString, "--db", db,
+      "--study-accession", "GCST_B"))
+    val st = spark.read.parquet(s"$db/gwas_stats")
+    assert(st.filter($"study_accession" === "GCST_A").count() == 2)
+    assert(st.filter($"study_accession" === "GCST_B").count() == 1)
+    // re-import study A: its rows are replaced, B's untouched
+    Graft.run(spark, Array("import-gwas", tsvA.toString, "--db", db,
+      "--study-accession", "GCST_A"))
+    val st2 = spark.read.parquet(s"$db/gwas_stats")
+    assert(st2.filter($"study_accession" === "GCST_A").count() == 2)
+    assert(st2.filter($"study_accession" === "GCST_B").count() == 1)
+    // registry: one row per study, metadata kept
+    val reg = spark.read.parquet(s"$db/studies")
+    assert(reg.count() == 2)
+    assert(reg.filter($"study_accession" === "GCST_A")
+      .head().getAs[Long]("n_matched") == 2)
+    Graft.run(spark, Array("list-studies", "--db", db))
+    Graft.run(spark, Array("list-studies", "--db", db, "--json"))
+    // export scoped to study B sees one row
+    val out = Files.createTempDirectory("exp").resolve("b.txt").toString
+    Graft.run(spark, Array("export-plink", out, "--db", db,
+      "--study", "GCST_B"))
+    assert(spark.read.option("sep", "\t").option("header", "true")
+      .csv(out).count() == 1)
+  }
+
+  test("import-pgs registers the score; list verbs answer on empty and populated dbs") {
+    val db = Files.createTempDirectory("graftdb").toString
+    // empty db: listings answer without error
+    Graft.run(spark, Array("list-pgs", "--db", db))
+    Graft.run(spark, Array("list-annotations", "--db", db, "--json"))
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    Graft.run(spark, Array("import-pgs", fixture("pgs_test_beta.txt"), "--db", db))
+    val reg = spark.read.parquet(s"$db/pgs_scores")
+    assert(reg.count() == 1)
+    val row = reg.head()
+    assert(row.getAs[Long]("weight_count") > 0)
+    assert(row.getAs[Long]("matched_count") > 0)
+    // re-import: registry upserts, weights replaced not duplicated
+    val w0 = spark.read.parquet(s"$db/prs_weights").count()
+    Graft.run(spark, Array("import-pgs", fixture("pgs_test_beta.txt"), "--db", db))
+    assert(spark.read.parquet(s"$db/pgs_scores").count() == 1)
+    assert(spark.read.parquet(s"$db/prs_weights").count() == w0)
+    Graft.run(spark, Array("list-pgs", "--db", db, "--json"))
+    // annotation registry via load-annotation
+    val cfgPath = Files.createTempDirectory("annocfg").resolve("cfg.json")
+    Files.write(cfgPath, java.util.Arrays.asList(
+      """[{"field": "FILTER", "alias": "flt", "missing_string": "PASS"}]"""))
+    Graft.run(spark, Array("load-annotation", fixture("multiallelic.vcf"),
+      "--name", "srcA", "--config", cfgPath.toString, "--db", db,
+      "--version", "v1"))
+    val areg = spark.read.parquet(s"$db/annotation_sources")
+    assert(areg.count() == 1)
+    assert(areg.head().getAs[String]("version") == "v1")
+    assert(areg.head().getAs[Long]("variant_count") > 0)
+    Graft.run(spark, Array("list-annotations", "--db", db))
+  }
 }
