@@ -494,7 +494,12 @@ object Graft {
                 f.getName.stripPrefix("anno_"),
                 spark.read.parquet(f.getPath), Nil))
           else Nil
-        graft.query.Annotator.registerViews(variants, annoSources)
+        // registration is presence-gated: an ad-hoc query right after
+        // init-db (no variants loaded yet) must still see the registries
+        if (new java.io.File(s"$db/variants").exists())
+          graft.query.Annotator.registerViews(variants, annoSources)
+        else annoSources.foreach(s =>
+          s.df.createOrReplaceTempView(s"anno_${s.name}"))
         Seq("genotypes", "gwas_stats", "prs_weights", "sample_qc",
             "population_frequencies", "ledger", "studies", "pgs_scores",
             "annotation_sources").foreach { t =>

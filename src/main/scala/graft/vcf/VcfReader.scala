@@ -15,7 +15,8 @@ import graft.transform.{Annotations, Normalizer}
   * annotation extraction (T6) → imputation metrics (T11).
   *
   * Everything after the text scan is a single narrow projection: no
-  * shuffle, fully codegen-friendly except the one normalization UDF. On a
+  * shuffle, fully whole-stage-codegen'd end to end (normalization is a
+  * native expression — see functions/NormalizeExpression). On a
   * cluster the text scan parallelizes per input split; for .gz files each
   * file is one split, so many-file cohorts parallelize per file (the usual
   * layout at scale).

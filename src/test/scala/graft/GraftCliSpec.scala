@@ -279,6 +279,9 @@ class GraftCliSpec extends SparkSpec {
     // empty but schema-correct: readable, zero rows, has the status column
     val ledger0 = spark.read.parquet(s"$db/ledger")
     assert(ledger0.count() == 0 && ledger0.columns.contains("status"))
+    // ad-hoc SQL right after init-db works with no variants loaded yet
+    Graft.run(spark, Array("annotation-query",
+      "SELECT count(*) AS n FROM ledger", "--db", db))
     Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
     assert(spark.read.parquet(s"$db/ledger")
       .filter($"status" === "completed").count() == 1)
