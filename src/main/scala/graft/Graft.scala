@@ -351,12 +351,26 @@ object Graft {
         val freqVcf = graft.vcf.VcfReader.variants(spark, args(1))
         val long = graft.transform.PopulationFreq.toLong(
           freqVcf, source = source, prefix = prefix, subset = subset)
-        long.write.mode("overwrite").parquet(s"$db/population_frequencies")
-        val nFreq = spark.read.parquet(s"$db/population_frequencies").count()
+        // per-(source,subset) replace — the reference upserts ON CONFLICT
+        // (variant_id, source, population, subset), so several sources/
+        // subsets coexist and a re-import replaces only its own rows
+        val freqDir = s"$db/population_frequencies"
+        if (new java.io.File(freqDir).exists() &&
+            spark.read.parquet(freqDir).columns.contains("subset")) {
+          val keep = spark.read.parquet(freqDir)
+            .filter(!($"source" === source && $"subset" === subset))
+          graft.sinks.Writers.replaceInPlace(
+            keep.unionByName(long, allowMissingColumns = true),
+            freqDir)((d, p) => d.write.parquet(p))
+        } else long.write.mode("overwrite").parquet(freqDir)
+        val nFreq = spark.read.parquet(freqDir)
+          .filter($"source" === source && $"subset" === subset).count()
         if (!has(args, "--no-update-popmax") &&
             new java.io.File(s"$db/variants").exists()) {
+          // popmax from the just-imported source's rows, as the reference
+          // computes it from the imported record's own frequencies
           val pm = graft.transform.PopulationFreq.popmax(
-            spark.read.parquet(s"$db/population_frequencies"))
+            spark.read.parquet(freqDir).filter($"source" === source))
           val updated = variants
             .drop("popmax_af", "popmax_population")
             .join(pm, Seq("variant_id"), "left")

@@ -270,6 +270,18 @@ class GraftCliSpec extends SparkSpec {
     val rs1 = v.filter($"rs_id" === "rs1").head()
     assert(rs1.getAs[Double]("popmax_af") == 0.2)
     assert(rs1.getAs[String]("popmax_population") == "AFR")
+
+    // sources coexist per (source, subset) as in the reference's
+    // ON CONFLICT key; re-import replaces only its own rows
+    val n0 = long.count()
+    Graft.run(spark, Array("import-frequencies", freqVcf, "--db", db,
+      "--source", "gnomAD_v4"))
+    val both = spark.read.parquet(s"$db/population_frequencies")
+    assert(both.filter($"source" === "gnomAD_v3").count() == n0)
+    assert(both.filter($"source" === "gnomAD_v4").count() == n0)
+    Graft.run(spark, Array("import-frequencies", freqVcf, "--db", db,
+      "--source", "gnomAD_v4"))
+    assert(spark.read.parquet(s"$db/population_frequencies").count() == 2 * n0)
   }
 
   test("init-db creates the layout and an empty ledger the first load appends to") {
