@@ -216,10 +216,17 @@ object Bench {
     val vcf1m = "/tmp/graft_bench_1m.vcf"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcf1m)))
       graft.vcf.SyntheticVcf.write(vcf1m, 1000000)
+    // SnpEff-style ANN on ~60% of sites: the T6 worst-consequence
+    // extraction is part of the parse plan on annotated cohorts, so it
+    // gets its own measured metric
+    val vcfAnn = "/tmp/graft_bench_100k_ann.vcf"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcfAnn)))
+      graft.vcf.SyntheticVcf.write(vcfAnn, 100000, annFrac = 0.6)
     materialize(graft.vcf.VcfReader.variants(spark, warmupVcf))
     materialize(graft.vcf.VcfReader.genotypes(spark, warmupVcf))
     preTouch(vcfPath)
     preTouch(vcf1m)
+    preTouch(vcfAnn)
 
     // chrom-partitioned store + rsID secondary projection for the
     // query-latency rows (BASELINE.md lookup/region rows). v2: ids/schema
@@ -248,6 +255,8 @@ object Bench {
           graft.vcf.VcfReader.Options(normalize = true)))),
       "vcf_genotypes_100k" -> (() =>
         materialize(graft.vcf.VcfReader.genotypes(spark, vcfPath))),
+      "vcf_parse_100k_ann" -> (() =>
+        materialize(graft.vcf.VcfReader.variants(spark, vcfAnn))),
       // 1M-variant parse (normalize on): the full-GIAB-scale comparison
       // point (BASELINE: ~4M variants at 20-50K var/s).
       "vcf_parse_1m_norm" -> (() =>

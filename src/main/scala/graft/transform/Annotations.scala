@@ -33,8 +33,22 @@ object Annotations {
 
   /** VEP CSQ worst consequence for this ALT (`_parse_csq`,
     * `vcf_parser.py:460-482`): entries must have exactly |fields| values
-    * and Allele == alt. Returns the winning entry as array<string>. */
-  def csqBest(fields: Seq[String], csq: Column, alt: Column): Option[Column] = {
+    * and Allele == alt. Returns the winning entry as array<string>.
+    * Native codegen'd expression; `csqBestHof` is the differential twin. */
+  def csqBest(fields: Seq[String], csq: Column, alt: Column): Option[Column] =
+    if (fields.isEmpty) None
+    else Some(graft.functions.ConsequenceExpression.csqWorst(csq, alt, fields))
+
+  /** SnpEff ANN worst consequence (`_parse_ann`, `vcf_parser.py:484-508`):
+    * entries need ≥4 values; empty Allele matches any ALT. Native
+    * codegen'd expression; `annBestHof` is the differential twin. */
+  def annBest(fields: Seq[String], ann: Column, alt: Column): Option[Column] =
+    if (fields.isEmpty) None
+    else Some(graft.functions.ConsequenceExpression.annWorst(ann, alt, fields))
+
+  /** HOF-fold form of csqBest — kept as the differential-test oracle for
+    * the native expression. */
+  def csqBestHof(fields: Seq[String], csq: Column, alt: Column): Option[Column] = {
     if (fields.isEmpty) None
     else {
       val idxAllele = fields.indexOf("Allele")
@@ -49,9 +63,9 @@ object Annotations {
     }
   }
 
-  /** SnpEff ANN worst consequence (`_parse_ann`, `vcf_parser.py:484-508`):
-    * entries need ≥4 values; empty Allele matches any ALT. */
-  def annBest(fields: Seq[String], ann: Column, alt: Column): Option[Column] = {
+  /** HOF-fold form of annBest — kept as the differential-test oracle for
+    * the native expression. */
+  def annBestHof(fields: Seq[String], ann: Column, alt: Column): Option[Column] = {
     if (fields.isEmpty) None
     else {
       val idxAllele = fields.indexOf("Allele")

@@ -13,7 +13,7 @@ object SyntheticVcf {
 
   private val Bases = Array("A", "C", "G", "T")
 
-  def header(samples: Seq[String]): String = {
+  def header(samples: Seq[String], withAnn: Boolean = false): String = {
     val meta = Seq(
       "##fileformat=VCFv4.2",
       "##source=graft-synthetic",
@@ -22,7 +22,12 @@ object SyntheticVcf {
       "##INFO=<ID=DP,Number=1,Type=Integer,Description=\"Total depth\">",
       "##INFO=<ID=AF,Number=A,Type=Float,Description=\"Allele frequency per ALT\">",
       "##INFO=<ID=AC,Number=A,Type=Integer,Description=\"Allele count per ALT\">",
-      "##INFO=<ID=MQ,Number=1,Type=Float,Description=\"Mapping quality\">",
+      "##INFO=<ID=MQ,Number=1,Type=Float,Description=\"Mapping quality\">") ++
+      (if (withAnn) Seq(
+        "##INFO=<ID=ANN,Number=.,Type=String,Description=\"Functional annotations: " +
+          "'Allele | Annotation | Annotation_Impact | Gene_Name | Gene_ID | " +
+          "Feature_Type | Feature_ID | Transcript_BioType | Rank | HGVS.c | HGVS.p'\">")
+       else Nil) ++ Seq(
       "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">",
       "##FORMAT=<ID=AD,Number=R,Type=Integer,Description=\"Allelic depths\">",
       "##FORMAT=<ID=DP,Number=1,Type=Integer,Description=\"Depth\">",
@@ -32,15 +37,23 @@ object SyntheticVcf {
     (meta :+ cols.mkString("\t")).mkString("\n")
   }
 
+  private val AnnTerms =
+    Array("missense_variant", "synonymous_variant", "stop_gained",
+      "intron_variant", "upstream_gene_variant", "splice_donor_variant")
+  private val AnnImpacts = Array("HIGH", "MODERATE", "LOW", "MODIFIER")
+
   /** Write `n` variant lines; ~multiAllelicFrac of sites get 2-3 ALTs,
-    * ~indelFrac get indels. Fully deterministic for a given seed. */
+    * ~indelFrac get indels; annFrac > 0 adds SnpEff-style ANN entries
+    * (1-3 per ALT, occasional cross-allele entries — the T6 extraction
+    * has to filter and rank, as on a real VEP/SnpEff cohort). Fully
+    * deterministic for a given seed. */
   def write(path: String, n: Int, samples: Seq[String] = Seq("S1", "S2"),
             seed: Long = 42L, multiAllelicFrac: Double = 0.1,
-            indelFrac: Double = 0.15): Unit = {
+            indelFrac: Double = 0.15, annFrac: Double = 0.0): Unit = {
     val rng = new Random(seed)
     val w = new BufferedWriter(new FileWriter(path), 1 << 20)
     try {
-      w.write(header(samples)); w.newLine()
+      w.write(header(samples, withAnn = annFrac > 0)); w.newLine()
       var pos = 10000L
       var i = 0
       while (i < n) {
@@ -62,7 +75,25 @@ object SyntheticVcf {
         val dp = 20 + rng.nextInt(400)
         val qual = f"${30.0 + rng.nextDouble() * 3000}%.2f"
         val rsId = if (rng.nextDouble() < 0.3) s"rs${1000000 + rng.nextInt(9000000)}" else "."
-        val info = s"DP=$dp;AF=$afs;AC=$acs;MQ=${f"${40 + rng.nextDouble() * 20}%.2f"}"
+        val ann =
+          if (annFrac > 0 && rng.nextDouble() < annFrac) {
+            val entries = alts.flatMap { alt =>
+              val own = (0 until 1 + rng.nextInt(3)).map { e =>
+                val gene = s"GENE${rng.nextInt(5000)}"
+                s"$alt|${AnnTerms(rng.nextInt(AnnTerms.length))}|" +
+                  s"${AnnImpacts(rng.nextInt(AnnImpacts.length))}|$gene|" +
+                  s"ENSG$gene|transcript|ENST$gene.$e|protein_coding|" +
+                  s"${1 + rng.nextInt(20)}/20|c.${pos % 1000}A>G|p.Xyz${e + 1}"
+              }
+              // cross-allele noise the extraction must filter out
+              val noise = if (rng.nextDouble() < 0.3)
+                Seq(s"Z|intergenic_region|MODIFIER|NONE${rng.nextInt(100)}")
+              else Nil
+              own ++ noise
+            }
+            s";ANN=${entries.mkString(",")}"
+          } else ""
+        val info = s"DP=$dp;AF=$afs;AC=$acs;MQ=${f"${40 + rng.nextDouble() * 20}%.2f"}$ann"
         val sampleCols =
           if (samples.isEmpty) ""
           else "\tGT:AD:DP:GQ" + samples.map { _ =>
