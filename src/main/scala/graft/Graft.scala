@@ -50,29 +50,30 @@ object Graft {
       loaded_at: java.sql.Timestamp)
 
   /** Upsert one registry row — the analogue of the reference's ON
-    * CONFLICT registry upserts: drop any existing row with the same key,
-    * append the new one. Registries are small metadata tables. */
+    * CONFLICT registry upserts (K3 semantics, via Writers.upsert).
+    * Registries are small metadata tables. */
   private def upsertRegistry(spark: SparkSession, dir: String,
                              row: DataFrame, key: String): Unit = {
-    if (new java.io.File(dir).exists()) {
-      val keep = spark.read.parquet(dir).join(row.select(col(key)), Seq(key), "left_anti")
+    if (new java.io.File(dir).exists())
       graft.sinks.Writers.replaceInPlace(
-        keep.unionByName(row, allowMissingColumns = true),
+        graft.sinks.Writers.upsert(spark.read.parquet(dir), row, Seq(key)),
         dir)((d, p) => d.write.parquet(p))
-    } else row.write.parquet(dir)
+    else row.write.parquet(dir)
   }
 
   /** Replace one key's rows in a fact table (per-study / per-score
     * delete-then-insert, so several studies coexist as in the reference's
     * keyed tables); whole-table overwrite when the existing layout
-    * predates the key column. One action: the incoming plan executes
-    * exactly once, inside the write. */
+    * predates the key column. The key value is a per-import literal, so
+    * the existing table is pruned with a filter — the (expensive)
+    * incoming plan appears once in the written union and executes exactly
+    * once, inside the write. */
   private def replaceByKey(spark: SparkSession, dir: String,
-                           incoming: DataFrame, key: String): Unit = {
+                           incoming: DataFrame, key: String,
+                           value: String): Unit = {
     if (new java.io.File(dir).exists() &&
         spark.read.parquet(dir).columns.contains(key)) {
-      val keep = spark.read.parquet(dir)
-        .join(incoming.select(col(key)).distinct(), Seq(key), "left_anti")
+      val keep = spark.read.parquet(dir).filter(!(col(key) <=> lit(value)))
       graft.sinks.Writers.replaceInPlace(
         keep.unionByName(incoming, allowMissingColumns = true),
         dir)((d, p) => d.write.parquet(p))
@@ -151,6 +152,12 @@ object Graft {
           "in_progress", 0L, now(), ledgerNote))
         val progress = new graft.audit.LoadProgress(spark)
         val prevBatch = if (has(args, "--force-reload")) existing else None
+        // commit point = the 'completed' ledger row; post-commit failures
+        // (vault, progress printing) must never roll the batch back
+        var committed = false
+        // only plain appends need row-level rollback; swapped tables are
+        // all-or-nothing
+        var appendedG = false
         try {
           val opts = graft.vcf.VcfReader.Options(
             normalize = has(args, "--normalize"),
@@ -169,6 +176,14 @@ object Graft {
           val anonSalt = arg(args, "--anonymize-salt").getOrElse("")
           def anonId(c: org.apache.spark.sql.Column) =
             concat(lit("ANON_"), substring(sha2(concat(lit(anonSalt), c), 256), 1, 12))
+          // Swapped tables stage together: every new table is fully
+          // written to a temp sibling BEFORE any destination changes, so a
+          // failure anywhere in the expensive write phase leaves both
+          // variants and genotypes exactly as they were — no window where
+          // a force-reload has dropped the previous batch's genotypes but
+          // not yet landed its variants.
+          val swaps = scala.collection.mutable.ArrayBuffer[
+            (DataFrame, String, (DataFrame, String) => Unit)]()
           if (header.samples.nonEmpty) {
             var g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
               .withColumn("load_batch_id", lit(batchId))
@@ -184,69 +199,73 @@ object Graft {
             }
             v = v.join(qc.drop("n_samples"),
               Seq("chrom", "pos", "ref", "alt"), "left")
-            progress.stage("write_genotypes") {
-              prevBatch match {
-                case Some(b) if new java.io.File(s"$db/genotypes").exists() =>
-                  // force-reload drops the previous batch's genotype rows
-                  // too — append alone would double them on every reload
-                  graft.sinks.Writers.replaceInPlace(
-                    graft.audit.Audit.dropBatch(
-                        spark.read.parquet(s"$db/genotypes"), b)
-                      .unionByName(g, allowMissingColumns = true),
-                    s"$db/genotypes")((d, p) => d.write.parquet(p))
-                case _ =>
+            prevBatch match {
+              case Some(b) if new java.io.File(s"$db/genotypes").exists() =>
+                // force-reload drops the previous batch's genotype rows
+                // too — append alone would double them on every reload
+                swaps += ((graft.audit.Audit.dropBatch(
+                    spark.read.parquet(s"$db/genotypes"), b)
+                    .unionByName(g, allowMissingColumns = true),
+                  s"$db/genotypes", (d, p) => d.write.parquet(p)))
+              case _ =>
+                progress.stage("write_genotypes") {
                   g.write.mode("append").parquet(s"$db/genotypes")
-              }
+                }
+                appendedG = true
             }
           } else prevBatch.foreach { b =>
             // sample-free reload of a file whose previous batch had
             // samples: its old genotype rows still must go
             if (new java.io.File(s"$db/genotypes").exists())
-              progress.stage("write_genotypes") {
-                graft.sinks.Writers.replaceInPlace(
-                  graft.audit.Audit.dropBatch(
-                    spark.read.parquet(s"$db/genotypes"), b),
-                  s"$db/genotypes")((d, p) => d.write.parquet(p))
-              }
+              swaps += ((graft.audit.Audit.dropBatch(
+                  spark.read.parquet(s"$db/genotypes"), b),
+                s"$db/genotypes", (d, p) => d.write.parquet(p)))
           }
           val base = prevBatch match {
             case Some(b) if new java.io.File(s"$db/variants").exists() =>
               graft.audit.Audit.dropBatch(variants, b).unionByName(v, true)
             case _ => v
           }
-          progress.stage("write_variants") {
-            // write-then-swap: the plan reads the live store during the
-            // temp write; the store is replaced only once fully written
-            graft.sinks.Writers.replaceInPlace(
-              graft.ingest.VariantMatching.withVariantId(base),
-              s"$db/variants")(graft.sinks.Writers.writeVariants(_, _))
+          swaps += ((graft.ingest.VariantMatching.withVariantId(base),
+            s"$db/variants",
+            (d, p) => graft.sinks.Writers.writeVariants(d, p)))
+          progress.stage("write_tables") {
+            graft.sinks.Writers.replaceInPlaceAll(swaps.toSeq)
           }
           val n = spark.read.parquet(s"$db/variants").count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
             "completed", n, now(), ledgerNote))
+          committed = true
           // vault write only after the load committed (no orphan vault rows
           // from failed loads), deduped against prior loads of the same
           // samples (the reference upserts ON CONFLICT,
-          // `phi/anonymizer.py get_or_create_anonymous_id`)
+          // `phi/anonymizer.py get_or_create_anonymous_id`); advisory, so
+          // a vault IO failure must not roll back the committed batch
           anonIds.foreach { ids =>
-            val vaultDir = s"$db/phi_vault/sample_id_mapping"
-            val fresh =
-              if (new java.io.File(vaultDir).exists())
-                ids.join(spark.read.parquet(vaultDir).select("anon_id"),
-                  Seq("anon_id"), "left_anti")
-              else ids
-            fresh.withColumn("load_batch_id", lit(batchId))
-              .write.mode("append").parquet(vaultDir)
+            try {
+              val vaultDir = s"$db/phi_vault/sample_id_mapping"
+              val fresh =
+                if (new java.io.File(vaultDir).exists())
+                  ids.join(spark.read.parquet(vaultDir).select("anon_id"),
+                    Seq("anon_id"), "left_anti")
+                else ids
+              fresh.withColumn("load_batch_id", lit(batchId))
+                .write.mode("append").parquet(vaultDir)
+            } catch {
+              case e: Throwable =>
+                println(s"WARNING: phi_vault write failed: ${e.getMessage}")
+            }
           }
           progress.print()
           println(s"loaded $n variants (batch $batchId)")
         } catch {
-          case e: Throwable =>
-            // roll back this batch's genotype appends (best-effort), then
-            // ledger the failure — orphan data with no audit trace is the
-            // reference's explicit no-no (`loader.py:547-623`)
+          case e: Throwable if !committed =>
+            // roll back this batch's genotype appends (best-effort; the
+            // swapped tables never committed), then ledger the failure —
+            // orphan data with no audit trace is the reference's explicit
+            // no-no (`loader.py:547-623`)
             try {
-              if (new java.io.File(s"$db/genotypes").exists())
+              if (appendedG && new java.io.File(s"$db/genotypes").exists())
                 graft.sinks.Writers.replaceInPlace(
                   graft.audit.Audit.dropBatch(
                     spark.read.parquet(s"$db/genotypes"), batchId),
@@ -306,7 +325,7 @@ object Graft {
         // scan (total) — no re-run of the matching join for bookkeeping
         replaceByKey(spark, s"$db/gwas_stats",
           harmonized.withColumn("study_accession", lit(accession)),
-          "study_accession")
+          "study_accession", accession)
         val n = stats.count()
         val m = spark.read.parquet(s"$db/gwas_stats")
           .filter($"study_accession" === accession).count()
@@ -327,7 +346,7 @@ object Graft {
         // per-score replace (weights are pgs_id-stamped by the reader) so
         // several scores coexist, as in the reference's scores table
         replaceByKey(spark, s"$db/prs_weights",
-          matched.filter($"variant_id".isNotNull), "pgs_id")
+          matched.filter($"variant_id".isNotNull), "pgs_id", meta.pgsId)
         // counts from the raw body scan and the written parquet — don't
         // re-run the matching join
         val wc = weights.count()
@@ -368,12 +387,25 @@ object Graft {
         if (!has(args, "--no-update-popmax") &&
             new java.io.File(s"$db/variants").exists()) {
           // popmax from the just-imported source's rows, as the reference
-          // computes it from the imported record's own frequencies
+          // computes it from the imported record's own frequencies — and,
+          // like its per-record UPDATE, only the variants this import
+          // covers change; a variant annotated only by a previously loaded
+          // source keeps its popmax
           val pm = graft.transform.PopulationFreq.popmax(
-            spark.read.parquet(freqDir).filter($"source" === source))
-          val updated = variants
-            .drop("popmax_af", "popmax_population")
+              spark.read.parquet(freqDir).filter($"source" === source))
+            .withColumnRenamed("popmax_af", "_new_af")
+            .withColumnRenamed("popmax_population", "_new_pop")
+          val withCols =
+            if (variants.columns.contains("popmax_af")) variants
+            else variants
+              .withColumn("popmax_af", lit(null).cast("double"))
+              .withColumn("popmax_population", lit(null).cast("string"))
+          val updated = withCols
             .join(pm, Seq("variant_id"), "left")
+            .withColumn("popmax_af", coalesce($"_new_af", $"popmax_af"))
+            .withColumn("popmax_population",
+              coalesce($"_new_pop", $"popmax_population"))
+            .drop("_new_af", "_new_pop")
           graft.sinks.Writers.replaceInPlace(updated, s"$db/variants")(
             graft.sinks.Writers.writeVariants(_, _))
         }
@@ -463,7 +495,10 @@ object Graft {
         // source column (annotator.py:143-146).
         val sources = arg(args, "--anno").map(_.split(",").toSeq)
           .getOrElse(Seq.empty)
-        val claimed = scala.collection.mutable.Set[String]()
+        // seed with the variants schema: a source field named like a
+        // variant column (qual, filter, info, ...) must be prefixed too,
+        // or the join output carries ambiguous duplicate columns
+        val claimed = scala.collection.mutable.Set[String]() ++ variants.columns
         val srcDfs = sources.map { name =>
           val df0 = spark.read.parquet(s"$db/anno_$name")
           val payload = df0.columns.toSeq

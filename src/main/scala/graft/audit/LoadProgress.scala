@@ -38,11 +38,15 @@ final class LoadProgress(spark: SparkSession) extends SparkListener {
   }
 
   /** Run a named load stage; record wall time and the task-metric deltas
-    * it produced. */
+    * it produced. The listener bus is async, so it is drained before each
+    * snapshot — otherwise a stage's trailing task-end events are missed
+    * or attributed to the next stage. */
   def stage[T](name: String)(body: => T): T = {
+    org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
     val (r0, w0) = (recordsRead.get(), recordsWritten.get())
     val t0 = System.nanoTime()
     val out = body
+    org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
     reports += StageReport(name, (System.nanoTime() - t0) / 1e9,
       recordsRead.get() - r0, recordsWritten.get() - w0)
     out

@@ -33,7 +33,10 @@ object NormalizeUtil {
     var i = 0
     while (i < n) {
       val b = u.getByte(i)
-      if (b >= 'a' && b <= 'z') return false
+      // non-ASCII bytes (negative as signed) also disqualify: a
+      // non-ASCII lowercase letter must take the slow path so the
+      // uppercasing matches the UDF twin byte-for-byte
+      if (b < 0 || (b >= 'a' && b <= 'z')) return false
       i += 1
     }
     true

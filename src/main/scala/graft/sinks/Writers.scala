@@ -57,22 +57,50 @@ object Writers {
     * are O(1) metadata ops on local/HDFS filesystems.
     */
   def replaceInPlace(df: DataFrame, path: String)
-                    (write: (DataFrame, String) => Unit): Unit = {
-    val spark = df.sparkSession
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    (write: (DataFrame, String) => Unit): Unit =
+    replaceInPlaceAll(Seq((df, path, write)))
+
+  /** Multi-table write-then-swap: stage EVERY table's new data into a
+    * temp sibling first, then swap all of them. A failure during any
+    * write (the common failure mode) leaves every destination untouched
+    * and cleans its temp directory — no window where one table committed
+    * and a dependent one didn't (e.g. the load's variants+genotypes
+    * pair). Only a crash between the final renames can split them, and
+    * that window is O(1) metadata ops. */
+  def replaceInPlaceAll(
+      writes: Seq[(DataFrame, String, (DataFrame, String) => Unit)]): Unit = {
+    if (writes.isEmpty) return
+    val spark = writes.head._1.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(writes.head._2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$suffix")
-    val old = new org.apache.hadoop.fs.Path(s"$path.old-$suffix")
-    write(df, tmp.toString) // the plan may scan `path`; it is untouched
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      sys.error(s"replaceInPlace: could not stage $path aside")
-    if (!fs.rename(tmp, dst)) {
-      // restore the original before failing — never leave the path empty
-      if (fs.exists(old)) fs.rename(old, dst)
-      sys.error(s"replaceInPlace: could not move new data into $path")
+    val staged = scala.collection.mutable.ArrayBuffer[
+      (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]()
+    try {
+      writes.foreach { case (df, path, write) =>
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$suffix")
+        write(df, tmp.toString) // the plan may scan `path`; it is untouched
+        staged += ((new org.apache.hadoop.fs.Path(path), tmp,
+          new org.apache.hadoop.fs.Path(s"$path.old-$suffix")))
+      }
+    } catch {
+      case e: Throwable =>
+        // failed mid-stage: destinations are untouched; drop the temps
+        staged.foreach { case (_, tmp, _) => fs.delete(tmp, true) }
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${writes(staged.length)._2}.tmp-$suffix"), true)
+        throw e
     }
-    if (fs.exists(old)) fs.delete(old, true)
+    staged.foreach { case (dst, tmp, old) =>
+      if (fs.exists(dst) && !fs.rename(dst, old))
+        sys.error(s"replaceInPlace: could not stage $dst aside")
+      if (!fs.rename(tmp, dst)) {
+        // restore the original before failing — never leave the path empty
+        if (fs.exists(old)) fs.rename(old, dst)
+        sys.error(s"replaceInPlace: could not move new data into $dst")
+      }
+    }
+    staged.foreach { case (_, _, old) => if (fs.exists(old)) fs.delete(old, true) }
   }
 
   /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,

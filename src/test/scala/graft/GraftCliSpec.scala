@@ -250,6 +250,24 @@ class GraftCliSpec extends SparkSpec {
       .getLines().next().split("\t").toSeq
     assert(headerCols.contains("shared_af"))      // first claim keeps the bare name
     assert(headerCols.contains("src2_shared_af")) // later source prefixed, not dropped
+
+    // a source field named like a VARIANT column must be prefixed too —
+    // bare, it would make the join output ambiguous and crash the writer
+    val cfgQual = Files.createTempDirectory("annocfg2").resolve("cfg.json")
+    Files.write(cfgQual, java.util.Arrays.asList(
+      """[{"field": "DP", "alias": "qual", "missing_string": "0"}]"""))
+    Graft.run(spark, Array("load-annotation", fixture("multiallelic.vcf"),
+      "--name", "src3", "--config", cfgQual.toString, "--db", db))
+    val out2 = Files.createTempDirectory("annoout2").resolve("out.tsv").toString
+    Graft.run(spark, Array("annotate", "--db", db, "--anno", "src3",
+      "--output", out2))
+    val header2 = scala.io.Source.fromFile(
+      new java.io.File(out2).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .head)
+      .getLines().next().split("\t").toSeq
+    assert(header2.contains("qual"))              // the variant column
+    assert(header2.contains("src3_qual"))         // the source's, prefixed
   }
 
   test("import-frequencies loads the long table and attaches popmax (cli.py:1193-1291)") {
@@ -282,6 +300,25 @@ class GraftCliSpec extends SparkSpec {
     Graft.run(spark, Array("import-frequencies", freqVcf, "--db", db,
       "--source", "gnomAD_v4"))
     assert(spark.read.parquet(s"$db/population_frequencies").count() == 2 * n0)
+
+    // a second source that does NOT cover rs1 must not null rs1's popmax
+    // (the reference's per-record UPDATE leaves untouched variants alone)
+    val partial = java.nio.file.Files.createTempFile("freq_partial", ".vcf")
+    java.nio.file.Files.writeString(partial,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=AF,Number=A,Type=Float,Description="AF">
+        |##INFO=<ID=AF_nfe,Number=A,Type=Float,Description="">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	200	rs2	C	T	50	PASS	AF=0.2;AF_nfe=0.6
+        |""".stripMargin)
+    Graft.run(spark, Array("import-frequencies", partial.toString, "--db", db,
+      "--source", "tiny_panel"))
+    val v2 = spark.read.parquet(s"$db/variants")
+    val rs1b = v2.filter($"rs_id" === "rs1").head()
+    assert(rs1b.getAs[Double]("popmax_af") == 0.2)               // preserved
+    assert(rs1b.getAs[String]("popmax_population") == "AFR")
+    val rs2b = v2.filter($"rs_id" === "rs2").head()
+    assert(rs2b.getAs[Double]("popmax_af") == 0.6)               // updated
   }
 
   test("init-db creates the layout and an empty ledger the first load appends to") {
