@@ -90,6 +90,34 @@ class WritersSpec extends SparkSpec {
     assert(merged(1L) == "old")
     assert(merged.contains(2L) && merged.size == 2)
   }
+
+  test("replaceInPlaceAll: a failing write leaves every destination untouched, no temp residue") {
+    val base = Files.createTempDirectory("swapall").toString
+    val (dirA, dirB) = (s"$base/a", s"$base/b")
+    Seq((1L, "a0")).toDF("id", "v").write.parquet(dirA)
+    Seq((1L, "b0")).toDF("id", "v").write.parquet(dirB)
+    val newA = Seq((1L, "a1")).toDF("id", "v")
+    val newB = Seq((1L, "b1")).toDF("id", "v")
+    intercept[RuntimeException] {
+      Writers.replaceInPlaceAll(Seq(
+        (newA, dirA, (d, p) => d.write.parquet(p)),
+        (newB, dirB, (_, _) => sys.error("boom: second write fails"))))
+    }
+    // both destinations unchanged — including dirA, whose write succeeded
+    assert(spark.read.parquet(dirA).head().getString(1) == "a0")
+    assert(spark.read.parquet(dirB).head().getString(1) == "b0")
+    // no tmp/old siblings left behind
+    val residue = new java.io.File(base).listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
+    assert(residue.isEmpty, s"residue: ${residue.mkString(",")}")
+
+    // happy path swaps both
+    Writers.replaceInPlaceAll(Seq(
+      (newA, dirA, (d, p) => d.write.parquet(p)),
+      (newB, dirB, (d, p) => d.write.parquet(p))))
+    assert(spark.read.parquet(dirA).head().getString(1) == "a1")
+    assert(spark.read.parquet(dirB).head().getString(1) == "b1")
+  }
 }
 
 class AnnotationLoaderSpec extends SparkSpec {
