@@ -56,7 +56,8 @@ object Graft {
                              row: DataFrame, key: String): Unit = {
     if (new java.io.File(dir).exists())
       graft.sinks.Writers.replaceInPlace(
-        graft.sinks.Writers.upsert(spark.read.parquet(dir), row, Seq(key)),
+        graft.sinks.Writers.upsert(spark.read.parquet(dir), row, Seq(key),
+          allowMissingColumns = true),
         dir)((d, p) => d.write.parquet(p))
     else row.write.parquet(dir)
   }
@@ -208,10 +209,12 @@ object Graft {
                     .unionByName(g, allowMissingColumns = true),
                   s"$db/genotypes", (d, p) => d.write.parquet(p)))
               case _ =>
+                // flag BEFORE the write: a failure mid-append may have
+                // committed some files, and the rollback must cover them
+                appendedG = true
                 progress.stage("write_genotypes") {
                   g.write.mode("append").parquet(s"$db/genotypes")
                 }
-                appendedG = true
             }
           } else prevBatch.foreach { b =>
             // sample-free reload of a file whose previous batch had
@@ -252,7 +255,7 @@ object Graft {
               fresh.withColumn("load_batch_id", lit(batchId))
                 .write.mode("append").parquet(vaultDir)
             } catch {
-              case e: Throwable =>
+              case scala.util.control.NonFatal(e) =>
                 println(s"WARNING: phi_vault write failed: ${e.getMessage}")
             }
           }

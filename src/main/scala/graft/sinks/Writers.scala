@@ -63,10 +63,12 @@ object Writers {
   /** Multi-table write-then-swap: stage EVERY table's new data into a
     * temp sibling first, then swap all of them. A failure during any
     * write (the common failure mode) leaves every destination untouched
-    * and cleans its temp directory — no window where one table committed
-    * and a dependent one didn't (e.g. the load's variants+genotypes
-    * pair). Only a crash between the final renames can split them, and
-    * that window is O(1) metadata ops. */
+    * and cleans its temp directories; a rename failure during the swap
+    * phase rolls already-swapped tables back to their previous data — no
+    * surviving state where one table committed and a dependent one
+    * didn't (e.g. the load's variants+genotypes pair). Only a crash
+    * between renames can split them, and that window is O(1) metadata
+    * ops. */
   def replaceInPlaceAll(
       writes: Seq[(DataFrame, String, (DataFrame, String) => Unit)]): Unit = {
     if (writes.isEmpty) return
@@ -76,40 +78,69 @@ object Writers {
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val staged = scala.collection.mutable.ArrayBuffer[
       (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]()
+    var currentTmp: org.apache.hadoop.fs.Path = null
     try {
       writes.foreach { case (df, path, write) =>
-        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$suffix")
-        write(df, tmp.toString) // the plan may scan `path`; it is untouched
-        staged += ((new org.apache.hadoop.fs.Path(path), tmp,
+        currentTmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$suffix")
+        write(df, currentTmp.toString) // the plan may scan `path`; untouched
+        staged += ((new org.apache.hadoop.fs.Path(path), currentTmp,
           new org.apache.hadoop.fs.Path(s"$path.old-$suffix")))
       }
     } catch {
       case e: Throwable =>
-        // failed mid-stage: destinations are untouched; drop the temps
-        staged.foreach { case (_, tmp, _) => fs.delete(tmp, true) }
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"${writes(staged.length)._2}.tmp-$suffix"), true)
+        // failed mid-stage: destinations are untouched; drop the temps —
+        // best-effort, never masking the original failure
+        try {
+          staged.foreach { case (_, tmp, _) => fs.delete(tmp, true) }
+          if (currentTmp != null) fs.delete(currentTmp, true)
+        } catch { case _: Throwable => () }
         throw e
     }
-    staged.foreach { case (dst, tmp, old) =>
-      if (fs.exists(dst) && !fs.rename(dst, old))
-        sys.error(s"replaceInPlace: could not stage $dst aside")
-      if (!fs.rename(tmp, dst)) {
-        // restore the original before failing — never leave the path empty
-        if (fs.exists(old)) fs.rename(old, dst)
-        sys.error(s"replaceInPlace: could not move new data into $dst")
+    // swap phase: on a rename failure, reverse the tables already swapped
+    val hadPrevious = Array.fill(staged.length)(false)
+    var swapped = 0
+    try {
+      staged.foreach { case (dst, tmp, old) =>
+        hadPrevious(swapped) = fs.exists(dst)
+        if (hadPrevious(swapped) && !fs.rename(dst, old))
+          sys.error(s"replaceInPlace: could not stage $dst aside")
+        if (!fs.rename(tmp, dst)) {
+          // restore this table before failing — never leave the path empty
+          if (fs.exists(old)) fs.rename(old, dst)
+          sys.error(s"replaceInPlace: could not move new data into $dst")
+        }
+        swapped += 1
       }
+    } catch {
+      case e: Throwable =>
+        try {
+          (0 until swapped).reverse.foreach { j =>
+            val (dst, tmp, old) = staged(j)
+            if (hadPrevious(j)) {
+              // put the new data aside and the previous data back
+              fs.rename(dst, tmp)
+              fs.rename(old, dst)
+            } else fs.rename(dst, tmp) // revert a first-time creation
+          }
+          staged.foreach { case (_, tmp, _) =>
+            if (fs.exists(tmp)) fs.delete(tmp, true) }
+          staged.foreach { case (_, _, old) =>
+            if (fs.exists(old)) fs.delete(old, true) }
+        } catch { case _: Throwable => () }
+        throw e
     }
     staged.foreach { case (_, _, old) => if (fs.exists(old)) fs.delete(old, true) }
   }
 
   /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,
-    * existing rows without a match survive (left_anti + union). */
-  def upsert(existing: DataFrame, incoming: DataFrame,
-             keys: Seq[String]): DataFrame =
+    * existing rows without a match survive (left_anti + union).
+    * `allowMissingColumns` tolerates on-disk schema drift (an older table
+    * missing a since-added column is null-filled). */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             allowMissingColumns: Boolean = false): DataFrame =
     incoming.unionByName(
       existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti"),
-      allowMissingColumns = false)
+      allowMissingColumns = allowMissingColumns)
 
   /** K2 — dedupe-on-insert (ON CONFLICT DO NOTHING): existing rows win. */
   def insertIgnore(existing: DataFrame, incoming: DataFrame,
