@@ -229,15 +229,16 @@ object Bench {
     preTouch(vcfAnn)
 
     // chrom-partitioned store + rsID secondary projection for the
-    // query-latency rows (BASELINE.md lookup/region rows). v2: ids/schema
-    // changed since round 1 — a stale cached store must not serve lookups.
-    val dbPath = "/tmp/graft_bench_db_v2/variants"
+    // query-latency rows (BASELINE.md lookup/region rows). v3: page-row
+    // cap added for point-read latency — a stale cached store must not
+    // serve lookups.
+    val dbPath = "/tmp/graft_bench_db_v3/variants"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dbPath))) {
       val v = graft.vcf.VcfReader.variants(spark, vcfPath)
       graft.sinks.Writers.writeVariants(
         graft.ingest.VariantMatching.withVariantId(v), dbPath)
     }
-    val rsidIdxPath = "/tmp/graft_bench_db_v2/rsid_idx"
+    val rsidIdxPath = "/tmp/graft_bench_db_v3/rsid_idx"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(rsidIdxPath)))
       graft.sinks.Writers.writeRsidIndex(
         spark.read.parquet(dbPath), rsidIdxPath)
@@ -246,6 +247,14 @@ object Bench {
     // warm the store read path once
     store.filter(col("chrom") === "chr2" && col("pos") === 1L).collect()
     rsidIdx.filter(col("rs_id") === "rs1").count()
+    graft.query.PointLookup.byPosition(spark, dbPath, "chr2", 1L)
+    // probe keys that EXIST (the reference's latency tests probe known
+    // inserted rows) — a miss-probe reads only footers/stats and would
+    // overstate hit latency; keys are deterministic (seeded generator)
+    val probeSite = store.filter(col("chrom") === "chr1")
+      .agg(min(col("pos"))).head().getLong(0)
+    val probeRs = rsidIdx.orderBy(col("rs_id")).select("rs_id")
+      .head().getString(0)
 
     val parseMetrics: Seq[(String, () => Unit)] = Seq(
       "vcf_parse_100k" -> (() =>
@@ -265,20 +274,36 @@ object Bench {
       // point lookups collect the full hit rows (the reference's SELECT *
       // point-query shape), scans hash-materialize
       "lookup_single_pos" -> (() => {
-        store.filter(col("chrom") === "chr1" && col("pos") === 110000L)
-          .collect(); ()
+        val hit = store.filter(col("chrom") === "chr1" &&
+          col("pos") === probeSite).collect()
+        assert(hit.nonEmpty)
       }),
       // rsID probe via the secondary projection (row-group-pruned sorted
       // scan), then the full row from the main store with chrom/pos
       // partition pruning — the reference's HASH-index probe shape
       "lookup_rsid" -> (() => {
-        val hit = rsidIdx.filter(col("rs_id") === "rs5000000")
+        val hit = rsidIdx.filter(col("rs_id") === probeRs)
           .select("chrom", "pos").collect()
+        assert(hit.nonEmpty)
         hit.foreach { r =>
           store.filter(col("chrom") === r.getString(0) &&
-            col("pos") === r.getLong(1) && col("rs_id") === "rs5000000")
+            col("pos") === r.getLong(1) && col("rs_id") === probeRs)
             .collect()
         }
+      }),
+      // driver-side parquet point-reads (cached footers + row-group-stats
+      // + column-index page pruning, no Spark job) — the serving-layer
+      // analogue of the reference's <5ms indexed probes; the Spark-job
+      // forms above stay measured too
+      "lookup_single_pos_direct" -> (() => {
+        val hit = graft.query.PointLookup.byPosition(
+          spark, dbPath, "chr1", probeSite)
+        assert(hit.nonEmpty)
+      }),
+      "lookup_rsid_direct" -> (() => {
+        val hit = graft.query.PointLookup.byRsid(
+          spark, rsidIdxPath, dbPath, probeRs)
+        assert(hit.nonEmpty)
       }),
       "region_100kb" -> (() =>
         materialize(store.filter(col("chrom") === "chr1" &&

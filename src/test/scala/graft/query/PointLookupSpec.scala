@@ -1,0 +1,70 @@
+package graft.query
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PointLookupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val (store, rsidIdx) = {
+    val base = Files.createTempDirectory("ptlookup").toString
+    val vcf = s"$base/v.vcf"
+    graft.vcf.SyntheticVcf.write(vcf, 5000, seed = 7L)
+    val v = graft.ingest.VariantMatching.withVariantId(
+      graft.vcf.VcfReader.variants(spark, vcf))
+    graft.sinks.Writers.writeVariants(v, s"$base/variants")
+    graft.sinks.Writers.writeRsidIndex(
+      spark.read.parquet(s"$base/variants"), s"$base/rsid_idx")
+    (s"$base/variants", s"$base/rsid_idx")
+  }
+
+  test("byPosition returns exactly the Spark filter's rows, no Spark job") {
+    val df = spark.read.parquet(store)
+    val probes = df.select($"chrom", $"pos").distinct()
+      .orderBy($"chrom", $"pos").limit(50).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(probes.nonEmpty)
+    probes.foreach { case (chrom, pos) =>
+      val direct = PointLookup.byPosition(spark, store, chrom, pos)
+      val viaSpark = df.filter($"chrom" === chrom && $"pos" === pos).collect()
+      assert(direct.length == viaSpark.length,
+        s"count mismatch at $chrom:$pos — direct=${direct.length} spark=${viaSpark.length}")
+      // field-level parity on the scalar identity columns
+      val dKeys = direct.map(m => (m("ref"), m("alt"))).sorted
+      val sKeys = viaSpark.map(r =>
+        (r.getAs[String]("ref"), r.getAs[String]("alt"))).toSeq.sorted
+      assert(dKeys == sKeys, s"rows differ at $chrom:$pos")
+    }
+  }
+
+  test("byPosition on absent keys and absent partitions returns empty") {
+    assert(PointLookup.byPosition(spark, store, "chr1", 1L).isEmpty)
+    assert(PointLookup.byPosition(spark, store, "chrNO", 1L).isEmpty)
+  }
+
+  test("byRsid goes through the secondary projection and matches Spark") {
+    val df = spark.read.parquet(store)
+    val someRs = df.filter($"rs_id".isNotNull).select($"rs_id")
+      .orderBy($"rs_id").limit(20).collect().map(_.getString(0))
+    assert(someRs.nonEmpty)
+    someRs.foreach { rs =>
+      val direct = PointLookup.byRsid(spark, rsidIdx, store, rs)
+      val n = df.filter($"rs_id" === rs).count()
+      assert(direct.length == n, s"rsid $rs: direct=${direct.length} spark=$n")
+      assert(direct.forall(_("rs_id") == rs))
+    }
+    assert(PointLookup.byRsid(spark, rsidIdx, store, "rs0").isEmpty)
+  }
+
+  test("nested columns render: info map entries and filter arrays surface") {
+    val df = spark.read.parquet(store)
+    val probe = df.filter(element_at($"info", "DP").isNotNull)
+      .select($"chrom", $"pos").head()
+    val rows = PointLookup.byPosition(spark, store,
+      probe.getString(0), probe.getLong(1))
+    assert(rows.nonEmpty)
+    assert(rows.head.get("info").exists(_.contains("DP=")))
+  }
+}
