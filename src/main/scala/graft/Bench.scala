@@ -271,6 +271,20 @@ object Bench {
       "vcf_parse_1m_norm" -> (() =>
         materialize(graft.vcf.VcfReader.variants(spark, vcf1m,
           graft.vcf.VcfReader.Options(normalize = true)))),
+      // end-to-end `load` verb (BASELINE "DB loading throughput" row:
+      // >5K var/s floor, ~10K typical COPY into Postgres): parse + QC
+      // join + genotype append + variants swap + rsID index + ledger,
+      // into a fresh db each round (the delete is part of the cost, as
+      // fresh-table COPY is for the reference)
+      "vcf_load_100k" -> (() => {
+        def rmrf(p: java.io.File): Unit = {
+          if (p.isDirectory) p.listFiles().foreach(rmrf)
+          p.delete(); ()
+        }
+        rmrf(new java.io.File("/tmp/graft_bench_loaddb"))
+        Graft.run(spark, Array("load", vcfPath, "--db",
+          "/tmp/graft_bench_loaddb"))
+      }),
       // point lookups collect the full hit rows (the reference's SELECT *
       // point-query shape), scans hash-materialize
       "lookup_single_pos" -> (() => {
@@ -324,6 +338,8 @@ object Bench {
       results("vcf_parse_100k_var_s") = 100000.0 / results("vcf_parse_100k")
     if (results("vcf_parse_1m_norm") > 0)
       results("vcf_parse_1m_var_s") = 1000000.0 / results("vcf_parse_1m_norm")
+    if (results("vcf_load_100k") > 0)
+      results("vcf_load_100k_var_s") = 100000.0 / results("vcf_load_100k")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

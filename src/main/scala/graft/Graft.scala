@@ -235,6 +235,15 @@ object Graft {
           progress.stage("write_tables") {
             graft.sinks.Writers.replaceInPlaceAll(swaps.toSeq)
           }
+          // K1b: refresh the rsID secondary projection from the written
+          // store (a 6-column scan), as the reference recreates indexes
+          // after COPY — before the commit point, so a failure here
+          // ledgers as failed rather than leaving a stale index silently
+          progress.stage("write_rsid_index") {
+            graft.sinks.Writers.replaceInPlace(
+              spark.read.parquet(s"$db/variants"), s"$db/rsid_idx")(
+              (d, p) => graft.sinks.Writers.writeRsidIndex(d, p))
+          }
           val n = spark.read.parquet(s"$db/variants").count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
             "completed", n, now(), ledgerNote))
@@ -283,6 +292,29 @@ object Graft {
         val dups = variants.groupBy($"chrom", $"pos", $"ref", $"alt")
           .count().filter($"count" > 1).count()
         println(s"variants=${variants.count()} duplicate_sites=$dups")
+
+      case "lookup" =>
+        // the reference's indexed point SELECT face
+        // (`test_query_latency.py:50-83`), served driver-side with no
+        // Spark job (PointLookup): `lookup chr1:12345` or `lookup rs123`
+        val key = args(1)
+        val rows =
+          if (key.startsWith("rs"))
+            graft.query.PointLookup.byRsid(
+              spark, s"$db/rsid_idx", s"$db/variants", key)
+          else key.split(":") match {
+            case Array(chrom, pos) =>
+              graft.query.PointLookup.byPosition(
+                spark, s"$db/variants",
+                if (chrom.startsWith("chr")) chrom else s"chr$chrom",
+                pos.toLong)
+            case _ => sys.error(s"lookup expects chrom:pos or rsID, got $key")
+          }
+        if (rows.isEmpty) println("no rows")
+        else rows.foreach { r =>
+          println(r.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("\t"))
+        }
 
       case "init-db" =>
         // `cli.py:587-665`: the schema-creation face. The parquet-layout
@@ -615,6 +647,7 @@ object Graft {
       |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
       |  init-db --db DIR [--skip-audit]
       |  validate --db DIR
+      |  lookup <chrom:pos | rsID> --db DIR
       |  import-gwas <tsv> --db DIR [--study-accession A] [--trait T] [--efo ID]
       |       [--pmid P] [--sample-size N] [--n-cases N] [--n-controls N]
       |       [--genome-build GRCh38]

@@ -17,6 +17,14 @@ class GraftCliSpec extends SparkSpec {
     assert(v.columns.contains("variant_id"))
     // chrom partitioning on disk (K1)
     assert(new java.io.File(s"$db/variants/chrom=chr1").exists())
+    // K1b/K1c: the load maintains the rsID projection and the driver-side
+    // point-lookup face answers through it (no Spark job)
+    assert(new java.io.File(s"$db/rsid_idx").exists())
+    Graft.run(spark, Array("lookup", "chr1:752566", "--db", db))
+    Graft.run(spark, Array("lookup", "rs3094315", "--db", db))
+    assert(graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", "rs3094315")
+      .exists(_("pos") == "752566"))
 
     // idempotent reload: same file hash → skip (completed ledger row
     // exists; the load also wrote its up-front in_progress row)
