@@ -304,10 +304,13 @@ object Graft {
               spark, s"$db/rsid_idx", s"$db/variants", key)
           else key.split(":") match {
             case Array(chrom, pos) =>
-              graft.query.PointLookup.byPosition(
-                spark, s"$db/variants",
-                if (chrom.startsWith("chr")) chrom else s"chr$chrom",
-                pos.toLong)
+              // try the name as given (non-human stores keep raw contig
+              // names), then the chr-normalized form (T8 human stores)
+              val raw = graft.query.PointLookup.byPosition(
+                spark, s"$db/variants", chrom, pos.toLong)
+              if (raw.nonEmpty || chrom.startsWith("chr")) raw
+              else graft.query.PointLookup.byPosition(
+                spark, s"$db/variants", s"chr$chrom", pos.toLong)
             case _ => sys.error(s"lookup expects chrom:pos or rsID, got $key")
           }
         if (rows.isEmpty) println("no rows")

@@ -21,6 +21,7 @@ class GraftCliSpec extends SparkSpec {
     // point-lookup face answers through it (no Spark job)
     assert(new java.io.File(s"$db/rsid_idx").exists())
     Graft.run(spark, Array("lookup", "chr1:752566", "--db", db))
+    Graft.run(spark, Array("lookup", "1:752566", "--db", db)) // bare name falls back to chr1
     Graft.run(spark, Array("lookup", "rs3094315", "--db", db))
     assert(graft.query.PointLookup.byRsid(
       spark, s"$db/rsid_idx", s"$db/variants", "rs3094315")
