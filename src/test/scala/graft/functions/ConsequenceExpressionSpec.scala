@@ -58,8 +58,9 @@ class ConsequenceExpressionSpec extends SparkSpec {
       AnnFields, csqShape = false)
   }
 
-  test("seeded random CSQ/ANN sweep matches the HOF twin (800 rows)") {
+  test("seeded random CSQ/ANN sweep matches the HOF twin (800 rows; GRAFT_FUZZ_N scales)") {
     val rnd = new scala.util.Random(7777)
+    val fuzzN = sys.env.getOrElse("GRAFT_FUZZ_N", "800").toInt
     val alleles = Seq("A", "C", "G", "T", "")
     val impacts = Seq("HIGH", "MODERATE", "LOW", "MODIFIER", "weird", "")
     def entry(nFields: Int) =
@@ -77,7 +78,7 @@ class ConsequenceExpressionSpec extends SparkSpec {
         entry(fields)
       }.mkString(",")
     }
-    val rows = (0 until 800).map(_ => (raw(), alleles(rnd.nextInt(4))))
+    val rows = (0 until fuzzN).map(_ => (raw(), alleles(rnd.nextInt(4))))
     compare(rows, CsqFields, csqShape = true)
     compare(rows, AnnFields, csqShape = false)
   }

@@ -42,14 +42,15 @@ class NormalizeExpressionSpec extends SparkSpec {
     assert(viaExpr(rows) == viaUdf(rows))
   }
 
-  test("seeded random allele sweep matches the UDF twin (1000 pairs)") {
+  test("seeded random allele sweep matches the UDF twin (1000 pairs; GRAFT_FUZZ_N scales)") {
+    val n = sys.env.getOrElse("GRAFT_FUZZ_N", "1000").toInt
     val rnd = new scala.util.Random(4242)
     val bases = "ACGTacgtn"
     def allele() = {
       val len = 1 + rnd.nextInt(8)
       (0 until len).map(_ => bases(rnd.nextInt(bases.length))).mkString
     }
-    val rows = (0 until 1000).map { _ =>
+    val rows = (0 until n).map { _ =>
       val pos = (1 + rnd.nextInt(5)).toLong match {
         case 1L => 1L // keep a healthy share at the pos==1 guard
         case _  => (1 + rnd.nextInt(1000000)).toLong
