@@ -200,7 +200,9 @@ object Bench {
     // pollute the measurements.
     materialize(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
 
-    val headlineMask = measureGroup(headline, maxRounds = 5, minClean = 3,
+    // minClean = 5 (was 3): with 3 samples, ONE intra-round stall that
+    // slips between the probe brackets sets the median; 5 absorbs two
+    val headlineMask = measureGroup(headline, maxRounds = 8, minClean = 5,
       budgetSec = 900)
     headline.foreach { case (name, _) =>
       results(name) = medianClean(name, headlineMask)
@@ -242,6 +244,19 @@ object Bench {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(rsidIdxPath)))
       graft.sinks.Writers.writeRsidIndex(
         spark.read.parquet(dbPath), rsidIdxPath)
+    // gene covering index over the ANNOTATED cohort (gene queries only
+    // exist on annotated data) — the BASELINE gene-query row is the
+    // reference's covering-index probe, <50 ms
+    // (`test_query_latency.py:142-153`)
+    val geneDb = "/tmp/graft_bench_db_v4_gene"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$geneDb/variants"))) {
+      val v = graft.vcf.VcfReader.variants(spark, vcfAnn)
+      graft.sinks.Writers.writeVariants(
+        graft.ingest.VariantMatching.withVariantId(v), s"$geneDb/variants")
+    }
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$geneDb/gene_idx")))
+      graft.sinks.Writers.writeGeneIndex(
+        spark.read.parquet(s"$geneDb/variants"), s"$geneDb/gene_idx")
     val store = spark.read.parquet(dbPath)
     val rsidIdx = spark.read.parquet(rsidIdxPath)
     // warm the store read path once
@@ -255,6 +270,9 @@ object Bench {
       .agg(min(col("pos"))).head().getLong(0)
     val probeRs = rsidIdx.orderBy(col("rs_id")).select("rs_id")
       .head().getString(0)
+    val probeGene = spark.read.parquet(s"$geneDb/gene_idx")
+      .orderBy(col("gene")).select("gene").head().getString(0)
+    graft.query.PointLookup.byGene(spark, s"$geneDb/gene_idx", probeGene)
 
     val parseMetrics: Seq[(String, () => Unit)] = Seq(
       "vcf_parse_100k" -> (() =>
@@ -317,6 +335,13 @@ object Bench {
       "lookup_rsid_direct" -> (() => {
         val hit = graft.query.PointLookup.byRsid(
           spark, rsidIdxPath, dbPath, probeRs)
+        assert(hit.nonEmpty)
+      }),
+      // covering gene-index probe (served from the index alone, no
+      // second store probe) — BASELINE gene-query row
+      "gene_query" -> (() => {
+        val hit = graft.query.PointLookup.byGene(
+          spark, s"$geneDb/gene_idx", probeGene)
         assert(hit.nonEmpty)
       }),
       "region_100kb" -> (() =>

@@ -78,7 +78,15 @@ object Graft {
       graft.sinks.Writers.replaceInPlace(
         keep.unionByName(incoming, allowMissingColumns = true),
         dir)((d, p) => d.write.parquet(p))
-    } else incoming.write.mode("overwrite").parquet(dir)
+    } else {
+      // an existing table WITHOUT the key column predates per-key
+      // coexistence — replacing it drops every prior import's rows, so
+      // say so instead of doing it silently
+      if (new java.io.File(dir).exists())
+        println(s"WARNING: existing $dir predates the '$key' column; " +
+          "replacing the WHOLE table (prior imports' rows are dropped)")
+      incoming.write.mode("overwrite").parquet(dir)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,9 +190,10 @@ object Graft {
           // failure anywhere in the expensive write phase leaves both
           // variants and genotypes exactly as they were — no window where
           // a force-reload has dropped the previous batch's genotypes but
-          // not yet landed its variants.
+          // not yet landed its variants. Entries are (dst, writer(tmps));
+          // later writers may read earlier entries' staged temp data.
           val swaps = scala.collection.mutable.ArrayBuffer[
-            (DataFrame, String, (DataFrame, String) => Unit)]()
+            (String, Map[String, String] => Unit)]()
           if (header.samples.nonEmpty) {
             var g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
               .withColumn("load_batch_id", lit(batchId))
@@ -204,10 +213,11 @@ object Graft {
               case Some(b) if new java.io.File(s"$db/genotypes").exists() =>
                 // force-reload drops the previous batch's genotype rows
                 // too — append alone would double them on every reload
-                swaps += ((graft.audit.Audit.dropBatch(
+                val gSwap = graft.audit.Audit.dropBatch(
                     spark.read.parquet(s"$db/genotypes"), b)
-                    .unionByName(g, allowMissingColumns = true),
-                  s"$db/genotypes", (d, p) => d.write.parquet(p)))
+                  .unionByName(g, allowMissingColumns = true)
+                swaps += ((s"$db/genotypes",
+                  tmps => gSwap.write.parquet(tmps(s"$db/genotypes"))))
               case _ =>
                 // flag BEFORE the write: a failure mid-append may have
                 // committed some files, and the rollback must cover them
@@ -219,31 +229,45 @@ object Graft {
           } else prevBatch.foreach { b =>
             // sample-free reload of a file whose previous batch had
             // samples: its old genotype rows still must go
-            if (new java.io.File(s"$db/genotypes").exists())
-              swaps += ((graft.audit.Audit.dropBatch(
-                  spark.read.parquet(s"$db/genotypes"), b),
-                s"$db/genotypes", (d, p) => d.write.parquet(p)))
+            if (new java.io.File(s"$db/genotypes").exists()) {
+              val gDrop = graft.audit.Audit.dropBatch(
+                spark.read.parquet(s"$db/genotypes"), b)
+              swaps += ((s"$db/genotypes",
+                tmps => gDrop.write.parquet(tmps(s"$db/genotypes"))))
+            }
           }
           val base = prevBatch match {
             case Some(b) if new java.io.File(s"$db/variants").exists() =>
               graft.audit.Audit.dropBatch(variants, b).unionByName(v, true)
             case _ => v
           }
-          swaps += ((graft.ingest.VariantMatching.withVariantId(base),
-            s"$db/variants",
-            (d, p) => graft.sinks.Writers.writeVariants(d, p)))
+          swaps += ((s"$db/variants",
+            tmps => graft.sinks.Writers.writeVariants(
+              graft.ingest.VariantMatching.withVariantId(base),
+              tmps(s"$db/variants"))))
+          // K1b/K1d: the rsID and gene secondary projections are cheap
+          // column scans of the freshly STAGED variants data (not a
+          // re-run of the parse), and commit in the same all-or-nothing
+          // swap as the variants table — no window where a new store is
+          // live with a stale index (the reference recreates indexes
+          // inside the load transaction, `schema.py:347-359`)
+          swaps += ((s"$db/rsid_idx",
+            tmps => graft.sinks.Writers.writeRsidIndex(
+              spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/rsid_idx"))))
+          swaps += ((s"$db/gene_idx",
+            tmps => graft.sinks.Writers.writeGeneIndex(
+              spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/gene_idx"))))
           progress.stage("write_tables") {
-            graft.sinks.Writers.replaceInPlaceAll(swaps.toSeq)
+            graft.sinks.Writers.replaceInPlaceAllStaged(swaps.toSeq)
           }
-          // K1b: refresh the rsID secondary projection from the written
-          // store (a 6-column scan), as the reference recreates indexes
-          // after COPY — before the commit point, so a failure here
-          // ledgers as failed rather than leaving a stale index silently
-          progress.stage("write_rsid_index") {
-            graft.sinks.Writers.replaceInPlace(
-              spark.read.parquet(s"$db/variants"), s"$db/rsid_idx")(
-              (d, p) => graft.sinks.Writers.writeRsidIndex(d, p))
-          }
+          // the genotype APPEND path accumulates files across loads;
+          // --compact folds the rewrite into this load (pre-commit, so a
+          // failure here ledgers as failed and rolls the appends back)
+          if (has(args, "--compact") && appendedG)
+            progress.stage("compact_genotypes") {
+              graft.sinks.Writers.compactPlain(spark, s"$db/genotypes",
+                arg(args, "--target-file-mb").getOrElse("128").toLong)
+            }
           val n = spark.read.parquet(s"$db/variants").count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
             "completed", n, now(), ledgerNote))
@@ -288,6 +312,38 @@ object Graft {
             throw e
         } finally progress.close()
 
+      case "compact" =>
+        // K1 discipline: repeated loads append genotype files and every
+        // swap rewrites tables into shuffle-partition-many files; serving
+        // latency (PointLookup) is O(files-per-directory). Compaction
+        // rewrites a table to target file sizes, preserving the sorted
+        // chrom layout and page caps for variants, and rebuilds both
+        // secondary projections in the same all-or-nothing swap. The
+        // reference's analogue: VACUUM + recreate-indexes.
+        val targetMb = arg(args, "--target-file-mb").getOrElse("128").toLong
+        val tables = arg(args, "--tables").map(_.split(",").toSeq)
+          .getOrElse(Seq("variants", "genotypes"))
+        tables.foreach {
+          case "variants" if new java.io.File(s"$db/variants").exists() =>
+            graft.sinks.Writers.replaceInPlaceAllStaged(Seq(
+              (s"$db/variants", (tmps: Map[String, String]) =>
+                graft.sinks.Writers.writeVariants(
+                  variants, tmps(s"$db/variants"))),
+              (s"$db/rsid_idx", tmps =>
+                graft.sinks.Writers.writeRsidIndex(
+                  spark.read.parquet(tmps(s"$db/variants")),
+                  tmps(s"$db/rsid_idx"))),
+              (s"$db/gene_idx", tmps =>
+                graft.sinks.Writers.writeGeneIndex(
+                  spark.read.parquet(tmps(s"$db/variants")),
+                  tmps(s"$db/gene_idx")))))
+            println("compacted variants (rsid_idx and gene_idx rebuilt)")
+          case t if new java.io.File(s"$db/$t").exists() =>
+            val n = graft.sinks.Writers.compactPlain(spark, s"$db/$t", targetMb)
+            println(s"compacted $t to $n file(s)")
+          case t => println(s"skip $t: not present in $db")
+        }
+
       case "validate" =>
         val dups = variants.groupBy($"chrom", $"pos", $"ref", $"alt")
           .count().filter($"count" > 1).count()
@@ -295,11 +351,23 @@ object Graft {
 
       case "lookup" =>
         // the reference's indexed point SELECT face
-        // (`test_query_latency.py:50-83`), served driver-side with no
-        // Spark job (PointLookup): `lookup chr1:12345` or `lookup rs123`
+        // (`test_query_latency.py:50-153`), served driver-side with no
+        // Spark job (PointLookup): `lookup chr1:12345`, `lookup rs123`,
+        // or `lookup gene:BRCA2` (the covering gene-index probe)
+        if (args.length < 2 || args(1).startsWith("--"))
+          sys.error("lookup expects a key: chrom:pos, rsID, or gene:NAME")
         val key = args(1)
+        def parsePos(s: String): Long =
+          try s.toLong catch {
+            case _: NumberFormatException =>
+              sys.error(s"lookup expects a numeric position, got '$s' " +
+                s"(key $key; expected chrom:pos, rsID, or gene:NAME)")
+          }
         val rows =
-          if (key.startsWith("rs"))
+          if (key.startsWith("gene:"))
+            graft.query.PointLookup.byGene(
+              spark, s"$db/gene_idx", key.stripPrefix("gene:"))
+          else if (key.startsWith("rs"))
             graft.query.PointLookup.byRsid(
               spark, s"$db/rsid_idx", s"$db/variants", key)
           else key.split(":") match {
@@ -307,11 +375,12 @@ object Graft {
               // try the name as given (non-human stores keep raw contig
               // names), then the chr-normalized form (T8 human stores)
               val raw = graft.query.PointLookup.byPosition(
-                spark, s"$db/variants", chrom, pos.toLong)
+                spark, s"$db/variants", chrom, parsePos(pos))
               if (raw.nonEmpty || chrom.startsWith("chr")) raw
               else graft.query.PointLookup.byPosition(
-                spark, s"$db/variants", s"chr$chrom", pos.toLong)
-            case _ => sys.error(s"lookup expects chrom:pos or rsID, got $key")
+                spark, s"$db/variants", s"chr$chrom", parsePos(pos))
+            case _ =>
+              sys.error(s"lookup expects chrom:pos, rsID, or gene:NAME, got $key")
           }
         if (rows.isEmpty) println("no rows")
         else rows.foreach { r =>
@@ -419,7 +488,12 @@ object Graft {
           graft.sinks.Writers.replaceInPlace(
             keep.unionByName(long, allowMissingColumns = true),
             freqDir)((d, p) => d.write.parquet(p))
-        } else long.write.mode("overwrite").parquet(freqDir)
+        } else {
+          if (new java.io.File(freqDir).exists())
+            println(s"WARNING: existing $freqDir predates the 'subset' " +
+              "column; replacing the WHOLE table (prior sources' rows are dropped)")
+          long.write.mode("overwrite").parquet(freqDir)
+        }
         val nFreq = spark.read.parquet(freqDir)
           .filter($"source" === source && $"subset" === subset).count()
         if (!has(args, "--no-update-popmax") &&
@@ -452,9 +526,14 @@ object Graft {
       case "load-reference" =>
         val panel = graft.ingest.RefPanels.hapmap3(spark, args(1))
         val flagged = graft.ingest.VariantMatching.flagHapmap3(variants, panel)
-        graft.sinks.Writers.replaceInPlace(flagged, s"$db/variants")(
-          graft.sinks.Writers.writeVariants(_, _))
-        println(s"flagged in_hapmap3=${variants.filter($"in_hapmap3").count()}")
+        // observe() collects the flagged count DURING the write job —
+        // one job per import, no post-hoc count scan
+        val obs = org.apache.spark.sql.Observation("hapmap3")
+        graft.sinks.Writers.replaceInPlace(
+          flagged.observe(obs,
+            sum(when($"in_hapmap3", 1L).otherwise(0L)).as("flagged")),
+          s"$db/variants")(graft.sinks.Writers.writeVariants(_, _))
+        println(s"flagged in_hapmap3=${obs.get("flagged")}")
 
       case "annotate-ld-blocks" =>
         val blocks = graft.ingest.RefPanels.ldBlocks(spark, args(1),
@@ -648,9 +727,11 @@ object Graft {
     """graft <verb> [options]
       |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
       |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
+      |       [--compact] [--target-file-mb N]
       |  init-db --db DIR [--skip-audit]
       |  validate --db DIR
-      |  lookup <chrom:pos | rsID> --db DIR
+      |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
+      |  lookup <chrom:pos | rsID | gene:NAME> --db DIR
       |  import-gwas <tsv> --db DIR [--study-accession A] [--trait T] [--efo ID]
       |       [--pmid P] [--sample-size N] [--n-cases N] [--n-controls N]
       |       [--genome-build GRCh38]

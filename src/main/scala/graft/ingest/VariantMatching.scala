@@ -57,10 +57,19 @@ object VariantMatching {
         col("variant_id").as("m_vid"),
         col("rs_id").as("m_rsid"))
 
-    // One row id per stat record for the best-priority reduction. Computed
-    // once at the head of the lineage; all uses derive from this single
-    // projection.
-    val s = stats.withColumn("_sid", monotonically_increasing_id())
+    // One row id per stat record for the best-priority reduction, derived
+    // from the ROW'S CONTENT (md5 of the json-serialized row), not from
+    // monotonically_increasing_id: `s` is evaluated more than once in this
+    // plan (as `candidates` and as the left side of the final join), and a
+    // partition-order change between those evaluations (repartition, AQE
+    // re-plan, non-deterministic scan split order) would silently mis-join
+    // positional ids. Content ids are stable under any partitioning.
+    // Fully duplicate stat rows share an id by construction — harmless:
+    // they produce identical candidate sets, the best-priority reduction
+    // is keyed per id, and the final left join re-attaches the same (and
+    // correct) match to each copy without changing row counts.
+    val s = stats.withColumn("_sid",
+      md5(to_json(struct(stats.columns.map(col): _*))))
 
     val ea = upper(col(eaCol))
     val oa = upper(col(oaCol))

@@ -1,10 +1,12 @@
 package graft.query
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.column.statistics.Statistics
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
@@ -27,17 +29,35 @@ import org.apache.spark.sql.SparkSession
   * (K1) bound the files to open, pos-sorted row groups mean row-group
   * statistics prune to the group containing the probed key, and column
   * indexes narrow the read to the pages overlapping it (pages are kept
-  * small at write time — `Writers.writeVariants`). File footers are
-  * cached across probes keyed by (path, mtime, length), the same role
-  * Postgres's shared buffers play for index pages, so a warm probe reads
-  * only the matching pages. No Spark job is launched. The rsID face
-  * probes the slim rs_id-sorted secondary projection (K1b) first, then
-  * the main store by (chrom,pos).
+  * small at write time — `Writers.writeVariants`). No Spark job is
+  * launched. The rsID face probes the slim rs_id-sorted secondary
+  * projection (K1b) first, then the main store by (chrom,pos); the gene
+  * face serves straight from the covering gene projection (K1d) — the
+  * analogue of the reference's `(gene) INCLUDE (pos,ref,alt,impact)`
+  * covering index (`schema.py:264-269`).
   *
-  * Scale note: latency is O(files-in-one-partition-directory), flat in
+  * Per-probe costs are amortized the way Postgres amortizes them in
+  * shared buffers:
+  *   - the Hadoop Configuration is built once (newHadoopConf copies the
+  *     whole Spark conf — milliseconds, pure overhead per probe);
+  *   - directory listings are cached keyed by the directory's mtime
+  *     (store swaps replace the directory, appends touch it — both bump
+  *     mtime, so staleness is visible from one getFileStatus call);
+  *   - file footers are cached keyed by (mtime, length) — parquet files
+  *     are write-once, a rewritten file gets a new identity;
+  *   - before any stream is opened, the cached footer's row-group
+  *     min/max statistics are tested against the probed key, so only
+  *     the 1–2 candidate files that can contain it are ever opened.
+  * Both caches are bounded LRU (a long-lived serving session over a
+  * store that is swapped repeatedly must not accumulate entries for
+  * dead files).
+  *
+  * Scale note: latency is O(files-in-one-partition-directory) for the
+  * listing + footer-prune step and O(row-group) for the read, flat in
   * total store size as long as per-chrom file counts are kept sane by
-  * compaction — the discipline any parquet serving layer requires. This
-  * is a point-serving face; analytical scans still go through Spark.
+  * compaction (the `compact` verb) — the discipline any parquet serving
+  * layer requires. This is a point-serving face; analytical scans still
+  * go through Spark.
   */
 object PointLookup {
 
@@ -46,27 +66,88 @@ object PointLookup {
   def byPosition(spark: SparkSession, store: String, chrom: String,
                  pos: Long): Seq[Map[String, String]] =
     read(spark, new Path(s"$store/chrom=$chrom"),
-      FilterApi.eq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(pos)))
+      FilterApi.eq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(pos)),
+      "pos", java.lang.Long.valueOf(pos))
       .map(_ + ("chrom" -> chrom)) // the partition column isn't in the files
 
-  /** rsID probe via the secondary projection, then the main store. */
+  /** rsID probe. The index is a covering sorted projection
+    * (`Writers.writeRsidIndex`), so the full row is served from ONE probe
+    * — no second round trip into the main store (the heap-fetch the
+    * reference's HASH probe pays inside Postgres). A pre-covering slim
+    * index (older stores carry only the 6 join-back columns) is detected
+    * from the hit shape and served the two-probe way. */
   def byRsid(spark: SparkSession, rsidIndex: String, store: String,
              rsId: String): Seq[Map[String, String]] = {
     val hits = read(spark, new Path(rsidIndex),
-      FilterApi.eq(FilterApi.binaryColumn("rs_id"), Binary.fromString(rsId)))
-    // the index has one row per decomposed (site, ALT); probe each SITE once
-    hits.map(h => (h("chrom"), h("pos").toLong)).distinct.flatMap {
-      case (chrom, pos) =>
-        byPosition(spark, store, chrom, pos)
-          .filter(_.get("rs_id").contains(rsId))
+      FilterApi.eq(FilterApi.binaryColumn("rs_id"), Binary.fromString(rsId)),
+      "rs_id", Binary.fromString(rsId))
+    // variant_type is never null in the full schema, so its absence marks
+    // a slim legacy index row
+    if (hits.isEmpty || hits.head.contains("variant_type")) hits
+    else
+      // the slim index has one row per decomposed (site, ALT); probe each
+      // SITE of the main store once
+      hits.map(h => (h("chrom"), h("pos").toLong)).distinct.flatMap {
+        case (chrom, pos) =>
+          byPosition(spark, store, chrom, pos)
+            .filter(_.get("rs_id").contains(rsId))
+      }
+  }
+
+  /** Gene probe, served entirely from the covering gene projection
+    * (`Writers.writeGeneIndex`) — no second probe into the main store,
+    * exactly like the reference's covering-index gene query
+    * (`schema.py:264-269`, `test_query_latency.py:142-153`). */
+  def byGene(spark: SparkSession, geneIndex: String,
+             gene: String): Seq[Map[String, String]] =
+    read(spark, new Path(geneIndex),
+      FilterApi.eq(FilterApi.binaryColumn("gene"), Binary.fromString(gene)),
+      "gene", Binary.fromString(gene))
+
+  /** Bounded LRU map (access-order), synchronized — probe volume is
+    * driver-side and modest, contention is not the concern; unbounded
+    * growth across store swaps is. */
+  private def lru[K, V](maxEntries: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > maxEntries
+      })
+
+  /** One Hadoop conf per JVM: newHadoopConf() clones the full Spark conf
+    * (milliseconds) and the result is identical across probes of the same
+    * session. */
+  @volatile private var cachedConf: Configuration = null
+  private def hadoopConf(spark: SparkSession): Configuration = {
+    var c = cachedConf
+    if (c == null) { c = spark.sessionState.newHadoopConf(); cachedConf = c }
+    c
+  }
+
+  /** Directory listing cache: dir path -> (dir mtime, parquet files).
+    * Swaps replace the directory and appends add files — both change the
+    * directory mtime, so one getFileStatus validates the entry. */
+  private val listingCache = lru[String, (Long, Seq[FileStatus])](256)
+
+  private def parquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+    val dirStatus =
+      try fs.getFileStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return Nil }
+    val key = dir.toString
+    val cached = listingCache.get(key)
+    if (cached != null && cached._1 == dirStatus.getModificationTime) cached._2
+    else {
+      val files = fs.listStatus(dir).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      listingCache.put(key, (dirStatus.getModificationTime, files))
+      files
     }
   }
 
   /** Footer cache: (mtime, length, parsed footer) by path. Immutable
     * store files (parquet is write-once) make staleness checkable from
     * FileStatus alone; a rewritten file gets a new mtime/length. */
-  private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, ParquetMetadata)]()
+  private val footerCache = lru[String, (Long, Long, ParquetMetadata)](1024)
 
   private def footerFor(conf: Configuration, status: FileStatus): ParquetMetadata = {
     val key = status.getPath.toString
@@ -81,44 +162,69 @@ object PointLookup {
     }
   }
 
-  private def read(spark: SparkSession, dir: Path,
-                   pred: FilterPredicate): Seq[Map[String, String]] = {
-    val conf = spark.sessionState.newHadoopConf()
+  /** Can any row group of this file contain `value` in `column`, per the
+    * footer's min/max statistics? Missing/empty stats answer true (must
+    * read); a file whose every row group excludes the key is skipped
+    * without opening a stream. The stats comparator is the parquet-defined
+    * ordering for the physical type (signed for INT64, unsigned
+    * lexicographic for BINARY — the same order Spark sorts by at write
+    * time, so sorted-write min/max bounds are valid prune bounds). */
+  private def mayContain(footer: ParquetMetadata, column: String,
+                         value: AnyRef): Boolean =
+    footer.getBlocks.asScala.exists { block =>
+      block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+        case None => true
+        case Some(chunk) =>
+          val s = chunk.getStatistics
+          if (s == null || s.isEmpty || !s.hasNonNullValue) true
+          else {
+            val cmp = s.comparator().asInstanceOf[java.util.Comparator[AnyRef]]
+            cmp.compare(s.genericGetMin.asInstanceOf[AnyRef], value) <= 0 &&
+              cmp.compare(s.genericGetMax.asInstanceOf[AnyRef], value) >= 0
+          }
+      }
+    }
+
+  private def read(spark: SparkSession, dir: Path, pred: FilterPredicate,
+                   pruneColumn: String, pruneValue: AnyRef): Seq[Map[String, String]] = {
+    val conf = hadoopConf(spark)
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return Nil
-    val files = fs.listStatus(dir).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val files = parquetFiles(fs, dir)
+    if (files.isEmpty) return Nil
     val filter = FilterCompat.get(pred)
     files.flatMap { status =>
       val footer = footerFor(conf, status)
-      val inputFile = HadoopInputFile.fromStatus(status, conf)
-      val options = HadoopReadOptions.builder(conf, status.getPath)
-        .withRecordFilter(filter).build()
-      // footer injected: the constructor prunes row groups against the
-      // predicate (stats/dictionary), readNextFilteredRowGroup applies
-      // column-index page pruning — only overlapping pages are decoded
-      val reader = new ParquetFileReader(
-        inputFile, footer, options, inputFile.newStream())
-      try {
-        val schema = footer.getFileMetaData.getSchema
-        val columnIO = new ColumnIOFactory(footer.getFileMetaData.getCreatedBy)
-          .getColumnIO(schema)
-        val out = ArrayBuffer[Map[String, String]]()
-        var pages = reader.readNextFilteredRowGroup()
-        while (pages != null) {
-          val rr = columnIO.getRecordReader(
-            pages, new GroupRecordConverter(schema), filter)
-          var i = 0L
-          val n = pages.getRowCount
-          while (i < n) {
-            val g = rr.read()
-            if (g != null && !rr.shouldSkipCurrentRecord) out += groupToMap(g)
-            i += 1
+      if (!mayContain(footer, pruneColumn, pruneValue)) Nil
+      else {
+        val inputFile = HadoopInputFile.fromStatus(status, conf)
+        val options = HadoopReadOptions.builder(conf, status.getPath)
+          .withRecordFilter(filter).build()
+        // footer injected: the constructor prunes row groups against the
+        // predicate (stats/dictionary), readNextFilteredRowGroup applies
+        // column-index page pruning — only overlapping pages are decoded
+        val reader = new ParquetFileReader(
+          inputFile, footer, options, inputFile.newStream())
+        try {
+          val schema = footer.getFileMetaData.getSchema
+          val columnIO = new ColumnIOFactory(footer.getFileMetaData.getCreatedBy)
+            .getColumnIO(schema)
+          val out = ArrayBuffer[Map[String, String]]()
+          var pages = reader.readNextFilteredRowGroup()
+          while (pages != null) {
+            val rr = columnIO.getRecordReader(
+              pages, new GroupRecordConverter(schema), filter)
+            var i = 0L
+            val n = pages.getRowCount
+            while (i < n) {
+              val g = rr.read()
+              if (g != null && !rr.shouldSkipCurrentRecord) out += groupToMap(g)
+              i += 1
+            }
+            pages = reader.readNextFilteredRowGroup()
           }
-          pages = reader.readNextFilteredRowGroup()
-        }
-        out.toSeq
-      } finally reader.close()
+          out.toSeq
+        } finally reader.close()
+      }
     }
   }
 

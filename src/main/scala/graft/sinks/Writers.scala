@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sink surface (SURVEY §2.2).
@@ -24,30 +24,50 @@ object Writers {
       .repartition(col("chrom"))
       .sortWithinPartitions(col("pos"))
       .write.mode(mode)
-      .option("parquet.page.row.count.limit", "2000")
+      .option("parquet.page.row.count.limit", "512")
       .partitionBy("chrom")
       .parquet(path)
 
   /** rsID secondary projection — the scale-safe analogue of the
     * reference's partial HASH index on rs_id (`schema.py:271-275`).
     * rs_id carries no locality in the chrom/pos-partitioned main store,
-    * so an rsID probe there is a full scan at scale. This slim projection
-    * (6 narrow columns) is range-partitioned AND sorted by rs_id: a
-    * lookup prunes to one range partition, then parquet min/max stats
-    * prune row groups within it — I/O stays O(row-group), flat as data
-    * grows. Join back to the main store on (chrom,pos) for the full row
-    * (partition-pruned by chrom).
-    */
+    * so an rsID probe there is a full scan at scale. This is a COVERING
+    * sorted projection (C-Store style): every variant column, filtered to
+    * rs_id IS NOT NULL (the reference's partial-index predicate),
+    * range-partitioned AND sorted by rs_id — a lookup prunes to one range
+    * partition, then min/max stats prune row groups, then column indexes
+    * prune pages, and the full row is served from the projection alone.
+    * Trade, explicit: storage is a second copy of the rs_id-bearing rows,
+    * bought to remove the second probe into the main store per lookup
+    * (the heap-fetch the reference's HASH probe pays inside Postgres). */
   def writeRsidIndex(variants: DataFrame, path: String,
                      mode: String = "overwrite"): Unit =
     variants
       .filter(col("rs_id").isNotNull)
-      .select(col("rs_id"), col("chrom"), col("pos"), col("ref"), col("alt"),
-        col("variant_id"))
       .repartitionByRange(col("rs_id"))
       .sortWithinPartitions(col("rs_id"))
       .write.mode(mode)
-      .option("parquet.page.row.count.limit", "2000")
+      .option("parquet.page.row.count.limit", "512")
+      .parquet(path)
+
+  /** Gene covering projection (K1d) — the analogue of the reference's
+    * covering index `(gene) INCLUDE (pos, ref, alt, impact)`
+    * (`schema.py:264-269`): gene carries no locality in the chrom/pos
+    * layout, so a gene query on the main store is a full scan at scale.
+    * This projection is range-partitioned AND sorted by gene, and carries
+    * the columns a gene query serves (the reference's INCLUDE list plus
+    * consequence and the join-back keys) so `PointLookup.byGene` answers
+    * from the index alone — no second probe into the main store. */
+  def writeGeneIndex(variants: DataFrame, path: String,
+                     mode: String = "overwrite"): Unit =
+    variants
+      .filter(col("gene").isNotNull)
+      .select(col("gene"), col("chrom"), col("pos"), col("ref"), col("alt"),
+        col("impact"), col("consequence"), col("variant_id"))
+      .repartitionByRange(col("gene"))
+      .sortWithinPartitions(col("gene"), col("chrom"), col("pos"))
+      .write.mode(mode)
+      .option("parquet.page.row.count.limit", "512")
       .parquet(path)
 
   /** Overwrite a dataset IN PLACE while its plan reads from the same
@@ -75,19 +95,34 @@ object Writers {
     * between renames can split them, and that window is O(1) metadata
     * ops. */
   def replaceInPlaceAll(
-      writes: Seq[(DataFrame, String, (DataFrame, String) => Unit)]): Unit = {
+      writes: Seq[(DataFrame, String, (DataFrame, String) => Unit)]): Unit =
+    replaceInPlaceAllStaged(writes.map { case (df, path, write) =>
+      (path, (tmps: Map[String, String]) => write(df, tmps(path)))
+    })
+
+  /** Generalized multi-table write-then-swap where each entry is
+    * (destination, writer). Writers run in declaration order and receive
+    * the full destination→temp-path map, so a LATER entry may read an
+    * EARLIER entry's freshly staged temp data — e.g. the rsID/gene
+    * secondary projections are cheap column scans of the just-written
+    * variants temp directory, yet commit in the same all-or-nothing swap
+    * as the variants table itself (no window where the new store is live
+    * with a stale index). */
+  def replaceInPlaceAllStaged(
+      writes: Seq[(String, Map[String, String] => Unit)]): Unit = {
     if (writes.isEmpty) return
-    val spark = writes.head._1.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(writes.head._2)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(writes.head._1).getFileSystem(conf)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmps = writes.map { case (path, _) => path -> s"$path.tmp-$suffix" }.toMap
     val staged = scala.collection.mutable.ArrayBuffer[
       (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]()
     var currentTmp: org.apache.hadoop.fs.Path = null
     try {
-      writes.foreach { case (df, path, write) =>
-        currentTmp = new org.apache.hadoop.fs.Path(s"$path.tmp-$suffix")
-        write(df, currentTmp.toString) // the plan may scan `path`; untouched
+      writes.foreach { case (path, write) =>
+        currentTmp = new org.apache.hadoop.fs.Path(tmps(path))
+        write(tmps) // the plan may scan `path`; untouched
         staged += ((new org.apache.hadoop.fs.Path(path), currentTmp,
           new org.apache.hadoop.fs.Path(s"$path.old-$suffix")))
       }
@@ -135,6 +170,25 @@ object Writers {
         throw e
     }
     staged.foreach { case (_, _, old) => if (fs.exists(old)) fs.delete(old, true) }
+  }
+
+  /** Compact an unpartitioned table directory into ~targetMb parquet
+    * files (K1 discipline): repeated `load` appends and per-batch writes
+    * accumulate small files, degrading both serving latency
+    * (PointLookup is O(files-per-directory)) and scan task overhead.
+    * Sizing comes from the directory's CURRENT bytes, so the rewrite is
+    * proportional to the data, not a fixed fan-in. The reference's
+    * analogue is VACUUM / recreate-indexes (`schema.py:347-359`).
+    * Returns the target file count. */
+  def compactPlain(spark: SparkSession, dir: String, targetMb: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val targetBytes = targetMb * 1024L * 1024L
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    replaceInPlace(spark.read.parquet(dir).repartition(n), dir)(
+      (d, path) => d.write.parquet(path))
+    n
   }
 
   /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,

@@ -58,6 +58,75 @@ class GraftCliSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("load stages rsID and gene indexes atomically; gene lookups serve from the covering projection") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfDir = Files.createTempDirectory("annvcf")
+    val vcf = vcfDir.resolve("ann.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf, 3000, seed = 19L, annFrac = 0.6)
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    // both secondary projections exist, committed in the SAME swap as the
+    // variants table (no .tmp-/.old- leftovers)
+    assert(new java.io.File(s"$db/rsid_idx").exists())
+    assert(new java.io.File(s"$db/gene_idx").exists())
+    assert(!new java.io.File(db).listFiles()
+      .exists(f => f.getName.contains(".tmp-") || f.getName.contains(".old-")))
+    // gene lookup answers from the covering index with the INCLUDE columns
+    val v = spark.read.parquet(s"$db/variants")
+    val g = v.filter($"gene".isNotNull).select($"gene").head().getString(0)
+    val hits = graft.query.PointLookup.byGene(spark, s"$db/gene_idx", g)
+    assert(hits.nonEmpty)
+    assert(hits.length == v.filter($"gene" === g).count())
+    assert(hits.forall(h => h.contains("impact") || h.contains("consequence")))
+    Graft.run(spark, Array("lookup", s"gene:$g", "--db", db))
+    // CLI validation: a missing key and a non-numeric position both give
+    // the usage-style error, not a raw NumberFormatException
+    val e1 = intercept[RuntimeException] {
+      Graft.run(spark, Array("lookup", "--db", db))
+    }
+    assert(e1.getMessage.contains("lookup expects"))
+    val e2 = intercept[RuntimeException] {
+      Graft.run(spark, Array("lookup", "chr1:12,345", "--db", db))
+    }
+    assert(e2.getMessage.contains("numeric position"))
+  }
+
+  test("compact rewrites appended genotypes into sized files and rebuilds projections") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfDir = Files.createTempDirectory("compactvcf")
+    // two distinct sample-bearing files → two genotype APPENDS
+    val vcfA = vcfDir.resolve("a.vcf").toString
+    val vcfB = vcfDir.resolve("b.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfA, 500, seed = 23L)
+    graft.vcf.SyntheticVcf.write(vcfB, 500, seed = 29L)
+    Graft.run(spark, Array("load", vcfA, "--db", db))
+    Graft.run(spark, Array("load", vcfB, "--db", db))
+    val g0 = spark.read.parquet(s"$db/genotypes").count()
+    val v0 = spark.read.parquet(s"$db/variants").count()
+    val files0 = new java.io.File(s"$db/genotypes").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files0 > 1, s"expected multiple appended files, got $files0")
+    Graft.run(spark, Array("compact", "--db", db, "--target-file-mb", "128"))
+    // counts stable, genotypes folded to the size-derived file count (1
+    // at this scale), variants still chrom-partitioned + indexes rebuilt
+    assert(spark.read.parquet(s"$db/genotypes").count() == g0)
+    assert(new java.io.File(s"$db/genotypes").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(s"$db/variants").count() == v0)
+    assert(new java.io.File(s"$db/variants/chrom=chr1").exists())
+    assert(new java.io.File(s"$db/rsid_idx").exists())
+    val rs = spark.read.parquet(s"$db/variants")
+      .filter($"rs_id".isNotNull).select($"rs_id").head().getString(0)
+    assert(graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", rs).nonEmpty)
+    // --compact on load folds the genotype rewrite into the load itself
+    val vcfC = vcfDir.resolve("c.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfC, 500, seed = 31L)
+    Graft.run(spark, Array("load", vcfC, "--db", db, "--compact"))
+    assert(new java.io.File(s"$db/genotypes").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(s"$db/genotypes").count() > g0)
+  }
+
   test("force-reload replaces the batch instead of duplicating it (K4, loader.py:182-252)") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = fixture("hapmap3_overlap.vcf")

@@ -84,7 +84,7 @@ class PlanSpec extends SparkSpec {
     assert(finalPlan.contains("*(1)"), s"no codegen stage in:\n$finalPlan")
   }
 
-  test("rsID secondary projection: probe pushes rs_id to the scan of a sorted slim table") {
+  test("rsID secondary projection: probe pushes rs_id to the scan of a sorted covering table") {
     val dir = java.nio.file.Files.createTempDirectory("rsididx").toString
     val v = graft.ingest.VariantMatching.withVariantId(
       graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf")))
@@ -94,10 +94,33 @@ class PlanSpec extends SparkSpec {
     val p = plan(probe)
     assert(p.contains("PushedFilters: [IsNotNull(rs_id), EqualTo(rs_id,rs3094315)]"),
       s"rs_id probe not pushed down:\n$p")
-    // the projection carries only the slim 6-column schema
-    assert(idx.columns.toSet ==
-      Set("rs_id", "chrom", "pos", "ref", "alt", "variant_id"))
+    // the projection is COVERING: the full variant schema rides along so a
+    // point probe never needs a second trip into the main store
+    assert(Set("rs_id", "chrom", "pos", "ref", "alt", "variant_id",
+      "variant_type", "qual").subsetOf(idx.columns.toSet))
+    // partial-index predicate: only rs_id-bearing rows are projected
+    assert(idx.filter($"rs_id".isNull).count() == 0)
     assert(probe.count() == 1)
+  }
+
+  test("gene covering projection: probe pushes gene and serves the INCLUDE columns") {
+    val dir = java.nio.file.Files.createTempDirectory("geneidx").toString
+    val vcf = s"$dir/ann.vcf"
+    graft.vcf.SyntheticVcf.write(vcf, 2000, seed = 11L, annFrac = 0.6)
+    val v = graft.ingest.VariantMatching.withVariantId(
+      graft.vcf.VcfReader.variants(spark, vcf))
+    graft.sinks.Writers.writeGeneIndex(v, s"$dir/gene_idx")
+    val idx = spark.read.parquet(s"$dir/gene_idx")
+    val someGene = idx.orderBy($"gene").select($"gene").head().getString(0)
+    val probe = idx.filter($"gene" === someGene)
+    val p = plan(probe)
+    assert(p.contains(s"EqualTo(gene,$someGene)"), s"gene probe not pushed down:\n$p")
+    // the reference's INCLUDE list (pos, ref, alt, impact) rides along
+    assert(idx.columns.toSet == Set("gene", "chrom", "pos", "ref", "alt",
+      "impact", "consequence", "variant_id"))
+    assert(idx.filter($"gene".isNull).count() == 0)
+    assert(probe.count() ==
+      v.filter($"gene" === someGene).count())
   }
 
   test("text analysis quality columns stay codegen'd (no UDF barrier)") {

@@ -125,6 +125,32 @@ class VariantMatchingSpec extends SparkSpec {
     assert(got == vids(100L))
   }
 
+  test("matching is stable under repartitioning of the stats input") {
+    // the row id is content-derived, so re-evaluating the stats lineage
+    // with a different partitioning (repartition here; AQE re-plans at
+    // scale) must not change any match — positional ids would
+    val stats = Seq(
+      ("1", 100L, "G", "A", null.asInstanceOf[String]),
+      ("1", 200L, "C", "T", null.asInstanceOf[String]),
+      ("1", 999L, "A", "G", "rs2"),
+      ("3", 1L, "A", "G", null.asInstanceOf[String]),
+      // a fully duplicated row: both copies must survive with the match
+      ("1", 100L, "G", "A", null.asInstanceOf[String])
+    ).toDF("chromosome", "base_pair_location", "effect_allele", "other_allele", "rsid")
+
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.select($"base_pair_location", $"match_type", $"variant_id")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+
+    val plain = summarize(VariantMatching.matchToVariants(stats, variants))
+    val shuffled = summarize(
+      VariantMatching.matchToVariants(stats.repartition(7), variants))
+    assert(plain == shuffled)
+    assert(plain.length == 5) // duplicates preserved, not collapsed
+    assert(plain.count(t => t._1 == 100L && t._2 == "direct") == 2)
+  }
+
   test("isEffectAlleleAlt harmonization directions") {
     val df = Seq(
       ("G", "A", "A", "G", Some(true)),   // ea==alt, oa==ref

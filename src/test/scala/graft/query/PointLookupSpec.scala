@@ -58,6 +58,54 @@ class PointLookupSpec extends SparkSpec {
     assert(PointLookup.byRsid(spark, rsidIdx, store, "rs0").isEmpty)
   }
 
+  test("byRsid falls back to two probes over a legacy slim index") {
+    val base = Files.createTempDirectory("slimidx").toString
+    val df = spark.read.parquet(store)
+    // the pre-covering layout: 6 join-back columns only
+    df.filter($"rs_id".isNotNull)
+      .select($"rs_id", $"chrom", $"pos", $"ref", $"alt", $"variant_id")
+      .repartitionByRange($"rs_id")
+      .sortWithinPartitions($"rs_id")
+      .write.parquet(s"$base/rsid_idx")
+    val someRs = df.filter($"rs_id".isNotNull).select($"rs_id")
+      .orderBy($"rs_id").limit(5).collect().map(_.getString(0))
+    someRs.foreach { rs =>
+      val direct = PointLookup.byRsid(spark, s"$base/rsid_idx", store, rs)
+      assert(direct.length == df.filter($"rs_id" === rs).count())
+      // the fallback serves FULL rows from the main store, not index rows
+      assert(direct.forall(_.contains("variant_type")))
+    }
+  }
+
+  test("byGene serves from the covering gene projection alone") {
+    val base = Files.createTempDirectory("geneidx").toString
+    val vcf = s"$base/ann.vcf"
+    graft.vcf.SyntheticVcf.write(vcf, 5000, seed = 13L, annFrac = 0.5)
+    val v = graft.ingest.VariantMatching.withVariantId(
+      graft.vcf.VcfReader.variants(spark, vcf))
+    graft.sinks.Writers.writeVariants(v, s"$base/variants")
+    graft.sinks.Writers.writeGeneIndex(
+      spark.read.parquet(s"$base/variants"), s"$base/gene_idx")
+    val df = spark.read.parquet(s"$base/variants")
+    val genes = df.filter($"gene".isNotNull).select($"gene")
+      .distinct().orderBy($"gene").limit(20).collect().map(_.getString(0))
+    assert(genes.nonEmpty)
+    genes.foreach { g =>
+      val direct = PointLookup.byGene(spark, s"$base/gene_idx", g)
+      val viaSpark = df.filter($"gene" === g)
+        .select($"chrom", $"pos", $"ref", $"alt", $"impact").collect()
+      assert(direct.length == viaSpark.length,
+        s"gene $g: direct=${direct.length} spark=${viaSpark.length}")
+      val dKeys = direct.map(m =>
+        (m("chrom"), m("pos").toLong, m("ref"), m("alt"), m.getOrElse("impact", ""))).sorted
+      val sKeys = viaSpark.map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3),
+        Option(r.getString(4)).getOrElse(""))).toSeq.sorted
+      assert(dKeys == sKeys, s"rows differ for gene $g")
+    }
+    assert(PointLookup.byGene(spark, s"$base/gene_idx", "NO_SUCH_GENE").isEmpty)
+  }
+
   test("nested columns render: info map entries and filter arrays surface") {
     val df = spark.read.parquet(store)
     val probe = df.filter(element_at($"info", "DP").isNotNull)
