@@ -75,16 +75,92 @@ object Similarity {
     df.withColumn("lsh_bucket", bits.reduce(_ + _))
   }
 
+  /** Train a coarse quantizer for `ivfTopK` with spherical k-means over
+    * a BOUNDED sample of the corpus (the standard IVF practice — e.g.
+    * faiss trains its quantizer on a sample, not the full set).
+    *
+    * Deterministic by construction: the sample is the first `sampleSize`
+    * vectors by id, initialization is farthest-point (start from the
+    * first sample vector, then repeatedly add the sample vector least
+    * similar to its nearest chosen centroid — separates clusters even
+    * when the id order is adversarial), and Lloyd iterations break
+    * assignment ties toward the smaller centroid id. The sample is
+    * collected to the driver — an explicit, bounded collect
+    * (`sampleSize` vectors, not data-sized); training is a driver-side
+    * loop, so no per-iteration Spark job or shuffle. Returns
+    * (cent_id, cent_vec) in the shape `ivfTopK`'s `centroids` expects;
+    * every downstream step (assign, probe, rank) is identical to the
+    * sampled quantizer's.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 10,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      sampleSize: Int = 8192): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample: Array[Array[Double]] = corpus.orderBy(col(idCol))
+      .limit(sampleSize).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    val k = math.min(nCentroids, sample.length)
+    val dim = sample(0).length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na > 0 && nb > 0) dot(a, b) / (na * nb) else -1.0
+    }
+    // farthest-point init
+    val cents = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+    while (cents.length < k) {
+      var worst = -1; var worstSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        var best = -1.0
+        cents.foreach { c => val s = cos(sample(i), c); if (s > best) best = s }
+        if (best < worstSim) { worstSim = best; worst = i }
+        i += 1
+      }
+      cents += sample(worst).clone()
+    }
+    // Lloyd iterations; an emptied cluster keeps its previous centroid
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestSim = -2.0
+        var c = 0
+        while (c < k) {
+          val s = cos(v, cents(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      (0 until k).foreach { c =>
+        if (counts(c) > 0)
+          cents(c) = Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+    }
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }.toSeq
+      .toDF("cent_id", "cent_vec")
+  }
+
   /** IVF-style ANN top-k: a coarse quantizer partitions the corpus into
     * `nCentroids` inverted lists; each query probes its `nProbe` nearest
     * lists and ranks only their members — the classic recall/cost dial
     * (recall grows with nProbe, cost ~ nProbe/nCentroids of the corpus).
     *
-    * The quantizer here is sampled, not trained: the first `nCentroids`
-    * corpus vectors (by id) serve as centroids. That keeps the operator
-    * deterministic and externally verifiable end-to-end; production
-    * would swap in k-means centroids — every downstream step (assign,
-    * probe, rank) is identical.
+    * The default quantizer is sampled, not trained: the first
+    * `nCentroids` corpus vectors (by id) serve as centroids. That keeps
+    * the operator deterministic and externally verifiable end-to-end
+    * (the DuckDB oracle reproduces it exactly); pass
+    * `centroids = Some(kmeansCentroids(...))` for the trained quantizer
+    * — every downstream step (assign, probe, rank) is identical.
     *
     * Scale shape: centroids broadcast to both assignment passes (narrow,
     * no shuffle); the probe join shuffles on centroid_id only; ranking
@@ -92,10 +168,11 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+              nCentroids: Int = 8, nProbe: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = corpus.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val cent = centroids.getOrElse(corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
 
     // negative dot with precomputed norms = cosine argmax without sqrt
     // per pair; ties break toward the smaller centroid id

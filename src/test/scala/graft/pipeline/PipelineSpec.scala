@@ -176,6 +176,47 @@ class IvfSpec extends SparkSpec {
     val probed = Similarity.ivfTopK(e, q, k = 200, nCentroids = 8, nProbe = 2).count()
     assert(probed < all) // candidate set is a strict subset of the corpus
   }
+
+  test("trained k-means quantizer beats the sampled one on a clustered corpus") {
+    // four well-separated direction clusters in 8-dim space, ids SORTED BY
+    // CLUSTER — the adversarial order for the sampled quantizer (its
+    // first-N centroids all land in cluster 0)
+    val rng = new scala.util.Random(97L)
+    val centers = Array(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))
+    val rows = for (c <- 0 until 4; i <- 0 until 50) yield {
+      val v = centers(c).map(x => x + (rng.nextFloat() - 0.5f) * 0.2f)
+      ((c * 50 + i).toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 25 === 3) // queries in every cluster
+    val truth = Similarity.bruteForceTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recall(found: Array[(Long, Long)]): Double =
+      found.count(truth.contains).toDouble / truth.size
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+
+    val sampled = recall(pairs(
+      Similarity.ivfTopK(corpus, queries, k = 5, nCentroids = 4, nProbe = 1)))
+    val trained = recall(pairs(
+      Similarity.ivfTopK(corpus, queries, k = 5, nCentroids = 4, nProbe = 1,
+        centroids = Some(Similarity.kmeansCentroids(corpus, nCentroids = 4)))))
+    assert(trained > sampled,
+      s"trained recall $trained should beat sampled recall $sampled")
+    assert(trained >= 0.9, s"trained recall $trained below 0.9")
+    // determinism: retraining yields the same centroids
+    val c1 = Similarity.kmeansCentroids(corpus, nCentroids = 4)
+      .orderBy($"cent_id").collect().map(_.getSeq[Float](1)).toSeq
+    val c2 = Similarity.kmeansCentroids(corpus, nCentroids = 4)
+      .orderBy($"cent_id").collect().map(_.getSeq[Float](1)).toSeq
+    assert(c1 == c2)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
