@@ -234,13 +234,13 @@ object Bench {
     // query-latency rows (BASELINE.md lookup/region rows). v3: page-row
     // cap added for point-read latency — a stale cached store must not
     // serve lookups.
-    val dbPath = "/tmp/graft_bench_db_v3/variants"
+    val dbPath = "/tmp/graft_bench_db_v4/variants"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dbPath))) {
       val v = graft.vcf.VcfReader.variants(spark, vcfPath)
       graft.sinks.Writers.writeVariants(
         graft.ingest.VariantMatching.withVariantId(v), dbPath)
     }
-    val rsidIdxPath = "/tmp/graft_bench_db_v3/rsid_idx"
+    val rsidIdxPath = "/tmp/graft_bench_db_v4/rsid_idx"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(rsidIdxPath)))
       graft.sinks.Writers.writeRsidIndex(
         spark.read.parquet(dbPath), rsidIdxPath)
@@ -347,6 +347,13 @@ object Bench {
       "region_100kb" -> (() =>
         materialize(store.filter(col("chrom") === "chr1" &&
           col("pos").between(1000000L, 1100000L)))),
+      // same region, served driver-side (no Spark job) — the shape that
+      // meets the BASELINE <50 ms region target rather than the job floor
+      "region_100kb_direct" -> (() => {
+        val hit = graft.query.PointLookup.byRegion(
+          spark, dbPath, "chr1", 1000000L, 1100000L)
+        assert(hit.nonEmpty)
+      }),
       "complex_filter_50k" -> (() =>
         materialize(store.filter(col("chrom") === "chr2" &&
           col("qual") > 500 && col("variant_type") === "snp" &&

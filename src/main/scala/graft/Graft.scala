@@ -372,13 +372,18 @@ object Graft {
               spark, s"$db/rsid_idx", s"$db/variants", key)
           else key.split(":") match {
             case Array(chrom, pos) =>
+              // chr1:12345 is a point probe, chr1:1000-2000 a region probe;
               // try the name as given (non-human stores keep raw contig
               // names), then the chr-normalized form (T8 human stores)
-              val raw = graft.query.PointLookup.byPosition(
-                spark, s"$db/variants", chrom, parsePos(pos))
+              val (lo, hi) = pos.split("-") match {
+                case Array(a, b) => (parsePos(a), parsePos(b))
+                case _           => val p = parsePos(pos); (p, p)
+              }
+              val raw = graft.query.PointLookup.byRegion(
+                spark, s"$db/variants", chrom, lo, hi)
               if (raw.nonEmpty || chrom.startsWith("chr")) raw
-              else graft.query.PointLookup.byPosition(
-                spark, s"$db/variants", s"chr$chrom", parsePos(pos))
+              else graft.query.PointLookup.byRegion(
+                spark, s"$db/variants", s"chr$chrom", lo, hi)
             case _ =>
               sys.error(s"lookup expects chrom:pos, rsID, or gene:NAME, got $key")
           }
@@ -731,7 +736,7 @@ object Graft {
       |  init-db --db DIR [--skip-audit]
       |  validate --db DIR
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
-      |  lookup <chrom:pos | rsID | gene:NAME> --db DIR
+      |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR
       |  import-gwas <tsv> --db DIR [--study-accession A] [--trait T] [--efo ID]
       |       [--pmid P] [--sample-size N] [--n-cases N] [--n-controls N]
       |       [--genome-build GRCh38]

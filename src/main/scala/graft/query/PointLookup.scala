@@ -65,9 +65,23 @@ object PointLookup {
     * (nested map/list columns in a compact k=v / comma form). */
   def byPosition(spark: SparkSession, store: String, chrom: String,
                  pos: Long): Seq[Map[String, String]] =
+    byRegion(spark, store, chrom, pos, pos)
+
+  /** All rows with chrom and lo <= pos <= hi — the region-query face
+    * (`test_query_latency.py:85-117`'s 100 kb region row), served the
+    * same driver-side way: partition directory bounds the files, footer
+    * min/max prunes to the overlapping 1–2 files, row-group stats and
+    * column indexes narrow the read to overlapping pages. A 100 kb
+    * region on a pos-sorted store touches a handful of pages, so this
+    * face skips the ~50 ms Spark job floor a scan pays regardless of
+    * data volume. Results are pos-ordered (files are pos-sorted). */
+  def byRegion(spark: SparkSession, store: String, chrom: String,
+               lo: Long, hi: Long): Seq[Map[String, String]] =
     read(spark, new Path(s"$store/chrom=$chrom"),
-      FilterApi.eq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(pos)),
-      "pos", java.lang.Long.valueOf(pos))
+      FilterApi.and(
+        FilterApi.gtEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(lo)),
+        FilterApi.ltEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(hi))),
+      "pos", java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))
       .map(_ + ("chrom" -> chrom)) // the partition column isn't in the files
 
   /** rsID probe. The index is a covering sorted projection
@@ -78,9 +92,10 @@ object PointLookup {
     * from the hit shape and served the two-probe way. */
   def byRsid(spark: SparkSession, rsidIndex: String, store: String,
              rsId: String): Seq[Map[String, String]] = {
+    val rsBin = Binary.fromString(rsId)
     val hits = read(spark, new Path(rsidIndex),
-      FilterApi.eq(FilterApi.binaryColumn("rs_id"), Binary.fromString(rsId)),
-      "rs_id", Binary.fromString(rsId))
+      FilterApi.eq(FilterApi.binaryColumn("rs_id"), rsBin),
+      "rs_id", rsBin, rsBin)
     // variant_type is never null in the full schema, so its absence marks
     // a slim legacy index row
     if (hits.isEmpty || hits.head.contains("variant_type")) hits
@@ -99,10 +114,11 @@ object PointLookup {
     * exactly like the reference's covering-index gene query
     * (`schema.py:264-269`, `test_query_latency.py:142-153`). */
   def byGene(spark: SparkSession, geneIndex: String,
-             gene: String): Seq[Map[String, String]] =
+             gene: String): Seq[Map[String, String]] = {
+    val gBin = Binary.fromString(gene)
     read(spark, new Path(geneIndex),
-      FilterApi.eq(FilterApi.binaryColumn("gene"), Binary.fromString(gene)),
-      "gene", Binary.fromString(gene))
+      FilterApi.eq(FilterApi.binaryColumn("gene"), gBin), "gene", gBin, gBin)
+  }
 
   /** Bounded LRU map (access-order), synchronized — probe volume is
     * driver-side and modest, contention is not the concern; unbounded
@@ -162,15 +178,16 @@ object PointLookup {
     }
   }
 
-  /** Can any row group of this file contain `value` in `column`, per the
-    * footer's min/max statistics? Missing/empty stats answer true (must
-    * read); a file whose every row group excludes the key is skipped
-    * without opening a stream. The stats comparator is the parquet-defined
-    * ordering for the physical type (signed for INT64, unsigned
-    * lexicographic for BINARY — the same order Spark sorts by at write
-    * time, so sorted-write min/max bounds are valid prune bounds). */
+  /** Can any row group of this file intersect [lo, hi] in `column`, per
+    * the footer's min/max statistics? Missing/empty stats answer true
+    * (must read); a file whose every row group excludes the range is
+    * skipped without opening a stream. Point probes pass lo == hi. The
+    * stats comparator is the parquet-defined ordering for the physical
+    * type (signed for INT64, unsigned lexicographic for BINARY — the same
+    * order Spark sorts by at write time, so sorted-write min/max bounds
+    * are valid prune bounds). */
   private def mayContain(footer: ParquetMetadata, column: String,
-                         value: AnyRef): Boolean =
+                         lo: AnyRef, hi: AnyRef): Boolean =
     footer.getBlocks.asScala.exists { block =>
       block.getColumns.asScala.find(_.getPath.toDotString == column) match {
         case None => true
@@ -179,14 +196,15 @@ object PointLookup {
           if (s == null || s.isEmpty || !s.hasNonNullValue) true
           else {
             val cmp = s.comparator().asInstanceOf[java.util.Comparator[AnyRef]]
-            cmp.compare(s.genericGetMin.asInstanceOf[AnyRef], value) <= 0 &&
-              cmp.compare(s.genericGetMax.asInstanceOf[AnyRef], value) >= 0
+            cmp.compare(s.genericGetMin.asInstanceOf[AnyRef], hi) <= 0 &&
+              cmp.compare(s.genericGetMax.asInstanceOf[AnyRef], lo) >= 0
           }
       }
     }
 
   private def read(spark: SparkSession, dir: Path, pred: FilterPredicate,
-                   pruneColumn: String, pruneValue: AnyRef): Seq[Map[String, String]] = {
+                   pruneColumn: String, pruneLo: AnyRef,
+                   pruneHi: AnyRef): Seq[Map[String, String]] = {
     val conf = hadoopConf(spark)
     val fs = dir.getFileSystem(conf)
     val files = parquetFiles(fs, dir)
@@ -194,7 +212,7 @@ object PointLookup {
     val filter = FilterCompat.get(pred)
     files.flatMap { status =>
       val footer = footerFor(conf, status)
-      if (!mayContain(footer, pruneColumn, pruneValue)) Nil
+      if (!mayContain(footer, pruneColumn, pruneLo, pruneHi)) Nil
       else {
         val inputFile = HadoopInputFile.fromStatus(status, conf)
         val options = HadoopReadOptions.builder(conf, status.getPath)

@@ -58,6 +58,24 @@ class PointLookupSpec extends SparkSpec {
     assert(PointLookup.byRsid(spark, rsidIdx, store, "rs0").isEmpty)
   }
 
+  test("byRegion returns exactly the Spark range filter's rows, pos-ordered") {
+    val df = spark.read.parquet(store)
+    val bounds = df.filter($"chrom" === "chr1")
+      .agg(min($"pos"), max($"pos")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // a window covering ~a third of chr1, plus edge and empty windows
+    val mid = lo + (hi - lo) / 3
+    Seq((lo, mid), (lo, lo), (hi + 1, hi + 100), (lo, hi)).foreach {
+      case (a, b) =>
+        val direct = PointLookup.byRegion(spark, store, "chr1", a, b)
+        val viaSpark = df.filter($"chrom" === "chr1" && $"pos".between(a, b))
+        assert(direct.length == viaSpark.count(), s"range [$a,$b]")
+        // pos-sorted store ⇒ results come back in position order
+        val ps = direct.map(_("pos").toLong)
+        assert(ps == ps.sorted, s"range [$a,$b] not pos-ordered")
+    }
+  }
+
   test("byRsid falls back to two probes over a legacy slim index") {
     val base = Files.createTempDirectory("slimidx").toString
     val df = spark.read.parquet(store)
