@@ -230,17 +230,18 @@ object Bench {
     preTouch(vcf1m)
     preTouch(vcfAnn)
 
-    // chrom-partitioned store + rsID secondary projection for the
-    // query-latency rows (BASELINE.md lookup/region rows). v3: page-row
-    // cap added for point-read latency — a stale cached store must not
-    // serve lookups.
-    val dbPath = "/tmp/graft_bench_db_v4/variants"
+    // chrom-partitioned store + covering projections for the
+    // query-latency rows (BASELINE.md lookup/region rows). v5: range-
+    // partitioned multi-file layout + 512-row pages + covering rsID
+    // index — a stale cached store from an older layout must not serve
+    // the latency rows.
+    val dbPath = "/tmp/graft_bench_db_v5/variants"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dbPath))) {
       val v = graft.vcf.VcfReader.variants(spark, vcfPath)
       graft.sinks.Writers.writeVariants(
         graft.ingest.VariantMatching.withVariantId(v), dbPath)
     }
-    val rsidIdxPath = "/tmp/graft_bench_db_v4/rsid_idx"
+    val rsidIdxPath = "/tmp/graft_bench_db_v5/rsid_idx"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(rsidIdxPath)))
       graft.sinks.Writers.writeRsidIndex(
         spark.read.parquet(dbPath), rsidIdxPath)
@@ -248,7 +249,7 @@ object Bench {
     // exist on annotated data) — the BASELINE gene-query row is the
     // reference's covering-index probe, <50 ms
     // (`test_query_latency.py:142-153`)
-    val geneDb = "/tmp/graft_bench_db_v4_gene"
+    val geneDb = "/tmp/graft_bench_db_v5_gene"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$geneDb/variants"))) {
       val v = graft.vcf.VcfReader.variants(spark, vcfAnn)
       graft.sinks.Writers.writeVariants(

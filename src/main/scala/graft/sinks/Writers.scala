@@ -14,15 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Writers {
 
-  /** K1 — write the variants table. Page rows are capped well below the
-    * parquet default (20k): pos-sorted pages + column indexes let a point
-    * probe (PointLookup) decode ~2k rows per column instead of ~20k, at
-    * <1% file-size cost; scans read pages sequentially either way. */
+  /** K1 — write the variants table.
+    *
+    * Range-partitioned on (chrom, pos), NOT hash-on-chrom: hashing by
+    * chromosome caps write parallelism at ~24 tasks and makes one
+    * unbounded file per chrom directory — a multi-GB single-task write
+    * at cohort scale. Range partitioning samples the keys, so tasks
+    * stay balanced under chromosome skew, and AQE sizes the shuffle by
+    * its advisory partition size — files grow to ~advisory size then
+    * split, so a small store stays one file per chrom dir while a
+    * cohort-scale store fans out across the cluster. Each chrom
+    * directory then holds pos-sorted files with DISJOINT pos ranges, so
+    * a point/region probe still touches exactly one or two files
+    * (footer min/max selects them — `PointLookup`) and analytical
+    * region scans still prune row groups.
+    *
+    * Page rows are capped well below the parquet default (20k):
+    * pos-sorted pages + column indexes let a point probe decode ~512
+    * rows per column instead of ~20k, at <1% file-size cost; scans read
+    * pages sequentially either way. */
   def writeVariants(variants: DataFrame, path: String,
                     mode: String = "overwrite"): Unit =
     variants
-      .repartition(col("chrom"))
-      .sortWithinPartitions(col("pos"))
+      .repartitionByRange(col("chrom"), col("pos"))
+      .sortWithinPartitions(col("chrom"), col("pos"))
       .write.mode(mode)
       .option("parquet.page.row.count.limit", "512")
       .partitionBy("chrom")

@@ -58,6 +58,40 @@ class WritersSpec extends SparkSpec {
   import spark.implicits._
   import graft.sinks.Writers
 
+  test("range layout: a chrom directory holds several pos-disjoint sorted files") {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val base = Files.createTempDirectory("rangelayout").toString
+    val vcf = s"$base/v.vcf"
+    graft.vcf.SyntheticVcf.write(vcf, 20000, seed = 37L)
+    // AQE sizes the range shuffle by its advisory/min partition sizes,
+    // so at test scale (a few MB) everything coalesces into one file —
+    // shrink the size floors to see the at-scale multi-file behavior
+    val sized = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+    val prev = sized.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    sized.foreach { case (k, v) => spark.conf.set(k, v) }
+    try Writers.writeVariants(graft.vcf.VcfReader.variants(spark, vcf), s"$base/t")
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    val files = spark.read.parquet(s"$base/t").filter($"chrom" === "chr1")
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin($"pos").as("lo"), fmax($"pos").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // write parallelism is NOT capped at one task per chromosome
+    assert(files.length > 1, s"expected several files in chrom=chr1, got ${files.length}")
+    // and the files cover disjoint pos ranges, so a point/region probe
+    // footer-prunes to one or two of them
+    files.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+      case _ => ()
+    }
+  }
+
   test("variants write partitions by chrom with pos sorted for pruning") {
     val dir = Files.createTempDirectory("variants").toString + "/t"
     val v = Seq(("chr1", 100L, "A", "G"), ("chr2", 5L, "C", "T"),
