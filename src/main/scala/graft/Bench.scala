@@ -185,7 +185,20 @@ object Bench {
         .toSeq.sorted
     val headline: Seq[(String, () => Unit)] = headlineNames.map { name =>
       name -> (() => materialize(SparkEntry.queries(name)(spark, sfDir)))
-    } :+ ("q07_percentile_approx" -> (() => {
+    } :+ ("q11_pivot_daily_double" -> (() => {
+      // J7 scale path: plain double sums instead of the oracle-parity
+      // exact-decimal casts — the cheaper arithmetic the matview refresh
+      // would run at 100x, where bit-for-bit float parity with an
+      // external oracle is no longer the contract.
+      val ev = Tables(spark, sfDir).events
+      def f(tpe: String) =
+        sum(when(col("event_type") === tpe, col("value"))).as(s"${tpe}_value")
+      materialize(ev
+        .withColumn("event_date", col("ts").cast("date"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          f("click"), f("view"), f("purchase"), f("signup"), f("error")))
+    })) :+ ("q07_percentile_approx" -> (() => {
       // A5 scale path: the batch-summary percentile via approx_percentile
       // (t-digest, bounded memory) instead of the oracle-parity exact
       // form — the shape q07 would run at 100x.
