@@ -266,7 +266,8 @@ object Graft {
           if (has(args, "--compact") && appendedG)
             progress.stage("compact_genotypes") {
               graft.sinks.Writers.compactPlain(spark, s"$db/genotypes",
-                arg(args, "--target-file-mb").getOrElse("128").toLong)
+                arg(args, "--target-file-mb").getOrElse("128").toLong,
+                sortCols = Seq("chrom", "pos"))
             }
           val n = spark.read.parquet(s"$db/variants").count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
@@ -339,8 +340,15 @@ object Graft {
                   tmps(s"$db/gene_idx")))))
             println("compacted variants (rsid_idx and gene_idx rebuilt)")
           case t if new java.io.File(s"$db/$t").exists() =>
-            val n = graft.sinks.Writers.compactPlain(spark, s"$db/$t", targetMb)
-            println(s"compacted $t to $n file(s)")
+            // genotypes compact CLUSTERED on the variant site key, so
+            // region-scoped genotype scans prune row groups afterwards
+            val sortCols =
+              if (t == "genotypes") Seq("chrom", "pos") else Seq.empty[String]
+            val n = graft.sinks.Writers.compactPlain(
+              spark, s"$db/$t", targetMb, sortCols)
+            println(s"compacted $t to $n file(s)" +
+              (if (sortCols.nonEmpty) s" clustered on ${sortCols.mkString(",")}"
+               else ""))
           case t => println(s"skip $t: not present in $db")
         }
 

@@ -192,17 +192,30 @@ object Writers {
     * accumulate small files, degrading both serving latency
     * (PointLookup is O(files-per-directory)) and scan task overhead.
     * Sizing comes from the directory's CURRENT bytes, so the rewrite is
-    * proportional to the data, not a fixed fan-in. The reference's
-    * analogue is VACUUM / recreate-indexes (`schema.py:347-359`).
-    * Returns the target file count. */
-  def compactPlain(spark: SparkSession, dir: String, targetMb: Long): Int = {
+    * proportional to the data, not a fixed fan-in.
+    *
+    * With `sortCols`, compaction also CLUSTERS the table (the parquet
+    * analogue of Postgres CLUSTER): rows range-partition and sort on the
+    * given keys, so files cover disjoint key ranges and parquet min/max
+    * stats prune row groups for key-scoped scans. The load path
+    * deliberately appends genotypes UNSORTED (a narrow write, no extra
+    * shuffle of the biggest table per load); compaction is where the
+    * ordering debt is paid, off the ingest critical path. The
+    * reference's analogue is VACUUM / recreate-indexes
+    * (`schema.py:347-359`). Returns the target file count. */
+  def compactPlain(spark: SparkSession, dir: String, targetMb: Long,
+                   sortCols: Seq[String] = Nil): Int = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val targetBytes = targetMb * 1024L * 1024L
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    replaceInPlace(spark.read.parquet(dir).repartition(n), dir)(
-      (d, path) => d.write.parquet(path))
+    val df = spark.read.parquet(dir)
+    val shaped =
+      if (sortCols.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    replaceInPlace(shaped, dir)((d, path) => d.write.parquet(path))
     n
   }
 

@@ -111,6 +111,11 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/genotypes").count() == g0)
     assert(new java.io.File(s"$db/genotypes").listFiles()
       .count(_.getName.endsWith(".parquet")) == 1)
+    // compaction clusters genotypes on (chrom, pos): the single compacted
+    // file reads back in key order, so min/max stats prune region scans
+    val keys = spark.read.parquet(s"$db/genotypes")
+      .select($"chrom", $"pos").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(keys.toSeq == keys.toSeq.sorted, "compacted genotypes not clustered")
     assert(spark.read.parquet(s"$db/variants").count() == v0)
     assert(new java.io.File(s"$db/variants/chrom=chr1").exists())
     assert(new java.io.File(s"$db/rsid_idx").exists())
