@@ -539,14 +539,16 @@ object Graft {
       case "load-reference" =>
         val panel = graft.ingest.RefPanels.hapmap3(spark, args(1))
         val flagged = graft.ingest.VariantMatching.flagHapmap3(variants, panel)
-        // observe() collects the flagged count DURING the write job —
-        // one job per import, no post-hoc count scan
-        val obs = org.apache.spark.sql.Observation("hapmap3")
-        graft.sinks.Writers.replaceInPlace(
-          flagged.observe(obs,
-            sum(when($"in_hapmap3", 1L).otherwise(0L)).as("flagged")),
-          s"$db/variants")(graft.sinks.Writers.writeVariants(_, _))
-        println(s"flagged in_hapmap3=${obs.get("flagged")}")
+        graft.sinks.Writers.replaceInPlace(flagged, s"$db/variants")(
+          graft.sinks.Writers.writeVariants(_, _))
+        // count from the WRITTEN parquet (the flag join ran once, in the
+        // write; this scans one boolean column of the new store). NOT an
+        // observe() on the write plan: the range-partitioned write runs a
+        // boundary-sampling pass over the child, so a CollectMetrics
+        // accumulator below the exchange fires twice and doubles the count
+        // (verified empirically).
+        println("flagged in_hapmap3=" + spark.read.parquet(s"$db/variants")
+          .filter($"in_hapmap3").count())
 
       case "annotate-ld-blocks" =>
         val blocks = graft.ingest.RefPanels.ldBlocks(spark, args(1),

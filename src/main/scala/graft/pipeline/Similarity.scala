@@ -110,18 +110,29 @@ object Similarity {
       val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
       if (na > 0 && nb > 0) dot(a, b) / (na * nb) else -1.0
     }
-    // farthest-point init
-    val cents = scala.collection.mutable.ArrayBuffer(sample(0).clone())
-    while (cents.length < k) {
-      var worst = -1; var worstSim = Double.MaxValue
+    // farthest-point init, incremental: track each sample's similarity to
+    // its nearest chosen centroid and refresh it against only the newest
+    // centroid — O(k·n·dim), not O(k²·n·dim)
+    val cents = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val nearestSim = Array.fill(sample.length)(-2.0)
+    def add(c: Array[Double]): Unit = {
+      cents += c.clone()
       var i = 0
       while (i < sample.length) {
-        var best = -1.0
-        cents.foreach { c => val s = cos(sample(i), c); if (s > best) best = s }
-        if (best < worstSim) { worstSim = best; worst = i }
+        val s = cos(sample(i), c)
+        if (s > nearestSim(i)) nearestSim(i) = s
         i += 1
       }
-      cents += sample(worst).clone()
+    }
+    add(sample(0))
+    while (cents.length < k) {
+      var worst = 0; var worstSim = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        if (nearestSim(i) < worstSim) { worstSim = nearestSim(i); worst = i }
+        i += 1
+      }
+      add(sample(worst))
     }
     // Lloyd iterations; an emptied cluster keeps its previous centroid
     (0 until iters).foreach { _ =>

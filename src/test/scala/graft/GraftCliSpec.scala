@@ -36,10 +36,18 @@ class GraftCliSpec extends SparkSpec {
 
     Graft.run(spark, Array("validate", "--db", db))
 
-    // hapmap3 flagging pass
-    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    // hapmap3 flagging pass; the printed count must equal the stored
+    // truth (an observe() on the range-partitioned write double-counts
+    // via the boundary-sampling pass — this guards the count source)
+    val captured = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(captured)) {
+      Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    }
     val flagged = spark.read.parquet(s"$db/variants")
-    assert(flagged.filter($"in_hapmap3").count() >= 5)
+    val nFlagged = flagged.filter($"in_hapmap3").count()
+    assert(nFlagged >= 5)
+    assert(captured.toString.contains(s"flagged in_hapmap3=$nFlagged"),
+      s"printed count disagrees with store: ${captured.toString.trim}")
 
     // PGS weights match against loaded variants
     Graft.run(spark, Array("import-pgs", fixture("pgs_test_beta.txt"), "--db", db))
