@@ -33,6 +33,7 @@ object VcfOracles {
     "vcf_upsert", "vcf_reload_ledger", "vcf_export_ldpred2",
     "vcf_filter_split", "vcf_toml_config", "vcf_synthetic_scan",
     "vcf_store_roundtrip", "vcf_tsv_roundtrip", "vcf_sample_join",
+    "vcf_gene_index", "vcf_rsid_index",
     "p09_lang_id", "p07_minhash_pairs", "p08_simhash_pairs",
     "p10_doc_fingerprint", "p11_media_features", "p12_embedding_neardup",
     "p13_lsh_topk", "p14_ivf_topk")

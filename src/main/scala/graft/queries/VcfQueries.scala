@@ -502,6 +502,43 @@ object VcfQueries {
         .orderBy($"chrom", $"pos")
     },
 
+    // K1d: gene covering projection — writeGeneIndex keeps only annotated
+    // rows with the reference's INCLUDE columns, gene-sorted; a gene probe
+    // against the projection must reproduce them bit-for-bit
+    "vcf_gene_index" -> { (s, _) =>
+      import s.implicits._
+      val dir = "/tmp/graft_gene_index"
+      val df = Seq(
+        ("chr1", 100L, "A", "G", Some("BRCA2"), Some("HIGH"), Some("stop_gained"), 1L),
+        ("chr1", 200L, "C", "T", Some("TP53"), Some("MODERATE"), Some("missense_variant"), 2L),
+        ("chr2", 300L, "G", "A", Some("BRCA2"), Some("LOW"), Some("synonymous_variant"), 3L),
+        ("chr2", 400L, "T", "C", None: Option[String], None: Option[String], None: Option[String], 4L))
+        .toDF("chrom", "pos", "ref", "alt", "gene", "impact", "consequence", "variant_id")
+      graft.sinks.Writers.writeGeneIndex(df, dir)
+      s.read.parquet(dir).filter($"gene" === "BRCA2")
+        .select($"gene", $"chrom", $"pos", $"ref", $"alt",
+          $"impact", $"consequence", $"variant_id")
+        .orderBy($"chrom", $"pos")
+    },
+
+    // K1b: rsID covering projection — writeRsidIndex keeps rs_id-bearing
+    // rows with EVERY column (the full row serves from one probe), sorted
+    // by rs_id; an rsID probe must reproduce the full rows bit-for-bit
+    "vcf_rsid_index" -> { (s, _) =>
+      import s.implicits._
+      val dir = "/tmp/graft_rsid_index"
+      val df = Seq(
+        ("chr1", 100L, "A", "G", Some("rs1"), 10.0, "snp"),
+        ("chr1", 200L, "C", "T", None: Option[String], 20.0, "snp"),
+        ("chr2", 300L, "G", "GA", Some("rs2"), 30.0, "indel"),
+        ("chr2", 400L, "T", "C", Some("rs1"), 40.0, "snp"))
+        .toDF("chrom", "pos", "ref", "alt", "rs_id", "qual", "variant_type")
+      graft.sinks.Writers.writeRsidIndex(df, dir)
+      s.read.parquet(dir).filter($"rs_id" === "rs1")
+        .select($"chrom", $"pos", $"ref", $"alt", $"rs_id", $"qual", $"variant_type")
+        .orderBy($"chrom", $"pos")
+    },
+
     // K5: TSV sink round trip — complex columns (info map, filter array)
     // JSON-stringify on write; the RFC-4180 output must read back
     // identically in any standard reader (the oracle uses DuckDB's)
