@@ -356,6 +356,21 @@ object Graft {
         val dups = variants.groupBy($"chrom", $"pos", $"ref", $"alt")
           .count().filter($"count" > 1).count()
         println(s"variants=${variants.count()} duplicate_sites=$dups")
+        // covering-projection freshness: the indexes commit in the same
+        // swap as the store, so a mismatch means someone rewrote the
+        // store out-of-band — surface it (column-pruned count scans)
+        Seq(("rsid_idx", variants.filter($"rs_id".isNotNull)),
+            ("gene_idx", variants.filter($"gene".isNotNull)))
+          .foreach { case (idx, expectDf) =>
+            if (new java.io.File(s"$db/$idx").exists()) {
+              val expect = expectDf.count()
+              val got = spark.read.parquet(s"$db/$idx").count()
+              println(
+                if (got == expect) s"$idx: ok ($got rows)"
+                else s"$idx: STALE ($got rows vs $expect eligible variants " +
+                  "— run `compact` to rebuild)")
+            }
+          }
 
       case "lookup" =>
         // the reference's indexed point SELECT face

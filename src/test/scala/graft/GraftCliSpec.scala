@@ -34,7 +34,14 @@ class GraftCliSpec extends SparkSpec {
     assert(ledger1.filter($"status" === "completed").count() == 1)
     assert(ledger1.filter($"status" === "in_progress").count() == 1)
 
-    Graft.run(spark, Array("validate", "--db", db))
+    // validate reports both covering projections fresh after the load's
+    // atomic swap (STALE would mean the indexes missed the swap)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(vOut.toString.contains("rsid_idx: ok"), vOut.toString)
+    assert(!vOut.toString.contains("STALE"), vOut.toString)
 
     // hapmap3 flagging pass; the printed count must equal the stored
     // truth (an observe() on the range-partitioned write double-counts
