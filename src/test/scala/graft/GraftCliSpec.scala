@@ -23,6 +23,13 @@ class GraftCliSpec extends SparkSpec {
     Graft.run(spark, Array("lookup", "chr1:752566", "--db", db))
     Graft.run(spark, Array("lookup", "1:752566", "--db", db)) // bare name falls back to chr1
     Graft.run(spark, Array("lookup", "rs3094315", "--db", db))
+    // region form serves driver-side and prints every row in range
+    val rOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(rOut)) {
+      Graft.run(spark, Array("lookup", "chr1:752000-753000", "--db", db))
+    }
+    assert(rOut.toString.linesIterator.count(_.contains("pos=")) ==
+      v.filter($"chrom" === "chr1" && $"pos".between(752000L, 753000L)).count())
     assert(graft.query.PointLookup.byRsid(
       spark, s"$db/rsid_idx", s"$db/variants", "rs3094315")
       .exists(_("pos") == "752566"))
