@@ -271,6 +271,27 @@ object Bench {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$geneDb/gene_idx")))
       graft.sinks.Writers.writeGeneIndex(
         spark.read.parquet(s"$geneDb/variants"), s"$geneDb/gene_idx")
+    // K1e payoff pair: the same 100k rows as an N-APPEND fragmented store
+    // (24 unsorted appends — each file spans nearly the full pos range,
+    // so a point probe footer-prunes almost nothing and pays the
+    // O(files) listing+footer+open cost) vs the compacted layout
+    // (pos-disjoint sorted files — 1-2 opens). The pair proves the
+    // O(files-per-directory) claim that motivates the `compact` verb and
+    // guards the listing/footer caches against regressions.
+    val fragBase = "/tmp/graft_bench_db_v6_frag"
+    val fragStore = s"$fragBase/variants"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(fragStore))) {
+      val v = spark.read.parquet(dbPath)
+      (0 until 24).foreach { i =>
+        v.filter(pmod(col("pos"), lit(24)) === i)
+          .repartition(1)
+          .write.mode("append").partitionBy("chrom").parquet(fragStore)
+      }
+    }
+    val compactedStore = s"$fragBase/variants_compacted"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(compactedStore)))
+      graft.sinks.Writers.writeVariants(
+        spark.read.parquet(fragStore), compactedStore)
     val store = spark.read.parquet(dbPath)
     val rsidIdx = spark.read.parquet(rsidIdxPath)
     // warm the store read path once
@@ -287,6 +308,9 @@ object Bench {
     val probeGene = spark.read.parquet(s"$geneDb/gene_idx")
       .orderBy(col("gene")).select("gene").head().getString(0)
     graft.query.PointLookup.byGene(spark, s"$geneDb/gene_idx", probeGene)
+    // warm the fragmented/compacted probe paths (listing + footer caches)
+    graft.query.PointLookup.byPosition(spark, fragStore, "chr1", probeSite)
+    graft.query.PointLookup.byPosition(spark, compactedStore, "chr1", probeSite)
 
     val parseMetrics: Seq[(String, () => Unit)] = Seq(
       "vcf_parse_100k" -> (() =>
@@ -356,6 +380,18 @@ object Bench {
       "gene_query" -> (() => {
         val hit = graft.query.PointLookup.byGene(
           spark, s"$geneDb/gene_idx", probeGene)
+        assert(hit.nonEmpty)
+      }),
+      // the K1e payoff pair (see the store construction above): same key,
+      // same rows — fragmented layout pays O(files) opens, compacted 1-2
+      "lookup_fragmented" -> (() => {
+        val hit = graft.query.PointLookup.byPosition(
+          spark, fragStore, "chr1", probeSite)
+        assert(hit.nonEmpty)
+      }),
+      "lookup_post_compact" -> (() => {
+        val hit = graft.query.PointLookup.byPosition(
+          spark, compactedStore, "chr1", probeSite)
         assert(hit.nonEmpty)
       }),
       "region_100kb" -> (() =>

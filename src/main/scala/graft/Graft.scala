@@ -62,6 +62,29 @@ object Graft {
     else row.write.parquet(dir)
   }
 
+  /** Rewrite `$db/variants` together with BOTH covering projections in
+    * one all-or-nothing swap. Every verb that rewrites variants after
+    * load (popmax update, hapmap3 flagging, LD-block assignment) must go
+    * through here: the rsID projection is a COVERING full-row copy, so a
+    * variants rewrite that skips the index rebuild leaves `lookup rsX`
+    * serving stale flag/popmax/LD columns — and silently, because the
+    * swap preserves row counts. The reference maintains its indexes
+    * transactionally with the UPDATE (`references/hapmap3.py:53-107`,
+    * `schema.py:271-275`); this is the parquet-layout analogue. The
+    * projections are cheap column scans of the freshly STAGED variants
+    * temp directory, not a re-run of the incoming plan. */
+  private def replaceVariantsStaged(spark: SparkSession, db: String,
+                                    updated: DataFrame): Unit =
+    graft.sinks.Writers.replaceInPlaceAllStaged(Seq(
+      (s"$db/variants", (tmps: Map[String, String]) =>
+        graft.sinks.Writers.writeVariants(updated, tmps(s"$db/variants"))),
+      (s"$db/rsid_idx", tmps =>
+        graft.sinks.Writers.writeRsidIndex(
+          spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/rsid_idx"))),
+      (s"$db/gene_idx", tmps =>
+        graft.sinks.Writers.writeGeneIndex(
+          spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/gene_idx")))))
+
   /** Replace one key's rows in a fact table (per-study / per-score
     * delete-then-insert, so several studies coexist as in the reference's
     * keyed tables); whole-table overwrite when the existing layout
@@ -326,18 +349,7 @@ object Graft {
           .getOrElse(Seq("variants", "genotypes"))
         tables.foreach {
           case "variants" if new java.io.File(s"$db/variants").exists() =>
-            graft.sinks.Writers.replaceInPlaceAllStaged(Seq(
-              (s"$db/variants", (tmps: Map[String, String]) =>
-                graft.sinks.Writers.writeVariants(
-                  variants, tmps(s"$db/variants"))),
-              (s"$db/rsid_idx", tmps =>
-                graft.sinks.Writers.writeRsidIndex(
-                  spark.read.parquet(tmps(s"$db/variants")),
-                  tmps(s"$db/rsid_idx"))),
-              (s"$db/gene_idx", tmps =>
-                graft.sinks.Writers.writeGeneIndex(
-                  spark.read.parquet(tmps(s"$db/variants")),
-                  tmps(s"$db/gene_idx")))))
+            replaceVariantsStaged(spark, db, variants)
             println("compacted variants (rsid_idx and gene_idx rebuilt)")
           case t if new java.io.File(s"$db/$t").exists() =>
             // genotypes compact CLUSTERED on the variant site key, so
@@ -358,17 +370,47 @@ object Graft {
         println(s"variants=${variants.count()} duplicate_sites=$dups")
         // covering-projection freshness: the indexes commit in the same
         // swap as the store, so a mismatch means someone rewrote the
-        // store out-of-band — surface it (column-pruned count scans)
+        // store out-of-band. Counts alone can't see a rewrite that
+        // preserves cardinality but changes served columns (a popmax/flag
+        // update is exactly that), so the check is CONTENT-level: an
+        // order-independent fingerprint — sum of per-row xxhash64 over the
+        // projection's columns — compared between the index and the
+        // eligible variants. Column-pruned scans; no join, no sort.
         Seq(("rsid_idx", variants.filter($"rs_id".isNotNull)),
             ("gene_idx", variants.filter($"gene".isNotNull)))
           .foreach { case (idx, expectDf) =>
             if (new java.io.File(s"$db/$idx").exists()) {
-              val expect = expectDf.count()
-              val got = spark.read.parquet(s"$db/$idx").count()
+              val idxDf = spark.read.parquet(s"$db/$idx")
+              // shared columns in a fixed order — the projection may be a
+              // column subset (gene_idx) or predate a since-added column
+              val cols = idxDf.columns.toSeq.filter(expectDf.columns.contains).sorted
+              def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+                val hashCols = cols.map { c =>
+                  df.schema(c).dataType match {
+                    // xxhash64 rejects MapType (undefined key order); the
+                    // JSON form is stable for a parquet round trip
+                    case _: org.apache.spark.sql.types.MapType => to_json(col(c))
+                    case _ => col(c)
+                  }
+                }
+                // decimal(38,0) sum: overflow-proof to ~1e19 rows, exact
+                val r = df
+                  .select(xxhash64(hashCols: _*).cast("decimal(38,0)").as("h"))
+                  .agg(count(lit(1)).as("n"), sum($"h").as("s")).head()
+                (r.getLong(0),
+                  Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+              }
+              val (wantN, wantS) = fingerprint(expectDf.select(cols.map(col): _*))
+              val (gotN, gotS) = fingerprint(idxDf.select(cols.map(col): _*))
               println(
-                if (got == expect) s"$idx: ok ($got rows)"
-                else s"$idx: STALE ($got rows vs $expect eligible variants " +
-                  "— run `compact` to rebuild)")
+                if (gotN == wantN && gotS == wantS)
+                  s"$idx: ok ($gotN rows, content fingerprint match)"
+                else if (gotN != wantN)
+                  s"$idx: STALE ($gotN rows vs $wantN eligible variants " +
+                    "— run `compact` to rebuild)"
+                else
+                  s"$idx: STALE (row counts match but served content " +
+                    "differs from the store — run `compact` to rebuild)")
             }
           }
 
@@ -404,9 +446,24 @@ object Graft {
               }
               val raw = graft.query.PointLookup.byRegion(
                 spark, s"$db/variants", chrom, lo, hi)
-              if (raw.nonEmpty || chrom.startsWith("chr")) raw
-              else graft.query.PointLookup.byRegion(
-                spark, s"$db/variants", s"chr$chrom", lo, hi)
+              val vRows =
+                if (raw.nonEmpty || chrom.startsWith("chr")) raw
+                else graft.query.PointLookup.byRegion(
+                  spark, s"$db/variants", s"chr$chrom", lo, hi)
+              // --genotypes: the per-sample serving face (the reference's
+              // genotype PK probe, `genotypes/schema.py:19-48`) — appends
+              // the site's sample rows, served driver-side from the
+              // (chrom,pos)-clustered genotypes table
+              val gRows =
+                if (has(args, "--genotypes") &&
+                    new java.io.File(s"$db/genotypes").exists()) {
+                  val g = graft.query.PointLookup.genotypesAt(
+                    spark, s"$db/genotypes", chrom, lo, hi)
+                  if (g.nonEmpty || chrom.startsWith("chr")) g
+                  else graft.query.PointLookup.genotypesAt(
+                    spark, s"$db/genotypes", s"chr$chrom", lo, hi)
+                } else Nil
+              vRows ++ gRows
             case _ =>
               sys.error(s"lookup expects chrom:pos, rsID, or gene:NAME, got $key")
           }
@@ -546,16 +603,14 @@ object Graft {
             .withColumn("popmax_population",
               coalesce($"_new_pop", $"popmax_population"))
             .drop("_new_af", "_new_pop")
-          graft.sinks.Writers.replaceInPlace(updated, s"$db/variants")(
-            graft.sinks.Writers.writeVariants(_, _))
+          replaceVariantsStaged(spark, db, updated)
         }
         println(s"imported $nFreq population-frequency rows (source=$source)")
 
       case "load-reference" =>
         val panel = graft.ingest.RefPanels.hapmap3(spark, args(1))
         val flagged = graft.ingest.VariantMatching.flagHapmap3(variants, panel)
-        graft.sinks.Writers.replaceInPlace(flagged, s"$db/variants")(
-          graft.sinks.Writers.writeVariants(_, _))
+        replaceVariantsStaged(spark, db, flagged)
         // count from the WRITTEN parquet (the flag join ran once, in the
         // write; this scans one boolean column of the new store). NOT an
         // observe() on the write plan: the range-partitioned write runs a
@@ -573,8 +628,7 @@ object Graft {
           arg(args, "--population").getOrElse("EUR"),
           arg(args, "--build").map(b => graft.ingest.PgsReader.normalizeBuild(b))
             .getOrElse("GRCh37"))
-        graft.sinks.Writers.replaceInPlace(assigned, s"$db/variants")(
-          graft.sinks.Writers.writeVariants(_, _))
+        replaceVariantsStaged(spark, db, assigned)
         println("ld blocks assigned")
 
       case "compute-sample-qc" =>
@@ -761,7 +815,7 @@ object Graft {
       |  init-db --db DIR [--skip-audit]
       |  validate --db DIR
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
-      |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR
+      |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR [--genotypes]
       |  import-gwas <tsv> --db DIR [--study-accession A] [--trait T] [--efo ID]
       |       [--pmid P] [--sample-size N] [--n-cases N] [--n-controls N]
       |       [--genome-build GRCh38]

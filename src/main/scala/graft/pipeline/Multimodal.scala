@@ -150,13 +150,73 @@ object Multimodal {
     } finally in.close()
   }
 
+  /** MP4/MOV (ftyp), Matroska/WebM (EBML), AVI (RIFF) container magics —
+    * the gate for the external-binary video seam, so arbitrary non-media
+    * blobs never pay a process spawn. */
+  private def isVideoContainer(c: Array[Byte]): Boolean =
+    (c.length >= 12 && c(4) == 'f' && c(5) == 't' && c(6) == 'y' && c(7) == 'p') ||
+      (c.length >= 4 && c(0) == 0x1A.toByte && c(1) == 0x45.toByte &&
+        c(2) == 0xDF.toByte && c(3) == 0xA3.toByte) ||
+      (c.length >= 12 && c(0) == 'R' && c(1) == 'I' && c(2) == 'F' &&
+        c(3) == 'F' && c(8) == 'A' && c(9) == 'V' && c(10) == 'I')
+
+  /** Probed once per JVM (executor-side too: each executor JVM probes its
+    * own PATH). With an `ffmpeg` binary present, video decode is REAL;
+    * absent, video payloads fall back to `decodeStub`. */
+  lazy val ffmpegAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("ffmpeg", "-version")
+        .redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      p.waitFor() == 0
+    } catch { case _: Exception => false }
+
+  /** REAL video decode via an external `ffmpeg` binary (the productionized
+    * form of the former stub seam): every frame is scaled to the same 4x4
+    * grayscale grid the image path uses, and the 16-dim feature vector is
+    * the per-cell mean over frames. The payload goes through a temp file
+    * (most containers need seekable input); stderr is discarded so the
+    * single stdout read can't deadlock. Returns None when ffmpeg is
+    * absent or the payload doesn't decode — the caller stubs. */
+  private def decodeVideoFfmpeg(content: Array[Byte]): Option[Decoded] = {
+    if (!ffmpegAvailable) return None
+    val tmp = java.nio.file.Files.createTempFile("graft_media", ".bin")
+    try {
+      java.nio.file.Files.write(tmp, content)
+      val p = new ProcessBuilder("ffmpeg", "-v", "error", "-i", tmp.toString,
+        "-vf", "scale=4:4", "-f", "rawvideo", "-pix_fmt", "gray", "-")
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start()
+      p.getOutputStream.close()
+      val out = p.getInputStream.readAllBytes()
+      val ok = p.waitFor() == 0
+      val nFrames = out.length / 16
+      if (!ok || nFrames == 0) None
+      else {
+        val vec = new Array[Float](16)
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < 16) { vec(c) += (out(f * 16 + c) & 0xff) / 255.0f; c += 1 }
+          f += 1
+        }
+        var c = 0
+        while (c < 16) { vec(c) /= nFrames; c += 1 }
+        Some(Decoded(vec, nFrames, "ffmpeg"))
+      }
+    } catch { case _: Exception => None }
+    finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   /** Dispatch on container magic: JDK-decodable payloads get the real
-    * decode; everything else (incl. all video) returns None for the
-    * caller's stub fallback. */
+    * decode; video containers go through the ffmpeg seam when the binary
+    * is present; everything else returns None for the caller's stub
+    * fallback. */
   def decode(content: Array[Byte]): Option[Decoded] =
     try {
       if (ImageMagics.exists(startsWith(content, _))) decodeImage(content)
       else if (isRiffWave(content)) decodeWav(content)
+      else if (isVideoContainer(content)) decodeVideoFfmpeg(content)
       else None
     } catch { case _: Exception => None } // corrupt container → fallback
 

@@ -503,18 +503,23 @@ object VcfQueries {
     },
 
     // K1d: gene covering projection — writeGeneIndex keeps only annotated
-    // rows with the reference's INCLUDE columns, gene-sorted; a gene probe
-    // against the projection must reproduce them bit-for-bit
+    // rows with the reference's INCLUDE columns, gene-sorted. The INPUT
+    // rows land in a separate parquet and the oracle re-derives the
+    // expected projection (filter + select + sort) from THAT, so a
+    // writer row-selection bug (dropping eligible rows) fails the key —
+    // the Spark side reads back the writer's output.
     "vcf_gene_index" -> { (s, _) =>
       import s.implicits._
+      val inDir = "/tmp/graft_gene_index_input"
       val dir = "/tmp/graft_gene_index"
-      val df = Seq(
+      Seq(
         ("chr1", 100L, "A", "G", Some("BRCA2"), Some("HIGH"), Some("stop_gained"), 1L),
         ("chr1", 200L, "C", "T", Some("TP53"), Some("MODERATE"), Some("missense_variant"), 2L),
         ("chr2", 300L, "G", "A", Some("BRCA2"), Some("LOW"), Some("synonymous_variant"), 3L),
         ("chr2", 400L, "T", "C", None: Option[String], None: Option[String], None: Option[String], 4L))
         .toDF("chrom", "pos", "ref", "alt", "gene", "impact", "consequence", "variant_id")
-      graft.sinks.Writers.writeGeneIndex(df, dir)
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      graft.sinks.Writers.writeGeneIndex(s.read.parquet(inDir), dir)
       s.read.parquet(dir).filter($"gene" === "BRCA2")
         .select($"gene", $"chrom", $"pos", $"ref", $"alt",
           $"impact", $"consequence", $"variant_id")
@@ -523,17 +528,21 @@ object VcfQueries {
 
     // K1b: rsID covering projection — writeRsidIndex keeps rs_id-bearing
     // rows with EVERY column (the full row serves from one probe), sorted
-    // by rs_id; an rsID probe must reproduce the full rows bit-for-bit
+    // by rs_id. As with vcf_gene_index, the oracle re-derives the
+    // expectation from the separately written INPUT parquet, so the key
+    // is self-contained against writer row-selection bugs.
     "vcf_rsid_index" -> { (s, _) =>
       import s.implicits._
+      val inDir = "/tmp/graft_rsid_index_input"
       val dir = "/tmp/graft_rsid_index"
-      val df = Seq(
+      Seq(
         ("chr1", 100L, "A", "G", Some("rs1"), 10.0, "snp"),
         ("chr1", 200L, "C", "T", None: Option[String], 20.0, "snp"),
         ("chr2", 300L, "G", "GA", Some("rs2"), 30.0, "indel"),
         ("chr2", 400L, "T", "C", Some("rs1"), 40.0, "snp"))
         .toDF("chrom", "pos", "ref", "alt", "rs_id", "qual", "variant_type")
-      graft.sinks.Writers.writeRsidIndex(df, dir)
+        .coalesce(1).write.mode("overwrite").parquet(inDir)
+      graft.sinks.Writers.writeRsidIndex(s.read.parquet(inDir), dir)
       s.read.parquet(dir).filter($"rs_id" === "rs1")
         .select($"chrom", $"pos", $"ref", $"alt", $"rs_id", $"qual", $"variant_type")
         .orderBy($"chrom", $"pos")

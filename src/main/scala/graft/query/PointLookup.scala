@@ -80,7 +80,7 @@ object PointLookup {
       FilterApi.and(
         FilterApi.gtEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(lo)),
         FilterApi.ltEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(hi))),
-      "pos", java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))
+      Seq(("pos", java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))))
       .map(_ + ("chrom" -> chrom)) // the partition column isn't in the files
 
   /** rsID probe. The index is a covering sorted projection
@@ -94,7 +94,7 @@ object PointLookup {
     val rsBin = Binary.fromString(rsId)
     val hits = read(spark, new Path(rsidIndex),
       FilterApi.eq(FilterApi.binaryColumn("rs_id"), rsBin),
-      "rs_id", rsBin, rsBin)
+      Seq(("rs_id", rsBin, rsBin)))
     // variant_type is never null in the full schema, so its absence marks
     // a slim legacy index row
     if (hits.isEmpty || hits.head.contains("variant_type")) hits
@@ -116,7 +116,32 @@ object PointLookup {
              gene: String): Seq[Map[String, String]] = {
     val gBin = Binary.fromString(gene)
     read(spark, new Path(geneIndex),
-      FilterApi.eq(FilterApi.binaryColumn("gene"), gBin), "gene", gBin, gBin)
+      FilterApi.eq(FilterApi.binaryColumn("gene"), gBin),
+      Seq(("gene", gBin, gBin)))
+  }
+
+  /** Per-sample genotype rows at one site or region — the analogue of the
+    * reference's genotype PK probes (`genotypes/schema.py:19-48`), served
+    * driver-side from the UNPARTITIONED genotypes table. The table is
+    * clustered on (chrom, pos) by `compact`, so footer min/max on BOTH
+    * columns prunes to the 1–2 files covering the site; an uncompacted
+    * (append-fragmented, unclustered) store still answers correctly —
+    * every file just survives pruning, which is the O(files) latency the
+    * `compact` verb exists to bound. Results are sorted (pos, sample_id)
+    * driver-side: cross-file order is not meaningful here because a
+    * site's sample rows may straddle a file boundary. */
+  def genotypesAt(spark: SparkSession, genotypes: String, chrom: String,
+                  lo: Long, hi: Long): Seq[Map[String, String]] = {
+    val cBin = Binary.fromString(chrom)
+    val rows = read(spark, new Path(genotypes),
+      FilterApi.and(
+        FilterApi.eq(FilterApi.binaryColumn("chrom"), cBin),
+        FilterApi.and(
+          FilterApi.gtEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(lo)),
+          FilterApi.ltEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(hi)))),
+      Seq(("chrom", cBin, cBin),
+        ("pos", java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))))
+    rows.sortBy(r => (r("pos").toLong, r.getOrElse("sample_id", "")))
   }
 
   /** Bounded LRU map (access-order), synchronized — probe volume is
@@ -129,13 +154,16 @@ object PointLookup {
           size() > maxEntries
       })
 
-  /** One Hadoop conf per JVM: newHadoopConf() clones the full Spark conf
-    * (milliseconds) and the result is identical across probes of the same
-    * session. */
-  @volatile private var cachedConf: Configuration = null
+  /** One Hadoop conf per SESSION: newHadoopConf() clones the full Spark
+    * conf (milliseconds, pure overhead per probe) and the result is
+    * identical across probes of the same session — but NOT across
+    * sessions, so the cache keys on the session rather than holding one
+    * JVM-wide slot (a later session with different Hadoop settings must
+    * not probe with the first session's configuration). */
+  private val confCache = lru[SparkSession, Configuration](8)
   private def hadoopConf(spark: SparkSession): Configuration = {
-    var c = cachedConf
-    if (c == null) { c = spark.sessionState.newHadoopConf(); cachedConf = c }
+    var c = confCache.get(spark)
+    if (c == null) { c = spark.sessionState.newHadoopConf(); confCache.put(spark, c) }
     c
   }
 
@@ -201,18 +229,76 @@ object PointLookup {
       }
     }
 
+  /** Smallest row-group min of `column` across the file, with its stats
+    * comparator — the file-ordering key for deterministic cross-file
+    * results. None when the column has no usable statistics. */
+  private def fileMin(footer: ParquetMetadata, column: String)
+      : Option[(AnyRef, java.util.Comparator[AnyRef])] = {
+    var best: AnyRef = null
+    var cmp: java.util.Comparator[AnyRef] = null
+    footer.getBlocks.asScala.foreach { block =>
+      block.getColumns.asScala.find(_.getPath.toDotString == column).foreach { chunk =>
+        val s = chunk.getStatistics
+        if (s != null && !s.isEmpty && s.hasNonNullValue) {
+          val c = s.comparator().asInstanceOf[java.util.Comparator[AnyRef]]
+          val m = s.genericGetMin.asInstanceOf[AnyRef]
+          if (best == null || c.compare(m, best) < 0) { best = m; cmp = c }
+        }
+      }
+    }
+    if (best == null) None else Some((best, cmp))
+  }
+
+  /** `prunes`: per-column [lo, hi] bounds, ALL applied at the footer
+    * min/max pruning step (conjunction); the FIRST entry's column also
+    * orders the surviving files (see readListed). */
   private def read(spark: SparkSession, dir: Path, pred: FilterPredicate,
-                   pruneColumn: String, pruneLo: AnyRef,
-                   pruneHi: AnyRef): Seq[Map[String, String]] = {
+                   prunes: Seq[(String, AnyRef, AnyRef)]): Seq[Map[String, String]] =
+    try readListed(spark, dir, pred, prunes)
+    catch {
+      // a cached listing can outlive a swap on filesystems with coarse
+      // directory-mtime granularity (two swaps in one tick) or synthetic
+      // directory mtimes (object stores): dead paths surface here as
+      // FileNotFoundException. Invalidate and relist ONCE; a second miss
+      // is a real missing file and propagates.
+      case _: java.io.FileNotFoundException =>
+        listingCache.remove(dir.toString)
+        readListed(spark, dir, pred, prunes)
+    }
+
+  private def readListed(spark: SparkSession, dir: Path, pred: FilterPredicate,
+                         prunes: Seq[(String, AnyRef, AnyRef)])
+      : Seq[Map[String, String]] = {
     val conf = hadoopConf(spark)
     val fs = dir.getFileSystem(conf)
     val files = parquetFiles(fs, dir)
     if (files.isEmpty) return Nil
     val filter = FilterCompat.get(pred)
-    files.flatMap { status =>
+    val orderColumn = prunes.head._1
+    // Footer-prune FIRST (cached footers, no stream opens), then order the
+    // surviving files by their min(orderColumn): listStatus order is not
+    // contractual on any filesystem, and byRegion's pos-ordered contract
+    // spans files on the range-partitioned multi-file layout (files are
+    // pos-disjoint, so min-ordering the files totally orders the rows).
+    val candidates = files.flatMap { status =>
       val footer = footerFor(conf, status)
-      if (!mayContain(footer, pruneColumn, pruneLo, pruneHi)) Nil
-      else {
+      if (prunes.forall { case (c, lo, hi) => mayContain(footer, c, lo, hi) })
+        Some((status, footer, fileMin(footer, orderColumn)))
+      else None
+    }
+    val ordered = candidates.sortWith {
+      case ((s1, _, m1), (s2, _, m2)) =>
+        (m1, m2) match {
+          case (Some((a, cmp)), Some((b, _))) =>
+            val c = cmp.compare(a, b)
+            if (c != 0) c < 0 else s1.getPath.getName < s2.getPath.getName
+          case (None, Some(_)) => true // statless files first, deterministically
+          case (Some(_), None) => false
+          case (None, None)    => s1.getPath.getName < s2.getPath.getName
+        }
+    }
+    ordered.flatMap { case (status, footer, _) =>
+      {
         val inputFile = HadoopInputFile.fromStatus(status, conf)
         val options = HadoopReadOptions.builder(conf, status.getPath)
           .withRecordFilter(filter).build()

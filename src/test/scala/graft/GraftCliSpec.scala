@@ -112,6 +112,65 @@ class GraftCliSpec extends SparkSpec {
     assert(e2.getMessage.contains("numeric position"))
   }
 
+  test("post-load variant rewrites keep both covering projections fresh") {
+    // the rsID projection is a COVERING full-row copy: a variants rewrite
+    // that skips the index rebuild would leave `lookup rsX` serving stale
+    // flag/popmax/LD columns. All three post-load rewrite verbs must stage
+    // the index rebuilds in the same atomic swap (reference: transactional
+    // index maintenance, `references/hapmap3.py:53-107`).
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    val pre = graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", "rs3094315")
+    assert(pre.nonEmpty && !pre.exists(_.contains("in_hapmap3")))
+
+    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    val afterFlag = graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", "rs3094315")
+    assert(afterFlag.exists(_.get("in_hapmap3").contains("true")),
+      s"stale rsID projection after load-reference: $afterFlag")
+
+    Graft.run(spark, Array("annotate-ld-blocks",
+      fixture("ld_blocks_eur_grch37.bed"), "--db", db))
+    val afterLd = graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", "rs3094315")
+    // chr1:752566 sits in EUR block [10583, 1892607] — the served row now
+    // carries the (content-derived) block id the store was just assigned
+    val wantBlock = spark.read.parquet(s"$db/variants")
+      .filter($"rs_id" === "rs3094315").head()
+      .getAs[Long]("ld_block_id").toString
+    assert(afterLd.exists(_.get("ld_block_id").contains(wantBlock)),
+      s"stale rsID projection after annotate-ld-blocks: $afterLd")
+    // the earlier verb's column survives the later rewrite
+    assert(afterLd.exists(_.get("in_hapmap3").contains("true")))
+
+    // validate agrees: both projections content-fresh after the rewrites
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(vOut.toString.contains("rsid_idx: ok"), vOut.toString)
+    assert(vOut.toString.contains("gene_idx: ok"), vOut.toString)
+    assert(!vOut.toString.contains("STALE"), vOut.toString)
+  }
+
+  test("validate detects content drift that preserves row counts") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    // out-of-band rewrite: identical rows except one SERVED column — the
+    // exact drift a count-only freshness check cannot see
+    val tweaked = spark.read.parquet(s"$db/variants")
+      .withColumn("qual", $"qual" + org.apache.spark.sql.functions.lit(1000.0))
+    graft.sinks.Writers.replaceInPlace(tweaked, s"$db/variants")(
+      graft.sinks.Writers.writeVariants(_, _))
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(vOut.toString.contains(
+      "rsid_idx: STALE (row counts match but served content"), vOut.toString)
+  }
+
   test("compact rewrites appended genotypes into sized files and rebuilds projections") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcfDir = Files.createTempDirectory("compactvcf")
@@ -152,6 +211,46 @@ class GraftCliSpec extends SparkSpec {
     assert(new java.io.File(s"$db/genotypes").listFiles()
       .count(_.getName.endsWith(".parquet")) == 1)
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
+  }
+
+  test("lookup --genotypes serves per-sample rows driver-side with Spark parity") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = fixture("multiallelic.vcf") // sample-bearing fixture
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    val site = spark.read.parquet(s"$db/genotypes")
+      .select($"chrom", $"pos").orderBy($"chrom", $"pos").head()
+    val (chrom, pos) = (site.getString(0), site.getLong(1))
+    def parity(): Unit = {
+      // fresh read each time — compact swaps the files under a stale plan
+      val g = spark.read.parquet(s"$db/genotypes")
+      val direct = graft.query.PointLookup.genotypesAt(
+        spark, s"$db/genotypes", chrom, pos, pos)
+      val viaSpark = g.filter($"chrom" === chrom && $"pos" === pos).collect()
+      assert(direct.nonEmpty && direct.length == viaSpark.length,
+        s"genotype face: direct=${direct.length} spark=${viaSpark.length}")
+      val dKeys = direct.map(m => (m("sample_id"), m.getOrElse("gt", ""))).sorted
+      val sKeys = viaSpark.map(r => (r.getAs[String]("sample_id"),
+        Option(r.getAs[String]("gt")).getOrElse(""))).toSeq.sorted
+      assert(dKeys == sKeys, s"genotype rows differ at $chrom:$pos")
+    }
+    parity() // correct on the uncompacted (unclustered) store too
+    Graft.run(spark, Array("compact", "--db", db))
+    parity() // and on the clustered one, where footer pruning bites
+    // CLI face: variant row(s) plus one line per sample
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Graft.run(spark, Array("lookup", s"$chrom:$pos", "--db", db, "--genotypes"))
+    }
+    val expected = spark.read.parquet(s"$db/genotypes")
+      .filter($"chrom" === chrom && $"pos" === pos).count()
+    assert(out.toString.linesIterator.count(_.contains("sample_id=")) == expected,
+      out.toString)
+    // without the flag, no per-sample rows print
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Graft.run(spark, Array("lookup", s"$chrom:$pos", "--db", db))
+    }
+    assert(!out2.toString.contains("sample_id="))
   }
 
   test("force-reload replaces the batch instead of duplicating it (K4, loader.py:182-252)") {
@@ -393,6 +492,13 @@ class GraftCliSpec extends SparkSpec {
     val rs1 = v.filter($"rs_id" === "rs1").head()
     assert(rs1.getAs[Double]("popmax_af") == 0.2)
     assert(rs1.getAs[String]("popmax_population") == "AFR")
+    // the covering rsID projection serves the freshly attached popmax
+    // (the popmax update rewrites variants → the index rebuilds in the
+    // same swap; a stale index would miss popmax_af entirely)
+    val idxHit = graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", "rs1")
+    assert(idxHit.exists(_.get("popmax_af").contains("0.2")),
+      s"stale rsID projection after import-frequencies: $idxHit")
 
     // sources coexist per (source, subset) as in the reference's
     // ON CONFLICT key; re-import replaces only its own rows

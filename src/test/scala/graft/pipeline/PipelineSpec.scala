@@ -293,4 +293,43 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(3L).decoder == "stub")
     assert(feats(3L).feature_vec.length == 16)
   }
+
+  test("a video-magic payload that can't decode still stubs, never throws") {
+    // an MP4 ftyp magic with garbage behind it: the ffmpeg seam (binary
+    // absent → immediate None; present → decode failure → None) must fall
+    // back to the stub either way
+    val fakeMp4 = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p') ++
+      Array.fill[Byte](64)(0x5A)
+    val feats = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaRow(9L, "video", fakeMp4, "t", None, None, Some(1000L)))
+      .toDS()).collect()
+    assert(feats.head.decoder == "stub")
+    assert(feats.head.feature_vec.length == 16)
+  }
+
+  test("real video decode through the ffmpeg seam (canceled when ffmpeg is absent)") {
+    assume(Multimodal.ffmpegAvailable, "no ffmpeg binary on PATH")
+    // generate a 1-second 10 fps test pattern with ffmpeg itself, then
+    // decode it: per-frame 4x4 grayscale grid, mean over frames
+    val tmp = java.nio.file.Files.createTempFile("graft_testsrc", ".mp4")
+    val gen = new ProcessBuilder("ffmpeg", "-y", "-v", "error",
+      "-f", "lavfi", "-i", "testsrc=duration=1:size=64x48:rate=10",
+      tmp.toString).redirectErrorStream(true).start()
+    gen.getInputStream.readAllBytes()
+    assert(gen.waitFor() == 0, "ffmpeg testsrc generation failed")
+    val bytes = java.nio.file.Files.readAllBytes(tmp)
+    java.nio.file.Files.deleteIfExists(tmp)
+    val d = Multimodal.decode(bytes)
+    assert(d.isDefined, "ffmpeg-decodable payload returned None")
+    assert(d.get.decoder == "ffmpeg")
+    assert(d.get.nFrames == 10, s"expected 10 frames, got ${d.get.nFrames}")
+    assert(d.get.featureVec.length == 16)
+    // testsrc is not a black frame: some luminance present
+    assert(d.get.featureVec.exists(_ > 0.05f))
+    // and through the full operator, decoder surfaces per-row
+    val feats = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaRow(10L, "video", bytes, "t", None, None, Some(1000L)))
+      .toDS()).collect()
+    assert(feats.head.decoder == "ffmpeg")
+  }
 }

@@ -76,6 +76,67 @@ class PointLookupSpec extends SparkSpec {
     }
   }
 
+  test("byRegion keeps pos order across a multi-file chrom directory") {
+    // the range-partitioned layout's whole point is several pos-disjoint
+    // files per chrom dir; cross-file result order must not depend on
+    // listStatus order (not contractual on any filesystem). Shrink the
+    // AQE size floors so test-scale data fans out to multiple files.
+    val base = Files.createTempDirectory("multifile").toString
+    val vcf = s"$base/v.vcf"
+    graft.vcf.SyntheticVcf.write(vcf, 20000, seed = 41L)
+    val sized = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+    val prev = sized.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    sized.foreach { case (k, v) => spark.conf.set(k, v) }
+    try graft.sinks.Writers.writeVariants(
+      graft.vcf.VcfReader.variants(spark, vcf), s"$base/variants")
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    val nFiles = new java.io.File(s"$base/variants/chrom=chr1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 1, s"need a multi-file chrom dir, got $nFiles file(s)")
+    val df = spark.read.parquet(s"$base/variants")
+    val bounds = df.filter($"chrom" === "chr1").agg(min($"pos"), max($"pos")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // the full-span window necessarily crosses every file in the dir
+    val rows = PointLookup.byRegion(spark, s"$base/variants", "chr1", lo, hi)
+    assert(rows.length == df.filter($"chrom" === "chr1").count())
+    val ps = rows.map(_("pos").toLong)
+    assert(ps == ps.sorted, "cross-file results not pos-ordered")
+  }
+
+  test("a stale cached listing with dead file paths relists instead of failing") {
+    // coarse directory-mtime granularity (or synthetic object-store
+    // mtimes) can leave the listing cache holding paths a swap deleted;
+    // the reader must invalidate + relist once, not throw. Simulate by
+    // pinning the directory mtime across a rewrite.
+    val base = Files.createTempDirectory("stalelist").toString
+    val v1 = Seq(("chr1", 100L, "A", "G"), ("chr1", 200L, "C", "T"))
+      .toDF("chrom", "pos", "ref", "alt")
+    graft.sinks.Writers.writeVariants(v1, s"$base/variants")
+    val dir = new java.io.File(s"$base/variants/chrom=chr1")
+    assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L).nonEmpty)
+    val mtime = dir.lastModified()
+    // rewrite: new part files (new names), old paths now dead
+    val v2 = Seq(("chr1", 100L, "A", "G"), ("chr1", 300L, "G", "A"))
+      .toDF("chrom", "pos", "ref", "alt")
+    graft.sinks.Writers.writeVariants(v2, s"$base/variants")
+    assert(dir.setLastModified(mtime)) // cached listing now LOOKS fresh
+    // probe a key the DEAD files' cached footers admit: the open hits the
+    // missing path, and the reader must invalidate + relist, not throw
+    val rows = PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L)
+    assert(rows.nonEmpty, "stale listing was not recovered by a relist")
+    assert(rows.head("pos") == "100")
+    // the recovery refreshed the cached listing: a key only the NEW data
+    // holds now answers too
+    val rows2 = PointLookup.byPosition(spark, s"$base/variants", "chr1", 300L)
+    assert(rows2.nonEmpty && rows2.head("pos") == "300")
+  }
+
   test("byRsid falls back to two probes over a legacy slim index") {
     val base = Files.createTempDirectory("slimidx").toString
     val df = spark.read.parquet(store)
