@@ -292,6 +292,16 @@ object Bench {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(compactedStore)))
       graft.sinks.Writers.writeVariants(
         spark.read.parquet(fragStore), compactedStore)
+    // genotype serving store: the (chrom,pos)-clustered layout `compact`
+    // produces; the probe row is the analogue of the reference's genotype
+    // PK SELECT (`genotypes/schema.py:19-48`)
+    val genoStore = "/tmp/graft_bench_db_v6_geno"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(genoStore)))
+      graft.vcf.VcfReader.genotypes(spark, vcfPath)
+        .repartitionByRange(col("chrom"), col("pos"))
+        .sortWithinPartitions(col("chrom"), col("pos"))
+        .write.option("parquet.page.row.count.limit", "512")
+        .parquet(genoStore)
     val store = spark.read.parquet(dbPath)
     val rsidIdx = spark.read.parquet(rsidIdxPath)
     // warm the store read path once
@@ -308,9 +318,12 @@ object Bench {
     val probeGene = spark.read.parquet(s"$geneDb/gene_idx")
       .orderBy(col("gene")).select("gene").head().getString(0)
     graft.query.PointLookup.byGene(spark, s"$geneDb/gene_idx", probeGene)
-    // warm the fragmented/compacted probe paths (listing + footer caches)
+    // warm the fragmented/compacted/genotype probe paths (listing +
+    // footer caches)
     graft.query.PointLookup.byPosition(spark, fragStore, "chr1", probeSite)
     graft.query.PointLookup.byPosition(spark, compactedStore, "chr1", probeSite)
+    graft.query.PointLookup.genotypesAt(spark, genoStore, "chr1",
+      probeSite, probeSite)
 
     val parseMetrics: Seq[(String, () => Unit)] = Seq(
       "vcf_parse_100k" -> (() =>
@@ -392,6 +405,13 @@ object Bench {
       "lookup_post_compact" -> (() => {
         val hit = graft.query.PointLookup.byPosition(
           spark, compactedStore, "chr1", probeSite)
+        assert(hit.nonEmpty)
+      }),
+      // per-sample genotype probe at one site, served driver-side from
+      // the clustered genotypes table (reference genotype PK probe shape)
+      "lookup_genotypes_direct" -> (() => {
+        val hit = graft.query.PointLookup.genotypesAt(
+          spark, genoStore, "chr1", probeSite, probeSite)
         assert(hit.nonEmpty)
       }),
       "region_100kb" -> (() =>

@@ -432,9 +432,22 @@ object Graft {
           if (key.startsWith("gene:"))
             graft.query.PointLookup.byGene(
               spark, s"$db/gene_idx", key.stripPrefix("gene:"))
-          else if (key.startsWith("rs"))
-            graft.query.PointLookup.byRsid(
+          else if (key.startsWith("rs")) {
+            val hits = graft.query.PointLookup.byRsid(
               spark, s"$db/rsid_idx", s"$db/variants", key)
+            // --genotypes: per-sample rows for each matched SITE (probe
+            // once per distinct (chrom,pos), as the position form does)
+            val gRows =
+              if (has(args, "--genotypes") &&
+                  new java.io.File(s"$db/genotypes").exists())
+                hits.map(h => (h("chrom"), h("pos").toLong)).distinct
+                  .flatMap { case (c, p) =>
+                    graft.query.PointLookup.genotypesAt(
+                      spark, s"$db/genotypes", c, p, p)
+                  }
+              else Nil
+            hits ++ gRows
+          }
           else key.split(":") match {
             case Array(chrom, pos) =>
               // chr1:12345 is a point probe, chr1:1000-2000 a region probe;

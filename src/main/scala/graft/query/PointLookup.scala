@@ -172,18 +172,22 @@ object PointLookup {
     * directory mtime, so one getFileStatus validates the entry. */
   private val listingCache = lru[String, (Long, Seq[FileStatus])](256)
 
-  private def parquetFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+  /** Returns (files, servedFromCache) — the flag lets empty-result probes
+    * distinguish "genuinely no hit" from "stale cached listing whose dead
+    * files were all footer-pruned" (see readListed). */
+  private def parquetFiles(fs: FileSystem, dir: Path): (Seq[FileStatus], Boolean) = {
     val dirStatus =
       try fs.getFileStatus(dir)
-      catch { case _: java.io.FileNotFoundException => return Nil }
+      catch { case _: java.io.FileNotFoundException => return (Nil, false) }
     val key = dir.toString
     val cached = listingCache.get(key)
-    if (cached != null && cached._1 == dirStatus.getModificationTime) cached._2
+    if (cached != null && cached._1 == dirStatus.getModificationTime)
+      (cached._2, true)
     else {
       val files = fs.listStatus(dir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       listingCache.put(key, (dirStatus.getModificationTime, files))
-      files
+      (files, false)
     }
   }
 
@@ -271,7 +275,7 @@ object PointLookup {
       : Seq[Map[String, String]] = {
     val conf = hadoopConf(spark)
     val fs = dir.getFileSystem(conf)
-    val files = parquetFiles(fs, dir)
+    val (files, fromCache) = parquetFiles(fs, dir)
     if (files.isEmpty) return Nil
     val filter = FilterCompat.get(pred)
     val orderColumn = prunes.head._1
@@ -297,7 +301,7 @@ object PointLookup {
           case (None, None)    => s1.getPath.getName < s2.getPath.getName
         }
     }
-    ordered.flatMap { case (status, footer, _) =>
+    val result = ordered.flatMap { case (status, footer, _) =>
       {
         val inputFile = HadoopInputFile.fromStatus(status, conf)
         val options = HadoopReadOptions.builder(conf, status.getPath)
@@ -329,6 +333,18 @@ object PointLookup {
         } finally reader.close()
       }
     }
+    // A stale cached listing whose dead files were ALL footer-pruned
+    // yields an empty result without touching any file, so the
+    // FileNotFoundException recovery above never fires — the probe would
+    // silently answer from the dead store's statistics. Store files are
+    // immutable (a swap DELETES them, never rewrites them in place), so
+    // one existence probe on a listed file distinguishes a genuine miss
+    // from that staleness; a dead path escalates into the relist-once
+    // retry. Cost: one file-status call, only on cached empty results.
+    if (result.isEmpty && fromCache && !fs.exists(files.head.getPath))
+      throw new java.io.FileNotFoundException(
+        s"stale listing: ${files.head.getPath}")
+    result
   }
 
   /** Render one parquet Group generically: primitives via their string

@@ -251,6 +251,27 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(spark, Array("lookup", s"$chrom:$pos", "--db", db))
     }
     assert(!out2.toString.contains("sample_id="))
+    // the rsID form serves the matched sites' sample rows too (needs a
+    // fixture with BOTH rs ids and samples — synthetic)
+    val db2 = Files.createTempDirectory("graftdb2").toString
+    val vcfS = Files.createTempDirectory("synthvcf").resolve("s.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfS, 300, seed = 43L)
+    Graft.run(spark, Array("load", vcfS, "--db", db2))
+    val rsId = spark.read.parquet(s"$db2/variants")
+      .filter($"rs_id".isNotNull).select($"rs_id").head().getString(0)
+    val hits = graft.query.PointLookup.byRsid(
+      spark, s"$db2/rsid_idx", s"$db2/variants", rsId)
+    val g2 = spark.read.parquet(s"$db2/genotypes")
+    val gexp = hits.map(h => (h("chrom"), h("pos").toLong)).distinct.map {
+      case (c, p) => g2.filter($"chrom" === c && $"pos" === p).count()
+    }.sum
+    assert(gexp > 0)
+    val out3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out3)) {
+      Graft.run(spark, Array("lookup", rsId, "--db", db2, "--genotypes"))
+    }
+    assert(out3.toString.linesIterator.count(_.contains("sample_id=")) == gexp,
+      out3.toString)
   }
 
   test("force-reload replaces the batch instead of duplicating it (K4, loader.py:182-252)") {

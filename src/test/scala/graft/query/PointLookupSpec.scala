@@ -126,15 +126,24 @@ class PointLookupSpec extends SparkSpec {
       .toDF("chrom", "pos", "ref", "alt")
     graft.sinks.Writers.writeVariants(v2, s"$base/variants")
     assert(dir.setLastModified(mtime)) // cached listing now LOOKS fresh
-    // probe a key the DEAD files' cached footers admit: the open hits the
-    // missing path, and the reader must invalidate + relist, not throw
-    val rows = PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L)
-    assert(rows.nonEmpty, "stale listing was not recovered by a relist")
-    assert(rows.head("pos") == "100")
-    // the recovery refreshed the cached listing: a key only the NEW data
-    // holds now answers too
-    val rows2 = PointLookup.byPosition(spark, s"$base/variants", "chr1", 300L)
-    assert(rows2.nonEmpty && rows2.head("pos") == "300")
+    // path 1 — all-pruned staleness: pos=300 is OUTSIDE the dead files'
+    // cached footer range [100,200], so every dead file prunes and no
+    // open ever throws; the empty-result existence check must detect the
+    // dead path and relist rather than silently answering "no rows"
+    val rows = PointLookup.byPosition(spark, s"$base/variants", "chr1", 300L)
+    assert(rows.nonEmpty, "all-pruned stale listing served a silent empty")
+    assert(rows.head("pos") == "300")
+    // path 2 — open-throws staleness: make the listing stale again, then
+    // probe a key the dead footers ADMIT, so the open hits the missing
+    // path and the FileNotFoundException retry recovers
+    val mtime2 = dir.lastModified()
+    val v3 = Seq(("chr1", 100L, "A", "G"), ("chr1", 400L, "T", "A"))
+      .toDF("chrom", "pos", "ref", "alt")
+    graft.sinks.Writers.writeVariants(v3, s"$base/variants")
+    assert(dir.setLastModified(mtime2))
+    val rows2 = PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L)
+    assert(rows2.nonEmpty, "stale listing was not recovered by a relist")
+    assert(rows2.head("pos") == "100")
   }
 
   test("byRsid falls back to two probes over a legacy slim index") {
