@@ -385,13 +385,18 @@ object Graft {
               // column subset (gene_idx) or predate a since-added column
               val cols = idxDf.columns.toSeq.filter(expectDf.columns.contains).sorted
               def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
-                val hashCols = cols.map { c =>
-                  df.schema(c).dataType match {
+                // xxhash64 SKIPS null inputs (the hash is unchanged), so
+                // rows differing only in WHICH column is null would
+                // collide; interleaving a never-null isnull flag per
+                // column makes null placement part of the fingerprint
+                val hashCols = cols.flatMap { c =>
+                  val v = df.schema(c).dataType match {
                     // xxhash64 rejects MapType (undefined key order); the
                     // JSON form is stable for a parquet round trip
                     case _: org.apache.spark.sql.types.MapType => to_json(col(c))
                     case _ => col(c)
                   }
+                  Seq(v, isnull(col(c)))
                 }
                 // decimal(38,0) sum: overflow-proof to ~1e19 rows, exact
                 val r = df

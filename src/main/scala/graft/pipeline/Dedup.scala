@@ -121,6 +121,67 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Connected components over near-dup pairs — the cluster-formation
+    * step a dedup pipeline runs AFTER candidate generation: transitive
+    * near-dups (A~B, B~C) must fold into ONE cluster so exactly one
+    * representative survives, which pairwise output alone can't express.
+    *
+    * Iterative min-label propagation (the standard large-graph CC, same
+    * shape as GraphX/Pregel cc): every node starts labeled with its own
+    * id and repeatedly adopts the minimum label among itself and its
+    * neighbors — one equi-join + partial-aggregated groupBy per round,
+    * O(component diameter) rounds. Near-dup graphs are short-diameter
+    * (clusters are cliques-ish through their shared buckets), so rounds
+    * stay in the low single digits at any scale; every round is a plain
+    * shuffle join that AQE sizes, nothing collects to the driver, and
+    * `localCheckpoint` cuts the growing lineage so round N's plan does
+    * not re-execute rounds 1..N-1 (without it the plan doubles per
+    * round — exponential). Convergence is detected with a changed-count
+    * aggregate, also distributed.
+    *
+    * Returns (doc_id, cluster_id) with cluster_id = min doc id of the
+    * component; only paired docs appear (unpaired docs are their own
+    * trivial cluster by definition and need no row at scale). */
+  def clusterPairs(pairs: DataFrame, aCol: String = "id_a",
+                   bCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // run the (possibly LSH-expensive) pair plan once
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("_nmin"))
+      val next = labels.withColumnRenamed("cluster_id", "_prev")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          least(col("_prev"), coalesce(col("_nmin"), col("_prev"))))
+        .localCheckpoint()
+      converged = next.filter(col("cluster_id") =!= col("_prev")).count() == 0
+      labels = next.select("doc_id", "cluster_id")
+      round += 1
+    }
+    labels
+  }
+
+  /** Canonical-keep materialization: drop every clustered doc except its
+    * cluster's minimum id (exact-dedup's `exactDedup` analogue for the
+    * NEAR-dup graph). A broadcast-size drop list at test scale; at 100 TB
+    * the anti-join shuffles on doc_id, which is the partitioning the
+    * documents table already wants. */
+  def dropNearDuplicates(docs: DataFrame, clusters: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val drop = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 64-bit SimHash over tokens: per-token hash votes per bit. The bit

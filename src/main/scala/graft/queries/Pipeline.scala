@@ -85,6 +85,27 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Near-dup CLUSTER formation: connected components over the LSH
+    // candidate pairs (transitive near-dups fold into one cluster, so
+    // exactly one representative survives canonical-keep) — the step a
+    // dedup pipeline runs after pair generation.
+    "p15_dedup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.filter($"doc_id" < 200)
+      val mutated = d.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" appended tail token")).as("text"))
+      val corpus = d.select($"doc_id", $"text").union(mutated)
+      val pairs = Dedup.minhashCandidatePairs(corpus)
+        .filter($"est_jaccard" >= 0.5)
+      Dedup.clusterPairs(pairs)
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(sort_array(collect_list($"doc_id")),
+            _.cast("string")), ",").as("members"))
+        .orderBy($"cluster_id")
+    },
+
     // SimHash near-dup pairs (hash-based → rows-only).
     "p08_simhash_pairs" -> { (s, dir) =>
       import s.implicits._

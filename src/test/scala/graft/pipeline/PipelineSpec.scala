@@ -106,6 +106,27 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(df.head().getDouble(0) - 0.5) < 1e-12)
   }
 
+  test("clusterPairs folds transitive near-dups into one component") {
+    // chain 1-2, 2-3 plus a separate pair 10-11: transitivity must put
+    // {1,2,3} in ONE cluster even though (1,3) was never a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer path exercises multiple propagation rounds (diameter 4)
+    val chain = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val chainLabels = Dedup.clusterPairs(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLabels.values.toSet == Set(1L))
+    // canonical-keep: only each cluster's min id survives, unpaired docs
+    // pass through untouched
+    val d = Seq(1L, 2L, 3L, 10L, 11L, 99L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(
+      d, Dedup.clusterPairs(pairs)).select($"doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 10L, 99L))
+  }
+
   test("embedding near-dup via LSH buckets finds identical vectors") {
     val e = graft.Tables(spark, sfDir).embeddings.limit(100)
     val copies = e.filter($"vec_id" < 5)
