@@ -348,6 +348,28 @@ object Graft {
         val tables = arg(args, "--tables").map(_.split(",").toSeq)
           .getOrElse(Seq("variants", "genotypes"))
         tables.foreach {
+          case "variants" if has(args, "--per-chrom") &&
+              new java.io.File(s"$db/variants").exists() =>
+            // incremental form: rewrite ONLY partition directories whose
+            // file count exceeds --max-files — cost O(fragmented data),
+            // the compaction shape a 100 TB store needs (the full-table
+            // form below is one job over everything). Content is
+            // unchanged, so the covering projections stay fresh without
+            // a rebuild (validate's fingerprint check proves it).
+            val maxFiles = arg(args, "--max-files").getOrElse("8").toInt
+            val dirs = new java.io.File(s"$db/variants").listFiles().toSeq
+              .filter(f => f.isDirectory && f.getName.startsWith("chrom="))
+            var doneN = 0
+            dirs.foreach { d =>
+              val nf = d.listFiles().count(_.getName.endsWith(".parquet"))
+              if (nf > maxFiles) {
+                graft.sinks.Writers.compactPartitionDir(spark,
+                  s"$db/variants", d.getName, targetMb, sortCols = Seq("pos"))
+                doneN += 1
+              }
+            }
+            println(s"compacted $doneN/${dirs.length} chrom partition(s) " +
+              "(content unchanged; projections stay fresh)")
           case "variants" if new java.io.File(s"$db/variants").exists() =>
             replaceVariantsStaged(spark, db, variants)
             println("compacted variants (rsid_idx and gene_idx rebuilt)")
@@ -833,6 +855,7 @@ object Graft {
       |  init-db --db DIR [--skip-audit]
       |  validate --db DIR
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
+      |       [--per-chrom] [--max-files N]
       |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR [--genotypes]
       |  import-gwas <tsv> --db DIR [--study-accession A] [--trait T] [--efo ID]
       |       [--pmid P] [--sample-size N] [--n-cases N] [--n-controls N]

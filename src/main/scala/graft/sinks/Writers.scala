@@ -219,6 +219,53 @@ object Writers {
     n
   }
 
+  /** Incremental compaction of ONE partition directory of a hive-layout
+    * table (the 100 TB form of the compact discipline: a full-table
+    * recompact rewrites everything in one job, while fragmentation is
+    * usually concentrated in a few partitions — compacting per partition
+    * makes the cost O(fragmented data) and lets a store be folded
+    * progressively). Content is unchanged, only the file layout — so
+    * covering projections derived from the table stay fresh (validate's
+    * content fingerprint proves it).
+    *
+    * The temp directory is staged as a sibling of the TABLE ROOT, not
+    * inside it: a temp named `<root>/chrom=chr1.tmp-x` would surface as a
+    * bogus partition value to any concurrent partition discovery; outside
+    * the root, readers never see intermediate state beyond the same O(1)
+    * rename window every swap here has. Returns the target file count. */
+  def compactPartitionDir(spark: SparkSession, tableRoot: String,
+                          dirName: String, targetMb: Long,
+                          sortCols: Seq[String]): Int = {
+    val dst = new org.apache.hadoop.fs.Path(s"$tableRoot/$dirName")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(dst).getLength
+    val targetBytes = targetMb * 1024L * 1024L
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot.$dirName.tmp-$suffix")
+    val old = new org.apache.hadoop.fs.Path(s"$tableRoot.$dirName.old-$suffix")
+    spark.read.parquet(dst.toString)
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.option("parquet.page.row.count.limit", "512")
+      .parquet(tmp.toString)
+    try {
+      if (!fs.rename(dst, old))
+        sys.error(s"compactPartitionDir: could not stage $dst aside")
+      if (!fs.rename(tmp, dst)) {
+        fs.rename(old, dst) // restore before failing
+        sys.error(s"compactPartitionDir: could not move new data into $dst")
+      }
+    } catch {
+      case e: Throwable =>
+        try if (fs.exists(tmp)) fs.delete(tmp, true)
+        catch { case _: Throwable => () }
+        throw e
+    }
+    fs.delete(old, true)
+    n
+  }
+
   /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,
     * existing rows without a match survive (left_anti + union).
     * `allowMissingColumns` tolerates on-disk schema drift (an older table

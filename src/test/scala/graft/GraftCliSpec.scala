@@ -213,6 +213,57 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
 
+  test("per-chrom compaction folds only fragmented partitions, content unchanged") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = Files.createTempDirectory("pcvcf").resolve("v.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf, 20000, seed = 47L)
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    // refragment the store IN PLACE with AQE size floors shrunk: content
+    // identical, layout multi-file per chrom dir (the at-scale shape)
+    val sized = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false")
+    val prev = sized.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    sized.foreach { case (k, v) => spark.conf.set(k, v) }
+    try graft.sinks.Writers.replaceInPlace(
+      spark.read.parquet(s"$db/variants"), s"$db/variants")(
+      (d, p) => graft.sinks.Writers.writeVariants(d, p))
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    val n0 = spark.read.parquet(s"$db/variants").count()
+    val chr1 = new java.io.File(s"$db/variants/chrom=chr1")
+    def chr1Files = chr1.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(chr1Files > 1, s"need a fragmented chrom dir, got $chr1Files")
+    Graft.run(spark, Array("compact", "--db", db, "--tables", "variants",
+      "--per-chrom", "--max-files", "1"))
+    assert(chr1Files == 1, s"chr1 not folded: $chr1Files files")
+    // no temp/old leftovers from the partition swap
+    assert(!new java.io.File(s"$db").listFiles()
+      .exists(f => f.getName.contains(".tmp-") || f.getName.contains(".old-")))
+    assert(spark.read.parquet(s"$db/variants").count() == n0)
+    // content unchanged ⇒ the covering projections are STILL fresh even
+    // though per-chrom compaction rebuilds nothing
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(vOut.toString.contains("rsid_idx: ok"), vOut.toString)
+    assert(!vOut.toString.contains("STALE"), vOut.toString)
+    // probes still answer, pos-ordered, from the folded layout
+    val df = spark.read.parquet(s"$db/variants")
+    val bounds = df.filter($"chrom" === "chr1")
+      .agg(org.apache.spark.sql.functions.min($"pos"),
+        org.apache.spark.sql.functions.max($"pos")).head()
+    val rows = graft.query.PointLookup.byRegion(
+      spark, s"$db/variants", "chr1", bounds.getLong(0), bounds.getLong(1))
+    assert(rows.length == df.filter($"chrom" === "chr1").count())
+    val ps = rows.map(_("pos").toLong)
+    assert(ps == ps.sorted)
+  }
+
   test("lookup --genotypes serves per-sample rows driver-side with Spark parity") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = fixture("multiallelic.vcf") // sample-bearing fixture
