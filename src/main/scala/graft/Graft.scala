@@ -398,6 +398,7 @@ object Graft {
         // order-independent fingerprint — sum of per-row xxhash64 over the
         // projection's columns — compared between the index and the
         // eligible variants. Column-pruned scans; no join, no sort.
+        val staleIdx = scala.collection.mutable.ArrayBuffer[String]()
         Seq(("rsid_idx", variants.filter($"rs_id".isNotNull)),
             ("gene_idx", variants.filter($"gene".isNotNull)))
           .foreach { case (idx, expectDf) =>
@@ -429,17 +430,35 @@ object Graft {
               }
               val (wantN, wantS) = fingerprint(expectDf.select(cols.map(col): _*))
               val (gotN, gotS) = fingerprint(idxDf.select(cols.map(col): _*))
-              println(
-                if (gotN == wantN && gotS == wantS)
-                  s"$idx: ok ($gotN rows, content fingerprint match)"
-                else if (gotN != wantN)
-                  s"$idx: STALE ($gotN rows vs $wantN eligible variants " +
-                    "— run `compact` to rebuild)"
-                else
-                  s"$idx: STALE (row counts match but served content " +
-                    "differs from the store — run `compact` to rebuild)")
+              if (gotN == wantN && gotS == wantS)
+                println(s"$idx: ok ($gotN rows, content fingerprint match)")
+              else {
+                staleIdx += idx
+                println(
+                  if (gotN != wantN)
+                    s"$idx: STALE ($gotN rows vs $wantN eligible variants " +
+                      "— run `validate --rebuild` or `compact`)"
+                  else
+                    s"$idx: STALE (row counts match but served content " +
+                      "differs from the store — run `validate --rebuild` " +
+                      "or `compact`)")
+              }
             }
           }
+        // --rebuild: repair in place — regenerate ONLY the stale
+        // projections from the live store, in one all-or-nothing swap
+        // (the cheap targeted form of compact's full rebuild)
+        if (staleIdx.nonEmpty && has(args, "--rebuild")) {
+          graft.sinks.Writers.replaceInPlaceAllStaged(staleIdx.toSeq.map {
+            case "rsid_idx" => (s"$db/rsid_idx",
+              (tmps: Map[String, String]) => graft.sinks.Writers
+                .writeRsidIndex(variants, tmps(s"$db/rsid_idx")))
+            case idx => (s"$db/$idx",
+              (tmps: Map[String, String]) => graft.sinks.Writers
+                .writeGeneIndex(variants, tmps(s"$db/$idx")))
+          })
+          println(s"rebuilt ${staleIdx.mkString(", ")} from the live store")
+        }
 
       case "lookup" =>
         // the reference's indexed point SELECT face
@@ -853,7 +872,7 @@ object Graft {
       |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
       |       [--compact] [--target-file-mb N]
       |  init-db --db DIR [--skip-audit]
-      |  validate --db DIR
+      |  validate --db DIR [--rebuild]
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
       |       [--per-chrom] [--max-files N]
       |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR [--genotypes]

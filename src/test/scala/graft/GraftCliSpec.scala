@@ -169,6 +169,22 @@ class GraftCliSpec extends SparkSpec {
     }
     assert(vOut.toString.contains(
       "rsid_idx: STALE (row counts match but served content"), vOut.toString)
+    // --rebuild repairs the stale projections in place from the live
+    // store; a subsequent validate is clean and the probe serves the
+    // rewritten column
+    val rOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(rOut)) {
+      Graft.run(spark, Array("validate", "--db", db, "--rebuild"))
+    }
+    assert(rOut.toString.contains("rebuilt rsid_idx"), rOut.toString)
+    val vOut2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut2)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(!vOut2.toString.contains("STALE"), vOut2.toString)
+    val hit = graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", "rs3094315")
+    assert(hit.exists(_.get("qual").exists(_.toDouble > 1000.0)), hit.toString)
   }
 
   test("compact rewrites appended genotypes into sized files and rebuilds projections") {
