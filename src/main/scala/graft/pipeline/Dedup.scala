@@ -167,6 +167,12 @@ object Dedup {
       labels = next.select("doc_id", "cluster_id")
       round += 1
     }
+    // no silent caps: an unconverged result merges fewer clusters than
+    // the true components — say so instead of returning it quietly
+    if (!converged)
+      println(s"WARNING: clusterPairs stopped at maxRounds=$maxRounds " +
+        "before convergence; some transitive clusters remain split " +
+        "(raise maxRounds for path-like duplicate graphs)")
     labels
   }
 

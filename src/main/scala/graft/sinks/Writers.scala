@@ -244,11 +244,19 @@ object Writers {
     val suffix = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(s"$tableRoot.$dirName.tmp-$suffix")
     val old = new org.apache.hadoop.fs.Path(s"$tableRoot.$dirName.old-$suffix")
-    spark.read.parquet(dst.toString)
-      .repartitionByRange(n, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.option("parquet.page.row.count.limit", "512")
-      .parquet(tmp.toString)
+    try
+      spark.read.parquet(dst.toString)
+        .repartitionByRange(n, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.option("parquet.page.row.count.limit", "512")
+        .parquet(tmp.toString)
+    catch {
+      case e: Throwable =>
+        // failed mid-write: destination untouched; drop the partial temp
+        try if (fs.exists(tmp)) fs.delete(tmp, true)
+        catch { case _: Throwable => () }
+        throw e
+    }
     try {
       if (!fs.rename(dst, old))
         sys.error(s"compactPartitionDir: could not stage $dst aside")
