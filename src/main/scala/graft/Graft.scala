@@ -124,7 +124,37 @@ object Graft {
     try run(spark, args) finally spark.stop()
   }
 
+  private val MutatingVerbs = Set("load", "compact", "init-db", "import-gwas",
+    "import-pgs", "import-frequencies", "load-reference", "annotate-ld-blocks",
+    "compute-sample-qc", "refresh-views", "load-annotation")
+
+  /** Dispatch with operation auditing: every state-changing verb appends
+    * one chained row to `$db/audit_log` (the reference's audit_log,
+    * `audit/integrity.py:92-239` — the ledger records WHAT data landed,
+    * this records WHO ran WHICH operation, tamper-evidently; see
+    * `audit-verify`). The append is advisory: its failure must not fail
+    * an otherwise-committed operation, so it reports and swallows. */
   def run(spark: SparkSession, args: Array[String]): Unit = {
+    val verb = args.head
+    val mutates = MutatingVerbs.contains(verb) ||
+      (verb == "validate" && has(args, "--rebuild"))
+    if (!mutates) runVerb(spark, args)
+    else {
+      val db = arg(args, "--db").getOrElse("/tmp/graft_db")
+      var ok = false
+      try { runVerb(spark, args); ok = true }
+      finally {
+        try new graft.audit.Audit.AuditLog(spark, s"$db/audit_log")
+          .append(verb, args.mkString(" "), ok)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            println(s"WARNING: audit_log append failed: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  private def runVerb(spark: SparkSession, args: Array[String]): Unit = {
     import spark.implicits._
     val verb = args.head
     val db = arg(args, "--db").getOrElse("/tmp/graft_db")
@@ -858,6 +888,40 @@ object Graft {
           .csv(args(1)).count()
         println(s"exported $nOut rows to ${args(1)}")
 
+      case "audit-verify" =>
+        // the reference's `audit verify` face (`cli.py:2422-2500`):
+        // recompute every entry's hash against its predecessor's; any
+        // mismatch means the log was edited after the fact. Nonzero exit
+        // on tampering, as the reference documents.
+        val dir = s"$db/audit_log"
+        if (!new java.io.File(dir).exists()) println("no audit log")
+        else {
+          val checked = graft.audit.Audit.verifyChain(spark.read.parquet(dir))
+            .select($"audit_id", $"event_type", $"event_time", $"chain_valid")
+            .collect()
+          val bad = checked.filterNot(_.getAs[Boolean]("chain_valid"))
+          if (bad.isEmpty) println(s"audit chain ok (${checked.length} entries)")
+          else {
+            bad.foreach(r => println(s"TAMPERED: audit_id=${r.getLong(0)} " +
+              s"${r.getString(1)} at ${r.getString(2)}"))
+            sys.error(s"audit chain verification FAILED: " +
+              s"${bad.length} tampered entries")
+          }
+        }
+
+      case "audit-stats" =>
+        // `audit stats` face (`cli.py:2636+`): per-verb counts + range
+        val dir = s"$db/audit_log"
+        if (!new java.io.File(dir).exists()) println("no audit log")
+        else spark.read.parquet(dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"success", 1L).otherwise(0L)).as("n_success"),
+            min($"event_time").as("first_event"),
+            max($"event_time").as("last_event"))
+          .orderBy($"event_type")
+          .show(100, truncate = false)
+
       case "benchmark" =>
         Bench.main(Array.empty)
 
@@ -890,6 +954,8 @@ object Graft {
       |  annotate --db DIR [--anno a,b] [--batch ID] [--filter EXPR] [--limit N]
       |       [--output PATH] [--format tsv|json]
       |  annotation-query "<sql>" --db DIR [--output PATH] [--format tsv|json]
+      |  audit-verify --db DIR
+      |  audit-stats --db DIR
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]
       |  benchmark""".stripMargin)

@@ -65,6 +65,47 @@ object Audit {
     variants.filter($"load_batch_id" =!= batchId || $"load_batch_id".isNull)
   }
 
+  /** One row of the persisted operation audit log (`audit_log` analogue,
+    * `audit/integrity.py` + `audit/schema`): every mutating CLI verb
+    * appends one chained entry, so tampering with the operational history
+    * is detectable (`audit-verify`). */
+  final case class AuditEvent(
+      audit_id: Long,
+      event_time: String,    // ISO-8601 instant
+      event_type: String,    // the verb
+      user_name: String,
+      action: String,        // the full argv line
+      success: Boolean,
+      previous_hash: String,
+      entry_hash: String)
+
+  /** Parquet-backed chained audit log. Appends are single-writer (the
+    * CLI's assumption throughout — the reference serializes through its
+    * database): each append reads the current tip (max audit_id row, a
+    * column-pruned driver read of an audit-sized table) and links the new
+    * entry's hash to it. */
+  final class AuditLog(spark: SparkSession, dir: String) {
+    import spark.implicits._
+
+    def read(): DataFrame =
+      if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+      else Seq.empty[AuditEvent].toDF()
+
+    def append(eventType: String, action: String, success: Boolean,
+               userName: String = sys.props.getOrElse("user.name", "unknown")): Unit = {
+      val tip = read().orderBy($"audit_id".desc)
+        .select($"audit_id", $"entry_hash").limit(1).collect().headOption
+      val (prevId, prevHash) = tip
+        .map(r => (r.getLong(0), r.getString(1)))
+        .getOrElse((0L, GenesisHash))
+      val eventTime = java.time.Instant.now().toString
+      val h = entryHash(eventTime, eventType, userName, action, success, prevHash)
+      Seq(AuditEvent(prevId + 1, eventTime, eventType, userName, action,
+        success, prevHash, h)).toDF()
+        .write.mode("append").parquet(dir)
+    }
+  }
+
   // ---- §2.10: audit hash chain ----
 
   val GenesisHash: String = "0" * 64

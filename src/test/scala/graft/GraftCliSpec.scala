@@ -229,6 +229,46 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
 
+  test("mutating verbs append to the chained audit log; audit-verify detects tampering") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    // a read-only verb must NOT be audited
+    Graft.run(spark, Array("lookup", "rs3094315", "--db", db))
+    val log = spark.read.parquet(s"$db/audit_log").orderBy($"audit_id").collect()
+    assert(log.map(_.getAs[String]("event_type")).toSeq ==
+      Seq("load", "load-reference"))
+    assert(log.forall(_.getAs[Boolean]("success")))
+    // ids chain: row 1 links to genesis, row 2 to row 1's hash
+    assert(log(0).getAs[String]("previous_hash") == graft.audit.Audit.GenesisHash)
+    assert(log(1).getAs[String]("previous_hash") ==
+      log(0).getAs[String]("entry_hash"))
+    // failed operations are audited too, success=false
+    intercept[Throwable] {
+      Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db,
+        "--force-reload", "--min-info-score", "nope"))
+    }
+    val log2 = spark.read.parquet(s"$db/audit_log")
+    assert(log2.filter(!$"success").count() == 1)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("audit-verify", "--db", db))
+    }
+    assert(vOut.toString.contains("audit chain ok (3 entries)"), vOut.toString)
+    // tamper with a mid-chain row out-of-band → verification fails loudly
+    val tampered = spark.read.parquet(s"$db/audit_log")
+      .withColumn("action", org.apache.spark.sql.functions.when(
+        $"audit_id" === 1L, org.apache.spark.sql.functions.lit("doctored"))
+        .otherwise($"action"))
+    graft.sinks.Writers.replaceInPlace(tampered, s"$db/audit_log")(
+      (d, p) => d.write.parquet(p))
+    val e = intercept[RuntimeException] {
+      Graft.run(spark, Array("audit-verify", "--db", db))
+    }
+    assert(e.getMessage.contains("FAILED"), e.getMessage)
+    Graft.run(spark, Array("audit-stats", "--db", db))
+  }
+
   test("per-chrom compaction folds only fragmented partitions, content unchanged") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = Files.createTempDirectory("pcvcf").resolve("v.vcf").toString
