@@ -106,6 +106,23 @@ object Pipeline {
         .orderBy($"cluster_id")
     },
 
+    // Canonical-keep materialization: the corpus with every clustered doc
+    // dropped except its cluster's min id — the dedup output a training
+    // pipeline actually feeds downstream.
+    "p16_dedup_keep" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.filter($"doc_id" < 200)
+      val mutated = d.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" appended tail token")).as("text"))
+      val corpus = d.select($"doc_id", $"text").union(mutated)
+      val pairs = Dedup.minhashCandidatePairs(corpus)
+        .filter($"est_jaccard" >= 0.5)
+      Dedup.dropNearDuplicates(corpus, Dedup.clusterPairs(pairs))
+        .select($"doc_id")
+        .orderBy($"doc_id")
+    },
+
     // SimHash near-dup pairs (hash-based → rows-only).
     "p08_simhash_pairs" -> { (s, dir) =>
       import s.implicits._
