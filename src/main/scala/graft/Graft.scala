@@ -909,6 +909,17 @@ object Graft {
           }
         }
 
+      case "audit-export" =>
+        // `audit export` face (`cli.py:2503+`): the chained log as JSON
+        // for external compliance tooling, id-ordered
+        val dir = s"$db/audit_log"
+        if (!new java.io.File(dir).exists()) println("no audit log")
+        else {
+          graft.sinks.Writers.writeJson(
+            spark.read.parquet(dir).orderBy($"audit_id"), args(1))
+          println(s"exported audit log to ${args(1)}")
+        }
+
       case "audit-stats" =>
         // `audit stats` face (`cli.py:2636+`): per-verb counts + range
         val dir = s"$db/audit_log"
@@ -956,6 +967,7 @@ object Graft {
       |  annotation-query "<sql>" --db DIR [--output PATH] [--format tsv|json]
       |  audit-verify --db DIR
       |  audit-stats --db DIR
+      |  audit-export <out.json> --db DIR
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]
       |  benchmark""".stripMargin)

@@ -267,6 +267,12 @@ class GraftCliSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("FAILED"), e.getMessage)
     Graft.run(spark, Array("audit-stats", "--db", db))
+    // JSON export carries the full chained rows, id-ordered
+    val exp = Files.createTempDirectory("auditexp").resolve("log.json").toString
+    Graft.run(spark, Array("audit-export", exp, "--db", db))
+    val exported = spark.read.json(exp)
+    assert(exported.count() == 3)
+    assert(exported.columns.contains("entry_hash"))
   }
 
   test("per-chrom compaction folds only fragmented partitions, content unchanged") {
