@@ -504,25 +504,29 @@ object Graft {
               sys.error(s"lookup expects a numeric position, got '$s' " +
                 s"(key $key; expected chrom:pos, rsID, or gene:NAME)")
           }
+        // --genotypes on the keyed forms: one genotype probe per distinct
+        // matched site (a whole gene's sites probe sequentially — the
+        // per-probe cost is the serving-face ~5 ms, so even a large gene
+        // answers in fractions of a second driver-side)
+        def genotypesFor(hits: Seq[Map[String, String]]): Seq[Map[String, String]] =
+          if (has(args, "--genotypes") &&
+              new java.io.File(s"$db/genotypes").exists())
+            hits.map(h => (h("chrom"), h("pos").toLong)).distinct
+              .flatMap { case (c, p) =>
+                graft.query.PointLookup.genotypesAt(
+                  spark, s"$db/genotypes", c, p, p)
+              }
+          else Nil
         val rows =
-          if (key.startsWith("gene:"))
-            graft.query.PointLookup.byGene(
+          if (key.startsWith("gene:")) {
+            val hits = graft.query.PointLookup.byGene(
               spark, s"$db/gene_idx", key.stripPrefix("gene:"))
+            hits ++ genotypesFor(hits)
+          }
           else if (key.startsWith("rs")) {
             val hits = graft.query.PointLookup.byRsid(
               spark, s"$db/rsid_idx", s"$db/variants", key)
-            // --genotypes: per-sample rows for each matched SITE (probe
-            // once per distinct (chrom,pos), as the position form does)
-            val gRows =
-              if (has(args, "--genotypes") &&
-                  new java.io.File(s"$db/genotypes").exists())
-                hits.map(h => (h("chrom"), h("pos").toLong)).distinct
-                  .flatMap { case (c, p) =>
-                    graft.query.PointLookup.genotypesAt(
-                      spark, s"$db/genotypes", c, p, p)
-                  }
-              else Nil
-            hits ++ gRows
+            hits ++ genotypesFor(hits)
           }
           else key.split(":") match {
             case Array(chrom, pos) =>

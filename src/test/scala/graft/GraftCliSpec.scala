@@ -364,11 +364,11 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(spark, Array("lookup", s"$chrom:$pos", "--db", db))
     }
     assert(!out2.toString.contains("sample_id="))
-    // the rsID form serves the matched sites' sample rows too (needs a
-    // fixture with BOTH rs ids and samples — synthetic)
+    // the rsID and gene forms serve the matched sites' sample rows too
+    // (needs a fixture with rs ids, genes AND samples — synthetic)
     val db2 = Files.createTempDirectory("graftdb2").toString
     val vcfS = Files.createTempDirectory("synthvcf").resolve("s.vcf").toString
-    graft.vcf.SyntheticVcf.write(vcfS, 300, seed = 43L)
+    graft.vcf.SyntheticVcf.write(vcfS, 300, seed = 43L, annFrac = 0.5)
     Graft.run(spark, Array("load", vcfS, "--db", db2))
     val rsId = spark.read.parquet(s"$db2/variants")
       .filter($"rs_id".isNotNull).select($"rs_id").head().getString(0)
@@ -385,6 +385,20 @@ class GraftCliSpec extends SparkSpec {
     }
     assert(out3.toString.linesIterator.count(_.contains("sample_id=")) == gexp,
       out3.toString)
+    // gene form: every site of the gene contributes its sample rows
+    val gene = spark.read.parquet(s"$db2/variants")
+      .filter($"gene".isNotNull).select($"gene").head().getString(0)
+    val gHits = graft.query.PointLookup.byGene(spark, s"$db2/gene_idx", gene)
+    val gGexp = gHits.map(h => (h("chrom"), h("pos").toLong)).distinct.map {
+      case (c, p) => g2.filter($"chrom" === c && $"pos" === p).count()
+    }.sum
+    assert(gGexp > 0)
+    val out4 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out4)) {
+      Graft.run(spark, Array("lookup", s"gene:$gene", "--db", db2, "--genotypes"))
+    }
+    assert(out4.toString.linesIterator.count(_.contains("sample_id=")) == gGexp,
+      out4.toString)
   }
 
   test("force-reload replaces the batch instead of duplicating it (K4, loader.py:182-252)") {
