@@ -255,6 +255,15 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(spark, Array("audit-verify", "--db", db))
     }
     assert(vOut.toString.contains("audit chain ok (3 entries)"), vOut.toString)
+    // the log accrues one parquet file per append; compact folds it and
+    // the chain stays verifiable (content unchanged — and the compaction
+    // is itself audited, chaining a 4th entry onto the tip)
+    Graft.run(spark, Array("compact", "--db", db, "--tables", "audit_log"))
+    val vOutC = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOutC)) {
+      Graft.run(spark, Array("audit-verify", "--db", db))
+    }
+    assert(vOutC.toString.contains("audit chain ok (4 entries)"), vOutC.toString)
     // tamper with a mid-chain row out-of-band → verification fails loudly
     val tampered = spark.read.parquet(s"$db/audit_log")
       .withColumn("action", org.apache.spark.sql.functions.when(
@@ -271,7 +280,7 @@ class GraftCliSpec extends SparkSpec {
     val exp = Files.createTempDirectory("auditexp").resolve("log.json").toString
     Graft.run(spark, Array("audit-export", exp, "--db", db))
     val exported = spark.read.json(exp)
-    assert(exported.count() == 3)
+    assert(exported.count() == 4)
     assert(exported.columns.contains("entry_hash"))
   }
 
