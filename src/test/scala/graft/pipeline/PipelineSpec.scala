@@ -127,6 +127,29 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 
+  test("clusterPairs matches a union-find oracle on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = (1 to 40)
+        .map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // oracle: union-find keeping the smaller root, so each final root
+      // IS its component's minimum id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expect = touched.map(x => x -> find(x.toInt).toLong).toMap
+      val got = Dedup.clusterPairs(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"edges=$edges")
+    }
+  }
+
   test("embedding near-dup via LSH buckets finds identical vectors") {
     val e = graft.Tables(spark, sfDir).embeddings.limit(100)
     val copies = e.filter($"vec_id" < 5)
