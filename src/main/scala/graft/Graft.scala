@@ -289,11 +289,22 @@ object Graft {
                 tmps => gDrop.write.parquet(tmps(s"$db/genotypes"))))
             }
           }
-          val base = prevBatch match {
-            case Some(b) if new java.io.File(s"$db/variants").exists() =>
-              graft.audit.Audit.dropBatch(variants, b).unionByName(v, true)
-            case _ => v
-          }
+          // §2.13 append-only cohort: a db accumulates ONE batch per VCF.
+          // The reference deletes only the SAME file's previous batch and
+          // otherwise appends (`loader.py:244-252`; the acceptance
+          // cross-sample queries depend on multi-file accumulation). So a
+          // load into an existing store always unions the surviving store
+          // rows with the incoming batch — dropping the prior batch only
+          // on a force-reload of the same file. Only a brand-new db
+          // starts from the incoming file alone.
+          val base =
+            if (new java.io.File(s"$db/variants").exists()) {
+              val survivors = prevBatch match {
+                case Some(b) => graft.audit.Audit.dropBatch(variants, b)
+                case None    => variants
+              }
+              survivors.unionByName(v, allowMissingColumns = true)
+            } else v
           swaps += ((s"$db/variants",
             tmps => graft.sinks.Writers.writeVariants(
               graft.ingest.VariantMatching.withVariantId(base),
@@ -322,7 +333,11 @@ object Graft {
                 arg(args, "--target-file-mb").getOrElse("128").toLong,
                 sortCols = Seq("chrom", "pos"))
             }
-          val n = spark.read.parquet(s"$db/variants").count()
+          // per-BATCH count, not the whole store's: the ledger row records
+          // what THIS file contributed (reference `variants_loaded`,
+          // `loader.py:547-560`); one column-pruned scan of the store
+          val n = spark.read.parquet(s"$db/variants")
+            .filter($"load_batch_id" === batchId).count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
             "completed", n, now(), ledgerNote))
           committed = true

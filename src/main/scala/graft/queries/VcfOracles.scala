@@ -30,7 +30,8 @@ object VcfOracles {
     "vcf_dosage", "vcf_csq_scan", "vcf_sv_scan",
     "vcf_partition_stats", "vcf_genotype_stats", "vcf_pgs_listing",
     "vcf_prs_candidates", "vcf_file_hash", "vcf_info_score_filter",
-    "vcf_upsert", "vcf_reload_ledger", "vcf_export_ldpred2",
+    "vcf_upsert", "vcf_reload_ledger", "vcf_multi_file_cohort",
+    "vcf_export_ldpred2",
     "vcf_filter_split", "vcf_toml_config", "vcf_synthetic_scan",
     "vcf_store_roundtrip", "vcf_tsv_roundtrip", "vcf_sample_join",
     "vcf_gene_index", "vcf_rsid_index",

@@ -473,6 +473,36 @@ object VcfQueries {
         .orderBy($"load_batch_id")
     },
 
+    // §2.13 append-only multi-file cohort THROUGH THE CLI VERB: two
+    // DIFFERENT VCFs loaded sequentially into one db must both survive —
+    // one batch per file, each ledger row recording its own batch's
+    // contribution (`loader.py:244-252,547-560`). The oracle derives the
+    // expected per-file decomposed counts INDEPENDENTLY from the fixture
+    // VCFs, so a load that replaced the store with the newest file (the
+    // round-7 defect) loses file A's row here and hash-mismatches.
+    "vcf_multi_file_cohort" -> { (s, _) =>
+      import s.implicits._
+      val db = "/tmp/graft_multi_cohort_db"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(db))
+      val fixtures = "/root/reference/tests/fixtures"
+      graft.Graft.run(s, Array("load", s"$fixtures/multiallelic.vcf", "--db", db))
+      graft.Graft.run(s, Array("load", s"$fixtures/with_annotations.vcf", "--db", db))
+      val store = s.read.parquet(s"$db/variants")
+        .groupBy($"load_batch_id").agg(count(lit(1)).as("store_rows"))
+      val ledger = s.read.parquet(s"$db/ledger")
+        .filter($"status" === "completed")
+        .select($"load_batch_id",
+          regexp_extract($"file_path", "([^/]+)$", 1).as("file_name"),
+          $"n_variants".as("ledger_rows"))
+      store.join(ledger, Seq("load_batch_id"))
+        .select($"file_name", $"store_rows", $"ledger_rows")
+        .orderBy($"file_name")
+    },
+
     // S10: the synthetic VCF generator is deterministic for a given seed —
     // generate, parse, and let the oracle re-derive the decomposed rows
     // from the same /tmp file (Number=A AF slicing included)

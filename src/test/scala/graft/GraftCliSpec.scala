@@ -229,6 +229,54 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
 
+  test("multi-file cohort load accumulates batches; per-batch ledger counts (§2.13)") {
+    // the round-7 audit's reproduction, pinned: a SECOND different VCF
+    // loaded into an existing db must APPEND a new batch (the reference
+    // deletes only the same file's prior batch, loader.py:244-252) —
+    // before the fix the store was silently replaced by the newest file.
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfA = fixture("multiallelic.vcf")      // 8 decomposed variants
+    val vcfB = fixture("with_annotations.vcf")  // 4 variants
+    Graft.run(spark, Array("load", vcfA, "--db", db))
+    val nA = spark.read.parquet(s"$db/variants").count()
+    Graft.run(spark, Array("load", vcfB, "--db", db))
+    val v = spark.read.parquet(s"$db/variants")
+    val nAll = v.count()
+    assert(nAll > nA, s"second load must grow the store ($nA -> $nAll)")
+    assert(v.select($"load_batch_id").distinct().count() == 2)
+    // per-batch ledger counts: each completed row records its OWN batch's
+    // contribution (reference variants_loaded), not the whole store's
+    val ledger = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed")
+      .select($"load_batch_id", $"n_variants").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perBatch = v.groupBy($"load_batch_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger == perBatch,
+      s"ledger per-batch counts $ledger != store $perBatch")
+    assert(perBatch.values.sum == nAll)
+    // a file-A row still serves through the point-lookup face
+    val aOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(aOut)) {
+      Graft.run(spark, Array("lookup", "chr1:54712", "--db", db))
+    }
+    assert(aOut.toString.contains("pos="), s"file-A row lost: ${aOut.toString}")
+    // re-load of A still skips — and, unlike before the fix, its rows are
+    // actually present while the ledger says so
+    val sOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(sOut)) {
+      Graft.run(spark, Array("load", vcfA, "--db", db))
+    }
+    assert(sOut.toString.contains("skip: file already loaded"), sOut.toString)
+    assert(spark.read.parquet(s"$db/variants").count() == nAll)
+    // zero orphan genotype sites: every genotype site exists in variants
+    val orphans = spark.read.parquet(s"$db/genotypes")
+      .select($"chrom", $"pos", $"ref", $"alt").distinct()
+      .join(v.select($"chrom", $"pos", $"ref", $"alt").distinct(),
+        Seq("chrom", "pos", "ref", "alt"), "left_anti").count()
+    assert(orphans == 0, s"$orphans orphan genotype sites")
+  }
+
   test("mutating verbs append to the chained audit log; audit-verify detects tampering") {
     val db = Files.createTempDirectory("graftdb").toString
     Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
