@@ -295,13 +295,10 @@ object Bench {
     // genotype serving store: the (chrom,pos)-clustered layout `compact`
     // produces; the probe row is the analogue of the reference's genotype
     // PK SELECT (`genotypes/schema.py:19-48`)
-    val genoStore = "/tmp/graft_bench_db_v6_geno"
+    val genoStore = "/tmp/graft_bench_db_v7_geno"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(genoStore)))
-      graft.vcf.VcfReader.genotypes(spark, vcfPath)
-        .repartitionByRange(col("chrom"), col("pos"))
-        .sortWithinPartitions(col("chrom"), col("pos"))
-        .write.option("parquet.page.row.count.limit", "512")
-        .parquet(genoStore)
+      graft.sinks.Writers.writeGenotypes(
+        graft.vcf.VcfReader.genotypes(spark, vcfPath), genoStore)
     val store = spark.read.parquet(dbPath)
     val rsidIdx = spark.read.parquet(rsidIdxPath)
     // warm the store read path once

@@ -270,14 +270,27 @@ object Graft {
                     spark.read.parquet(s"$db/genotypes"), b)
                   .unionByName(g, allowMissingColumns = true)
                 swaps += ((s"$db/genotypes",
-                  tmps => gSwap.write.parquet(tmps(s"$db/genotypes"))))
+                  tmps => graft.sinks.Writers.writeGenotypes(
+                    gSwap, tmps(s"$db/genotypes"))))
               case _ =>
                 // flag BEFORE the write: a failure mid-append may have
                 // committed some files, and the rollback must cover them
                 appendedG = true
+                // hive-partitioned by chrom from the FIRST append (the
+                // variants layout): the genotype point probe then lists
+                // one chrom directory instead of footer-testing every
+                // file in the table. Still a narrow write — no shuffle;
+                // a coordinate-sorted VCF's input splits each span ~1
+                // chromosome, so the per-load file count stays ~tasks.
+                // Rows land unsorted; `compact` pays the ordering debt.
                 progress.stage("write_genotypes") {
-                  g.write.mode("append").parquet(s"$db/genotypes")
+                  g.write.mode("append").partitionBy("chrom")
+                    .parquet(s"$db/genotypes")
                 }
+                // an append can land within the directory-mtime tick of
+                // a cached probe listing; drop same-JVM cached listings
+                // so a lookup right after this load sees the new files
+                graft.query.PointLookup.invalidateListings(s"$db/genotypes")
             }
           } else prevBatch.foreach { b =>
             // sample-free reload of a file whose previous batch had
@@ -286,7 +299,8 @@ object Graft {
               val gDrop = graft.audit.Audit.dropBatch(
                 spark.read.parquet(s"$db/genotypes"), b)
               swaps += ((s"$db/genotypes",
-                tmps => gDrop.write.parquet(tmps(s"$db/genotypes"))))
+                tmps => graft.sinks.Writers.writeGenotypes(
+                  gDrop, tmps(s"$db/genotypes"))))
             }
           }
           // §2.13 append-only cohort: a db accumulates ONE batch per VCF.
@@ -331,7 +345,8 @@ object Graft {
             progress.stage("compact_genotypes") {
               graft.sinks.Writers.compactPlain(spark, s"$db/genotypes",
                 arg(args, "--target-file-mb").getOrElse("128").toLong,
-                sortCols = Seq("chrom", "pos"))
+                sortCols = Seq("chrom", "pos"),
+                partitionCol = Some("chrom"))
             }
           // per-BATCH count, not the whole store's: the ledger row records
           // what THIS file contributed (reference `variants_loaded`,
@@ -374,7 +389,8 @@ object Graft {
                 graft.sinks.Writers.replaceInPlace(
                   graft.audit.Audit.dropBatch(
                     spark.read.parquet(s"$db/genotypes"), batchId),
-                  s"$db/genotypes")((d, p) => d.write.parquet(p))
+                  s"$db/genotypes")((d, p) =>
+                  d.write.partitionBy("chrom").parquet(p))
             } catch { case _: Throwable => () }
             ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
               "failed", 0L, now(), s"error: ${e.getMessage}"))
@@ -419,12 +435,15 @@ object Graft {
             replaceVariantsStaged(spark, db, variants)
             println("compacted variants (rsid_idx and gene_idx rebuilt)")
           case t if new java.io.File(s"$db/$t").exists() =>
-            // genotypes compact CLUSTERED on the variant site key, so
-            // region-scoped genotype scans prune row groups afterwards
+            // genotypes compact CLUSTERED on the variant site key AND
+            // hive-partitioned by chrom (migrating any pre-hive flat
+            // store), so the genotype probe lists one directory and
+            // region-scoped scans prune row groups afterwards
             val sortCols =
               if (t == "genotypes") Seq("chrom", "pos") else Seq.empty[String]
             val n = graft.sinks.Writers.compactPlain(
-              spark, s"$db/$t", targetMb, sortCols)
+              spark, s"$db/$t", targetMb, sortCols,
+              partitionCol = if (t == "genotypes") Some("chrom") else None)
             println(s"compacted $t to $n file(s)" +
               (if (sortCols.nonEmpty) s" clustered on ${sortCols.mkString(",")}"
                else ""))
@@ -747,10 +766,70 @@ object Graft {
         graft.qc.SampleQc.batchSummary(
           spark.read.parquet(s"$db/sample_qc")).show()
 
+      case "list-failing-samples" =>
+        // qc/schema.py:142-163 — the qc-failed sample listing, worst
+        // call_rate first; a read-only serving face over the persisted
+        // sample_qc table (our schema's failure drivers stand in for the
+        // reference's contamination/sex-concordance columns)
+        if (!new java.io.File(s"$db/sample_qc").exists())
+          println("no sample_qc table: run compute-sample-qc first")
+        else {
+          val failing = spark.read.parquet(s"$db/sample_qc")
+            .filter(!$"qc_pass")
+            .select($"sample_id", $"call_rate", $"sex_inferred",
+              $"het_hom_ratio")
+            .orderBy($"call_rate".asc)
+            .collect() // sample-sized: one row per failing sample
+          failing.foreach { r =>
+            println(f"sample_id=${r.getString(0)} call_rate=${r.getDouble(1)}%.4f " +
+              s"sex_inferred=${r.getString(2)} het_hom_ratio=" +
+              (if (r.isNullAt(3)) "null" else f"${r.getDouble(3)}%.3f"))
+          }
+          println(s"${failing.length} failing sample(s)")
+        }
+
       case "refresh-views" =>
-        val timings = graft.views.PrsViews.refresh(s"$db/views", Map(
-          "variant_qc_summary" -> graft.views.PrsViews.variantQcSummary(variants),
-          "chromosome_variant_counts" -> graft.views.PrsViews.chromosomeVariantCounts(variants)))
+        // the reference refreshes the FULL matview set in one pass
+        // (`views/prs_views.py:133-159`): the two variants-only roll-ups
+        // always, plus prs_candidate_variants (the flagship join-graph
+        // view) and sample_qc_summary when their input tables are loaded
+        // — the annotation-query presence-gate pattern, with a printed
+        // note so a skipped view is visible, never silent.
+        // the reference's variants table always HAS the QC/flag columns
+        // (null until their workflow step runs); a parquet store only
+        // grows them at that step — null-fill the missing ones so a view
+        // over a younger store behaves like the reference's (filters
+        // exclude nulls, summaries count 0) instead of failing analysis
+        val qcCols = Seq("in_hapmap3" -> "boolean", "info_score" -> "double",
+          "call_rate" -> "double", "hwe_p" -> "double",
+          "maf" -> "double", "aaf" -> "double")
+        val vFull = qcCols.foldLeft(variants) { case (df, (c, t)) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(t))
+        }
+        val views = scala.collection.mutable.LinkedHashMap[String, DataFrame](
+          "variant_qc_summary" ->
+            graft.views.PrsViews.variantQcSummary(vFull),
+          "chromosome_variant_counts" ->
+            graft.views.PrsViews.chromosomeVariantCounts(vFull))
+        val freqDir = s"$db/population_frequencies"
+        val gwasDir = s"$db/gwas_stats"
+        if (new java.io.File(freqDir).exists() &&
+            new java.io.File(gwasDir).exists())
+          views += ("prs_candidate_variants" ->
+            graft.views.PrsViews.prsCandidateVariants(
+              vFull, spark.read.parquet(freqDir),
+              spark.read.parquet(gwasDir),
+              source = arg(args, "--source").getOrElse("gnomAD_v3")))
+        else
+          println("skip prs_candidate_variants: needs population_frequencies" +
+            " (import-frequencies) and gwas_stats (import-gwas)")
+        if (new java.io.File(s"$db/sample_qc").exists())
+          views += ("sample_qc_summary" -> graft.qc.SampleQc.batchSummary(
+            spark.read.parquet(s"$db/sample_qc")))
+        else
+          println("skip sample_qc_summary: run compute-sample-qc first")
+        val timings = graft.views.PrsViews.refresh(s"$db/views", views.toMap)
         timings.foreach { case (n, t) => println(f"$n refreshed in $t%.2fs") }
 
       case "load-annotation" =>
@@ -978,7 +1057,8 @@ object Graft {
       |  load-reference <hapmap3-tsv> --db DIR
       |  annotate-ld-blocks <bed> --db DIR [--population EUR] [--build grch37]
       |  compute-sample-qc --db DIR
-      |  refresh-views --db DIR
+      |  list-failing-samples --db DIR
+      |  refresh-views --db DIR [--source gnomAD_v3]
       |  load-annotation <vcf> --name NAME --config cfg.json --db DIR
       |       [--version V] [--source-type vcf]
       |  annotate --db DIR [--anno a,b] [--batch ID] [--filter EXPR] [--limit N]

@@ -122,25 +122,44 @@ object PointLookup {
 
   /** Per-sample genotype rows at one site or region — the analogue of the
     * reference's genotype PK probes (`genotypes/schema.py:19-48`), served
-    * driver-side from the UNPARTITIONED genotypes table. The table is
-    * clustered on (chrom, pos) by `compact`, so footer min/max on BOTH
-    * columns prunes to the 1–2 files covering the site; an uncompacted
-    * (append-fragmented, unclustered) store still answers correctly —
-    * every file just survives pruning, which is the O(files) latency the
-    * `compact` verb exists to bound. Results are sorted (pos, sample_id)
-    * driver-side: cross-file order is not meaningful here because a
-    * site's sample rows may straddle a file boundary. */
+    * driver-side. The genotypes table is hive-partitioned by chrom (the
+    * variants layout — load appends into the chrom directories, `compact`
+    * additionally clusters on pos), so the probe lists ONE directory and
+    * prunes the rest on pos footer stats, the same shape the variants
+    * probe pays. A pre-hive FLAT table (no chrom= directories) is still
+    * served by footer-testing every file on (chrom, pos) — the O(files)
+    * latency the `compact` verb's layout migration exists to bound.
+    * Results are sorted (pos, sample_id) driver-side: cross-file order is
+    * not meaningful here because a site's sample rows may straddle a file
+    * boundary (appends are unsorted until compaction). */
   def genotypesAt(spark: SparkSession, genotypes: String, chrom: String,
                   lo: Long, hi: Long): Seq[Map[String, String]] = {
-    val cBin = Binary.fromString(chrom)
-    val rows = read(spark, new Path(genotypes),
-      FilterApi.and(
-        FilterApi.eq(FilterApi.binaryColumn("chrom"), cBin),
-        FilterApi.and(
-          FilterApi.gtEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(lo)),
-          FilterApi.ltEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(hi)))),
-      Seq(("chrom", cBin, cBin),
-        ("pos", java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))))
+    val root = new Path(genotypes)
+    val hiveDir = new Path(root, s"chrom=$chrom")
+    val fs = root.getFileSystem(hadoopConf(spark))
+    // one metadata call decides the layout; a missing chrom dir on a
+    // hive-layout table is a genuine empty answer, not a flat table
+    val isHive = fs.exists(hiveDir) || {
+      try fs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("chrom="))
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val loL = java.lang.Long.valueOf(lo)
+    val hiL = java.lang.Long.valueOf(hi)
+    val posPred = FilterApi.and(
+      FilterApi.gtEq(FilterApi.longColumn("pos"), loL),
+      FilterApi.ltEq(FilterApi.longColumn("pos"), hiL))
+    val rows =
+      if (isHive)
+        read(spark, hiveDir, posPred, Seq(("pos", loL, hiL)))
+          .map(_ + ("chrom" -> chrom)) // partition column isn't in the files
+      else {
+        val cBin = Binary.fromString(chrom)
+        read(spark, root,
+          FilterApi.and(
+            FilterApi.eq(FilterApi.binaryColumn("chrom"), cBin), posPred),
+          Seq(("chrom", cBin, cBin), ("pos", loL, hiL)))
+      }
     rows.sortBy(r => (r("pos").toLong, r.getOrElse("sample_id", "")))
   }
 
@@ -169,8 +188,30 @@ object PointLookup {
 
   /** Directory listing cache: dir path -> (dir mtime, parquet files).
     * Swaps replace the directory and appends add files — both change the
-    * directory mtime, so one getFileStatus validates the entry. */
+    * directory mtime, so one getFileStatus validates the entry. Residual
+    * risk is mtime GRANULARITY: an append landing in the same timestamp
+    * tick as a cached listing (coarse filesystems, synthetic object-store
+    * mtimes) would serve a non-empty but incomplete result — the empty-
+    * result staleness guard in readListed can't see it. Same-JVM writers
+    * close that window by calling `invalidateListings` after an append;
+    * cross-JVM probes start with an empty cache and are never stale. */
   private val listingCache = lru[String, (Long, Seq[FileStatus])](256)
+
+  /** Drop cached listings for `dir` and its partition subdirectories —
+    * called by same-session APPEND writers (the load's genotype append),
+    * whose new files may land within the directory-mtime tick of a cached
+    * listing. Swap writers don't need this: a swap replaces the directory
+    * (new mtime, and dead files escalate into the relist-once retry). */
+  def invalidateListings(dir: String): Unit = {
+    val prefix = new Path(dir).toString
+    listingCache.synchronized {
+      val it = listingCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k == prefix || k.startsWith(prefix + "/")) it.remove()
+      }
+    }
+  }
 
   /** Returns (files, servedFromCache) — the flag lets empty-result probes
     * distinguish "genuinely no hit" from "stale cached listing whose dead

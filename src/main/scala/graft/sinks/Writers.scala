@@ -204,7 +204,8 @@ object Writers {
     * reference's analogue is VACUUM / recreate-indexes
     * (`schema.py:347-359`). Returns the target file count. */
   def compactPlain(spark: SparkSession, dir: String, targetMb: Long,
-                   sortCols: Seq[String] = Nil): Int = {
+                   sortCols: Seq[String] = Nil,
+                   partitionCol: Option[String] = None): Int = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
@@ -215,9 +216,31 @@ object Writers {
       if (sortCols.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    replaceInPlace(shaped, dir)((d, path) => d.write.parquet(path))
+    replaceInPlace(shaped, dir) { (d, path) =>
+      val w = d.write.option("parquet.page.row.count.limit", "512")
+      partitionCol.fold(w.parquet(path))(c => w.partitionBy(c).parquet(path))
+    }
     n
   }
+
+  /** Genotypes table rewrite — hive-partitioned by chrom (the variants
+    * layout, K1) and clustered on (chrom, pos): a driver-side genotype
+    * probe then lists ONE chrom directory and prunes the rest on pos
+    * footer stats alone, the same 1-directory listing the variants probe
+    * pays (`PointLookup.genotypesAt`). Range partitioning keeps write
+    * tasks balanced under chromosome skew exactly as `writeVariants`
+    * does. The LOAD path does not use this (it appends unsorted into the
+    * chrom directories — a narrow write, no shuffle of the biggest table
+    * per load); this shape is for compaction and force-reload rewrites,
+    * where the ordering debt is paid off the ingest critical path. */
+  def writeGenotypes(genotypes: DataFrame, path: String): Unit =
+    genotypes
+      .repartitionByRange(col("chrom"), col("pos"))
+      .sortWithinPartitions(col("chrom"), col("pos"))
+      .write
+      .option("parquet.page.row.count.limit", "512")
+      .partitionBy("chrom")
+      .parquet(path)
 
   /** Incremental compaction of ONE partition directory of a hive-layout
     * table (the 100 TB form of the compact discipline: a full-table
@@ -266,8 +289,15 @@ object Writers {
       }
     } catch {
       case e: Throwable =>
-        try if (fs.exists(tmp)) fs.delete(tmp, true)
-        catch { case _: Throwable => () }
+        // mirror replaceInPlaceAllStaged's recovery: if the partition was
+        // staged aside but the new data never landed, put the old data
+        // back FIRST — deleting only tmp here would leave the partition
+        // missing from the table (stranded at <root>.<dir>.old-*,
+        // invisible to partition discovery)
+        try {
+          if (fs.exists(old) && !fs.exists(dst)) fs.rename(old, dst)
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+        } catch { case _: Throwable => () }
         throw e
     }
     fs.delete(old, true)

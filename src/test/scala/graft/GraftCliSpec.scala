@@ -199,20 +199,31 @@ class GraftCliSpec extends SparkSpec {
     Graft.run(spark, Array("load", vcfB, "--db", db))
     val g0 = spark.read.parquet(s"$db/genotypes").count()
     val v0 = spark.read.parquet(s"$db/variants").count()
-    val files0 = new java.io.File(s"$db/genotypes").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(files0 > 1, s"expected multiple appended files, got $files0")
+    // genotypes are hive-partitioned by chrom from the first append (the
+    // variants layout) — per-chrom parquet file counts:
+    def genoFiles(): Map[String, Int] =
+      new java.io.File(s"$db/genotypes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("chrom="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val files0 = genoFiles()
+    assert(files0.nonEmpty, "genotypes not hive-partitioned by chrom")
+    assert(files0.values.sum > files0.size,
+      s"expected append fragmentation across loads, got $files0")
     Graft.run(spark, Array("compact", "--db", db, "--target-file-mb", "128"))
-    // counts stable, genotypes folded to the size-derived file count (1
-    // at this scale), variants still chrom-partitioned + indexes rebuilt
+    // counts stable, each chrom directory folded to the size-derived file
+    // count (1 at this scale), variants still chrom-partitioned + indexes
+    // rebuilt
     assert(spark.read.parquet(s"$db/genotypes").count() == g0)
-    assert(new java.io.File(s"$db/genotypes").listFiles()
-      .count(_.getName.endsWith(".parquet")) == 1)
-    // compaction clusters genotypes on (chrom, pos): the single compacted
-    // file reads back in key order, so min/max stats prune region scans
-    val keys = spark.read.parquet(s"$db/genotypes")
-      .select($"chrom", $"pos").collect().map(r => (r.getString(0), r.getLong(1)))
-    assert(keys.toSeq == keys.toSeq.sorted, "compacted genotypes not clustered")
+    assert(genoFiles().values.forall(_ == 1), s"not folded: ${genoFiles()}")
+    // compaction clusters genotypes on (chrom, pos): each chrom's single
+    // compacted file reads back pos-ordered, so min/max stats prune
+    // region scans and the driver-side probe
+    genoFiles().keys.foreach { d =>
+      val ps = spark.read.parquet(s"$db/genotypes/$d")
+        .select($"pos").collect().map(_.getLong(0))
+      assert(ps.toSeq == ps.toSeq.sorted, s"compacted genotypes $d not clustered")
+    }
     assert(spark.read.parquet(s"$db/variants").count() == v0)
     assert(new java.io.File(s"$db/variants/chrom=chr1").exists())
     assert(new java.io.File(s"$db/rsid_idx").exists())
@@ -224,8 +235,7 @@ class GraftCliSpec extends SparkSpec {
     val vcfC = vcfDir.resolve("c.vcf").toString
     graft.vcf.SyntheticVcf.write(vcfC, 500, seed = 31L)
     Graft.run(spark, Array("load", vcfC, "--db", db, "--compact"))
-    assert(new java.io.File(s"$db/genotypes").listFiles()
-      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(genoFiles().values.forall(_ == 1), s"not folded: ${genoFiles()}")
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
 
@@ -275,6 +285,70 @@ class GraftCliSpec extends SparkSpec {
       .join(v.select($"chrom", $"pos", $"ref", $"alt").distinct(),
         Seq("chrom", "pos", "ref", "alt"), "left_anti").count()
     assert(orphans == 0, s"$orphans orphan genotype sites")
+  }
+
+  test("refresh-views materializes all four matviews when their inputs are present") {
+    val db = Files.createTempDirectory("graftdb").toString
+    // the reference's full workflow, in order: load → hapmap3 flags →
+    // frequencies → gwas → sample QC → refresh (views/prs_views.py:133-159)
+    val vcfS = Files.createTempDirectory("viewsvcf").resolve("s.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfS, 200, seed = 47L, annFrac = 0.5)
+    Graft.run(spark, Array("load", vcfS, "--db", db))
+    // with only the variants store, the gated views are skipped LOUDLY
+    val out0 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out0)) {
+      Graft.run(spark, Array("refresh-views", "--db", db))
+    }
+    assert(out0.toString.contains("skip prs_candidate_variants"), out0.toString)
+    assert(out0.toString.contains("skip sample_qc_summary"), out0.toString)
+    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    Graft.run(spark, Array("import-frequencies",
+      graft.queries.VcfQueries.writeGnomadFixtureForTest(), "--db", db))
+    val tsv = Files.createTempDirectory("gwas2").resolve("stats.tsv")
+    Files.write(tsv, java.util.Arrays.asList(
+      "CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tSNP",
+      "1\t752566\tA\tG\t1e-8\t0.05\t0.01\t0.25\trs3094315"))
+    Graft.run(spark, Array("import-gwas", tsv.toString, "--db", db))
+    Graft.run(spark, Array("compute-sample-qc", "--db", db))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Graft.run(spark, Array("refresh-views", "--db", db))
+    }
+    val views = Seq("variant_qc_summary", "chromosome_variant_counts",
+      "prs_candidate_variants", "sample_qc_summary")
+    views.foreach { v =>
+      assert(new java.io.File(s"$db/views/$v").exists(), s"view $v not written")
+      assert(out.toString.contains(s"$v refreshed in"), out.toString)
+    }
+    assert(!out.toString.contains("skip "), out.toString)
+    // the always-on roll-ups carry real rows
+    assert(spark.read.parquet(s"$db/views/variant_qc_summary").count() == 1)
+    assert(spark.read.parquet(s"$db/views/sample_qc_summary").count() == 1)
+  }
+
+  test("list-failing-samples lists qc-failed samples worst call_rate first") {
+    val db = Files.createTempDirectory("graftdb").toString
+    // multiallelic.vcf's three samples are all ./. — call_rate 0, all fail
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    val out0 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out0)) {
+      Graft.run(spark, Array("list-failing-samples", "--db", db))
+    }
+    assert(out0.toString.contains("no sample_qc table"), out0.toString)
+    Graft.run(spark, Array("compute-sample-qc", "--db", db))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Graft.run(spark, Array("list-failing-samples", "--db", db))
+    }
+    val expected = spark.read.parquet(s"$db/sample_qc")
+      .filter(!$"qc_pass").count()
+    assert(expected > 0, "fixture should produce failing samples")
+    val lines = out.toString.linesIterator.filter(_.startsWith("sample_id=")).toSeq
+    assert(lines.length == expected, out.toString)
+    assert(out.toString.contains(s"$expected failing sample(s)"), out.toString)
+    // worst-first ordering (qc/schema.py:142-163's ORDER BY call_rate ASC)
+    val rates = lines.map(_.split("call_rate=")(1).split(" ")(0).toDouble)
+    assert(rates == rates.sorted, s"not worst-first: $rates")
   }
 
   test("mutating verbs append to the chained audit log; audit-verify detects tampering") {
