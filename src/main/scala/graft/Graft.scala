@@ -995,15 +995,23 @@ object Graft {
         if (!new java.io.File(dir).exists()) println("no audit log")
         else {
           val checked = graft.audit.Audit.verifyChain(spark.read.parquet(dir))
-            .select($"audit_id", $"event_type", $"event_time", $"chain_valid")
+            .select($"audit_id", $"event_type", $"event_time", $"chain_valid",
+              $"duplicate_id")
             .collect()
           val bad = checked.filterNot(_.getAs[Boolean]("chain_valid"))
           if (bad.isEmpty) println(s"audit chain ok (${checked.length} entries)")
           else {
-            bad.foreach(r => println(s"TAMPERED: audit_id=${r.getLong(0)} " +
-              s"${r.getString(1)} at ${r.getString(2)}"))
+            // a forked chain (duplicate ids from concurrent appenders) is
+            // named distinctly — it is an operational race, not an edit
+            bad.foreach { r =>
+              val label =
+                if (r.getAs[Boolean]("duplicate_id")) "CONCURRENT APPEND"
+                else "TAMPERED"
+              println(s"$label: audit_id=${r.getLong(0)} " +
+                s"${r.getString(1)} at ${r.getString(2)}")
+            }
             sys.error(s"audit chain verification FAILED: " +
-              s"${bad.length} tampered entries")
+              s"${bad.length} bad entries")
           }
         }
 

@@ -87,22 +87,52 @@ object Audit {
   final class AuditLog(spark: SparkSession, dir: String) {
     import spark.implicits._
 
-    def read(): DataFrame =
-      if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+    def read(): DataFrame = {
+      // "has data" = at least one non-hidden file: the lock file below
+      // lives in the directory as a dotfile (which parquet listing
+      // ignores), so bare existence no longer implies readable parquet
+      val d = new java.io.File(dir)
+      val files = Option(d.listFiles()).getOrElse(Array.empty)
+      if (files.exists(f => !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+        spark.read.parquet(dir)
       else Seq.empty[AuditEvent].toDF()
+    }
 
     def append(eventType: String, action: String, success: Boolean,
                userName: String = sys.props.getOrElse("user.name", "unknown")): Unit = {
-      val tip = read().orderBy($"audit_id".desc)
-        .select($"audit_id", $"entry_hash").limit(1).collect().headOption
-      val (prevId, prevHash) = tip
-        .map(r => (r.getLong(0), r.getString(1)))
-        .getOrElse((0L, GenesisHash))
-      val eventTime = java.time.Instant.now().toString
-      val h = entryHash(eventTime, eventType, userName, action, success, prevHash)
-      Seq(AuditEvent(prevId + 1, eventTime, eventType, userName, action,
-        success, prevHash, h)).toDF()
-        .write.mode("append").parquet(dir)
+      // The read-tip/append pair is NOT atomic: two concurrent CLI
+      // invocations could both read the same tip and fork the chain
+      // (duplicate audit_id, same previous_hash) — which verifyChain
+      // would then flag as tampering though no one tampered. A
+      // best-effort OS file lock serializes same-host appenders (the
+      // CLI's actual concurrency surface); filesystems without locking
+      // fall through, where verifyChain's duplicate-id detection still
+      // names the condition distinctly.
+      new java.io.File(dir).mkdirs()
+      val lockPath = java.nio.file.Paths.get(dir, ".append.lock")
+      val ch =
+        try java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case scala.util.control.NonFatal(_) => null }
+      val lock =
+        if (ch == null) null
+        else try ch.lock() catch { case scala.util.control.NonFatal(_) => null }
+      try {
+        val tip = read().orderBy($"audit_id".desc)
+          .select($"audit_id", $"entry_hash").limit(1).collect().headOption
+        val (prevId, prevHash) = tip
+          .map(r => (r.getLong(0), r.getString(1)))
+          .getOrElse((0L, GenesisHash))
+        val eventTime = java.time.Instant.now().toString
+        val h = entryHash(eventTime, eventType, userName, action, success, prevHash)
+        Seq(AuditEvent(prevId + 1, eventTime, eventType, userName, action,
+          success, prevHash, h)).toDF()
+          .write.mode("append").parquet(dir)
+      } finally {
+        if (lock != null) try lock.release() catch { case _: Throwable => () }
+        if (ch != null) try ch.close() catch { case _: Throwable => () }
+      }
     }
   }
 
@@ -179,17 +209,25 @@ object Audit {
   }
 
   /** Verify chain integrity: recompute each row's hash from its fields +
-    * the lag of entry_hash; report mismatches (`audit/integrity.py:157-239`). */
+    * the lag of entry_hash; report mismatches (`audit/integrity.py:157-239`).
+    * A repeated audit_id is reported as `duplicate_id` — a forked chain
+    * from concurrent appenders that evaded the append lock, which is a
+    * DIFFERENT failure than after-the-fact edits (the lag over the
+    * id-ordered window is nondeterministic among ties, so without the
+    * distinction a fork would read as tampering). */
   def verifyChain(audit: DataFrame): DataFrame = {
     import audit.sparkSession.implicits._
     val w = Window.orderBy($"audit_id")
     audit
+      .withColumn("duplicate_id",
+        count(lit(1)).over(Window.partitionBy($"audit_id")) > 1)
       .withColumn("expected_prev",
         coalesce(lag($"entry_hash", 1).over(w), lit(GenesisHash)))
       .withColumn("recomputed", entryHashUdf(
         $"event_time", $"event_type", $"user_name", $"action", $"success",
         $"expected_prev"))
       .withColumn("chain_valid",
+        !$"duplicate_id" &&
         $"previous_hash" === $"expected_prev" && $"recomputed" === $"entry_hash")
   }
 }

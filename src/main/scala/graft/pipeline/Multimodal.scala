@@ -188,8 +188,32 @@ object Multimodal {
         .redirectError(ProcessBuilder.Redirect.DISCARD)
         .start()
       p.getOutputStream.close()
-      val out = p.getInputStream.readAllBytes()
-      val ok = p.waitFor() == 0
+      // Bounded decode: ffmpeg runs on UNTRUSTED blobs, and a crafted or
+      // pathological payload bearing a valid container magic must not
+      // hang the executor task (an unbounded readAllBytes/waitFor would
+      // block the whole stage). Output is drained on a side thread with
+      // a byte cap (past the cap ffmpeg blocks on the full pipe and the
+      // timeout reaps it); the task thread waits a wall-clock bound and
+      // destroyForcibly on expiry unblocks the drain via pipe close.
+      val maxOutBytes = 64 * 1024 * 1024 // 16 B/frame -> 4M frames, ample
+      val buf = new java.io.ByteArrayOutputStream()
+      val drain = new Thread(() => {
+        try {
+          val in = p.getInputStream
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0 && buf.size <= maxOutBytes) {
+            buf.write(chunk, 0, n); n = in.read(chunk)
+          }
+        } catch { case _: Exception => () }
+      }, "graft-ffmpeg-drain")
+      drain.setDaemon(true)
+      drain.start()
+      val finished = p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) p.destroyForcibly()
+      drain.join(5000) // happens-before for buf; bounded even if stuck
+      val out = buf.toByteArray
+      val ok = finished && p.exitValue() == 0
       val nFrames = out.length / 16
       if (!ok || nFrames == 0) None
       else {

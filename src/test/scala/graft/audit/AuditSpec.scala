@@ -52,6 +52,43 @@ class AuditSpec extends SparkSpec {
     assert(bad.count() == 1)
     assert(bad.head().getAs[Long]("audit_id") == 2L)
   }
+
+  test("verifyChain names a forked chain (duplicate ids) distinctly from tampering") {
+    // two appenders that both read tip audit_id=1 fork the chain: both
+    // rows carry audit_id=2 with the same previous_hash — no one edited
+    // anything, but lag over the id-ordered window sees a mismatch.
+    // duplicate_id must mark BOTH rows so the verify face can say
+    // "concurrent append", not "tampered".
+    val base = Seq(
+      (1L, "2024-01-01T00:00:00", "load", "alice", "load_vcf", true),
+      (2L, "2024-01-01T01:00:00", "query", "bob", "annotate", true),
+      (2L, "2024-01-01T01:00:01", "export", "carol", "export_plink", true)
+    ).toDF("audit_id", "event_time", "event_type", "user_name", "action", "success")
+    // hash each forked row against row 1's hash, as live appenders would
+    val h1 = Audit.entryHash("2024-01-01T00:00:00", "load", "alice",
+      "load_vcf", success = true, Audit.GenesisHash)
+    val chained = base
+      .withColumn("previous_hash",
+        when($"audit_id" === 1L, Audit.GenesisHash).otherwise(h1))
+      .withColumn("entry_hash", lit("") /* recomputed below */)
+    import org.apache.spark.sql.Row
+    val rows = chained.collect().map { r =>
+      val h = Audit.entryHash(r.getAs[String]("event_time"),
+        r.getAs[String]("event_type"), r.getAs[String]("user_name"),
+        r.getAs[String]("action"), r.getAs[Boolean]("success"),
+        r.getAs[String]("previous_hash"))
+      Row(r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getBoolean(5), r.getAs[String]("previous_hash"), h)
+    }
+    val forked = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), chained.schema)
+    val verified = Audit.verifyChain(forked)
+    val dups = verified.filter($"duplicate_id").collect()
+    assert(dups.length == 2 && dups.forall(_.getLong(0) == 2L))
+    assert(dups.forall(!_.getAs[Boolean]("chain_valid")))
+    // the intact genesis row stays valid
+    assert(verified.filter($"audit_id" === 1L).head().getAs[Boolean]("chain_valid"))
+  }
 }
 
 class WritersSpec extends SparkSpec {
