@@ -451,9 +451,38 @@ object Graft {
         }
 
       case "validate" =>
-        val dups = variants.groupBy($"chrom", $"pos", $"ref", $"alt")
+        // duplicate detection is scoped WITHIN each load batch
+        // (`cli.py:552-560` groups under WHERE load_batch_id = $1): a
+        // multi-file cohort legitimately carries the same site in two
+        // files' batches — only same-batch repeats indicate a load defect
+        val hasBatch = variants.columns.contains("load_batch_id")
+        val dupKeys =
+          (if (hasBatch) Seq($"load_batch_id") else Nil) ++
+            Seq($"chrom", $"pos", $"ref", $"alt")
+        val dups = variants.groupBy(dupKeys: _*)
           .count().filter($"count" > 1).count()
         println(s"variants=${variants.count()} duplicate_sites=$dups")
+        // per-batch expected-vs-actual against the ledger
+        // (`cli.py:548-570`): every batch present in the store must hold
+        // exactly the row count its completed ledger row recorded
+        if (hasBatch && new java.io.File(s"$db/ledger").exists()) {
+          val actual = variants.groupBy($"load_batch_id")
+            .agg(count(lit(1)).as("actual"))
+          val rows = actual.join(
+            spark.read.parquet(s"$db/ledger")
+              .filter($"status" === "completed")
+              .select($"load_batch_id", $"file_path", $"n_variants"),
+            Seq("load_batch_id"), "left").orderBy($"load_batch_id").collect()
+          rows.foreach { r =>
+            val expected = Option(r.getAs[java.lang.Long]("n_variants"))
+            val actualN = r.getAs[Long]("actual")
+            val ok = expected.contains(actualN)
+            println(s"batch ${r.getAs[String]("load_batch_id")} " +
+              s"(${Option(r.getAs[String]("file_path")).getOrElse("?")}): " +
+              s"expected=${expected.map(_.toString).getOrElse("?")} " +
+              s"actual=$actualN " + (if (ok) "ok" else "MISMATCH"))
+          }
+        }
         // covering-projection freshness: the indexes commit in the same
         // swap as the store, so a mismatch means someone rewrote the
         // store out-of-band. Counts alone can't see a rewrite that

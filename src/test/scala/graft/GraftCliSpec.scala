@@ -285,6 +285,16 @@ class GraftCliSpec extends SparkSpec {
       .join(v.select($"chrom", $"pos", $"ref", $"alt").distinct(),
         Seq("chrom", "pos", "ref", "alt"), "left_anti").count()
     assert(orphans == 0, s"$orphans orphan genotype sites")
+    // validate scopes dup detection per batch and reconciles each
+    // store batch against its ledger row (cli.py:548-570)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(vOut.toString.contains("duplicate_sites=0"), vOut.toString)
+    assert(vOut.toString.linesIterator
+      .count(l => l.startsWith("batch ") && l.endsWith(" ok")) == 2, vOut.toString)
+    assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
   }
 
   test("refresh-views materializes all four matviews when their inputs are present") {
