@@ -283,8 +283,16 @@ object Graft {
                 // a coordinate-sorted VCF's input splits each span ~1
                 // chromosome, so the per-load file count stays ~tasks.
                 // Rows land unsorted; `compact` pays the ordering debt.
+                // A pre-hive db has FLAT files at the table root: a hive
+                // append there would mix layouts into an unreadable
+                // table, so such stores keep appending flat until a
+                // `compact` migrates them.
+                val gDir = new java.io.File(s"$db/genotypes")
+                val legacyFlat = Option(gDir.listFiles()).exists(
+                  _.exists(f => f.isFile && f.getName.endsWith(".parquet")))
                 progress.stage("write_genotypes") {
-                  g.write.mode("append").partitionBy("chrom")
+                  val w = g.write.mode("append")
+                  (if (legacyFlat) w else w.partitionBy("chrom"))
                     .parquet(s"$db/genotypes")
                 }
                 // an append can land within the directory-mtime tick of

@@ -295,6 +295,52 @@ class GraftCliSpec extends SparkSpec {
     assert(vOut.toString.linesIterator
       .count(l => l.startsWith("batch ") && l.endsWith(" ok")) == 2, vOut.toString)
     assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
+    // force-reload of A within the cohort replaces ONLY A's batch: B's
+    // rows survive, total count is unchanged, A gets a fresh batch id
+    val batchesBefore = v.select($"load_batch_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    Graft.run(spark, Array("load", vcfA, "--db", db, "--force-reload"))
+    val v2 = spark.read.parquet(s"$db/variants")
+    assert(v2.count() == nAll)
+    val batchesAfter = v2.select($"load_batch_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(batchesAfter.size == 2)
+    assert((batchesAfter -- batchesBefore).size == 1,
+      s"force-reload must mint one new batch: $batchesBefore -> $batchesAfter")
+    assert(v2.filter($"pos" === 54712L).count() == 1, "file-A row missing")
+  }
+
+  test("legacy flat genotype stores keep appending flat until compact migrates them") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    // simulate a pre-hive db: flatten the genotypes table in place
+    val root = new java.io.File(s"$db/genotypes")
+    val flat = spark.read.parquet(s"$db/genotypes").localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(root)
+    flat.write.parquet(s"$db/genotypes")
+    assert(root.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    // a further load must NOT mix a hive append into the flat layout
+    Graft.run(spark, Array("load", fixture("with_annotations.vcf"), "--db", db))
+    assert(!root.listFiles().exists(_.getName.startsWith("chrom=")),
+      "hive append mixed into a flat legacy store")
+    val g = spark.read.parquet(s"$db/genotypes") // still readable
+    val gCount = g.count() // materialize BEFORE compact swaps the files
+    val site = g.select($"chrom", $"pos").orderBy($"chrom", $"pos").head()
+    val hit0 = graft.query.PointLookup.genotypesAt(
+      spark, s"$db/genotypes", site.getString(0), site.getLong(1), site.getLong(1))
+    assert(hit0.nonEmpty, "flat-path probe lost")
+    // compact migrates the layout; the probe switches to the hive path
+    Graft.run(spark, Array("compact", "--db", db, "--tables", "genotypes"))
+    assert(root.listFiles().exists(_.getName.startsWith("chrom=")),
+      "compact did not migrate to the hive layout")
+    assert(spark.read.parquet(s"$db/genotypes").count() == gCount)
+    val hit1 = graft.query.PointLookup.genotypesAt(
+      spark, s"$db/genotypes", site.getString(0), site.getLong(1), site.getLong(1))
+    assert(hit1.map(_("sample_id")).sorted == hit0.map(_("sample_id")).sorted)
   }
 
   test("refresh-views materializes all four matviews when their inputs are present") {
