@@ -31,11 +31,25 @@ object PrsFormats {
   /** Inputs: gwas stats already matched (carry variant_id,
     * effect_allele, other_allele, beta, standard_error, p_value) and
     * variants (variant_id, chrom, pos, rs_id [+ filter columns]).
-    */
+    *
+    * The variants side is deduplicated to ONE row per variant_id first:
+    * a multi-file cohort store carries a shared site once per batch, and
+    * our content-keyed ids give those copies the same variant_id — a
+    * plain join would emit one SNP line per batch, which PRS tools
+    * reject (the reference's serial-id matching reaches exactly one row,
+    * `gwas/loader.py` best-priority reduction). min_by over the full
+    * column struct makes the pick deterministic even if batch copies
+    * diverge in a QC column; partial-aggregatable, one shuffle of the
+    * export dimension. */
   private def joined(stats: DataFrame, variants: DataFrame,
                      vf: VariantFilter): DataFrame = {
-    applyFilter(
-      stats.join(variants, Seq("variant_id")), vf)
+    import stats.sparkSession.implicits._
+    val rest = variants.columns.filter(_ != "variant_id").map(col).toSeq
+    val one = variants.groupBy($"variant_id")
+      .agg(min_by(struct(rest: _*), struct(rest: _*)).as("_r"))
+      .select($"variant_id" +: variants.columns.filter(_ != "variant_id")
+        .map(c => col(s"_r.$c").as(c)): _*)
+    applyFilter(stats.join(one, Seq("variant_id")), vf)
   }
 
   /** PLINK 2.0 --score: `SNP A1 BETA` (`export/prs_formats.py:91-138`). */

@@ -310,6 +310,29 @@ class GraftCliSpec extends SparkSpec {
     assert(v2.filter($"pos" === 54712L).count() == 1, "file-A row missing")
   }
 
+  test("exports emit one SNP line per variant even when a cohort store duplicates the site") {
+    // two batches of a multi-file cohort carry the same site: content-
+    // keyed ids make them the SAME variant_id, and PRS tools reject
+    // duplicate SNP ids — the export join must reach exactly one row
+    val variants = Seq(
+      (10L, "chr1", 100L, "rs10", "b1"),
+      (10L, "chr1", 100L, "rs10", "b2"), // batch copy, same site
+      (20L, "chr1", 200L, "rs20", "b1"))
+      .toDF("variant_id", "chrom", "pos", "rs_id", "load_batch_id")
+    val stats = Seq(
+      (10L, "A", "G", 0.05, 0.01, 1e-8),
+      (20L, "C", "T", 0.02, 0.01, 1e-6))
+      .toDF("variant_id", "effect_allele", "other_allele",
+        "beta", "standard_error", "p_value")
+    val out = graft.export.PrsFormats.plinkScore(stats, variants)
+    assert(out.count() == 2, "duplicate cohort site must not duplicate export lines")
+    assert(out.select($"SNP").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("rs10", "rs20"))
+    val ld = graft.export.PrsFormats.ldpred2(stats, variants,
+      Some(100L), Some(100L), None)
+    assert(ld.count() == 2)
+  }
+
   test("legacy flat genotype stores keep appending flat until compact migrates them") {
     val db = Files.createTempDirectory("graftdb").toString
     Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
