@@ -310,6 +310,36 @@ class GraftCliSpec extends SparkSpec {
     assert(v2.filter($"pos" === 54712L).count() == 1, "file-A row missing")
   }
 
+  test("cohort batches survive rewrite verbs and compact; validate reconciliation stays green") {
+    // load-reference and `compact --tables variants` rewrite the WHOLE
+    // store via replaceVariantsStaged — on a multi-file cohort they must
+    // carry every batch's load_batch_id and row count through unchanged,
+    // or validate's per-batch ledger reconciliation (cli.py:548-570)
+    // reports MISMATCH on batches nobody touched
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    Graft.run(spark, Array("load", fixture("with_annotations.vcf"), "--db", db))
+    val perBatch0 = spark.read.parquet(s"$db/variants")
+      .groupBy($"load_batch_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perBatch0.size == 2)
+    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    Graft.run(spark, Array("compact", "--db", db, "--tables", "variants"))
+    val perBatch1 = spark.read.parquet(s"$db/variants")
+      .groupBy($"load_batch_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perBatch1 == perBatch0,
+      s"rewrites must preserve batches: $perBatch0 -> $perBatch1")
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(vOut.toString.linesIterator
+      .count(l => l.startsWith("batch ") && l.endsWith(" ok")) == 2, vOut.toString)
+    assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
+    assert(!vOut.toString.contains("STALE"), vOut.toString)
+  }
+
   test("exports emit one SNP line per variant even when a cohort store duplicates the site") {
     // two batches of a multi-file cohort carry the same site: content-
     // keyed ids make them the SAME variant_id, and PRS tools reject
