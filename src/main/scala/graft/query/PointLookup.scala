@@ -6,14 +6,17 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.parquet.HadoopReadOptions
+import org.apache.parquet.column.page.PageReadStore
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.filter2.compat.FilterCompat
 import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
 import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.metadata.ParquetMetadata
+import org.apache.parquet.hadoop.metadata.{ColumnPath, ParquetMetadata}
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.internal.column.columnindex.{ColumnIndex, OffsetIndex}
+import org.apache.parquet.internal.filter2.columnindex.{ColumnIndexFilter, ColumnIndexStore}
+import org.apache.parquet.io.{ColumnIOFactory, MessageColumnIO}
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.SparkSession
 
@@ -237,6 +240,67 @@ object PointLookup {
     * FileStatus alone; a rewritten file gets a new mtime/length. */
   private val footerCache = lru[String, (Long, Long, ParquetMetadata)](1024)
 
+  /** Page-index cache: per file, per row group, per column the parsed
+    * (column index, offset index) pair — the page-level min/max statistics
+    * parquet stores after the data. Reading + thrift-parsing these for
+    * every column is 1-2 ms of every probe when done through
+    * `readNextFilteredRowGroup`; like the footers they are immutable
+    * file metadata, so they are read ONCE per file and the probe computes
+    * its page row-ranges from the memory-resident copy — the same move
+    * Postgres makes when a B-tree's upper levels stay pinned in shared
+    * buffers. ~100 KB per cached file. */
+  private val indexCache =
+    lru[String, (Long, Long, Seq[Map[ColumnPath, (ColumnIndex, OffsetIndex)]])](256)
+
+  /** ColumnIO cache: the record-assembly tree is a pure function of the
+    * file schema (~1 ms to build for a 30-column schema — pure CPU,
+    * identical on every probe of the same file). */
+  private val columnIOCache = lru[String, (Long, Long, MessageColumnIO)](256)
+
+  /** `readFilteredRowGroup(blockIndex, rowRanges)` is public but returns
+    * the package-private ColumnChunkPageReadStore, which scalac refuses
+    * to reference at a call site; invoke through a cached Method handle
+    * (javac would compile the direct call). None on a parquet runtime
+    * without the two-arg overload — probes then use the slow path. */
+  private lazy val readFilteredRowGroupM: Option[java.lang.reflect.Method] =
+    try Some(classOf[ParquetFileReader].getMethod("readFilteredRowGroup",
+      classOf[Int], classOf[org.apache.parquet.internal.filter2.columnindex.RowRanges]))
+    catch { case _: Throwable => None }
+
+  private def indexesFor(conf: Configuration, status: FileStatus,
+                         footer: ParquetMetadata)
+      : Seq[Map[ColumnPath, (ColumnIndex, OffsetIndex)]] = {
+    val key = status.getPath.toString
+    val cached = indexCache.get(key)
+    if (cached != null && cached._1 == status.getModificationTime &&
+        cached._2 == status.getLen) cached._3
+    else {
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+      val idx =
+        try footer.getBlocks.asScala.toSeq.map { block =>
+          block.getColumns.asScala.map { c =>
+            c.getPath -> ((r.readColumnIndex(c), r.readOffsetIndex(c)))
+          }.toMap
+        } finally r.close()
+      indexCache.put(key, (status.getModificationTime, status.getLen, idx))
+      idx
+    }
+  }
+
+  private def columnIOFor(status: FileStatus, footer: ParquetMetadata)
+      : MessageColumnIO = {
+    val key = status.getPath.toString
+    val cached = columnIOCache.get(key)
+    if (cached != null && cached._1 == status.getModificationTime &&
+        cached._2 == status.getLen) cached._3
+    else {
+      val io = new ColumnIOFactory(footer.getFileMetaData.getCreatedBy)
+        .getColumnIO(footer.getFileMetaData.getSchema)
+      columnIOCache.put(key, (status.getModificationTime, status.getLen, io))
+      io
+    }
+  }
+
   private def footerFor(conf: Configuration, status: FileStatus): ParquetMetadata = {
     val key = status.getPath.toString
     val cached = footerCache.get(key)
@@ -343,36 +407,7 @@ object PointLookup {
         }
     }
     val result = ordered.flatMap { case (status, footer, _) =>
-      {
-        val inputFile = HadoopInputFile.fromStatus(status, conf)
-        val options = HadoopReadOptions.builder(conf, status.getPath)
-          .withRecordFilter(filter).build()
-        // footer injected: the constructor prunes row groups against the
-        // predicate (stats/dictionary), readNextFilteredRowGroup applies
-        // column-index page pruning — only overlapping pages are decoded
-        val reader = new ParquetFileReader(
-          inputFile, footer, options, inputFile.newStream())
-        try {
-          val schema = footer.getFileMetaData.getSchema
-          val columnIO = new ColumnIOFactory(footer.getFileMetaData.getCreatedBy)
-            .getColumnIO(schema)
-          val out = ArrayBuffer[Map[String, String]]()
-          var pages = reader.readNextFilteredRowGroup()
-          while (pages != null) {
-            val rr = columnIO.getRecordReader(
-              pages, new GroupRecordConverter(schema), filter)
-            var i = 0L
-            val n = pages.getRowCount
-            while (i < n) {
-              val g = rr.read()
-              if (g != null && !rr.shouldSkipCurrentRecord) out += groupToMap(g)
-              i += 1
-            }
-            pages = reader.readNextFilteredRowGroup()
-          }
-          out.toSeq
-        } finally reader.close()
-      }
+      readFile(conf, status, footer, filter, prunes.map(_._1))
     }
     // A stale cached listing whose dead files were ALL footer-pruned
     // yields an empty result without touching any file, so the
@@ -386,6 +421,102 @@ object PointLookup {
       throw new java.io.FileNotFoundException(
         s"stale listing: ${files.head.getPath}")
     result
+  }
+
+  /** One file's matching rows. The fast path computes the page row-ranges
+    * itself from the CACHED page indexes (`indexCache`) and asks the
+    * reader for exactly those pages — per probe this skips re-reading and
+    * re-parsing ~2×n_columns index structures and rebuilding the
+    * assembly tree, which together cost more than the actual page decode.
+    * Any fast-path surprise (page indexes absent for a predicate column,
+    * parquet API drift, reflection failure) degrades to the stock
+    * filtered-row-group walk — never to an error or a wrong answer. Both
+    * paths keep the record-level filter at assembly time, so page
+    * granularity never leaks extra rows into the result. */
+  private def readFile(conf: Configuration, status: FileStatus,
+                       footer: ParquetMetadata, filter: FilterCompat.Filter,
+                       predCols: Seq[String]): Seq[Map[String, String]] =
+    (try readFileFast(conf, status, footer, filter, predCols)
+     catch { case scala.util.control.NonFatal(_) => None })
+      .getOrElse(readFileSlow(conf, status, footer, filter))
+
+  private def readFileFast(conf: Configuration, status: FileStatus,
+                           footer: ParquetMetadata, filter: FilterCompat.Filter,
+                           predCols: Seq[String])
+      : Option[Seq[Map[String, String]]] =
+    readFilteredRowGroupM.map { readFiltered =>
+      val idx = indexesFor(conf, status, footer)
+      val paths = new java.util.HashSet[ColumnPath]()
+      predCols.foreach(c => paths.add(ColumnPath.fromDotString(c)))
+      val inputFile = HadoopInputFile.fromStatus(status, conf)
+      // no filter in the options: row-group selection happens below via
+      // the cached indexes, and the record filter is applied at assembly
+      val options = HadoopReadOptions.builder(conf, status.getPath).build()
+      val reader = new ParquetFileReader(
+        inputFile, footer, options, inputFile.newStream())
+      try {
+        val columnIO = columnIOFor(status, footer)
+        val out = ArrayBuffer[Map[String, String]]()
+        footer.getBlocks.asScala.zipWithIndex.foreach { case (block, bi) =>
+          val rgIdx = idx(bi)
+          val cis = new ColumnIndexStore {
+            def getColumnIndex(p: ColumnPath): ColumnIndex =
+              rgIdx.get(p).map(_._1).orNull
+            // a predicate column without an offset index makes page
+            // pruning unsound — calculateRowRanges catches the thrown
+            // Missing and selects ALL rows of the group (verified against
+            // parquet 1.16 bytecode), so the record filter still decides
+            def getOffsetIndex(p: ColumnPath): OffsetIndex =
+              rgIdx.get(p).map(_._2).filter(_ != null).getOrElse(
+                throw new ColumnIndexStore.MissingOffsetIndexException(p))
+          }
+          val ranges = ColumnIndexFilter.calculateRowRanges(
+            filter, cis, paths, block.getRowCount)
+          if (ranges.rowCount() > 0) {
+            val pages = readFiltered.invoke(reader, Int.box(bi), ranges)
+              .asInstanceOf[PageReadStore]
+            if (pages != null) assemble(pages, columnIO, footer, filter, out)
+          }
+        }
+        out.toSeq
+      } finally reader.close()
+    }
+
+  private def readFileSlow(conf: Configuration, status: FileStatus,
+                           footer: ParquetMetadata, filter: FilterCompat.Filter)
+      : Seq[Map[String, String]] = {
+    val inputFile = HadoopInputFile.fromStatus(status, conf)
+    val options = HadoopReadOptions.builder(conf, status.getPath)
+      .withRecordFilter(filter).build()
+    // footer injected: the constructor prunes row groups against the
+    // predicate (stats/dictionary), readNextFilteredRowGroup applies
+    // column-index page pruning — only overlapping pages are decoded
+    val reader = new ParquetFileReader(
+      inputFile, footer, options, inputFile.newStream())
+    try {
+      val out = ArrayBuffer[Map[String, String]]()
+      var pages = reader.readNextFilteredRowGroup()
+      while (pages != null) {
+        assemble(pages, columnIOFor(status, footer), footer, filter, out)
+        pages = reader.readNextFilteredRowGroup()
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+
+  private def assemble(pages: PageReadStore, columnIO: MessageColumnIO,
+                       footer: ParquetMetadata, filter: FilterCompat.Filter,
+                       out: ArrayBuffer[Map[String, String]]): Unit = {
+    val schema = footer.getFileMetaData.getSchema
+    val rr = columnIO.getRecordReader(
+      pages, new GroupRecordConverter(schema), filter)
+    var i = 0L
+    val n = pages.getRowCount
+    while (i < n) {
+      val g = rr.read()
+      if (g != null && !rr.shouldSkipCurrentRecord) out += groupToMap(g)
+      i += 1
+    }
   }
 
   /** Render one parquet Group generically: primitives via their string
