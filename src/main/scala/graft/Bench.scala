@@ -129,6 +129,11 @@ object Bench {
       try { while (in.read(buf) > 0) () } finally in.close()
     }
 
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete(); ()
+    }
+
     val raw = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     def record(name: String, t: Double): Unit =
       raw.getOrElseUpdate(name, scala.collection.mutable.ArrayBuffer[Double]()) += t
@@ -299,6 +304,22 @@ object Bench {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(genoStore)))
       graft.sinks.Writers.writeGenotypes(
         graft.vcf.VcfReader.genotypes(spark, vcfPath), genoStore)
+    // growing cohort db for the O(batch) append metric: seeded with one
+    // batch (untimed) so every measured round takes the append path; the
+    // db is recreated per bench run (a leftover db would skip-by-hash),
+    // while the distinct per-round VCFs persist (deterministic seeds)
+    val cohortDb = "/tmp/graft_bench_cohortdb"
+    rmrf(new java.io.File(cohortDb))
+    val cohortVcfs = (0 until 9).map { i =>
+      val p = s"/tmp/graft_bench_cohort_$i.vcf"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        graft.vcf.SyntheticVcf.write(p, 100000, seed = 1000L + i)
+      p
+    }
+    var cohortNext = 0
+    Graft.run(spark, Array("load", vcfPath, "--db", cohortDb))
+    cohortVcfs.foreach(preTouch)
+
     val store = spark.read.parquet(dbPath)
     val rsidIdx = spark.read.parquet(rsidIdxPath)
     // warm the store read path once
@@ -343,13 +364,22 @@ object Bench {
       // into a fresh db each round (the delete is part of the cost, as
       // fresh-table COPY is for the reference)
       "vcf_load_100k" -> (() => {
-        def rmrf(p: java.io.File): Unit = {
-          if (p.isDirectory) p.listFiles().foreach(rmrf)
-          p.delete(); ()
-        }
         rmrf(new java.io.File("/tmp/graft_bench_loaddb"))
         Graft.run(spark, Array("load", vcfPath, "--db",
           "/tmp/graft_bench_loaddb"))
+      }),
+      // O(batch) cohort-append load: each round appends ONE distinct
+      // 100k-variant VCF into the SAME growing db (round i lands on a
+      // store already holding i batches). The per-round raw array is the
+      // claim's evidence: flat timings while the store grows 100k -> ~1M
+      // rows prove a cohort load costs O(incoming file), not O(store) —
+      // the property that makes a 100 TB cohort loadable one VCF at a
+      // time. vcf_load_100k above is the fresh-db swap-path comparison
+      // point at the same file size.
+      "vcf_load_cohort_append" -> (() => {
+        val f = cohortVcfs(cohortNext)
+        cohortNext += 1
+        Graft.run(spark, Array("load", f, "--db", cohortDb))
       }),
       // point lookups collect the full hit rows (the reference's SELECT *
       // point-query shape), scans hash-materialize
@@ -439,6 +469,9 @@ object Bench {
       results("vcf_parse_1m_var_s") = 1000000.0 / results("vcf_parse_1m_norm")
     if (results("vcf_load_100k") > 0)
       results("vcf_load_100k_var_s") = 100000.0 / results("vcf_load_100k")
+    if (results.getOrElse("vcf_load_cohort_append", -1.0) > 0)
+      results("vcf_load_cohort_append_var_s") =
+        100000.0 / results("vcf_load_cohort_append")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -220,6 +220,7 @@ object Graft {
         // only plain appends need row-level rollback; swapped tables are
         // all-or-nothing
         var appendedG = false
+        var appendedV = false
         try {
           val opts = graft.vcf.VcfReader.Options(
             normalize = has(args, "--normalize"),
@@ -314,41 +315,111 @@ object Graft {
           // §2.13 append-only cohort: a db accumulates ONE batch per VCF.
           // The reference deletes only the SAME file's previous batch and
           // otherwise appends (`loader.py:244-252`; the acceptance
-          // cross-sample queries depend on multi-file accumulation). So a
-          // load into an existing store always unions the surviving store
-          // rows with the incoming batch — dropping the prior batch only
-          // on a force-reload of the same file. Only a brand-new db
-          // starts from the incoming file alone.
-          val base =
-            if (new java.io.File(s"$db/variants").exists()) {
-              val survivors = prevBatch match {
-                case Some(b) => graft.audit.Audit.dropBatch(variants, b)
-                case None    => variants
-              }
-              survivors.unionByName(v, allowMissingColumns = true)
-            } else v
-          swaps += ((s"$db/variants",
-            tmps => graft.sinks.Writers.writeVariants(
-              graft.ingest.VariantMatching.withVariantId(base),
-              tmps(s"$db/variants"))))
-          // K1b/K1d: the rsID and gene secondary projections are cheap
-          // column scans of the freshly STAGED variants data (not a
-          // re-run of the parse), and commit in the same all-or-nothing
-          // swap as the variants table — no window where a new store is
-          // live with a stale index (the reference recreates indexes
-          // inside the load transaction, `schema.py:347-359`)
-          swaps += ((s"$db/rsid_idx",
-            tmps => graft.sinks.Writers.writeRsidIndex(
-              spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/rsid_idx"))))
-          swaps += ((s"$db/gene_idx",
-            tmps => graft.sinks.Writers.writeGeneIndex(
-              spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/gene_idx"))))
-          progress.stage("write_tables") {
-            graft.sinks.Writers.replaceInPlaceAllStaged(swaps.toSeq)
+          // cross-sample queries depend on multi-file accumulation).
+          //
+          // The common cohort load — an existing store, a NEW file — is
+          // an O(batch) APPEND, like the genotypes side: the batch's rows
+          // land as new pos-sorted files inside the chrom directories and
+          // as new rows of both covering projections, and NO existing
+          // file is read or rewritten. At cohort scale that is the
+          // difference between a load costing O(one VCF) and a load
+          // rewriting the whole store (the reference's INSERTs are
+          // O(batch) for the same reason). Appended files overlap prior
+          // batches' pos ranges within a chrom directory; the serving
+          // faces read every overlapping file and sort driver-side
+          // (`PointLookup`), and `compact` folds the fragmentation back
+          // into disjoint sorted files. The append path requires the
+          // batch schema to be a subset of the store's and both covering
+          // projections to be present in their covering shape — schema
+          // evolution, a force-reload (which must DROP the prior batch's
+          // rows), legacy slim projections, and brand-new dbs take the
+          // staged full-rewrite swap instead.
+          val vWithId = graft.ingest.VariantMatching.withVariantId(v)
+          val storeExists = new java.io.File(s"$db/variants").exists()
+          lazy val storeSchema = spark.read.parquet(s"$db/variants").schema
+          def alignTo(df: DataFrame,
+                      target: org.apache.spark.sql.types.StructType) =
+            df.select(target.fields.toSeq.map(f =>
+              (if (df.columns.contains(f.name)) col(f.name)
+               else lit(null)).cast(f.dataType).as(f.name)): _*)
+          def projSchema(dir: String) =
+            // an unreadable projection (absent, or empty with no footer
+            // to infer from) routes to the full-rewrite path, never fails
+            try {
+              if (new java.io.File(dir).exists())
+                Some(spark.read.parquet(dir).schema)
+              else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          lazy val rsidSchema = projSchema(s"$db/rsid_idx")
+          lazy val geneSchema = projSchema(s"$db/gene_idx")
+          val canAppend = storeExists && prevBatch.isEmpty && {
+            val extra = vWithId.columns.toSet -- storeSchema.fieldNames.toSet
+            // covering = the projection carries every store column (a
+            // slim legacy rsid_idx or a drifted projection must not be
+            // appended to — its rows would miss columns silently)
+            val rsidCovering = rsidSchema.exists(
+              _.fieldNames.toSet == storeSchema.fieldNames.toSet)
+            val geneReady = geneSchema.exists(_.fieldNames.toSet ==
+              Set("gene", "chrom", "pos", "ref", "alt", "impact",
+                "consequence", "variant_id"))
+            if (extra.nonEmpty)
+              println(s"schema evolution (${extra.mkString(",")}): " +
+                "full-rewrite load instead of batch append")
+            extra.isEmpty && rsidCovering && geneReady
           }
-          // the genotype APPEND path accumulates files across loads;
-          // --compact folds the rewrite into this load (pre-commit, so a
-          // failure here ledgers as failed and rolls the appends back)
+          var batchN = -1L
+          if (canAppend) {
+            // one computation of the batch serves all three appends and
+            // the ledger count
+            val vc = alignTo(vWithId, storeSchema).persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            appendedV = true
+            progress.stage("write_tables") {
+              graft.sinks.Writers.writeVariants(
+                vc, s"$db/variants", mode = "append")
+              graft.sinks.Writers.writeRsidIndex(
+                alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append")
+              graft.sinks.Writers.writeGeneIndex(
+                vc, s"$db/gene_idx", mode = "append")
+            }
+            batchN = vc.count()
+            vc.unpersist()
+            // appends can land within the directory-mtime tick of a
+            // cached probe listing (same-JVM); swaps don't need this
+            Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
+              graft.query.PointLookup.invalidateListings(s"$db/$t"))
+          } else {
+            val base =
+              if (storeExists) {
+                val survivors = prevBatch match {
+                  case Some(b) => graft.audit.Audit.dropBatch(variants, b)
+                  case None    => variants
+                }
+                survivors.unionByName(v, allowMissingColumns = true)
+              } else v
+            swaps += ((s"$db/variants",
+              tmps => graft.sinks.Writers.writeVariants(
+                graft.ingest.VariantMatching.withVariantId(base),
+                tmps(s"$db/variants"))))
+            // K1b/K1d: the rsID and gene secondary projections are cheap
+            // column scans of the freshly STAGED variants data (not a
+            // re-run of the parse), and commit in the same all-or-nothing
+            // swap as the variants table — no window where a new store is
+            // live with a stale index (the reference recreates indexes
+            // inside the load transaction, `schema.py:347-359`)
+            swaps += ((s"$db/rsid_idx",
+              tmps => graft.sinks.Writers.writeRsidIndex(
+                spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/rsid_idx"))))
+            swaps += ((s"$db/gene_idx",
+              tmps => graft.sinks.Writers.writeGeneIndex(
+                spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/gene_idx"))))
+            progress.stage("write_tables") {
+              graft.sinks.Writers.replaceInPlaceAllStaged(swaps.toSeq)
+            }
+          }
+          // the APPEND paths accumulate files across loads; --compact
+          // folds the fold-back into this load (pre-commit, so a failure
+          // here ledgers as failed and rolls the appends back)
           if (has(args, "--compact") && appendedG)
             progress.stage("compact_genotypes") {
               graft.sinks.Writers.compactPlain(spark, s"$db/genotypes",
@@ -356,11 +427,34 @@ object Graft {
                 sortCols = Seq("chrom", "pos"),
                 partitionCol = Some("chrom"))
             }
+          if (has(args, "--compact") && appendedV)
+            progress.stage("compact_variants") {
+              val targetMb =
+                arg(args, "--target-file-mb").getOrElse("128").toLong
+              // per-chrom incremental on the store (content unchanged, so
+              // the projections stay FRESH — they only need their own
+              // file-count fold-back, a plain clustered rewrite each)
+              new java.io.File(s"$db/variants").listFiles().toSeq
+                .filter(f => f.isDirectory && f.getName.startsWith("chrom="))
+                .foreach { d =>
+                  if (d.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+                    graft.sinks.Writers.compactPartitionDir(spark,
+                      s"$db/variants", d.getName, targetMb,
+                      sortCols = Seq("pos"))
+                }
+              graft.sinks.Writers.compactPlain(spark, s"$db/rsid_idx",
+                targetMb, sortCols = Seq("rs_id"))
+              graft.sinks.Writers.compactPlain(spark, s"$db/gene_idx",
+                targetMb, sortCols = Seq("gene", "chrom", "pos"))
+            }
           // per-BATCH count, not the whole store's: the ledger row records
           // what THIS file contributed (reference `variants_loaded`,
-          // `loader.py:547-560`); one column-pruned scan of the store
-          val n = spark.read.parquet(s"$db/variants")
-            .filter($"load_batch_id" === batchId).count()
+          // `loader.py:547-560`). The append path counted its cached batch
+          // (O(batch)); the rewrite paths pay one column-pruned store scan.
+          val n =
+            if (batchN >= 0) batchN
+            else spark.read.parquet(s"$db/variants")
+              .filter($"load_batch_id" === batchId).count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
             "completed", n, now(), ledgerNote))
           committed = true
@@ -399,6 +493,14 @@ object Graft {
                     spark.read.parquet(s"$db/genotypes"), batchId),
                   s"$db/genotypes")((d, p) =>
                   d.write.partitionBy("chrom").parquet(p))
+            } catch { case _: Throwable => () }
+            try {
+              // a partially-appended batch (variants or either projection)
+              // rolls back by rewriting the survivors — the failure path
+              // pays the O(store) rewrite the happy path no longer does
+              if (appendedV)
+                replaceVariantsStaged(spark, db, graft.audit.Audit.dropBatch(
+                  spark.read.parquet(s"$db/variants"), batchId))
             } catch { case _: Throwable => () }
             ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
               "failed", 0L, now(), s"error: ${e.getMessage}"))
@@ -446,9 +548,15 @@ object Graft {
             // genotypes compact CLUSTERED on the variant site key AND
             // hive-partitioned by chrom (migrating any pre-hive flat
             // store), so the genotype probe lists one directory and
-            // region-scoped scans prune row groups afterwards
-            val sortCols =
-              if (t == "genotypes") Seq("chrom", "pos") else Seq.empty[String]
+            // region-scoped scans prune row groups afterwards; the
+            // covering projections (which fragment under batch-append
+            // loads) re-cluster on their own probe keys
+            val sortCols = t match {
+              case "genotypes" => Seq("chrom", "pos")
+              case "rsid_idx"  => Seq("rs_id")
+              case "gene_idx"  => Seq("gene", "chrom", "pos")
+              case _           => Seq.empty[String]
+            }
             val n = graft.sinks.Writers.compactPlain(
               spark, s"$db/$t", targetMb, sortCols,
               partitionCol = if (t == "genotypes") Some("chrom") else None)

@@ -76,7 +76,10 @@ object PointLookup {
     * column indexes narrow the read to overlapping pages. A 100 kb
     * region on a pos-sorted store touches a handful of pages, so this
     * face skips the ~50 ms Spark job floor a scan pays regardless of
-    * data volume. Results are pos-ordered (files are pos-sorted). */
+    * data volume. Results are pos-ordered: batch-append files overlap in
+    * pos within a chrom directory (`Graft` load's O(batch) cohort path),
+    * so cross-file order is restored by a driver-side sort of the
+    * region-sized result, not assumed from file layout. */
   def byRegion(spark: SparkSession, store: String, chrom: String,
                lo: Long, hi: Long): Seq[Map[String, String]] =
     read(spark, new Path(s"$store/chrom=$chrom"),
@@ -85,6 +88,8 @@ object PointLookup {
         FilterApi.ltEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(hi))),
       Seq(("pos", java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi))))
       .map(_ + ("chrom" -> chrom)) // the partition column isn't in the files
+      .sortBy(r => (r("pos").toLong, r.getOrElse("ref", ""),
+        r.getOrElse("alt", ""), r.getOrElse("load_batch_id", "")))
 
   /** rsID probe. The index is a covering sorted projection
     * (`Writers.writeRsidIndex`), so the full row is served from ONE probe
@@ -98,6 +103,10 @@ object PointLookup {
     val hits = read(spark, new Path(rsidIndex),
       FilterApi.eq(FilterApi.binaryColumn("rs_id"), rsBin),
       Seq(("rs_id", rsBin, rsBin)))
+      // deterministic across batch-append files (which overlap in rs_id)
+      .sortBy(r => (r.getOrElse("chrom", ""),
+        r.get("pos").map(_.toLong).getOrElse(0L), r.getOrElse("ref", ""),
+        r.getOrElse("alt", ""), r.getOrElse("load_batch_id", "")))
     // variant_type is never null in the full schema, so its absence marks
     // a slim legacy index row
     if (hits.isEmpty || hits.head.contains("variant_type")) hits
@@ -121,6 +130,10 @@ object PointLookup {
     read(spark, new Path(geneIndex),
       FilterApi.eq(FilterApi.binaryColumn("gene"), gBin),
       Seq(("gene", gBin, gBin)))
+      // deterministic across batch-append files (which overlap in gene)
+      .sortBy(r => (r.getOrElse("chrom", ""),
+        r.get("pos").map(_.toLong).getOrElse(0L), r.getOrElse("ref", ""),
+        r.getOrElse("alt", ""), r.getOrElse("load_batch_id", "")))
   }
 
   /** Per-sample genotype rows at one site or region — the analogue of the

@@ -310,6 +310,88 @@ class GraftCliSpec extends SparkSpec {
     assert(v2.filter($"pos" === 54712L).count() == 1, "file-A row missing")
   }
 
+  test("cohort load is O(batch): a second load appends files, never rewrites prior ones") {
+    // the 100 TB property of the cohort path: loading one more VCF into
+    // an existing db must cost O(that file), so every file written by
+    // earlier loads — store AND both covering projections — survives
+    // byte-identical; only new files appear. (The reference's INSERTs
+    // are O(batch) for the same reason.) A rewrite would show up here as
+    // a changed (length, mtime) or a vanished path. Two synthetic VCFs
+    // with overlapping pos ranges also pin the serving contracts that
+    // disjoint-file layouts used to give for free: probes must read
+    // EVERY overlapping file and return pos-sorted results.
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfDir = Files.createTempDirectory("cohortvcf")
+    val vcfA = vcfDir.resolve("a.vcf").toString
+    val vcfB = vcfDir.resolve("b.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfA, 1200, seed = 31L, annFrac = 0.5)
+    graft.vcf.SyntheticVcf.write(vcfB, 1200, seed = 32L, annFrac = 0.5)
+    Graft.run(spark, Array("load", vcfA, "--db", db))
+    def inventory(t: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$db/$t"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val tables = Seq("variants", "rsid_idx", "gene_idx")
+    val before = tables.map(t => t -> inventory(t)).toMap
+    Graft.run(spark, Array("load", vcfB, "--db", db))
+    val after = tables.map(t => t -> inventory(t)).toMap
+    before.foreach { case (t, inv) =>
+      inv.foreach { case (path, identity) =>
+        assert(after(t).get(path).contains(identity),
+          s"append-mode load rewrote or removed $path")
+      }
+    }
+    assert(after("variants").size > before("variants").size,
+      "second batch must land as new variant files")
+    val v = spark.read.parquet(s"$db/variants")
+    val batches = v.select($"load_batch_id").distinct()
+      .collect().map(_.getString(0))
+    assert(batches.length == 2)
+    // the projections were APPENDED to, and probes read every
+    // overlapping file: a batch-B gene/rsid must serve, with exactly the
+    // store's row count for that key (cross-batch union, no file skipped)
+    val batchB = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").orderBy($"completed_at".desc)
+      .select($"load_batch_id").head().getString(0)
+    def checkKey(col: String, idx: String,
+                 probe: String => Seq[Map[String, String]]): Unit = {
+      val key = v.filter($"load_batch_id" === batchB)
+        .filter(v(col).isNotNull).select(v(col)).head().getString(0)
+      val hits = probe(key)
+      assert(hits.nonEmpty, s"$col=$key not served from appended $idx")
+      assert(hits.length == v.filter(v(col) === key).count(),
+        s"$col=$key: probe must union every batch's rows")
+    }
+    checkKey("gene", "gene_idx",
+      g => graft.query.PointLookup.byGene(spark, s"$db/gene_idx", g))
+    checkKey("rs_id", "rsid_idx",
+      r => graft.query.PointLookup.byRsid(
+        spark, s"$db/rsid_idx", s"$db/variants", r))
+    // region probe across overlapping batch files: complete and pos-sorted
+    // (expectations materialized NOW: a DataFrame captured before the
+    // compact swap below would read dead files)
+    val totalN = v.count()
+    val expectedRegion = v.filter($"chrom" === "chr1" &&
+      $"pos".between(10000L, 300000L)).count()
+    def checkRegion(): Unit = {
+      val rows = graft.query.PointLookup.byRegion(
+        spark, s"$db/variants", "chr1", 10000L, 300000L)
+      assert(rows.length == expectedRegion,
+        s"region: ${rows.length} != $expectedRegion")
+      val ps = rows.map(_("pos").toLong)
+      assert(ps == ps.sorted, "region result must be pos-sorted")
+    }
+    checkRegion()
+    // compact folds the append fragmentation; everything still serves
+    Graft.run(spark, Array("compact", "--db", db,
+      "--tables", "variants,genotypes,rsid_idx,gene_idx"))
+    assert(spark.read.parquet(s"$db/variants").count() == totalN)
+    checkRegion()
+  }
+
   test("cohort batches survive rewrite verbs and compact; validate reconciliation stays green") {
     // load-reference and `compact --tables variants` rewrite the WHOLE
     // store via replaceVariantsStaged — on a multi-file cohort they must
