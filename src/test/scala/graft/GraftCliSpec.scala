@@ -392,6 +392,86 @@ class GraftCliSpec extends SparkSpec {
     checkRegion()
   }
 
+  test("a load after a schema-widening rewrite verb still appends, null-filling the widened columns") {
+    // import-frequencies / load-reference / annotate-ld-blocks WIDEN the
+    // store schema (popmax_af, in_hapmap3, ld_block_id) via a full
+    // rewrite. A later cohort load's batch is then a strict SUBSET of
+    // the store schema — it must still take the O(batch) append path
+    // (null-filling the widened columns for its rows, as the reference's
+    // INSERT leaves annotation columns NULL until the next import), and
+    // the pre-existing files must survive byte-identical. Both batches
+    // are genotyped synthetic VCFs so they parse to the same schema (a
+    // sample-less first file would make the second load a GENUINE schema
+    // evolution — the rewrite path — not the case under test); the panel
+    // is built from batch A's own rows so flagging provably overlaps.
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfDir = Files.createTempDirectory("widenvcf")
+    val vcfA = vcfDir.resolve("a.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfA, 300, seed = 32L, annFrac = 0.5)
+    Graft.run(spark, Array("load", vcfA, "--db", db))
+    val snps = spark.read.parquet(s"$db/variants")
+      .filter(org.apache.spark.sql.functions.length($"ref") === 1 &&
+        org.apache.spark.sql.functions.length($"alt") === 1)
+      .select(org.apache.spark.sql.functions
+        .regexp_replace($"chrom", "^chr", "").as("c"),
+        $"pos", $"ref", $"alt")
+      .limit(5).collect()
+    assert(snps.nonEmpty, "batch A must contain SNPs for the panel")
+    val panelLines = "rsid\tchrom\tposition\ta1\ta2" +:
+      snps.toSeq.zipWithIndex.map { case (r, i) =>
+        s"rs9000$i\t${r.getString(0)}\t${r.getLong(1)}\t" +
+          s"${r.getString(2)}\t${r.getString(3)}"
+      }
+    val panel = vcfDir.resolve("panel.tsv")
+    java.nio.file.Files.write(panel, panelLines.mkString("\n").getBytes)
+    Graft.run(spark, Array("load-reference", panel.toString, "--db", db))
+    val flaggedBefore = spark.read.parquet(s"$db/variants")
+      .filter($"in_hapmap3").count()
+    assert(flaggedBefore > 0, "fixture panel must flag at least one variant")
+    def inventory(t: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$db/$t"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val tables = Seq("variants", "rsid_idx", "gene_idx")
+    val before = tables.map(t => t -> inventory(t)).toMap
+    val vcfB = vcfDir.resolve("b.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfB, 300, seed = 33L, annFrac = 0.5)
+    Graft.run(spark, Array("load", vcfB, "--db", db))
+    before.foreach { case (t, inv) =>
+      inv.foreach { case (path, identity) =>
+        assert(inventory(t).get(path).contains(identity),
+          s"widened-store load rewrote or removed $path")
+      }
+    }
+    val v = spark.read.parquet(s"$db/variants")
+    val batchB = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").orderBy($"completed_at".desc)
+      .select($"load_batch_id").head().getString(0)
+    // the appended batch null-fills every widened column; the first
+    // batch's flags are untouched
+    assert(v.filter($"load_batch_id" === batchB)
+      .filter($"in_hapmap3".isNotNull).count() == 0,
+      "appended rows must leave widened columns null until the next import")
+    assert(v.filter($"in_hapmap3").count() == flaggedBefore)
+    // the appended projection rows carry the widened schema too (the
+    // covering contract): an rsID probe on a batch-B row serves in full
+    val rsB = v.filter($"load_batch_id" === batchB)
+      .filter($"rs_id".isNotNull).select($"rs_id").head().getString(0)
+    val hit = graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", rsB)
+    assert(hit.nonEmpty, s"rs_id=$rsB not served after widened append")
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(vOut.toString.linesIterator
+      .count(l => l.startsWith("batch ") && l.endsWith(" ok")) == 2, vOut.toString)
+    assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
+  }
+
   test("cohort batches survive rewrite verbs and compact; validate reconciliation stays green") {
     // load-reference and `compact --tables variants` rewrite the WHOLE
     // store via replaceVariantsStaged — on a multi-file cohort they must
