@@ -75,15 +75,18 @@ object Graft {
     * temp directory, not a re-run of the incoming plan. */
   private def replaceVariantsStaged(spark: SparkSession, db: String,
                                     updated: DataFrame): Unit =
-    graft.sinks.Writers.replaceInPlaceAllStaged(Seq(
-      (s"$db/variants", (tmps: Map[String, String]) =>
-        graft.sinks.Writers.writeVariants(updated, tmps(s"$db/variants"))),
-      (s"$db/rsid_idx", tmps =>
-        graft.sinks.Writers.writeRsidIndex(
-          spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/rsid_idx"))),
-      (s"$db/gene_idx", tmps =>
-        graft.sinks.Writers.writeGeneIndex(
-          spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/gene_idx")))))
+    graft.sinks.Writers.replaceInPlaceAllStagedGrouped(Seq(
+      Seq((s"$db/variants", (tmps: Map[String, String]) =>
+        graft.sinks.Writers.writeVariants(updated, tmps(s"$db/variants")))),
+      // both projections scan the staged variants temp and are
+      // independent of each other — they stage concurrently
+      Seq(
+        (s"$db/rsid_idx", (tmps: Map[String, String]) =>
+          graft.sinks.Writers.writeRsidIndex(
+            spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/rsid_idx"))),
+        (s"$db/gene_idx", (tmps: Map[String, String]) =>
+          graft.sinks.Writers.writeGeneIndex(
+            spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/gene_idx"))))))
 
   /** Replace one key's rows in a fact table (per-study / per-score
     * delete-then-insert, so several studies coexist as in the reference's
@@ -256,17 +259,22 @@ object Graft {
                 .select(anonId($"sample_id").as("anon_id")))
               g = g.withColumn("sample_id", anonId($"sample_id"))
             }
-            // join on the full decomposed key — (chrom,pos,ref) alone would
-            // row-multiply sites that share a position across ALTs
-            val qc = progress.stage("genotype_qc") {
-              graft.qc.VariantQc.fromGenotypes(g).localCheckpoint()
-            }
-            v = v.join(qc.drop("n_samples"),
-              Seq("chrom", "pos", "ref", "alt"), "left")
+            // variant QC joins onto v on the full decomposed key —
+            // (chrom,pos,ref) alone would row-multiply sites that share a
+            // position across ALTs. Computed AFTER the genotype write
+            // where possible (the append arm) so the aggregation scans
+            // the just-written columnar data instead of re-parsing the
+            // VCF text a second time.
+            var qcOpt: Option[DataFrame] = None
             prevBatch match {
               case Some(b) if new java.io.File(s"$db/genotypes").exists() =>
                 // force-reload drops the previous batch's genotype rows
-                // too — append alone would double them on every reload
+                // too — append alone would double them on every reload.
+                // QC comes from the parse here: the new rows aren't on
+                // disk until the swap commits
+                qcOpt = Some(progress.stage("genotype_qc") {
+                  graft.qc.VariantQc.fromGenotypes(g).localCheckpoint()
+                })
                 val gSwap = graft.audit.Audit.dropBatch(
                     spark.read.parquet(s"$db/genotypes"), b)
                   .unionByName(g, allowMissingColumns = true)
@@ -300,6 +308,30 @@ object Graft {
                 // a cached probe listing; drop same-JVM cached listings
                 // so a lookup right after this load sees the new files
                 graft.query.PointLookup.invalidateListings(s"$db/genotypes")
+                // QC from the WRITTEN batch rows: a column-pruned scan of
+                // compressed parquet (row groups of other batches prune
+                // on load_batch_id stats) beats re-parsing the VCF text.
+                // chrom is a hive partition column on read-back — cast
+                // pins it to string so the join key types match v's.
+                // A zero-row batch on a fresh db leaves no parquet to
+                // infer a schema from — QC falls back to the parse plan
+                // (empty aggregate, same null-filled join as before)
+                val gHasFiles = Option(
+                  new java.io.File(s"$db/genotypes").listFiles()).exists(
+                  _.exists(f => f.isDirectory ||
+                    f.getName.endsWith(".parquet")))
+                qcOpt = Some(progress.stage("genotype_qc") {
+                  if (gHasFiles)
+                    graft.qc.VariantQc.fromGenotypes(
+                      spark.read.parquet(s"$db/genotypes")
+                        .withColumn("chrom", $"chrom".cast("string"))
+                        .filter($"load_batch_id" === batchId))
+                  else graft.qc.VariantQc.fromGenotypes(g)
+                })
+            }
+            qcOpt.foreach { qc =>
+              v = v.join(qc.drop("n_samples"),
+                Seq("chrom", "pos", "ref", "alt"), "left")
             }
           } else prevBatch.foreach { b =>
             // sample-free reload of a file whose previous batch had
@@ -370,19 +402,26 @@ object Graft {
           var batchN = -1L
           if (canAppend) {
             // one computation of the batch serves all three appends and
-            // the ledger count
+            // the ledger count: the count runs FIRST, filling the cache,
+            // so the three appends all read materialized rows — and being
+            // independent writes to three directories, they run
+            // concurrently (local[32] has the idle cores; on a cluster
+            // the scheduler interleaves their stages)
             val vc = alignTo(vWithId, storeSchema).persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            batchN = vc.count()
+            // flag only once writes may have landed files — a failure in
+            // the count above needs no store rollback
             appendedV = true
             progress.stage("write_tables") {
-              graft.sinks.Writers.writeVariants(
-                vc, s"$db/variants", mode = "append")
-              graft.sinks.Writers.writeRsidIndex(
-                alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append")
-              graft.sinks.Writers.writeGeneIndex(
-                vc, s"$db/gene_idx", mode = "append")
+              graft.sinks.Writers.runConcurrently(Seq(
+                () => graft.sinks.Writers.writeVariants(
+                  vc, s"$db/variants", mode = "append"),
+                () => graft.sinks.Writers.writeRsidIndex(
+                  alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append"),
+                () => graft.sinks.Writers.writeGeneIndex(
+                  vc, s"$db/gene_idx", mode = "append")))
             }
-            batchN = vc.count()
             vc.unpersist()
             // appends can land within the directory-mtime tick of a
             // cached probe listing (same-JVM); swaps don't need this
@@ -406,15 +445,21 @@ object Graft {
             // re-run of the parse), and commit in the same all-or-nothing
             // swap as the variants table — no window where a new store is
             // live with a stale index (the reference recreates indexes
-            // inside the load transaction, `schema.py:347-359`)
-            swaps += ((s"$db/rsid_idx",
-              tmps => graft.sinks.Writers.writeRsidIndex(
-                spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/rsid_idx"))))
-            swaps += ((s"$db/gene_idx",
-              tmps => graft.sinks.Writers.writeGeneIndex(
-                spark.read.parquet(tmps(s"$db/variants")), tmps(s"$db/gene_idx"))))
+            // inside the load transaction, `schema.py:347-359`). They
+            // stage as one concurrent GROUP: both scan the staged
+            // variants temp and are independent of each other
+            val projections = Seq[(String, Map[String, String] => Unit)](
+              (s"$db/rsid_idx",
+                tmps => graft.sinks.Writers.writeRsidIndex(
+                  spark.read.parquet(tmps(s"$db/variants")),
+                  tmps(s"$db/rsid_idx"))),
+              (s"$db/gene_idx",
+                tmps => graft.sinks.Writers.writeGeneIndex(
+                  spark.read.parquet(tmps(s"$db/variants")),
+                  tmps(s"$db/gene_idx"))))
             progress.stage("write_tables") {
-              graft.sinks.Writers.replaceInPlaceAllStaged(swaps.toSeq)
+              graft.sinks.Writers.replaceInPlaceAllStagedGrouped(
+                swaps.toSeq.map(Seq(_)) :+ projections)
             }
           }
           // the APPEND paths accumulate files across loads; --compact
@@ -449,10 +494,14 @@ object Graft {
             }
           // per-BATCH count, not the whole store's: the ledger row records
           // what THIS file contributed (reference `variants_loaded`,
-          // `loader.py:547-560`). The append path counted its cached batch
-          // (O(batch)); the rewrite paths pay one column-pruned store scan.
+          // `loader.py:547-560`). The append path counted its cached
+          // batch (O(batch)); a fresh db IS the batch, so its count comes
+          // from the written footers (O(files) metadata, no re-scan);
+          // only the force-reload rewrite pays a column-pruned store scan.
           val n =
             if (batchN >= 0) batchN
+            else if (!storeExists)
+              graft.sinks.Writers.parquetRowCount(s"$db/variants")
             else spark.read.parquet(s"$db/variants")
               .filter($"load_batch_id" === batchId).count()
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,

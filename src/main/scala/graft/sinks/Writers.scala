@@ -115,6 +115,47 @@ object Writers {
       (path, (tmps: Map[String, String]) => write(df, tmps(path)))
     })
 
+  /** Run independent write jobs concurrently from separate driver
+    * threads (Spark's scheduler interleaves their stages across the
+    * executor pool). Every task is awaited to COMPLETION even when one
+    * fails — a caller's cleanup must never race a write that is still
+    * landing files — then the first failure is rethrown. */
+  def runConcurrently(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val running = tasks.map(t => Future(t()))
+      val results = running.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    }
+
+  /** Sum of parquet footer row counts under a directory (recursive) — a
+    * table's exact row count from O(files) metadata reads, no Spark job
+    * and no data scan. Used where a just-written table's count is needed
+    * and the alternative is re-scanning it (e.g. the fresh-db load's
+    * per-batch ledger count). */
+  def parquetRowCount(dir: String): Long = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try n += r.getRecordCount finally r.close()
+      }
+    }
+    n
+  }
+
   /** Generalized multi-table write-then-swap where each entry is
     * (destination, writer). Writers run in declaration order and receive
     * the full destination→temp-path map, so a LATER entry may read an
@@ -124,7 +165,20 @@ object Writers {
     * as the variants table itself (no window where the new store is live
     * with a stale index). */
   def replaceInPlaceAllStaged(
-      writes: Seq[(String, Map[String, String] => Unit)]): Unit = {
+      writes: Seq[(String, Map[String, String] => Unit)]): Unit =
+    replaceInPlaceAllStagedGrouped(writes.map(Seq(_)))
+
+  /** As replaceInPlaceAllStaged, but writers are GROUPED: groups run in
+    * declaration order (a later group may read earlier groups' staged
+    * temps), while writers WITHIN a group are independent of each other
+    * and run concurrently. The load path stages
+    * [[variants], [rsid_idx, gene_idx]] this way — both projections scan
+    * the staged variants temp, so they parallelize against each other
+    * without changing what any of them reads. The swap phase is
+    * unchanged: all-or-nothing across every entry of every group. */
+  def replaceInPlaceAllStagedGrouped(
+      groups: Seq[Seq[(String, Map[String, String] => Unit)]]): Unit = {
+    val writes = groups.flatten
     if (writes.isEmpty) return
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
@@ -133,21 +187,23 @@ object Writers {
     val tmps = writes.map { case (path, _) => path -> s"$path.tmp-$suffix" }.toMap
     val staged = scala.collection.mutable.ArrayBuffer[
       (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]()
-    var currentTmp: org.apache.hadoop.fs.Path = null
     try {
-      writes.foreach { case (path, write) =>
-        currentTmp = new org.apache.hadoop.fs.Path(tmps(path))
-        write(tmps) // the plan may scan `path`; untouched
-        staged += ((new org.apache.hadoop.fs.Path(path), currentTmp,
-          new org.apache.hadoop.fs.Path(s"$path.old-$suffix")))
+      groups.foreach { group =>
+        // plans may scan the live destination paths; untouched until swap
+        runConcurrently(group.map { case (_, write) => () => { write(tmps); () } })
+        group.foreach { case (path, _) =>
+          staged += ((new org.apache.hadoop.fs.Path(path),
+            new org.apache.hadoop.fs.Path(tmps(path)),
+            new org.apache.hadoop.fs.Path(s"$path.old-$suffix")))
+        }
       }
     } catch {
       case e: Throwable =>
-        // failed mid-stage: destinations are untouched; drop the temps —
+        // failed mid-stage: destinations are untouched; drop EVERY temp
+        // (a failing concurrent group can leave part-written siblings) —
         // best-effort, never masking the original failure
-        try {
-          staged.foreach { case (_, tmp, _) => fs.delete(tmp, true) }
-          if (currentTmp != null) fs.delete(currentTmp, true)
+        try writes.foreach { case (path, _) =>
+          fs.delete(new org.apache.hadoop.fs.Path(tmps(path)), true)
         } catch { case _: Throwable => () }
         throw e
     }

@@ -189,6 +189,47 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(dirA).head().getString(1) == "a1")
     assert(spark.read.parquet(dirB).head().getString(1) == "b1")
   }
+
+  test("grouped staging: a failure inside the concurrent group leaves all destinations untouched") {
+    // the load stages [[variants], [rsid_idx, gene_idx]] — the second
+    // group runs its writers concurrently. A failure of either
+    // concurrent writer (while its sibling may have fully staged) must
+    // leave every destination untouched and clean every temp, exactly
+    // like the sequential contract.
+    val base = Files.createTempDirectory("swapgrp").toString
+    val (dirA, dirB, dirC) = (s"$base/a", s"$base/b", s"$base/c")
+    Seq((1L, "a0")).toDF("id", "v").write.parquet(dirA)
+    Seq((1L, "b0")).toDF("id", "v").write.parquet(dirB)
+    Seq((1L, "c0")).toDF("id", "v").write.parquet(dirC)
+    def writer(value: String): Map[String, String] => Unit = { tmps =>
+      val dst = value match {
+        case "a1" => dirA; case "b1" => dirB; case _ => dirC
+      }
+      Seq((1L, value)).toDF("id", "v").write.parquet(tmps(dst))
+    }
+    intercept[RuntimeException] {
+      Writers.replaceInPlaceAllStagedGrouped(Seq(
+        Seq((dirA, writer("a1"))),
+        Seq(
+          (dirB, writer("b1")),
+          (dirC, { _: Map[String, String] =>
+            sys.error("boom: concurrent sibling fails") }))))
+    }
+    Seq(dirA -> "a0", dirB -> "b0", dirC -> "c0").foreach { case (d, v) =>
+      assert(spark.read.parquet(d).head().getString(1) == v, d)
+    }
+    val residue = new java.io.File(base).listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
+    assert(residue.isEmpty, s"residue: ${residue.mkString(",")}")
+
+    // happy path: sequential head group, concurrent tail group, all land
+    Writers.replaceInPlaceAllStagedGrouped(Seq(
+      Seq((dirA, writer("a1"))),
+      Seq((dirB, writer("b1")), (dirC, writer("c1")))))
+    Seq(dirA -> "a1", dirB -> "b1", dirC -> "c1").foreach { case (d, v) =>
+      assert(spark.read.parquet(d).head().getString(1) == v, d)
+    }
+  }
 }
 
 class AnnotationLoaderSpec extends SparkSpec {
