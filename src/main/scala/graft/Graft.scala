@@ -427,6 +427,16 @@ object Graft {
             // cached probe listing (same-JVM); swaps don't need this
             Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
               graft.query.PointLookup.invalidateListings(s"$db/$t"))
+          } else if (!storeExists && vWithId.isEmpty) {
+            // a zero-variant batch on a FRESH db (headers but no records)
+            // must not create the store at all: writing an empty table
+            // leaves a marker-only directory no later read can infer a
+            // schema from, poisoning every subsequent load. The ledger
+            // still records completed/0 below (the reference loads 0
+            // rows into pre-existing tables; here no table = no rows).
+            // The isEmpty probe costs one first-row parse attempt and
+            // runs only on this fresh-db arm.
+            batchN = 0L
           } else {
             val base =
               if (storeExists) {
@@ -504,6 +514,34 @@ object Graft {
               graft.sinks.Writers.parquetRowCount(s"$db/variants")
             else spark.read.parquet(s"$db/variants")
               .filter($"load_batch_id" === batchId).count()
+          if (n == 0) {
+            // a zero-variant batch (e.g. a VCF with headers but no
+            // records) must not leave schema-less marker directories: a
+            // directory holding only _SUCCESS poisons every later read
+            // of that table (no footer to infer a schema from), so a
+            // REAL load into this db would then fail. Remove any table
+            // directory this load created that holds no parquet at all.
+            // The reference has no such failure mode — its tables exist
+            // in the schema regardless of row count (`schema.py`).
+            def rmIfNoParquet(t: String): Unit = {
+              val d = new java.io.File(s"$db/$t")
+              def hasParquet(f: java.io.File): Boolean =
+                if (f.isDirectory)
+                  Option(f.listFiles()).exists(_.exists(hasParquet))
+                else f.getName.endsWith(".parquet")
+              if (d.exists() && !hasParquet(d)) {
+                def rm(f: java.io.File): Unit = {
+                  if (f.isDirectory)
+                    Option(f.listFiles()).foreach(_.foreach(rm))
+                  f.delete(); ()
+                }
+                rm(d)
+              }
+            }
+            if (!storeExists)
+              Seq("variants", "rsid_idx", "gene_idx").foreach(rmIfNoParquet)
+            if (appendedG) rmIfNoParquet("genotypes")
+          }
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
             "completed", n, now(), ledgerNote))
           committed = true

@@ -472,6 +472,43 @@ class GraftCliSpec extends SparkSpec {
     assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
   }
 
+  test("a zero-variant load leaves no schema-less store and never poisons a later real load") {
+    // a VCF with headers (and a declared sample) but no records writes
+    // nothing — if the load left marker-only table directories behind, a
+    // later REAL load into the same db would fail reading the store
+    // schema (no parquet footer to infer from). The ledger still records
+    // completed/0 for the file so a re-load of it skips by hash.
+    val db = Files.createTempDirectory("graftdb").toString
+    val dir = Files.createTempDirectory("emptyvcf")
+    val emptyVcf = dir.resolve("empty.vcf")
+    java.nio.file.Files.write(emptyVcf,
+      ("##fileformat=VCFv4.2\n" +
+        "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"Genotype\">\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n")
+        .getBytes)
+    val out1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out1)) {
+      Graft.run(spark, Array("load", emptyVcf.toString, "--db", db))
+    }
+    assert(out1.toString.contains("loaded 0 variants"), out1.toString)
+    assert(!new java.io.File(s"$db/variants").exists(),
+      "empty load must not leave a schema-less variants directory")
+    // a real load into the same db now works end to end
+    val vcfB = dir.resolve("b.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfB, 200, seed = 44L, annFrac = 0.5)
+    Graft.run(spark, Array("load", vcfB, "--db", db))
+    assert(spark.read.parquet(s"$db/variants").count() > 0)
+    // the empty file's ledger row still skips a re-load by hash
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Graft.run(spark, Array("load", emptyVcf.toString, "--db", db))
+    }
+    assert(out2.toString.contains("skip: file already loaded"), out2.toString)
+    val ledger = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed")
+    assert(ledger.filter($"n_variants" === 0L).count() == 1)
+  }
+
   test("cohort batches survive rewrite verbs and compact; validate reconciliation stays green") {
     // load-reference and `compact --tables variants` rewrite the WHOLE
     // store via replaceVariantsStaged — on a multi-file cohort they must
