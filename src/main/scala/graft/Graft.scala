@@ -140,7 +140,8 @@ object Graft {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val verb = args.head
     val mutates = MutatingVerbs.contains(verb) ||
-      (verb == "validate" && has(args, "--rebuild"))
+      (verb == "validate" &&
+        (has(args, "--rebuild") || has(args, "--drop-orphans")))
     if (!mutates) runVerb(spark, args)
     else {
       val db = arg(args, "--db").getOrElse("/tmp/graft_db")
@@ -684,6 +685,48 @@ object Graft {
               s"(${Option(r.getAs[String]("file_path")).getOrElse("?")}): " +
               s"expected=${expected.map(_.toString).getOrElse("?")} " +
               s"actual=$actualN " + (if (ok) "ok" else "MISMATCH"))
+          }
+          // Orphan batches: store rows whose batch has NO completed ledger
+          // row — the residue of a load killed between its append and its
+          // ledger commit (the in-process failure rollback can't run on a
+          // hard kill; the reference can't orphan because its load is one
+          // Postgres transaction). Detected in BOTH tables — the genotype
+          // append commits before the variants write, so a crash can
+          // orphan genotypes alone. `--drop-orphans` repairs by rewriting
+          // the affected table(s) without those batches (atomic staged
+          // swap, projections rebuilt). Don't run it while a load is in
+          // flight — an active batch is completed-less by definition.
+          val completedIds = spark.read.parquet(s"$db/ledger")
+            .filter($"status" === "completed")
+            .select($"load_batch_id").distinct()
+          def orphansOf(df: DataFrame): Seq[String] =
+            df.select($"load_batch_id").distinct()
+              .join(completedIds, Seq("load_batch_id"), "left_anti")
+              .collect().map(_.getString(0)).toSeq // batch-count-sized
+          val orphanV = orphansOf(variants)
+          val gDir = s"$db/genotypes"
+          val orphanG =
+            if (new java.io.File(gDir).exists() &&
+                spark.read.parquet(gDir).columns.contains("load_batch_id"))
+              orphansOf(spark.read.parquet(gDir))
+            else Seq.empty
+          if (orphanV.nonEmpty || orphanG.nonEmpty) {
+            println(s"orphan batch(es) with no completed ledger row: " +
+              (orphanV ++ orphanG).distinct.mkString(",") +
+              (if (has(args, "--drop-orphans")) ""
+               else " — run `validate --drop-orphans` to repair"))
+            if (has(args, "--drop-orphans")) {
+              if (orphanV.nonEmpty)
+                replaceVariantsStaged(spark, db,
+                  orphanV.foldLeft(variants)(graft.audit.Audit.dropBatch))
+              if (orphanG.nonEmpty)
+                graft.sinks.Writers.replaceInPlace(
+                  orphanG.foldLeft(spark.read.parquet(gDir))(
+                    graft.audit.Audit.dropBatch), gDir)(
+                  (d, p) => graft.sinks.Writers.writeGenotypes(d, p))
+              println(s"dropped orphan batch(es): " +
+                (orphanV ++ orphanG).distinct.mkString(","))
+            }
           }
         }
         // covering-projection freshness: the indexes commit in the same
@@ -1285,7 +1328,7 @@ object Graft {
       |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
       |       [--compact] [--target-file-mb N]
       |  init-db --db DIR [--skip-audit]
-      |  validate --db DIR [--rebuild]
+      |  validate --db DIR [--rebuild] [--drop-orphans]
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
       |       [--per-chrom] [--max-files N]
       |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR [--genotypes]

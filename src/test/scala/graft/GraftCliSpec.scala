@@ -472,6 +472,62 @@ class GraftCliSpec extends SparkSpec {
     assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
   }
 
+  test("validate detects crash-orphaned batches and --drop-orphans repairs both tables") {
+    // a load killed between its appends and its ledger commit (hard
+    // kill — the in-process rollback never runs) leaves store rows whose
+    // batch has no completed ledger row. Simulate the crash residue by
+    // appending rows under a fabricated batch id into BOTH tables (the
+    // genotype append commits first, so genotype-only orphans are real
+    // too), then verify validate names the orphan and --drop-orphans
+    // restores exactly the committed content.
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfA = Files.createTempDirectory("orphvcf").resolve("a.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcfA, 300, seed = 51L, annFrac = 0.5)
+    Graft.run(spark, Array("load", vcfA, "--db", db))
+    val v0 = spark.read.parquet(s"$db/variants")
+    val nV = v0.count()
+    val nG = spark.read.parquet(s"$db/genotypes").count()
+    // crash residue: half of batch A's rows re-labeled as a batch that
+    // never committed, appended like a partial load would have
+    val orphanRows = v0.filter($"pos" % 2 === 0)
+      .withColumn("load_batch_id",
+        org.apache.spark.sql.functions.lit("orphan-crashed"))
+    graft.sinks.Writers.writeVariants(orphanRows, s"$db/variants",
+      mode = "append")
+    val orphanG = spark.read.parquet(s"$db/genotypes")
+      .limit(10).withColumn("load_batch_id",
+        org.apache.spark.sql.functions.lit("orphan-crashed"))
+    orphanG.write.mode("append").partitionBy("chrom")
+      .parquet(s"$db/genotypes")
+    val out1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out1)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(out1.toString.contains("orphan batch(es)") &&
+      out1.toString.contains("orphan-crashed"), out1.toString)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Graft.run(spark, Array("validate", "--db", db, "--drop-orphans"))
+    }
+    assert(out2.toString.contains("dropped orphan batch(es)"), out2.toString)
+    val vAfter = spark.read.parquet(s"$db/variants")
+    assert(vAfter.count() == nV, "variants not restored to committed content")
+    assert(vAfter.filter($"load_batch_id" === "orphan-crashed").count() == 0)
+    val gAfter = spark.read.parquet(s"$db/genotypes")
+    assert(gAfter.count() == nG, "genotypes not restored")
+    // the repair rebuilt projections in the same swap: probes still serve
+    val rs = vAfter.filter($"rs_id".isNotNull).select($"rs_id")
+      .head().getString(0)
+    assert(graft.query.PointLookup.byRsid(
+      spark, s"$db/rsid_idx", s"$db/variants", rs).nonEmpty)
+    // a clean validate now reports no orphans
+    val out3 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out3)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(!out3.toString.contains("orphan batch(es)"), out3.toString)
+  }
+
   test("a zero-variant load leaves no schema-less store and never poisons a later real load") {
     // a VCF with headers (and a declared sample) but no records writes
     // nothing — if the load left marker-only table directories behind, a
