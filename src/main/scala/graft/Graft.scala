@@ -146,7 +146,13 @@ object Graft {
     else {
       val db = arg(args, "--db").getOrElse("/tmp/graft_db")
       var ok = false
-      try { runVerb(spark, args); ok = true }
+      // single-writer discipline: the reference serializes mutations at
+      // Postgres; a parquet store serializes them here (per-db JVM
+      // monitor + OS file lock — see withDbWriterLock)
+      try {
+        graft.audit.Audit.withDbWriterLock(db) { runVerb(spark, args) }
+        ok = true
+      }
       finally {
         try new graft.audit.Audit.AuditLog(spark, s"$db/audit_log")
           .append(verb, args.mkString(" "), ok)

@@ -65,6 +65,64 @@ object Audit {
     variants.filter($"load_batch_id" =!= batchId || $"load_batch_id".isNull)
   }
 
+  // Same-JVM writers serialize on a per-db monitor: OS file locks are
+  // held per-process, so a second thread's lock attempt would throw
+  // OverlappingFileLockException instead of waiting.
+  private val jvmDbLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Whole-db single-writer lock for mutating CLI verbs. The reference's
+    * loads serialize at Postgres — every mutation runs inside a
+    * transaction and row/table locks queue concurrent writers
+    * (`loader.py` BEGIN/COMMIT discipline) — so two simultaneous `load`s
+    * of different files both land. A parquet store has no server to
+    * arbitrate: two concurrent loads could both evaluate the
+    * append-vs-rewrite decision against the same store state, both read
+    * the same ledger, and interleave their table swaps — a cross-table
+    * inconsistency the per-table staged swap cannot prevent. Mutating
+    * verbs therefore take this lock for their duration: a per-db JVM
+    * monitor (threads of one process — the library-embedding case), then
+    * an OS file lock on `$db/.writer.lock` (separate CLI processes — the
+    * operational case). Best-effort like the audit append lock: a
+    * filesystem without locking proceeds unlocked, where the staged-swap
+    * discipline still keeps each single table internally consistent. */
+  def withDbWriterLock[T](db: String)(body: => T): T = {
+    val canonical =
+      try new java.io.File(db).getCanonicalPath
+      catch { case scala.util.control.NonFatal(_) => db }
+    val monitor = jvmDbLocks.computeIfAbsent(canonical, _ => new Object)
+    monitor.synchronized {
+      new java.io.File(db).mkdirs()
+      val lockPath = java.nio.file.Paths.get(db, ".writer.lock")
+      val ch =
+        try java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case scala.util.control.NonFatal(_) => null }
+      var lock: java.nio.channels.FileLock = null
+      if (ch != null) {
+        lock = try ch.tryLock()
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (lock == null) {
+          // another process holds the db: queue behind it, like a
+          // blocked Postgres writer, and say so (a silent multi-minute
+          // wait would read as a hang)
+          println(s"waiting for writer lock on $db " +
+            "(another graft process is mutating this db)")
+          lock = try ch.lock()
+            catch { case scala.util.control.NonFatal(_) => null }
+        }
+      }
+      try body
+      finally {
+        if (lock != null)
+          try lock.release() catch { case _: Throwable => () }
+        if (ch != null)
+          try ch.close() catch { case _: Throwable => () }
+      }
+    }
+  }
+
   /** One row of the persisted operation audit log (`audit_log` analogue,
     * `audit/integrity.py` + `audit/schema`): every mutating CLI verb
     * appends one chained entry, so tampering with the operational history
@@ -103,11 +161,23 @@ object Audit {
       // The read-tip/append pair is NOT atomic: two concurrent CLI
       // invocations could both read the same tip and fork the chain
       // (duplicate audit_id, same previous_hash) — which verifyChain
-      // would then flag as tampering though no one tampered. A
-      // best-effort OS file lock serializes same-host appenders (the
-      // CLI's actual concurrency surface); filesystems without locking
-      // fall through, where verifyChain's duplicate-id detection still
-      // names the condition distinctly.
+      // would then flag as tampering though no one tampered. A per-dir
+      // JVM monitor serializes same-process threads (an OS file lock
+      // cannot: a second thread's lock() throws
+      // OverlappingFileLockException rather than waiting), then a
+      // best-effort OS file lock serializes other same-host processes;
+      // filesystems without locking fall through, where verifyChain's
+      // duplicate-id detection still names the condition distinctly.
+      val canonical =
+        try new java.io.File(dir).getCanonicalPath
+        catch { case scala.util.control.NonFatal(_) => dir }
+      val monitor = jvmDbLocks.computeIfAbsent(
+        s"audit:$canonical", _ => new Object)
+      monitor.synchronized { appendLocked(eventType, action, success, userName) }
+    }
+
+    private def appendLocked(eventType: String, action: String,
+                             success: Boolean, userName: String): Unit = {
       new java.io.File(dir).mkdirs()
       val lockPath = java.nio.file.Paths.get(dir, ".append.lock")
       val ch =

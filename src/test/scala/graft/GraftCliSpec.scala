@@ -239,6 +239,43 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
 
+  test("concurrent loads into one db serialize on the writer lock (§2.13)") {
+    // the reference serializes mutations at Postgres (every load runs in
+    // a transaction; concurrent writers queue on its locks) — two
+    // simultaneous `load`s of different files both land. The parquet
+    // store serializes on Audit.withDbWriterLock instead; without it the
+    // two threads race the append-vs-rewrite decision on a fresh db and
+    // interleave their ledger/audit appends.
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfA = fixture("multiallelic.vcf")      // 8 decomposed variants
+    val vcfB = fixture("with_annotations.vcf")  // 4 variants
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(vcfA, vcfB).map { vcf =>
+      new Thread(() => {
+        start.await()
+        try Graft.run(spark, Array("load", vcf, "--db", db))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(300000))
+    assert(errs.isEmpty, s"concurrent load failed: ${errs.peek()}")
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.count() == 12, s"both batches must land (got ${v.count()})")
+    assert(v.select($"load_batch_id").distinct().count() == 2)
+    // ledger holds one completed row per file, each with its own count
+    val ledger = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed")
+      .select($"n_variants").collect().map(_.getLong(0)).sorted
+    assert(ledger.toSeq == Seq(4L, 8L), s"ledger ${ledger.toSeq}")
+    // the audit chain did not fork: ids are unique and the chain verifies
+    val audit = spark.read.parquet(s"$db/audit_log")
+    assert(audit.select($"audit_id").distinct().count() == audit.count())
+    Graft.run(spark, Array("audit-verify", "--db", db)) // throws on a fork
+  }
+
   test("multi-file cohort load accumulates batches; per-batch ledger counts (§2.13)") {
     // the round-7 audit's reproduction, pinned: a SECOND different VCF
     // loaded into an existing db must APPEND a new batch (the reference
