@@ -208,10 +208,19 @@ object PointLookup {
     * risk is mtime GRANULARITY: an append landing in the same timestamp
     * tick as a cached listing (coarse filesystems, synthetic object-store
     * mtimes) would serve a non-empty but incomplete result — the empty-
-    * result staleness guard in readListed can't see it. Same-JVM writers
-    * close that window by calling `invalidateListings` after an append;
-    * cross-JVM probes start with an empty cache and are never stale. */
+    * result staleness guard in readListed can't see it. Two defenses:
+    * same-JVM writers call `invalidateListings` after an append, and a
+    * listing taken while the directory's mtime is still SETTLING (within
+    * `MtimeGranularityMs` of the probe's clock) is served but NOT cached
+    * — a cross-process append can only share a tick with a modification
+    * that just happened, so refusing to cache during that window closes
+    * the cross-JVM case at the cost of relisting only while the
+    * directory is actively being written. */
   private val listingCache = lru[String, (Long, Seq[FileStatus])](256)
+
+  /** Coarsest directory-mtime resolution defended against (FAT and some
+    * object stores round to 2 s; ext4/xfs/HDFS are finer). */
+  private val MtimeGranularityMs = 2000L
 
   /** Drop cached listings for `dir` and its partition subdirectories —
     * called by same-session APPEND writers (the load's genotype append),
@@ -243,7 +252,14 @@ object PointLookup {
     else {
       val files = fs.listStatus(dir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      listingCache.put(key, (dirStatus.getModificationTime, files))
+      // cache only once the mtime has settled: a directory modified
+      // within the last granularity tick may still take appends that
+      // leave its mtime unchanged, which a cached listing would miss
+      if (System.currentTimeMillis() - dirStatus.getModificationTime >
+          MtimeGranularityMs)
+        listingCache.put(key, (dirStatus.getModificationTime, files))
+      else
+        listingCache.remove(key)
       (files, false)
     }
   }
@@ -420,7 +436,7 @@ object PointLookup {
         }
     }
     val result = ordered.flatMap { case (status, footer, _) =>
-      readFile(conf, status, footer, filter, prunes.map(_._1))
+      readFile(conf, status, footer, filter)
     }
     // A stale cached listing whose dead files were ALL footer-pruned
     // yields an empty result without touching any file, so the
@@ -447,20 +463,17 @@ object PointLookup {
     * paths keep the record-level filter at assembly time, so page
     * granularity never leaks extra rows into the result. */
   private def readFile(conf: Configuration, status: FileStatus,
-                       footer: ParquetMetadata, filter: FilterCompat.Filter,
-                       predCols: Seq[String]): Seq[Map[String, String]] =
-    (try readFileFast(conf, status, footer, filter, predCols)
+                       footer: ParquetMetadata, filter: FilterCompat.Filter)
+      : Seq[Map[String, String]] =
+    (try readFileFast(conf, status, footer, filter)
      catch { case scala.util.control.NonFatal(_) => None })
       .getOrElse(readFileSlow(conf, status, footer, filter))
 
   private def readFileFast(conf: Configuration, status: FileStatus,
-                           footer: ParquetMetadata, filter: FilterCompat.Filter,
-                           predCols: Seq[String])
+                           footer: ParquetMetadata, filter: FilterCompat.Filter)
       : Option[Seq[Map[String, String]]] =
     readFilteredRowGroupM.map { readFiltered =>
       val idx = indexesFor(conf, status, footer)
-      val paths = new java.util.HashSet[ColumnPath]()
-      predCols.foreach(c => paths.add(ColumnPath.fromDotString(c)))
       val inputFile = HadoopInputFile.fromStatus(status, conf)
       // no filter in the options: row-group selection happens below via
       // the cached indexes, and the record filter is applied at assembly
@@ -472,6 +485,15 @@ object PointLookup {
         val out = ArrayBuffer[Map[String, String]]()
         footer.getBlocks.asScala.zipWithIndex.foreach { case (block, bi) =>
           val rgIdx = idx(bi)
+          // `paths` = the columns PRESENT in this row group (parquet-mr's
+          // own contract for calculateRowRanges): a filter column absent
+          // from the set is evaluated as missing-from-file (all nulls),
+          // which is correct only for genuinely absent columns — deriving
+          // the set from the predicate's columns instead would silently
+          // drop rows for any probe whose predicate outgrew its prune
+          // column list.
+          val paths = new java.util.HashSet[ColumnPath]()
+          block.getColumns.asScala.foreach(c => paths.add(c.getPath))
           val cis = new ColumnIndexStore {
             def getColumnIndex(p: ColumnPath): ColumnIndex =
               rgIdx.get(p).map(_._1).orNull

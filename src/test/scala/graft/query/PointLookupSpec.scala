@@ -109,6 +109,76 @@ class PointLookupSpec extends SparkSpec {
     assert(ps == ps.sorted, "cross-file results not pos-ordered")
   }
 
+  test("randomized probe parity over an append-fragmented cohort db") {
+    // the O(batch) cohort load appends files that OVERLAP prior batches'
+    // key ranges — the layout every serving face must stay correct on.
+    // Build a 3-batch db through the CLI verb, then drive each face with
+    // seeded random probes (hits and misses alike) against the Spark
+    // filter answer. This pins the page-range arithmetic of the cached
+    // page-index fast path on multi-file, range-overlapping directories.
+    val db = Files.createTempDirectory("bulkparity").toString + "/db"
+    (0 until 3).foreach { i =>
+      val vcf = s"${Files.createTempDirectory("bulkvcf")}/c$i.vcf"
+      graft.vcf.SyntheticVcf.write(vcf, 3000, seed = 100L + i,
+        samples = Seq("S1", "S2", "S3"))
+      graft.Graft.run(spark, Array("load", vcf, "--db", db))
+    }
+    val v = spark.read.parquet(s"$db/variants").cache()
+    assert(v.select($"load_batch_id").distinct().count() == 3)
+    val rng = new scala.util.Random(7)
+    val keys = v.select($"chrom", $"pos").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // point probes: 60 real sites + 20 misses (pos+1 is a miss unless it
+    // collides with a real site — filter those out)
+    val keySet = keys.toSet
+    val hits = rng.shuffle(keys.toSeq).take(60)
+    val misses = rng.shuffle(keys.toSeq).take(40)
+      .map { case (c, p) => (c, p + 1) }.filterNot(keySet.contains).take(20)
+    (hits ++ misses).foreach { case (chrom, pos) =>
+      val direct = PointLookup.byPosition(spark, s"$db/variants", chrom, pos)
+      val viaSpark = v.filter($"chrom" === chrom && $"pos" === pos).collect()
+      assert(direct.length == viaSpark.length,
+        s"$chrom:$pos direct=${direct.length} spark=${viaSpark.length}")
+      val dk = direct.map(m => (m("ref"), m("alt"), m("load_batch_id"))).sorted
+      val sk = viaSpark.map(r => (r.getAs[String]("ref"),
+        r.getAs[String]("alt"), r.getAs[String]("load_batch_id"))).toSeq.sorted
+      assert(dk == sk, s"rows differ at $chrom:$pos")
+    }
+    // region probes: 15 random windows per random chrom, parity + order
+    val chroms = keys.map(_._1).distinct
+    (0 until 15).foreach { _ =>
+      val c = chroms(rng.nextInt(chroms.length))
+      val ps = keys.filter(_._1 == c).map(_._2)
+      val a = ps(rng.nextInt(ps.length)) - rng.nextInt(5000)
+      val b = a + rng.nextInt(2000000)
+      val direct = PointLookup.byRegion(spark, s"$db/variants", c, a, b)
+      assert(direct.length ==
+        v.filter($"chrom" === c && $"pos".between(a, b)).count(),
+        s"region $c:$a-$b")
+      val posSeq = direct.map(_("pos").toLong)
+      assert(posSeq == posSeq.sorted, s"region $c:$a-$b not ordered")
+    }
+    // rsid probes through the appended covering projection
+    val rs = v.filter($"rs_id".isNotNull).select($"rs_id").distinct()
+      .collect().map(_.getString(0))
+    rng.shuffle(rs.toSeq).take(25).foreach { id =>
+      val direct = PointLookup.byRsid(spark, s"$db/rsid_idx",
+        s"$db/variants", id)
+      assert(direct.length == v.filter($"rs_id" === id).count(), s"rsid $id")
+    }
+    // genotype probes on the hive-partitioned unsorted append layout
+    val g = spark.read.parquet(s"$db/genotypes")
+      .withColumn("chrom", $"chrom".cast("string")).cache()
+    hits.take(25).foreach { case (chrom, pos) =>
+      val direct = PointLookup.genotypesAt(spark, s"$db/genotypes",
+        chrom, pos, pos)
+      val n = g.filter($"chrom" === chrom && $"pos" === pos).count()
+      assert(direct.length == n, s"genotypes $chrom:$pos " +
+        s"direct=${direct.length} spark=$n")
+    }
+    v.unpersist(); g.unpersist()
+  }
+
   test("a stale cached listing with dead file paths relists instead of failing") {
     // coarse directory-mtime granularity (or synthetic object-store
     // mtimes) can leave the listing cache holding paths a swap deleted;
@@ -119,8 +189,13 @@ class PointLookupSpec extends SparkSpec {
       .toDF("chrom", "pos", "ref", "alt")
     graft.sinks.Writers.writeVariants(v1, s"$base/variants")
     val dir = new java.io.File(s"$base/variants/chrom=chr1")
+    // age the mtime past the settling window so the probe CACHES the
+    // listing (a fresh mtime is deliberately not cached — see
+    // MtimeGranularityMs); the stale-recovery paths below need the
+    // cache populated to be exercised at all
+    val mtime = System.currentTimeMillis() - 60000L
+    assert(dir.setLastModified(mtime))
     assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L).nonEmpty)
-    val mtime = dir.lastModified()
     // rewrite: new part files (new names), old paths now dead
     val v2 = Seq(("chr1", 100L, "A", "G"), ("chr1", 300L, "G", "A"))
       .toDF("chrom", "pos", "ref", "alt")
@@ -136,7 +211,9 @@ class PointLookupSpec extends SparkSpec {
     // path 2 — open-throws staleness: make the listing stale again, then
     // probe a key the dead footers ADMIT, so the open hits the missing
     // path and the FileNotFoundException retry recovers
-    val mtime2 = dir.lastModified()
+    val mtime2 = System.currentTimeMillis() - 60000L
+    assert(dir.setLastModified(mtime2))
+    assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 300L).nonEmpty)
     val v3 = Seq(("chr1", 100L, "A", "G"), ("chr1", 400L, "T", "A"))
       .toDF("chrom", "pos", "ref", "alt")
     graft.sinks.Writers.writeVariants(v3, s"$base/variants")
@@ -144,6 +221,36 @@ class PointLookupSpec extends SparkSpec {
     val rows2 = PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L)
     assert(rows2.nonEmpty, "stale listing was not recovered by a relist")
     assert(rows2.head("pos") == "100")
+  }
+
+  test("a listing inside the mtime settling window is not cached, so a " +
+       "same-tick cross-process append stays visible") {
+    // a cross-process appender can only share an mtime tick with a
+    // modification that JUST happened; the cache refuses entries whose
+    // dir mtime is within MtimeGranularityMs of the probe clock, so the
+    // next probe relists and sees the appended file. Simulate the tick
+    // by pinning the dir mtime ahead of the clock across the append
+    // (same code path as a genuine coarse-granularity tick: the mtime
+    // does not move, and it is within the settling window throughout).
+    val base = Files.createTempDirectory("settling").toString
+    graft.sinks.Writers.writeVariants(
+      Seq(("chr1", 100L, "A", "G")).toDF("chrom", "pos", "ref", "alt"),
+      s"$base/variants")
+    val dir = new java.io.File(s"$base/variants/chrom=chr1")
+    val tick = System.currentTimeMillis() + 10000L
+    assert(dir.setLastModified(tick))
+    assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L).nonEmpty)
+    // out-of-band append (another process's file), mtime tick unchanged
+    graft.sinks.Writers.writeVariants(
+      Seq(("chr1", 500L, "T", "C")).toDF("chrom", "pos", "ref", "alt"),
+      s"$base/other")
+    val src = new java.io.File(s"$base/other/chrom=chr1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, s"appended-${src.getName}").toPath)
+    assert(dir.setLastModified(tick))
+    val rows = PointLookup.byPosition(spark, s"$base/variants", "chr1", 500L)
+    assert(rows.nonEmpty, "same-tick cross-process append was invisible")
   }
 
   test("byRsid falls back to two probes over a legacy slim index") {
