@@ -661,6 +661,30 @@ object Graft {
         }
 
       case "validate" =>
+        // single-batch face (`cli.py:511-575`: `validate <load_batch_id>`
+        // — status + expected-vs-actual + in-batch duplicates, nonzero
+        // exit on failure). The argument is optional here: bare
+        // `validate` keeps the whole-db reconciliation below, which the
+        // reference has no single verb for.
+        args.lift(1).filterNot(_.startsWith("--")).foreach { batchId =>
+          val ledgerRow = spark.read.parquet(s"$db/ledger")
+            .filter($"load_batch_id" === batchId)
+            .orderBy($"completed_at".desc).limit(1).collect().headOption
+            .getOrElse(sys.error(s"Load batch not found: $batchId"))
+          val batch = variants.filter($"load_batch_id" === batchId)
+          val actualN = batch.count()
+          val dupN = batch.groupBy($"chrom", $"pos", $"ref", $"alt")
+            .count().filter($"count" > 1).count()
+          val expected = ledgerRow.getAs[Long]("n_variants")
+          println(s"Load Batch: $batchId")
+          println(s"Status: ${ledgerRow.getAs[String]("status")}")
+          println(s"Expected variants: $expected")
+          println(s"Actual variants: $actualN")
+          println(s"Duplicates: $dupN")
+          if (actualN == expected && dupN == 0) println("Validation passed")
+          else sys.error("Validation failed")
+          return
+        }
         // duplicate detection is scoped WITHIN each load batch
         // (`cli.py:552-560` groups under WHERE load_batch_id = $1): a
         // multi-file cohort legitimately carries the same site in two
@@ -1334,7 +1358,7 @@ object Graft {
       |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
       |       [--compact] [--target-file-mb N]
       |  init-db --db DIR [--skip-audit]
-      |  validate --db DIR [--rebuild] [--drop-orphans]
+      |  validate [BATCH_ID] --db DIR [--rebuild] [--drop-orphans]
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
       |       [--per-chrom] [--max-files N]
       |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR [--genotypes]

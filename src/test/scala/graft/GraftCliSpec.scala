@@ -239,6 +239,30 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
 
+  test("validate <batch-id> reports one batch and fails on unknown ids") {
+    // the reference's validate face takes a load batch UUID and checks
+    // that batch alone: status, expected-vs-actual count, in-batch
+    // duplicates, nonzero exit on failure (`cli.py:511-575`)
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    val batchId = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed")
+      .select($"load_batch_id").head().getString(0)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Graft.run(spark, Array("validate", batchId, "--db", db))
+    }
+    val s = out.toString
+    assert(s.contains(s"Load Batch: $batchId"), s)
+    assert(s.contains("Status: completed"), s)
+    assert(s.contains("Duplicates: 0"), s)
+    assert(s.contains("Validation passed"), s)
+    val e = intercept[RuntimeException] {
+      Graft.run(spark, Array("validate", "no-such-batch", "--db", db))
+    }
+    assert(e.getMessage.contains("Load batch not found"), e.getMessage)
+  }
+
   test("concurrent loads into one db serialize on the writer lock (§2.13)") {
     // the reference serializes mutations at Postgres (every load runs in
     // a transaction; concurrent writers queue on its locks) — two
