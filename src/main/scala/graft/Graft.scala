@@ -138,6 +138,24 @@ object Graft {
     * `audit-verify`). The append is advisory: its failure must not fail
     * an otherwise-committed operation, so it reports and swallows. */
   def run(spark: SparkSession, args: Array[String]): Unit = {
+    // partition-type inference would read an all-numeric chrom layout
+    // ("chrom=1".."chrom=22", the --no-human-genome naming) back as an
+    // INTEGER column — and a later chrX/Y/MT batch aligned to that
+    // schema would null-cast its chrom, landing rows in the null
+    // partition unreachable by any chrom-scoped probe. Partition values
+    // are directory-name strings; read them as strings for every verb
+    // (restored after, the session is not ours).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try runInner(spark, args)
+    finally inferPrev match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None    => spark.conf.unset(inferKey)
+    }
+  }
+
+  private def runInner(spark: SparkSession, args: Array[String]): Unit = {
     val verb = args.head
     val mutates = MutatingVerbs.contains(verb) ||
       (verb == "validate" &&
@@ -396,15 +414,41 @@ object Graft {
             // covering = the projection carries every store column (a
             // slim legacy rsid_idx or a drifted projection must not be
             // appended to — its rows would miss columns silently)
-            val rsidCovering = rsidSchema.exists(
-              _.fieldNames.toSet == storeSchema.fieldNames.toSet)
-            val geneReady = geneSchema.exists(_.fieldNames.toSet ==
-              Set("gene", "chrom", "pos", "ref", "alt", "impact",
-                "consequence", "variant_id"))
+            val storeTypes =
+              storeSchema.fields.toSeq.map(f => f.name -> f.dataType).toMap
+            // projections must match the store's types too, not just its
+            // column names — alignTo casts to the PROJECTION's schema, so
+            // a legacy projection carrying a drifted type (e.g. an
+            // integer chrom from partition inference of an old rewrite)
+            // would silently null-cast appended rows
+            val rsidCovering = rsidSchema.exists(s =>
+              s.fields.toSeq.map(f => f.name -> f.dataType).toSet ==
+                storeTypes.toSet)
+            val geneReady = geneSchema.exists { s =>
+              s.fieldNames.toSet == Set("gene", "chrom", "pos", "ref",
+                "alt", "impact", "consequence", "variant_id") &&
+              s.fields.forall(f => storeTypes.get(f.name).contains(f.dataType))
+            }
+            // NAME overlap is not enough: alignTo CASTS the batch to the
+            // store's types, and a lossy cast silently nulls data. The
+            // concrete trap is hive partition-type inference — a store
+            // whose chrom dirs are all numeric ("chrom=1".."chrom=22")
+            // reads back chrom as an integer, and a later chrX batch
+            // would cast 'X' to null, landing every row in the null
+            // partition unreachable by any chrom-scoped probe. Any
+            // common-column type mismatch routes to the full rewrite,
+            // where unionByName's type reconciliation handles it.
+            val batchTypes = vWithId.schema.map(f => f.name -> f.dataType).toMap
+            val typeDrift = storeSchema.fields.toSeq.flatMap(f =>
+              batchTypes.get(f.name).filter(_ != f.dataType)
+                .map(t => s"${f.name}: $t vs store ${f.dataType}"))
             if (extra.nonEmpty)
               println(s"schema evolution (${extra.mkString(",")}): " +
                 "full-rewrite load instead of batch append")
-            extra.isEmpty && rsidCovering && geneReady
+            else if (typeDrift.nonEmpty)
+              println(s"schema type drift (${typeDrift.mkString("; ")}): " +
+                "full-rewrite load instead of batch append")
+            extra.isEmpty && typeDrift.isEmpty && rsidCovering && geneReady
           }
           var batchN = -1L
           if (canAppend) {
@@ -416,20 +460,21 @@ object Graft {
             // the scheduler interleaves their stages)
             val vc = alignTo(vWithId, storeSchema).persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            batchN = vc.count()
-            // flag only once writes may have landed files — a failure in
-            // the count above needs no store rollback
-            appendedV = true
-            progress.stage("write_tables") {
-              graft.sinks.Writers.runConcurrently(Seq(
-                () => graft.sinks.Writers.writeVariants(
-                  vc, s"$db/variants", mode = "append"),
-                () => graft.sinks.Writers.writeRsidIndex(
-                  alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append"),
-                () => graft.sinks.Writers.writeGeneIndex(
-                  vc, s"$db/gene_idx", mode = "append")))
-            }
-            vc.unpersist()
+            try {
+              batchN = vc.count()
+              // flag only once writes may have landed files — a failure
+              // in the count above needs no store rollback
+              appendedV = true
+              progress.stage("write_tables") {
+                graft.sinks.Writers.runConcurrently(Seq(
+                  () => graft.sinks.Writers.writeVariants(
+                    vc, s"$db/variants", mode = "append"),
+                  () => graft.sinks.Writers.writeRsidIndex(
+                    alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append"),
+                  () => graft.sinks.Writers.writeGeneIndex(
+                    vc, s"$db/gene_idx", mode = "append")))
+              }
+            } finally vc.unpersist() // a failed append must not leak the cache
             // appends can land within the directory-mtime tick of a
             // cached probe listing (same-JVM); swaps don't need this
             Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
@@ -667,6 +712,12 @@ object Graft {
         // `validate` keeps the whole-db reconciliation below, which the
         // reference has no single verb for.
         args.lift(1).filterNot(_.startsWith("--")).foreach { batchId =>
+          // the repair flags act on the WHOLE store; silently ignoring
+          // them under a batch-scoped run would leave the user believing
+          // a repair happened
+          if (has(args, "--rebuild") || has(args, "--drop-orphans"))
+            sys.error("validate <batch-id> does not take --rebuild or " +
+              "--drop-orphans; run them on a bare `validate --db ...`")
           val ledgerRow = spark.read.parquet(s"$db/ledger")
             .filter($"load_batch_id" === batchId)
             .orderBy($"completed_at".desc).limit(1).collect().headOption
@@ -676,12 +727,16 @@ object Graft {
           val dupN = batch.groupBy($"chrom", $"pos", $"ref", $"alt")
             .count().filter($"count" > 1).count()
           val expected = ledgerRow.getAs[Long]("n_variants")
+          val status = ledgerRow.getAs[String]("status")
           println(s"Load Batch: $batchId")
-          println(s"Status: ${ledgerRow.getAs[String]("status")}")
+          println(s"Status: $status")
           println(s"Expected variants: $expected")
           println(s"Actual variants: $actualN")
           println(s"Duplicates: $dupN")
-          if (actualN == expected && dupN == 0) println("Validation passed")
+          // a failed or rolled-back batch must not validate clean even
+          // when its counts trivially agree (0 == 0)
+          if (status == "completed" && actualN == expected && dupN == 0)
+            println("Validation passed")
           else sys.error("Validation failed")
           return
         }
@@ -729,8 +784,15 @@ object Graft {
           val completedIds = spark.read.parquet(s"$db/ledger")
             .filter($"status" === "completed")
             .select($"load_batch_id").distinct()
+          // NULL batch ids are NOT orphans: they are legacy rows from a
+          // pre-ledger store (null-filled by a widening rewrite's
+          // unionByName) and must never reach dropBatch — a null batch id
+          // there makes `=!= null` evaluate NULL for every tagged row,
+          // i.e. the "repair" would delete every committed batch and keep
+          // only the legacy rows
           def orphansOf(df: DataFrame): Seq[String] =
-            df.select($"load_batch_id").distinct()
+            df.select($"load_batch_id").filter($"load_batch_id".isNotNull)
+              .distinct()
               .join(completedIds, Seq("load_batch_id"), "left_anti")
               .collect().map(_.getString(0)).toSeq // batch-count-sized
           val orphanV = orphansOf(variants)
@@ -1296,10 +1358,14 @@ object Graft {
         // recompute every entry's hash against its predecessor's; any
         // mismatch means the log was edited after the fact. Nonzero exit
         // on tampering, as the reference documents.
-        val dir = s"$db/audit_log"
-        if (!new java.io.File(dir).exists()) println("no audit log")
+        // AuditLog.read, not a bare parquet read: a crash between the
+        // lock-file creation and the first parquet append leaves a
+        // directory holding only the .append.lock dotfile, which a bare
+        // read fails to infer a schema from
+        val auditDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
+        if (auditDf.isEmpty) println("no audit log")
         else {
-          val checked = graft.audit.Audit.verifyChain(spark.read.parquet(dir))
+          val checked = graft.audit.Audit.verifyChain(auditDf)
             .select($"audit_id", $"event_type", $"event_time", $"chain_valid",
               $"duplicate_id")
             .collect()
@@ -1323,19 +1389,18 @@ object Graft {
       case "audit-export" =>
         // `audit export` face (`cli.py:2503+`): the chained log as JSON
         // for external compliance tooling, id-ordered
-        val dir = s"$db/audit_log"
-        if (!new java.io.File(dir).exists()) println("no audit log")
+        val exportDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
+        if (exportDf.isEmpty) println("no audit log")
         else {
-          graft.sinks.Writers.writeJson(
-            spark.read.parquet(dir).orderBy($"audit_id"), args(1))
+          graft.sinks.Writers.writeJson(exportDf.orderBy($"audit_id"), args(1))
           println(s"exported audit log to ${args(1)}")
         }
 
       case "audit-stats" =>
         // `audit stats` face (`cli.py:2636+`): per-verb counts + range
-        val dir = s"$db/audit_log"
-        if (!new java.io.File(dir).exists()) println("no audit log")
-        else spark.read.parquet(dir)
+        val statsDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
+        if (statsDf.isEmpty) println("no audit log")
+        else statsDf
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"),
             sum(when($"success", 1L).otherwise(0L)).as("n_success"),

@@ -287,17 +287,31 @@ object Audit {
     * distinction a fork would read as tampering). */
   def verifyChain(audit: DataFrame): DataFrame = {
     import audit.sparkSession.implicits._
-    val w = Window.orderBy($"audit_id")
+    // Deterministic, fork-tolerant linkage: a row is chain-linked iff its
+    // previous_hash equals the entry_hash of SOME row carrying the
+    // preceding audit_id (the first row links to the genesis hash). The
+    // former lag over an id-ordered window was nondeterministic when a
+    // concurrent-append fork duplicated an id: the forked pair's
+    // SUCCESSOR chained from one specific arm, and whenever the lag
+    // happened to surface the other arm it was reported TAMPERED though
+    // nothing was edited. Tamper detection is separate: the entry hash
+    // must be consistent with the row's own content and its claimed
+    // predecessor hash — editing content, deleting a row (the successor
+    // loses its link target), or splicing in a forged row all still fail.
+    val links = audit.select(($"audit_id" + 1L).as("link_id"),
+      $"entry_hash".as("link_hash")).distinct()
     audit
       .withColumn("duplicate_id",
         count(lit(1)).over(Window.partitionBy($"audit_id")) > 1)
-      .withColumn("expected_prev",
-        coalesce(lag($"entry_hash", 1).over(w), lit(GenesisHash)))
+      .join(links, $"audit_id" === $"link_id" &&
+        $"previous_hash" === $"link_hash", "left")
+      .withColumn("link_ok", $"link_hash".isNotNull ||
+        ($"audit_id" === 1L && $"previous_hash" === lit(GenesisHash)))
       .withColumn("recomputed", entryHashUdf(
         $"event_time", $"event_type", $"user_name", $"action", $"success",
-        $"expected_prev"))
+        $"previous_hash"))
       .withColumn("chain_valid",
-        !$"duplicate_id" &&
-        $"previous_hash" === $"expected_prev" && $"recomputed" === $"entry_hash")
+        !$"duplicate_id" && $"link_ok" && $"recomputed" === $"entry_hash")
+      .drop("link_id", "link_hash", "link_ok", "recomputed")
   }
 }

@@ -213,7 +213,12 @@ object Multimodal {
       if (!finished) p.destroyForcibly()
       drain.join(5000) // happens-before for buf; bounded even if stuck
       val out = buf.toByteArray
-      val ok = finished && p.exitValue() == 0
+      // a capped drain means TRUNCATED output: when the remainder fit in
+      // the OS pipe buffer ffmpeg still exits 0, so exit status alone
+      // would accept stats computed over a cut-off frame stream — treat
+      // hitting the cap as a failed decode, never as data
+      val truncated = out.length > maxOutBytes
+      val ok = finished && p.exitValue() == 0 && !truncated
       val nFrames = out.length / 16
       if (!ok || nFrames == 0) None
       else {

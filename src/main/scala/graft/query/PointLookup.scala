@@ -304,7 +304,13 @@ object PointLookup {
     if (cached != null && cached._1 == status.getModificationTime &&
         cached._2 == status.getLen) cached._3
     else {
-      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))
+      // construct with the CACHED footer — ParquetFileReader.open would
+      // re-read and re-thrift-parse the footer this cache exists to
+      // amortize, doubling the first-probe cost per file
+      val inputFile = HadoopInputFile.fromStatus(status, conf)
+      val r = new ParquetFileReader(inputFile, footer,
+        HadoopReadOptions.builder(conf, status.getPath).build(),
+        inputFile.newStream())
       val idx =
         try footer.getBlocks.asScala.toSeq.map { block =>
           block.getColumns.asScala.map { c =>

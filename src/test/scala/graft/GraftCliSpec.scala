@@ -239,6 +239,56 @@ class GraftCliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
 
+  test("numeric-contig cohort (--no-human-genome) appends a chrX batch " +
+       "without nulling chrom") {
+    // an all-numeric chrom layout ("chrom=1","chrom=2") would read back
+    // as an INTEGER partition column under default partition-type
+    // inference; aligning a later 'X'-contig batch to that schema casts
+    // 'X' to null — every row lands in the null partition, unreachable
+    // by any chrom-scoped probe, while counts still reconcile. The CLI
+    // disables inference (chrom stays string) and canAppend refuses
+    // lossy type casts, so the batch must land probeable under chrom=X.
+    val db = Files.createTempDirectory("graftdb").toString
+    val dir = Files.createTempDirectory("numvcf")
+    def writeVcf(name: String, lines: Seq[String]): String = {
+      val p = dir.resolve(name)
+      val hdr = Seq("##fileformat=VCFv4.2",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+      java.nio.file.Files.write(p,
+        (hdr ++ lines).mkString("\n").getBytes("UTF-8"))
+      p.toString
+    }
+    val vcfNum = writeVcf("num.vcf", Seq(
+      "1\t100\t.\tA\tG\t50\tPASS\tDP=10",
+      "1\t200\t.\tC\tT\t50\tPASS\tDP=11",
+      "2\t300\t.\tG\tA\t50\tPASS\tDP=12"))
+    val vcfX = writeVcf("x.vcf", Seq(
+      "X\t500\t.\tT\tC\t50\tPASS\tDP=13"))
+    Graft.run(spark, Array("load", vcfNum, "--db", db, "--no-human-genome"))
+    assert(new java.io.File(s"$db/variants/chrom=1").exists())
+    val beforeFiles = new java.io.File(s"$db/variants/chrom=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length())
+      .toMap
+    Graft.run(spark, Array("load", vcfX, "--db", db, "--no-human-genome"))
+    // no row fell into the null partition; the X batch is where it belongs
+    assert(!new java.io.File(
+      s"$db/variants/chrom=__HIVE_DEFAULT_PARTITION__").exists(),
+      "chrX rows were null-cast into the default partition")
+    assert(new java.io.File(s"$db/variants/chrom=X").exists())
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.count() == 4)
+    assert(v.filter($"chrom".cast("string") === "X").count() == 1)
+    // the load APPENDED (prior batch's files untouched), not rewrote
+    val afterFiles = new java.io.File(s"$db/variants/chrom=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length())
+      .toMap
+    assert(afterFiles == beforeFiles,
+      "numeric-contig append rewrote the existing store")
+    // and the driver-side probe serves the X row
+    assert(graft.query.PointLookup.byPosition(
+      spark, s"$db/variants", "X", 500L).nonEmpty)
+  }
+
   test("validate <batch-id> reports one batch and fails on unknown ids") {
     // the reference's validate face takes a load batch UUID and checks
     // that batch alone: status, expected-vs-actual count, in-batch

@@ -42,7 +42,7 @@ class AuditSpec extends SparkSpec {
     val verified = Audit.verifyChain(chained)
     assert(verified.filter(!$"chain_valid").count() == 0)
     // first row chains from genesis
-    assert(verified.orderBy($"audit_id").head().getAs[String]("expected_prev") ==
+    assert(verified.orderBy($"audit_id").head().getAs[String]("previous_hash") ==
       Audit.GenesisHash)
 
     // tamper with a middle row's action → its recomputed hash mismatches
@@ -62,14 +62,23 @@ class AuditSpec extends SparkSpec {
     val base = Seq(
       (1L, "2024-01-01T00:00:00", "load", "alice", "load_vcf", true),
       (2L, "2024-01-01T01:00:00", "query", "bob", "annotate", true),
-      (2L, "2024-01-01T01:00:01", "export", "carol", "export_plink", true)
+      (2L, "2024-01-01T01:00:01", "export", "carol", "export_plink", true),
+      // the fork's SUCCESSOR: chains from ONE of the two id-2 arms; it
+      // edited nothing and must verify clean deterministically (the old
+      // lag-based check flagged it TAMPERED whenever the window's
+      // arbitrary tie order surfaced the other arm)
+      (3L, "2024-01-01T02:00:00", "load", "alice", "load_vcf2", true)
     ).toDF("audit_id", "event_time", "event_type", "user_name", "action", "success")
-    // hash each forked row against row 1's hash, as live appenders would
+    // hash each forked row against row 1's hash, as live appenders would;
+    // the successor row chains from bob's arm of the fork
     val h1 = Audit.entryHash("2024-01-01T00:00:00", "load", "alice",
       "load_vcf", success = true, Audit.GenesisHash)
+    val h2bob = Audit.entryHash("2024-01-01T01:00:00", "query", "bob",
+      "annotate", success = true, h1)
     val chained = base
       .withColumn("previous_hash",
-        when($"audit_id" === 1L, Audit.GenesisHash).otherwise(h1))
+        when($"audit_id" === 1L, Audit.GenesisHash)
+          .when($"audit_id" === 3L, h2bob).otherwise(h1))
       .withColumn("entry_hash", lit("") /* recomputed below */)
     import org.apache.spark.sql.Row
     val rows = chained.collect().map { r =>
@@ -88,6 +97,8 @@ class AuditSpec extends SparkSpec {
     assert(dups.forall(!_.getAs[Boolean]("chain_valid")))
     // the intact genesis row stays valid
     assert(verified.filter($"audit_id" === 1L).head().getAs[Boolean]("chain_valid"))
+    // and so does the fork's successor — deterministically, on every run
+    assert(verified.filter($"audit_id" === 3L).head().getAs[Boolean]("chain_valid"))
   }
 }
 
