@@ -54,7 +54,7 @@ sliced AS (
     TRY_CAST(NULLIF(NULLIF(string_split(ds_raw, ',')[k], '.'), '') AS DOUBLE) AS ds,
     COALESCE(array_to_string(list_transform(gp, x -> CAST(x AS VARCHAR)), ','), '') AS gp_csv,
     CASE WHEN n_alts = 1 THEN gp
-         ELSE [gp[1], gp[k + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END AS gp_k
+         ELSE [gp[1], gp[CAST((k * (k + 1)) / 2 AS INT) + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END AS gp_k
   FROM dec
 )
 SELECT chrom, pos, ref, alt, alt_idx, n_alts, sample_id, gt, a1, a2, ds, gp_csv,

@@ -50,15 +50,15 @@ geno AS (
     COALESCE(
       TRY_CAST(NULLIF(NULLIF(string_split(ds_raw, ',')[k], '.'), '') AS DOUBLE),
       CASE WHEN len(CASE WHEN n_alts = 1 THEN gp
-             ELSE [gp[1], gp[k + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END) = 3
+             ELSE [gp[1], gp[CAST((k * (k + 1)) / 2 AS INT) + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END) = 3
         AND (CASE WHEN n_alts = 1 THEN gp
-             ELSE [gp[1], gp[k + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[2] IS NOT NULL
+             ELSE [gp[1], gp[CAST((k * (k + 1)) / 2 AS INT) + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[2] IS NOT NULL
         AND (CASE WHEN n_alts = 1 THEN gp
-             ELSE [gp[1], gp[k + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[3] IS NOT NULL
+             ELSE [gp[1], gp[CAST((k * (k + 1)) / 2 AS INT) + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[3] IS NOT NULL
       THEN (CASE WHEN n_alts = 1 THEN gp
-             ELSE [gp[1], gp[k + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[2]
+             ELSE [gp[1], gp[CAST((k * (k + 1)) / 2 AS INT) + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[2]
          + 2 * (CASE WHEN n_alts = 1 THEN gp
-             ELSE [gp[1], gp[k + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[3]
+             ELSE [gp[1], gp[CAST((k * (k + 1)) / 2 AS INT) + 1], gp[CAST((k * (k + 1)) / 2 AS INT) + k + 1]] END)[3]
       END) AS dosage
   FROM dec WHERE alt <> '' AND alt <> '.'
 )

