@@ -5,7 +5,7 @@ WITH t AS (
   FROM documents
 ),
 r AS (
-  SELECT doc_id, lang_label,
+  SELECT doc_id, lang_label, text,
     1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{3040}-\x{30ff}]', '', 'g')) AS DOUBLE) / n AS kana,
     1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS DOUBLE) / n AS han,
     1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{ac00}-\x{d7af}]', '', 'g')) AS DOUBLE) / n AS hangul,
@@ -18,7 +18,8 @@ r AS (
   FROM t
 )
 SELECT doc_id, lang_label,
-  CASE WHEN kana > 0.05 THEN 'ja'
+  CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 'unknown'
+       WHEN kana > 0.05 THEN 'ja'
        WHEN han > 0.3 THEN 'zh'
        WHEN hangul > 0.3 THEN 'ko'
        WHEN cyr > 0.3 THEN 'ru'
@@ -28,7 +29,8 @@ SELECT doc_id, lang_label,
        WHEN GREATEST(en, de, fr, es) = de THEN 'de'
        WHEN GREATEST(en, de, fr, es) = fr THEN 'fr'
        ELSE 'es' END AS lang_pred,
-  lang_label = (CASE WHEN kana > 0.05 THEN 'ja'
+  lang_label = (CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 'unknown'
+       WHEN kana > 0.05 THEN 'ja'
        WHEN han > 0.3 THEN 'zh'
        WHEN hangul > 0.3 THEN 'ko'
        WHEN cyr > 0.3 THEN 'ru'

@@ -225,21 +225,30 @@ object Dedup {
 
   val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
 
-  /** Near-dup pairs by SimHash: band the 64-bit signature into 16-bit
-    * chunks (any equal chunk → candidate; guarantees recall for hamming
-    * distance ≤ 3), verify with bit_count(xor) ≤ maxHamming. Signatures
-    * come from the native codegen'd SimHash64 expression (the UDF above
+  /** Near-dup pairs by SimHash: band the 64-bit signature into
+    * maxHamming+1 chunks — by pigeonhole, a pair within maxHamming bit
+    * flips shares at least one untouched chunk, so recall is guaranteed
+    * for EVERY legal maxHamming (a fixed 4-chunk banding would silently
+    * lose qualifying pairs from maxHamming = 4 up); verify with
+    * bit_count(xor) ≤ maxHamming. The default (3 → four 16-bit chunks)
+    * is the classic 64-bit fingerprint configuration. Signatures come
+    * from the native codegen'd SimHash64 expression (the UDF above
     * remains as its differential twin for tests). */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming: $maxHamming")
     val withSig = docs
       .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
         TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("_sig"))
 
-    val chunks = (0 until 4).map { c =>
+    val nChunks = maxHamming + 1
+    val chunks = (0 until nChunks).map { c =>
+      val start = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(c).as("chunk_idx"),
-        shiftrightunsigned(col("_sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+        shiftrightunsigned(col("_sig"), start).bitwiseAND(lit(mask)).as("chunk"))
     }
     val banded = withSig.select(col(idCol), col("_sig"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("_sig"), col("c.chunk_idx"), col("c.chunk"))
@@ -271,11 +280,17 @@ object Dedup {
   // ---- embedding cosine near-dup ----
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold, candidates
-    * generated by the similarity module's LSH buckets (avoids all-pairs). */
+    * generated by the similarity module's LSH buckets (avoids all-pairs).
+    * `dim` is the embedding dimensionality — it sizes the bucket bit
+    * strides, and an overstated dim silently degrades bucketing (planes
+    * past the real length read null → constant bits → fewer effective
+    * buckets → the self-join trends quadratic). No distinct() needed:
+    * each vector has exactly ONE bucket, so the equi-join emits each
+    * pair at most once. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       planes: Int = 12): DataFrame = {
-    val bucketed = Similarity.withLshBucket(embeddings, vecCol, planes)
+                       planes: Int = 12, dim: Int = 64): DataFrame = {
+    val bucketed = Similarity.withLshBucket(embeddings, vecCol, planes, dim)
     val left = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("lsh_bucket"))
     val right = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("lsh_bucket"))
     left.join(right, Seq("lsh_bucket"))
@@ -283,6 +298,5 @@ object Dedup {
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
-      .distinct()
   }
 }

@@ -271,36 +271,29 @@ object Multimodal {
     (vec, frames)
   }
 
-  /** 60-bit md5-derived content hash — engine-portable (a SQL oracle
-    * reproduces it as the leading 15 hex chars of md5), unlike a
-    * JVM-specific polynomial hash. */
-  private def contentHash60(content: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(content)
-    var h = 0L
-    var j = 0
-    while (j < 15) {
-      h = (h << 4) | ((d(j / 2) >> (if (j % 2 == 0) 4 else 0)) & 0xf)
-      j += 1
-    }
-    h
-  }
-
   /** Per-partition feature extraction: one decoder "session" per
     * partition, streaming over its rows — the batch shape a real codec
-    * needs (matches the mapInPandas contract from the PySpark world). */
+    * needs (matches the mapInPandas contract from the PySpark world).
+    * A NULL payload (e.g. a null source text upstream) is treated as an
+    * empty one rather than NPE-ing the task: decode() would swallow its
+    * own NPE into None, but the stub fallback and the length/hash fields
+    * dereference content unguarded. The content hash is the shared
+    * 60-bit md5 kernel (`SimHashUtil.tokenHash60`) — engine-portable,
+    * one implementation. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition scope: a codec needing init/teardown hooks in here
       rows.map { r =>
-        val (vec, frames, decoder) = decode(r.content) match {
+        val content = if (r.content == null) Array.emptyByteArray else r.content
+        val (vec, frames, decoder) = decode(content) match {
           case Some(d) => (d.featureVec, d.nFrames, d.decoder)
           case None =>
-            val (v, f) = decodeStub(r.content, r.media_type)
+            val (v, f) = decodeStub(content, r.media_type)
             (v, f, "stub")
         }
-        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
-          contentHash60(r.content), vec, frames, decoder)
+        MediaFeatures(r.media_id, r.media_type, content.length.toLong,
+          graft.functions.SimHashUtil.tokenHash60(content), vec, frames, decoder)
       }
     }
   }

@@ -182,19 +182,27 @@ object Similarity {
               nCentroids: Int = 8, nProbe: Int = 2,
               centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = centroids.getOrElse(corpus.filter(col(idCol) < nCentroids)
+    // the default quantizer is literally "the first nCentroids vectors
+    // by id" — orderBy + limit, NOT filter(id < n), which assumes dense
+    // 0-based ids and silently returns an EMPTY result set for a corpus
+    // whose ids start anywhere else
+    val cent = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
+      .withColumn("_cent_norm", sqrt(dotCol(col("cent_vec"), col("cent_vec"))))
 
-    // negative dot with precomputed norms = cosine argmax without sqrt
-    // per pair; ties break toward the smaller centroid id
+    // cosine with norms computed ONCE per side (each side's norm column
+    // materializes before the crossJoin, instead of re-evaluating two
+    // self-dot-products inside every (row, centroid) pair of the
+    // full-corpus assignment pass); ties break toward the smaller
+    // centroid id
     def nearestCentroids(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cent))
+      val scored = df
+        .withColumn("_row_norm", sqrt(dotCol(col(vec), col(vec))))
+        .crossJoin(broadcast(cent))
         .withColumn("_cd",
-          when(sqrt(dotCol(col(vec), col(vec))) > 0 &&
-               sqrt(dotCol(col("cent_vec"), col("cent_vec"))) > 0,
+          when(col("_row_norm") > 0 && col("_cent_norm") > 0,
             dotCol(col(vec), col("cent_vec")) /
-              (sqrt(dotCol(col(vec), col(vec))) *
-               sqrt(dotCol(col("cent_vec"), col("cent_vec"))))))
+              (col("_row_norm") * col("_cent_norm"))))
       val w = Window.partitionBy(col(id))
         .orderBy(round(col("_cd"), 5).desc, col("cent_id"))
       scored.withColumn("_cr", row_number().over(w))

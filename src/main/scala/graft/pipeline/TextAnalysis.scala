@@ -82,7 +82,13 @@ object TextAnalysis {
     val es = stopwordCount(toks, EsStopwords).cast(DoubleType) / nToks
     val latinBest = greatest(en, de, fr, es)
 
-    when(kana > 0.05, "ja")
+    // null/empty first: an empty text makes every script ratio 1.0 (the
+    // n = max(length, 1) guard divides 0 stripped chars by 1), which
+    // would otherwise classify "" as whatever script branch fires first,
+    // and a NULL text would fall through every null-valued condition
+    // into the final otherwise
+    when(text.isNull || length(text) === 0, "unknown")
+      .when(kana > 0.05, "ja")
       .when(han > 0.3, "zh")
       .when(hangul > 0.3, "ko")
       .when(cyr > 0.3, "ru")
@@ -103,9 +109,12 @@ object TextAnalysis {
 
   /** Whole-document fingerprint: 60-bit md5-derived hash of the
     * normalized text (rolling-hash analogue for content identity),
-    * reproducible in any engine with md5. */
+    * reproducible in any engine with md5. Collapse whitespace FIRST and
+    * trim LAST: Spark's trim strips only spaces, so trimming first
+    * leaves leading/trailing tabs/newlines that collapse into edge
+    * spaces — "a b" and "a b\n" would fingerprint differently. */
   def fingerprint(text: Column): Column =
-    md5Bits(lower(regexp_replace(trim(text), "\\s+", " ")), 1, 15)
+    md5Bits(lower(trim(regexp_replace(text, "\\s+", " "))), 1, 15)
 
   /** Word k-shingles as space-joined strings (basis for minhash /
     * jaccard). Documents shorter than k words yield their single joined

@@ -45,6 +45,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(0) == Seq("a b c", "b c d"))
     assert(rows(1) == Seq("a b")) // shorter than k → single joined form
   }
+
+  test("language ID: empty and null texts are unknown, not a script guess") {
+    val df = Seq(Some(""), None, Some("   ")).toDF("text")
+      .select(TextAnalysis.langIdCol($"text").as("p"))
+    val preds = df.collect().map(_.getString(0)).toSeq
+    // "" and null have no content; "   " has no tokens and no script
+    assert(preds(0) == "unknown", s"empty text predicted ${preds(0)}")
+    assert(preds(1) == "unknown", s"null text predicted ${preds(1)}")
+    assert(preds(2) == "unknown", s"blank text predicted ${preds(2)}")
+  }
+
+  test("fingerprint ignores leading/trailing whitespace of any kind") {
+    val df = Seq("hello  world", "hello world\n", "\thello world ")
+      .toDF("text").select(TextAnalysis.fingerprint($"text").as("f"))
+    val fps = df.collect().map(_.getLong(0)).toSet
+    assert(fps.size == 1, s"whitespace-trimmed variants split into $fps")
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -210,6 +227,30 @@ class IvfSpec extends SparkSpec {
     val top = Similarity.ivfTopK(corpus, copies, k = 3, nCentroids = 8, nProbe = 2)
       .filter($"rank" === 1).head()
     assert(top.getAs[Long]("neighbor_id") == 10L)
+    assert(top.getAs[Double]("cosine") > 0.9999)
+  }
+
+  test("extractFeatures survives a null payload via the stub, no task crash") {
+    val feats = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaRow(1L, "text", null, "t", None, None, None)).toDS())
+      .collect()
+    assert(feats.length == 1)
+    assert(feats.head.decoder == "stub")
+    assert(feats.head.n_bytes == 0L)
+  }
+
+  test("IVF default quantizer works on non-dense, non-zero-based ids") {
+    // ids starting at 1000: filter(id < nCentroids) would select ZERO
+    // centroids and silently return an empty result — the quantizer is
+    // "first nCentroids by id", an orderBy + limit
+    val e = graft.Tables(spark, sfDir).embeddings.limit(100)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val q = e.filter($"vec_id" === 1010L)
+      .select(org.apache.spark.sql.functions.lit(9999L).as("vec_id"), $"embedding")
+    val corpus = e.union(q)
+    val top = Similarity.ivfTopK(corpus, q, k = 3, nCentroids = 8, nProbe = 2)
+      .filter($"rank" === 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 1010L)
     assert(top.getAs[Double]("cosine") > 0.9999)
   }
 
