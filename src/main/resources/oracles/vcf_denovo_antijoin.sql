@@ -44,9 +44,11 @@ rec AS (
 ),
 geno AS (
   SELECT chrom, pos, ref, sample_id, gq, dp, ad, phased,
-    COALESCE(CAST(a1_line AS VARCHAR), '.') ||
+    CASE WHEN gt_raw NOT LIKE '%/%' AND gt_raw NOT LIKE '%|%'
+              AND a1_line IS NOT NULL THEN CAST(a1_line AS VARCHAR)
+         ELSE COALESCE(CAST(a1_line AS VARCHAR), '.') ||
       (CASE WHEN phased THEN '|' ELSE '/' END) ||
-      COALESCE(CAST(a2_line AS VARCHAR), '.') AS gt,
+      COALESCE(CAST(a2_line AS VARCHAR), '.') END AS gt,
     unnest(alts) AS alt,
     unnest(generate_series(1, len(alts))) AS k,
     a1_line, a2_line
@@ -61,6 +63,9 @@ geno2 AS (
 cls AS (
   SELECT *,
     CASE WHEN gt IN ('.', './.', '.|.') THEN 'missing'
+         WHEN gt NOT LIKE '%/%' AND gt NOT LIKE '%|%' THEN
+           (CASE WHEN a1 IS NULL THEN 'missing'
+                 WHEN a1 = 0 THEN 'hom_ref' ELSE 'hom_alt' END)
          WHEN a1 IS NULL OR a2 IS NULL THEN 'missing'
          WHEN a1 = a2 THEN (CASE WHEN a1 = 0 THEN 'hom_ref' ELSE 'hom_alt' END)
          ELSE 'het' END AS _cls

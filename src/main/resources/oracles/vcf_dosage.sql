@@ -46,9 +46,11 @@ dec AS (
 ),
 sliced AS (
   SELECT chrom, pos, ref, alt, CAST(k - 1 AS INT) AS alt_idx, n_alts, sample_id,
-    COALESCE(CAST(a1_line AS VARCHAR), '.') ||
+    CASE WHEN gt_raw NOT LIKE '%/%' AND gt_raw NOT LIKE '%|%'
+              AND a1_line IS NOT NULL THEN CAST(a1_line AS VARCHAR)
+         ELSE COALESCE(CAST(a1_line AS VARCHAR), '.') ||
       (CASE WHEN phased THEN '|' ELSE '/' END) ||
-      COALESCE(CAST(a2_line AS VARCHAR), '.') AS gt,
+      COALESCE(CAST(a2_line AS VARCHAR), '.') END AS gt,
     CASE WHEN a1_line IS NULL THEN NULL WHEN a1_line = k THEN 1 ELSE 0 END AS a1,
     CASE WHEN a2_line IS NULL THEN NULL WHEN a2_line = k THEN 1 ELSE 0 END AS a2,
     TRY_CAST(NULLIF(NULLIF(string_split(ds_raw, ',')[k], '.'), '') AS DOUBLE) AS ds,

@@ -44,9 +44,11 @@ dec AS (
 ),
 geno AS (
   SELECT sample_id,
-    COALESCE(CAST(a1_line AS VARCHAR), '.') ||
+    CASE WHEN gt_raw NOT LIKE '%/%' AND gt_raw NOT LIKE '%|%'
+              AND a1_line IS NOT NULL THEN CAST(a1_line AS VARCHAR)
+         ELSE COALESCE(CAST(a1_line AS VARCHAR), '.') ||
       (CASE WHEN phased THEN '|' ELSE '/' END) ||
-      COALESCE(CAST(a2_line AS VARCHAR), '.') AS gt,
+      COALESCE(CAST(a2_line AS VARCHAR), '.') END AS gt,
     COALESCE(
       TRY_CAST(NULLIF(NULLIF(string_split(ds_raw, ',')[k], '.'), '') AS DOUBLE),
       CASE WHEN len(CASE WHEN n_alts = 1 THEN gp

@@ -49,9 +49,11 @@ rec AS (
 ),
 rec2 AS (
   SELECT *,
-    COALESCE(CAST(a1_line AS VARCHAR), '.') ||
+    CASE WHEN gt_raw NOT LIKE '%/%' AND gt_raw NOT LIKE '%|%'
+              AND a1_line IS NOT NULL THEN CAST(a1_line AS VARCHAR)
+         ELSE COALESCE(CAST(a1_line AS VARCHAR), '.') ||
       (CASE WHEN phased THEN '|' ELSE '/' END) ||
-      COALESCE(CAST(a2_line AS VARCHAR), '.') AS gt,
+      COALESCE(CAST(a2_line AS VARCHAR), '.') END AS gt,
     CASE WHEN ad IS NULL OR len(ad) < 2
            OR list_sum(list_transform(ad, x -> COALESCE(x, 0))) = 0 THEN NULL
          ELSE CAST(list_sum(list_transform(ad[2:], x -> COALESCE(x, 0))) AS DOUBLE) /

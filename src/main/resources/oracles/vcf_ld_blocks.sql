@@ -27,11 +27,16 @@ blocks AS (
   FROM bed
 ),
 assigned AS (
+  -- one block per variant (deterministic smallest (start, id)): the
+  -- inclusive containment matches BOTH blocks at a shared boundary of
+  -- contiguous BED blocks, and the engine dedupes the same way
   SELECT b.block_id, v.pos
   FROM v JOIN blocks b
     ON regexp_replace(v.chrom, '^chr', '') = b.chrom
    AND v.pos >= b.start_pos AND v.pos <= b.end_pos
   WHERE v.alt <> '' AND v.alt <> '.'
+  QUALIFY row_number() OVER (PARTITION BY v.chrom, v.pos, v.ref, v.alt
+                             ORDER BY b.start_pos, b.block_id) = 1
 )
 SELECT b.block_id, b.chrom, b.start_pos, b.end_pos, b.population,
   CAST(COUNT(a.pos) AS BIGINT) AS n_variants

@@ -23,9 +23,11 @@ rec AS (
 ),
 dec AS (
   SELECT chrom, pos, ref, gene, sample_id, a1_line, a2_line, phased,
-    COALESCE(CAST(a1_line AS VARCHAR), '.') ||
+    CASE WHEN gt_raw NOT LIKE '%/%' AND gt_raw NOT LIKE '%|%'
+              AND a1_line IS NOT NULL THEN CAST(a1_line AS VARCHAR)
+         ELSE COALESCE(CAST(a1_line AS VARCHAR), '.') ||
       (CASE WHEN phased THEN '|' ELSE '/' END) ||
-      COALESCE(CAST(a2_line AS VARCHAR), '.') AS gt,
+      COALESCE(CAST(a2_line AS VARCHAR), '.') END AS gt,
     unnest(alts) AS alt,
     unnest(generate_series(1, len(alts))) AS k,
     len(alts) AS n_alts, af

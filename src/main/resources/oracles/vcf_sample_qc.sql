@@ -44,9 +44,11 @@ rec AS (
 ),
 geno AS (
   SELECT chrom, pos, ref, sample_id, gq, dp, ad, phased,
-    COALESCE(CAST(a1_line AS VARCHAR), '.') ||
+    CASE WHEN gt_raw NOT LIKE '%/%' AND gt_raw NOT LIKE '%|%'
+              AND a1_line IS NOT NULL THEN CAST(a1_line AS VARCHAR)
+         ELSE COALESCE(CAST(a1_line AS VARCHAR), '.') ||
       (CASE WHEN phased THEN '|' ELSE '/' END) ||
-      COALESCE(CAST(a2_line AS VARCHAR), '.') AS gt,
+      COALESCE(CAST(a2_line AS VARCHAR), '.') END AS gt,
     unnest(alts) AS alt,
     unnest(generate_series(1, len(alts))) AS k,
     a1_line, a2_line
@@ -61,6 +63,9 @@ geno2 AS (
 cls AS (
   SELECT *,
     CASE WHEN gt IN ('.', './.', '.|.') THEN 'missing'
+         WHEN gt NOT LIKE '%/%' AND gt NOT LIKE '%|%' THEN
+           (CASE WHEN a1 IS NULL THEN 'missing'
+                 WHEN a1 = 0 THEN 'hom_ref' ELSE 'hom_alt' END)
          WHEN a1 IS NULL OR a2 IS NULL THEN 'missing'
          WHEN a1 = a2 THEN (CASE WHEN a1 = 0 THEN 'hom_ref' ELSE 'hom_alt' END)
          ELSE 'het' END AS _cls
@@ -147,7 +152,7 @@ agg AS (
     CAST(SUM(CASE WHEN _carries_alt AND _titv = 'transversion' THEN 1 ELSE 0 END) AS BIGINT) AS _tv,
     CAST(SUM(CASE WHEN _on_x THEN 1 ELSE 0 END) AS BIGINT) AS _x_total,
     CAST(SUM(CASE WHEN _on_x AND _cls = 'het' THEN 1 ELSE 0 END) AS BIGINT) AS _x_het,
-    SUM(CASE WHEN maf IS NOT NULL AND NOT isnan(maf)
+    SUM(CASE WHEN _called AND maf IS NOT NULL AND NOT isnan(maf)
              THEN 2.0 * maf * (1.0 - maf) END) AS _expected_het,
     CAST(SUM(CASE WHEN _carries_alt AND mac = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton
   FROM j GROUP BY sample_id
@@ -157,9 +162,10 @@ SELECT sample_id, n_total, n_called, n_snp, n_het, n_hom_var, mean_dp, mean_gq,
   CASE WHEN n_total = 0 THEN 0.0 ELSE CAST(n_called AS DOUBLE) / n_total END AS call_rate,
   CASE WHEN n_hom_var = 0 THEN NULL ELSE CAST(n_het AS DOUBLE) / n_hom_var END AS het_hom_ratio,
   CASE WHEN _tv = 0 THEN NULL ELSE CAST(_ti AS DOUBLE) / _tv END AS ti_tv_ratio,
-  CASE WHEN _x_total > 0 THEN CAST(_x_het AS DOUBLE) / _x_total ELSE 0.0 END AS x_het_rate,
-  CASE WHEN (CASE WHEN _x_total > 0 THEN CAST(_x_het AS DOUBLE) / _x_total ELSE 0.0 END) <= 0.05 THEN 'M'
-       WHEN (CASE WHEN _x_total > 0 THEN CAST(_x_het AS DOUBLE) / _x_total ELSE 0.0 END) >= 0.15 THEN 'F'
+  CASE WHEN _x_total > 0 THEN CAST(_x_het AS DOUBLE) / _x_total END AS x_het_rate,
+  CASE WHEN _x_total = 0 THEN 'unknown'
+       WHEN (CAST(_x_het AS DOUBLE) / _x_total) <= 0.05 THEN 'M'
+       WHEN (CAST(_x_het AS DOUBLE) / _x_total) >= 0.15 THEN 'F'
        ELSE 'unknown' END AS sex_inferred,
   CASE WHEN _expected_het IS NULL OR _expected_het = 0.0 THEN NULL
        ELSE 1.0 - n_het / _expected_het END AS f_inbreeding,

@@ -91,7 +91,7 @@ object PrsFormats {
       .filter($"beta".isNotNull && $"standard_error".isNotNull && $"other_allele".isNotNull)
       .orderBy($"chrom", $"pos")
       .select(
-        regexp_replace($"chrom", "^chr", "").as("chr"),
+        graft.functions.GenomicsFunctions.bareChrom($"chrom").as("chr"),
         $"pos",
         $"other_allele".as("a0"),
         $"effect_allele".as("a1"),

@@ -42,8 +42,14 @@ object GwasReader {
       .option("sep", "\t").option("header", "true")
       .csv(path)
 
+    // first-wins aliasing: a TSV carrying BOTH 'snp' and 'rsid' (marker
+    // name plus rsid — common) must not rename both onto one canonical
+    // name, which would make every later col("rsid") reference ambiguous
+    // and crash the read
     val renamed = raw.columns.foldLeft(raw) { (df, c) =>
-      df.withColumnRenamed(c, normalizeColumn(c))
+      val canonical = normalizeColumn(c)
+      if (canonical != c && df.columns.contains(canonical)) df
+      else df.withColumnRenamed(c, canonical)
     }
 
     val missing = RequiredColumns -- renamed.columns.toSet

@@ -33,14 +33,33 @@ object LdBlocks {
     val base = if (hasExisting) variants.withColumnRenamed("ld_block_id", "_prev_block")
                else variants.withColumn("_prev_block", lit(null).cast("long"))
 
-    base
+    dedupeBlockMatches(base
+      .withColumn("_rid", monotonically_increasing_id())
       .join(broadcast(filtered),
-        regexp_replace($"chrom", "^chr", "") === $"b_chrom" &&
+        graft.functions.GenomicsFunctions.bareChrom($"chrom") === $"b_chrom" &&
           $"pos" >= $"b_start" && $"pos" <= $"b_end" &&
           $"_prev_block".isNull,
-        "left")
+        "left"))
       .withColumn("ld_block_id", coalesce($"_prev_block", $"b_block_id"))
       .drop("b_chrom", "b_start", "b_end", "b_block_id", "_prev_block")
+  }
+
+  /** One block per variant, row count preserved. Contiguous
+    * Berisa-Pickrell blocks share boundary positions, and the inclusive
+    * `[start, end]` containment (the reference's
+    * `int8range(..,'[]') @> pos`, `ld_blocks.py:188`) matches BOTH
+    * blocks there — the reference's UPDATE can only SET one value per
+    * row (arbitrary), but a join DUPLICATES the variant row, and the
+    * `annotate-ld-blocks` verb would persist the duplicate into the
+    * store. Keep the deterministic best match: smallest (start, id). */
+  private def dedupeBlockMatches(joined: DataFrame): DataFrame = {
+    import joined.sparkSession.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"_rid")
+      .orderBy($"b_start".asc_nulls_last, $"b_block_id".asc_nulls_last)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .drop("_rid", "_rn")
   }
 
   /** The at-scale form of [[assignBlocks]]: fixed-width genomic binning
@@ -76,14 +95,15 @@ object LdBlocks {
     val base = if (hasExisting) variants.withColumnRenamed("ld_block_id", "_prev_block")
                else variants.withColumn("_prev_block", lit(null).cast("long"))
 
-    base
-      .withColumn("_bare_chrom", regexp_replace($"chrom", "^chr", ""))
+    dedupeBlockMatches(base
+      .withColumn("_rid", monotonically_increasing_id())
+      .withColumn("_bare_chrom", graft.functions.GenomicsFunctions.bareChrom($"chrom"))
       .withColumn("_bin", ($"pos" / binSize).cast("long"))
       .join(exploded,
         $"_bare_chrom" === $"b_chrom" && $"_bin" === $"b_bin" &&
           $"pos" >= $"b_start" && $"pos" <= $"b_end" &&
           $"_prev_block".isNull,
-        "left")
+        "left"))
       .withColumn("ld_block_id", coalesce($"_prev_block", $"b_block_id"))
       .drop("b_chrom", "b_start", "b_end", "b_block_id", "b_bin",
         "_prev_block", "_bare_chrom", "_bin")

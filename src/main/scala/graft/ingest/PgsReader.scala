@@ -105,9 +105,13 @@ object PgsReader {
     val raw = spark.read
       .option("sep", "\t").option("header", "true").option("comment", "#")
       .csv(path)
+    // first-wins aliasing (see GwasReader.read): two source headers
+    // mapping to one canonical name must not produce duplicate columns
     val renamed = raw.columns.foldLeft(raw) { (df, c) =>
       val n = c.toLowerCase.trim
-      df.withColumnRenamed(c, ColumnAliases.getOrElse(n, n))
+      val canonical = ColumnAliases.getOrElse(n, n)
+      if (canonical != c && df.columns.contains(canonical)) df
+      else df.withColumnRenamed(c, canonical)
     }
     def opt(c: String, t: DataType): org.apache.spark.sql.Column =
       if (renamed.columns.contains(c)) trim(col(c)).cast(t) else lit(null).cast(t)

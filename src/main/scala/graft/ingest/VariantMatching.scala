@@ -24,7 +24,7 @@ object VariantMatching {
     * monotonically_increasing_id (SURVEY §7 risk 4), and engine-portable
     * (md5-derived, reproducible by the DuckDB oracle). */
   def variantIdCol(chrom: Column, pos: Column, ref: Column, alt: Column): Column =
-    stableId(regexp_replace(chrom, "^chr", ""), pos, upper(ref), upper(alt))
+    stableId(graft.functions.GenomicsFunctions.bareChrom(chrom), pos, upper(ref), upper(alt))
 
   def withVariantId(variants: DataFrame): DataFrame = {
     import variants.sparkSession.implicits._
@@ -50,7 +50,7 @@ object VariantMatching {
 
     val v = withVariantId(variants)
       .select(
-        regexp_replace(col("chrom"), "^chr", "").as("m_chrom"),
+        graft.functions.GenomicsFunctions.bareChrom(col("chrom")).as("m_chrom"),
         col("pos").as("m_pos"),
         upper(col("ref")).as("m_ref"),
         upper(col("alt")).as("m_alt"),
@@ -77,7 +77,7 @@ object VariantMatching {
       .filter(col(oaCol).isNotNull && col(oaCol) =!= "")
       .select(
         $"_sid",
-        regexp_replace(col(chromCol), "^chr", "").as("j_chrom"),
+        graft.functions.GenomicsFunctions.bareChrom(col(chromCol)).as("j_chrom"),
         col(posCol).as("j_pos"),
         explode(array(
           struct(oa.as("j_ref"), ea.as("j_alt"), lit(1).as("prio")),
@@ -190,7 +190,7 @@ object VariantMatching {
 
     val matches = vk
       .join(broadcast(panel),
-        regexp_replace(vk("chrom"), "^chr", "") === panel("chrom") &&
+        graft.functions.GenomicsFunctions.bareChrom(vk("chrom")) === panel("chrom") &&
           vk("pos") === panel("position") &&
           (exactMatch || compMatch))
       .groupBy($"variant_id")

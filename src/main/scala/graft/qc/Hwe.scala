@@ -6,13 +6,19 @@ import org.apache.spark.sql.functions.udf
 /** Hardy-Weinberg equilibrium exact test (Wigginton, Cutler & Abecasis,
   * Am J Hum Genet 2005; DOI 10.1086/429864).
   *
-  * Exact behavioral twin of the reference implementation
+  * Behavioral twin of the reference implementation
   * (`qc/variant_qc.py:110-238`, plpgsql form
-  * `validation/sql_functions.py:28-156`), including its edge cases:
-  * n=0 → NaN, monomorphic → 1.0, impossible het count → NaN. The
-  * function takes already-aggregated genotype counts, so on Spark it is a
-  * scalar UDF applied after the per-variant aggregation (SURVEY §2.11) —
-  * not a UDAF.
+  * `validation/sql_functions.py:28-156`) for its edge cases: n=0 → NaN,
+  * monomorphic → 1.0, impossible het count → NaN, and the odd-lattice
+  * quirk below. ONE deliberate deviation: the downward het recursion
+  * uses the paper's denominator (4·(homA+1)·(homB+1), the hom counts at
+  * the destination), where the reference divides by the source hom
+  * counts and aborts when they reach zero — that skews every
+  * even-lattice p-value below the mid point (e.g. (het=0,hr=1,ha=1):
+  * reference 0.0, Wigginton 1/3). Values here match the exact
+  * lgamma-based DuckDB oracle. The function takes already-aggregated
+  * genotype counts, so on Spark it is a scalar UDF applied after the
+  * per-variant aggregation (SURVEY §2.11) — not a UDAF.
   */
 object Hwe {
 
@@ -80,12 +86,16 @@ object Hwe {
       else {
         val nAa = (nA - cur) / 2
         val nBb = (nB - cur) / 2
-        if (nAa <= 0 || nBb <= 0) break1 = true
-        else {
-          probs(prev) = probs(cur) * cur * (cur - 1) / (4.0 * nAa * nBb)
-          total += probs(prev)
-          cur = prev
-        }
+        // canonical Wigginton: the denominator hom counts are those at
+        // the DESTINATION het count (nAa+1, nBb+1 — P(h-2)/P(h) =
+        // h(h-1) / (4(homA+1)(homB+1))), never zero, so no early break.
+        // The reference's recursion divides by the SOURCE hom counts and
+        // bails when they hit zero (`variant_qc.py:201-214`) — a
+        // documented deviation we do NOT reproduce: it skews every
+        // even-lattice tail below the mid point.
+        probs(prev) = probs(cur) * cur * (cur - 1) / (4.0 * (nAa + 1) * (nBb + 1))
+        total += probs(prev)
+        cur = prev
       }
     }
 

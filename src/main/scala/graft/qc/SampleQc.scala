@@ -63,8 +63,14 @@ object SampleQc {
       // X heterozygosity inside the non-PAR window (`:469-492`)
       sum(when($"_on_x", 1).otherwise(0)).as("_x_total"),
       sum(when($"_on_x" && $"_cls" === "het", 1).otherwise(0)).as("_x_het"),
-      // expected het Σ 2·maf·(1−maf) (`:494-505`)
-      sum(when($"maf".isNotNull && !isnan($"maf"),
+      // expected het Σ 2·maf·(1−maf) over the sample's CALLED sites —
+      // the reference sums over every row with a maf (`:494-505`,
+      // missing calls included), which inflates F = 1 − obs/exp by
+      // exactly the missingness rate (50% missing ⇒ F ≈ 0.5 for a
+      // perfectly HWE-consistent sample). Deliberate deviation: F is
+      // an observed-vs-expected ratio and both sides must condition on
+      // the same rows.
+      sum(when($"_called" && $"maf".isNotNull && !isnan($"maf"),
         lit(2.0) * $"maf" * (lit(1.0) - $"maf"))).as("_expected_het"),
       // singletons: sample carries the alt and site MAC == 1 (`:507-519`)
       sum(when($"_carries_alt" && $"mac" === 1, 1).otherwise(0)).as("n_singleton"))
@@ -78,10 +84,17 @@ object SampleQc {
       .withColumn("ti_tv_ratio",
         when($"_tv" === 0, lit(null).cast(DoubleType))
           .otherwise($"_ti".cast(DoubleType) / $"_tv"))
+      // NULL when the sample has no non-PAR chrX rows — the reference
+      // defaults to 0.0 (`:491`), which its infer_sex then reads as
+      // hemizygosity and calls EVERY sample in an autosome-only panel
+      // 'M'. Deliberate deviation: absence of X data is not evidence of
+      // maleness; no data → unknown.
       .withColumn("x_het_rate",
-        when($"_x_total" > 0, $"_x_het".cast(DoubleType) / $"_x_total").otherwise(0.0))
+        when($"_x_total" > 0, $"_x_het".cast(DoubleType) / $"_x_total")
+          .otherwise(lit(null).cast(DoubleType)))
       .withColumn("sex_inferred",
-        when($"x_het_rate" <= config.maleXHetThreshold, "M")
+        when($"x_het_rate".isNull, "unknown")
+          .when($"x_het_rate" <= config.maleXHetThreshold, "M")
           .when($"x_het_rate" >= config.femaleXHetThreshold, "F")
           .otherwise("unknown"))
       .withColumn("f_inbreeding",

@@ -40,31 +40,52 @@ object PhiSanitizer {
   private val CommandLineQuoted = """CommandLine="[^"]*"""".r
   private val CommandLineAngled = """CommandLine=<[^>]*>""".r
 
+  // preserve only when the EXACT field id is reference/assembly — a
+  // word-boundary match, not a substring test: the reference's
+  // `f"id={key}" in line.lower()` (`header_sanitizer.py:166-168`) lets
+  // '##INFO=<ID=ReferenceBias,Description="...jsmith@hospital.org...">'
+  // skip sanitization entirely because 'id=referencebias' CONTAINS
+  // 'id=reference'. Deliberate tightening: substring-preserve is a PHI
+  // leak, not a semantics choice.
+  private val PreserveIdRe =
+    ("(?i)id=(" + PreserveIdFields.mkString("|") + ")\\b").r
+  private val PreservedTokenRe =
+    ("(?i)\\b(" + PreserveIdFields.mkString("|") + ")\\b").r
+
   def sanitizeLine(line: String): (String, Seq[Redaction]) = {
     // only ## meta lines are sanitized (`header_sanitizer.py:129-137`)
     if (!line.startsWith("##")) (line, Nil)
-    // CommandLine is wholesale-redacted first (`:149-163`)
-    else if (line.contains("CommandLine")) {
-      var out = CommandLineQuoted.replaceAllIn(line, "CommandLine=\"[REDACTED]\"")
-      out = CommandLineAngled.replaceAllIn(out, "CommandLine=<[REDACTED]>")
-      if (out == line) (line, Nil)
-      else (out, Seq(Redaction("CommandLine", "commandline")))
-    } else if (PreserveIdFields.exists(k => line.toLowerCase.contains(s"id=$k")))
-      (line, Nil)
     else {
+      // CommandLine is wholesale-redacted first (`:149-163`) — but the
+      // REST of the line (and a bare unquoted CommandLine value the two
+      // shapes miss) still goes through the builtin patterns below: the
+      // reference returns early here, leaving e.g.
+      // '##source_CommandLine=bwa /home/jsmith MRN:12345' fully intact.
+      // Deliberate tightening: an early return on a partial redaction is
+      // a PHI leak.
       var out = line
       val hits = scala.collection.mutable.ArrayBuffer[Redaction]()
-      BuiltinPatterns.foreach { case (re, cat) =>
-        val matches = re.findAllIn(out).toSeq
-          .filterNot(m => PreserveIdFields.exists(m.toLowerCase.contains(_)))
-        if (matches.nonEmpty) {
-          matches.foreach { m =>
-            hits += Redaction(m, cat)
-            out = out.replace(m, "[REDACTED]")
+      if (line.contains("CommandLine")) {
+        out = CommandLineQuoted.replaceAllIn(out, "CommandLine=\"[REDACTED]\"")
+        out = CommandLineAngled.replaceAllIn(out, "CommandLine=<[REDACTED]>")
+        if (out != line) hits += Redaction("CommandLine", "commandline")
+      }
+      // preserve skips only the pattern scan (never the CommandLine
+      // redaction above)
+      if (PreserveIdRe.findFirstIn(out).isDefined) (out, hits.toSeq)
+      else {
+        BuiltinPatterns.foreach { case (re, cat) =>
+          val matches = re.findAllIn(out).toSeq
+            .filterNot(m => PreservedTokenRe.findFirstIn(m).isDefined)
+          if (matches.nonEmpty) {
+            matches.foreach { m =>
+              hits += Redaction(m, cat)
+              out = out.replace(m, "[REDACTED]")
+            }
           }
         }
+        (out, hits.toSeq)
       }
-      (out, hits.toSeq)
     }
   }
 
@@ -82,11 +103,13 @@ object PhiSanitizer {
 
   final case class Detection(value: String, category: String, context: String)
 
-  /** Run every builtin pattern over one value (`detector.py:61-120`). */
+  /** Run every builtin pattern over one value (`detector.py:61-120`);
+    * preserved tokens are word-boundary matches, not substrings (see
+    * sanitizeLine). */
   def scanValue(value: String, context: String): Seq[Detection] =
     BuiltinPatterns.flatMap { case (re, cat) =>
       re.findAllIn(value).toSeq
-        .filterNot(m => PreserveIdFields.exists(m.toLowerCase.contains(_)))
+        .filterNot(m => PreservedTokenRe.findFirstIn(m).isDefined)
         .map(m => Detection(m, cat, context))
     }
 

@@ -70,8 +70,13 @@ object PopulationFreq {
     filtered
       .filter($"af".isNotNull)
       .groupBy($"variant_id")
-      .agg(max_by(struct($"af", $"population"),
-        struct($"af", lit(-1) * ascii(substring($"population", 1, 1)))).as("m"))
+      // min_by over (-af, population): af descending, then the FULL
+      // population name ascending — a first-character tiebreak would
+      // leave AFR-vs-AMR (or any shared-initial pair) af ties
+      // nondeterministic across partitionings, diverging from the
+      // oracle's ORDER BY af DESC, population ASC
+      .agg(min_by(struct($"af", $"population"),
+        struct((lit(-1.0) * $"af").as("neg_af"), $"population")).as("m"))
       .select($"variant_id", $"m.af".as("popmax_af"), $"m.population".as("popmax_population"))
   }
 }

@@ -288,11 +288,22 @@ object VcfReader {
       .withColumn("phased", gt.contains("|"))
       .withColumn("a1_line", a1)
       .withColumn("a2_line", a2)
-      // canonical GT string from parsed alleles (`_format_gt`, loader:377-395)
-      .withColumn("gt", concat_ws("",
-        coalesce($"a1_line".cast(StringType), lit(".")),
-        when($"phased", "|").otherwise("/"),
-        coalesce($"a2_line".cast(StringType), lit("."))))
+      // canonical GT string from parsed alleles (`_format_gt`,
+      // loader:377-395) — EXCEPT haploid calls, which keep their
+      // single-allele form: the reference's _format_gt pads "1" to
+      // "1/." (cyvcf2 yields a2 = -1), which then makes its own
+      // haploid counting branch (`variant_qc.py:36-44`) unreachable and
+      // misclassifies every male chrX/Y and MT call as half-missing.
+      // Preserving "1" keeps the documented haploid semantics live:
+      // VariantQc.genotypeClass counts it hom_ref/hom_alt.
+      .withColumn("gt",
+        when($"a1_line".isNotNull &&
+            !$"gt_raw".contains("/") && !$"gt_raw".contains("|"),
+          $"a1_line".cast(StringType))
+        .otherwise(concat_ws("",
+          coalesce($"a1_line".cast(StringType), lit(".")),
+          when($"phased", "|").otherwise("/"),
+          coalesce($"a2_line".cast(StringType), lit(".")))))
       .withColumn("gq", nullIfDot(fmt("GQ")).cast(IntegerType))
       .withColumn("dp", nullIfDot(fmt("DP")).cast(IntegerType))
       .withColumn("ad", transform(split(fmt("AD"), ","),

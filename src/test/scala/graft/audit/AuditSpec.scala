@@ -343,4 +343,19 @@ class PhiSanitizerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r.lines(2) == lines(2))                       // assembly preserved
     assert(r.lines(3) == "##GATKCommandLine=<[REDACTED]>") // both sub forms apply, like the reference
   }
+
+  test("preserve is exact-field, and CommandLine lines still get the pattern scan") {
+    // 'ID=ReferenceBias' must NOT ride the id=reference preserve check
+    // (the reference's substring test lets it leak), and a bare unquoted
+    // CommandLine value must still face the builtin patterns (the
+    // reference returns early and leaks it wholesale)
+    val lines = Seq(
+      "##INFO=<ID=ReferenceBias,Description=\"contact jsmith@hospital.org\">",
+      "##source_CommandLine=bwa mem /home/jsmith/ref.fa MRN:12345")
+    val r = PhiSanitizer.sanitizeHeader(lines)
+    assert(!r.lines(0).contains("jsmith@hospital.org"),
+      s"substring preserve leaked: ${r.lines(0)}")
+    assert(!r.lines(1).contains("/home/jsmith"), s"leaked: ${r.lines(1)}")
+    assert(!r.lines(1).contains("12345"), s"leaked: ${r.lines(1)}")
+  }
 }

@@ -32,6 +32,19 @@ class GwasReaderSpec extends SparkSpec {
     assert(r.getAs[String]("rsid") == "rs123")
   }
 
+  test("two source headers mapping to one canonical name keep one column") {
+    // a GWAS TSV carrying BOTH 'snp' and 'rsid' must not rename both
+    // onto 'rsid' (duplicate columns → every later col() reference is
+    // ambiguous and the read crashes); first-wins
+    val p = java.nio.file.Files.createTempFile("gwas_dup", ".tsv")
+    java.nio.file.Files.writeString(p,
+      "snp\trsid\tchromosome\tbase_pair_location\teffect_allele\tother_allele\tbeta\tp_value\n" +
+      "mk1\trs42\t1\t1000\tA\tG\t0.1\t0.05\n")
+    val df = GwasReader.read(spark, p.toString)
+    assert(df.columns.count(_ == "rsid") == 1)
+    assert(df.select("rsid").head().getString(0) == "rs42")
+  }
+
   test("missing required column raises") {
     val p = writeTsv("chr\tpos\tea\tpval", "1\t100\tA\t0.5")
     val e = intercept[GwasReader.GwasParseError](GwasReader.read(spark, p))
@@ -222,6 +235,26 @@ class VariantMatchingSpec extends SparkSpec {
     assert(none.isNullAt(none.fieldIndex("ld_block_id"))) // chr9 has no blocks in EUR file? (file covers chr1..)
   }
 
+  test("a variant on a shared block boundary assigns ONE block, row count kept") {
+    // contiguous blocks share boundary positions under inclusive
+    // containment; the join must not duplicate the variant row (the
+    // reference's UPDATE can't — our join previously could, and the
+    // annotate-ld-blocks verb persists the result into the store)
+    val blocks = Seq(
+      ("1", 100L, 200L, "EUR", "GRCh37", 11L),
+      ("1", 200L, 300L, "EUR", "GRCh37", 22L))
+      .toDF("chrom", "start_pos", "end_pos", "population", "genome_build", "block_id")
+    val v = Seq(("chr1", 200L, "A", "G"), ("chr1", 150L, "C", "T"))
+      .toDF("chrom", "pos", "ref", "alt")
+    Seq(LdBlocks.assignBlocks(v, blocks, "EUR"),
+        LdBlocks.assignBlocksBinned(v, blocks, "EUR")).foreach { out =>
+      assert(out.count() == 2, "boundary match duplicated a variant row")
+      val boundary = out.filter($"pos" === 200L).head()
+      // deterministic smallest (start, id): the earlier block wins
+      assert(boundary.getAs[Long]("ld_block_id") == 11L)
+    }
+  }
+
   test("binned LD assignment ≡ broadcast interval join, and plans as a " +
     "shuffle equi-join (the broadcast-too-big scale path)") {
     val v = graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf"))
@@ -346,5 +379,17 @@ class PopulationFreqSpec extends SparkSpec {
     // FIN excluded: rs1 popmax = AFR 0.2 (not FIN 0.9); rs2 = NFE 0.4
     val byVid = pm.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
     assert(byVid.values.toSet == Set((0.2, "AFR"), (0.4, "NFE")))
+  }
+
+  test("popmax af ties break on the FULL population name") {
+    // AFR vs AMR share a first character: a first-char tiebreak leaves
+    // the winner nondeterministic across partitionings (and divergent
+    // from the oracle's ORDER BY af DESC, population ASC)
+    val long = Seq(
+      (1L, "AMR", 0.25), (1L, "AFR", 0.25), (1L, "NFE", 0.10))
+      .toDF("variant_id", "population", "af")
+    val pm = PopulationFreq.popmax(long).head()
+    assert(pm.getAs[String]("popmax_population") == "AFR")
+    assert(pm.getAs[Double]("popmax_af") == 0.25)
   }
 }

