@@ -58,7 +58,13 @@ object GenomicsFunctions {
   def tiTvClass(ref: Column, alt: Column): Column = {
     val r = upper(ref)
     val a = upper(alt)
-    when(length(r) =!= 1 || length(a) =!= 1 || r === a, lit(null).cast(StringType))
+    // null allele first AND explicitly: a NULL ref makes every condition
+    // below evaluate to SQL NULL (not true), which would fall through
+    // both when() branches into otherwise("transversion") — a null-allele
+    // row must classify NULL, not deflate the Ti/Tv ratio
+    when(r.isNull || a.isNull ||
+        length(r) =!= 1 || length(a) =!= 1 || r === a,
+        lit(null).cast(StringType))
       .when((r === "A" && a === "G") || (r === "G" && a === "A") ||
             (r === "C" && a === "T") || (r === "T" && a === "C"), "transition")
       .otherwise("transversion")

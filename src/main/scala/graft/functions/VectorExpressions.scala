@@ -46,7 +46,12 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch → NULL, matching the zip_with+aggregate HOF twin
+    // (whose null-padding poisons the fold): a 384-dim query against a
+    // 768-dim corpus must not rank neighbors on a silently truncated
+    // partial dot product
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemIsFloat(left)
     val rf = elemIsFloat(right)
     var sum = 0.0
@@ -70,14 +75,18 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $sum += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $sum += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |    }
          |  }
+         |  ${ev.value} = $sum;
          |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
   }

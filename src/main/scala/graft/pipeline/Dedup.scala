@@ -223,7 +223,13 @@ object Dedup {
     sig
   }
 
-  val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+  // null-in → null-out, matching the native SimHash64 expression's
+  // nullSafeEval short-circuit (a 0L here would make the twins diverge
+  // on null-text documents: signature 0 clusters with empty-text docs,
+  // NULL drops out of the banded join)
+  val simhashUdf = udf((toks: Seq[String]) =>
+    if (toks == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(simhash64(toks)))
 
   /** Near-dup pairs by SimHash: band the 64-bit signature into
     * maxHamming+1 chunks — by pigeonhole, a pair within maxHamming bit

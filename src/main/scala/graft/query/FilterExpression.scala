@@ -38,8 +38,11 @@ object FilterExpression {
         if (t.nonEmpty && (t.head == '"' || t.head == '\'')) t
         else opMap.getOrElse(t, t)
       }
-      .mkString(" ")
-      .replaceAll("\\s+", " ").trim
+      // mkString(" ") already single-spaces the token stream; a trailing
+      // replaceAll("\\s+") could only ever touch whitespace INSIDE quoted
+      // string literals — corrupting the literal ('A  B' → 'A B'), the
+      // exact bug class the token-map rebuild exists to avoid
+      .mkString(" ").trim
   }
 
   /** Validation errors: unknown fields, unbalanced parens, unclosed
@@ -55,10 +58,16 @@ object FilterExpression {
         errors += s"Unknown field: '$token'"
     }
 
+    // parens inside quoted literals are data, not grammar — track string
+    // state so note == '(intronic' doesn't read as unbalanced
     var depth = 0
     var reported = false
+    var inStr = false
+    var strCh: Char = 0
     expression.foreach { c =>
-      if (c == '(') depth += 1
+      if (inStr) { if (c == strCh) inStr = false }
+      else if (c == '"' || c == '\'') { inStr = true; strCh = c }
+      else if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       if (depth < 0 && !reported) { errors += "Unbalanced parentheses"; reported = true }
     }

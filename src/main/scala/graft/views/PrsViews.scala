@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object PrsViews {
 
-  /** F4 — the PRS candidate predicate (`views/prs_views.py:68-72`). */
-  def prsReadyFilter(df: DataFrame): DataFrame = {
-    import df.sparkSession.implicits._
-    df.filter($"in_hapmap3" === true && $"info_score" >= 0.6 &&
-      $"call_rate" >= 0.98 && $"hwe_p" > 1e-6 && $"maf" >= 0.01)
-  }
+  /** F4 — the PRS candidate predicate (`views/prs_views.py:68-72`), the
+    * ONE definition: the filter and the summary that reports its count
+    * must never drift apart on a threshold tweak. */
+  val prsReadyPredicate: org.apache.spark.sql.Column =
+    col("in_hapmap3") === true && col("info_score") >= 0.6 &&
+      col("call_rate") >= 0.98 && col("hwe_p") > 1e-6 && col("maf") >= 0.01
+
+  def prsReadyFilter(df: DataFrame): DataFrame =
+    df.filter(prsReadyPredicate)
 
   /** `prs_candidate_variants` (`views/prs_views.py:26-83`): F4 filter,
     * three per-population LEFT JOINs against the long frequency table,
@@ -53,8 +56,7 @@ object PrsViews {
     * (`views/prs_views.py:85-111`). */
   def variantQcSummary(variants: DataFrame): DataFrame = {
     import variants.sparkSession.implicits._
-    val prsReady = $"in_hapmap3" === true && $"info_score" >= 0.6 &&
-      $"call_rate" >= 0.98 && $"hwe_p" > 1e-6 && $"maf" >= 0.01
+    val prsReady = prsReadyPredicate
     variants.agg(
       count(lit(1)).as("total_variants"),
       sum(when($"in_hapmap3" === true, 1).otherwise(0)).as("hapmap3_variants"),
@@ -78,9 +80,9 @@ object PrsViews {
   }
 
   /** Refresh orchestration (`views/prs_views.py:133-159`): recompute each
-    * view and persist as parquet under `baseDir/<view>`, returning per-view
-    * wall seconds. Variants parquet partitioned by chrom for pruning.
-    */
+    * view and persist as parquet under `baseDir/<view>`, returning
+    * per-view wall seconds. Views are summary-sized (the store itself is
+    * what's chrom-partitioned), so they write unpartitioned. */
   def refresh(baseDir: String, views: Map[String, DataFrame]): Map[String, Double] =
     views.map { case (name, df) =>
       val t0 = System.nanoTime()

@@ -28,6 +28,11 @@ class VectorExpressionsSpec extends SparkSpec {
     // null-safe: null array → null result
     val n = spark.sql("SELECT vec_dot(CAST(NULL AS ARRAY<FLOAT>), array(1.0F)) AS d").head()
     assert(n.isNullAt(0))
+    // dimension mismatch → null (matching the HOF twin's null-padded
+    // fold), never a silently truncated partial dot product
+    val m = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F)) AS d").head()
+    assert(m.isNullAt(0), "mismatched dims must yield NULL, not a partial sum")
   }
 
   test("codegen path executes (no fallback errors) on a join-shaped plan") {
