@@ -369,6 +369,18 @@ object Graft {
                   gDrop, tmps(s"$db/genotypes"))))
             }
           }
+          // One schema for every store, reference-style: the variants
+          // table carries the QC columns even when the file had no
+          // FORMAT/sample section, null until filled
+          // (`schema.py:110-187`). Without this, a cohort mixing
+          // sample-less and genotyped files trips the schema-evolution
+          // full rewrite on the second load (an O(store) cost for an
+          // O(batch) file); with it, both load shapes produce identical
+          // columns and stay on the append path.
+          graft.qc.VariantQc.joinedColumns.foreach { case (c, t) =>
+            if (!v.columns.contains(c))
+              v = v.withColumn(c, lit(null).cast(t))
+          }
           // §2.13 append-only cohort: a db accumulates ONE batch per VCF.
           // The reference deletes only the SAME file's previous batch and
           // otherwise appends (`loader.py:244-252`; the acceptance
@@ -451,6 +463,14 @@ object Graft {
             extra.isEmpty && typeDrift.isEmpty && rsidCovering && geneReady
           }
           var batchN = -1L
+          // EVERY load path caches the parsed batch and counts it first:
+          // the count fills the cache (so later writes read materialized
+          // rows instead of re-running parse+QC — repartitionByRange
+          // alone executes its input twice, once sampling range bounds
+          // and once shuffling) and the count IS the per-batch ledger
+          // number, replacing the fresh-db footer re-scan and the
+          // force-reload's post-write store filter. A batch is one VCF —
+          // MEMORY_AND_DISK spills rather than OOMs at cohort scale.
           if (canAppend) {
             // one computation of the batch serves all three appends and
             // the ledger count: the count runs FIRST, filling the cache,
@@ -461,7 +481,7 @@ object Graft {
             val vc = alignTo(vWithId, storeSchema).persist(
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
-              batchN = vc.count()
+              batchN = progress.stage("parse_count")(vc.count())
               // flag only once writes may have landed files — a failure
               // in the count above needs no store rollback
               appendedV = true
@@ -479,50 +499,73 @@ object Graft {
             // cached probe listing (same-JVM); swaps don't need this
             Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
               graft.query.PointLookup.invalidateListings(s"$db/$t"))
-          } else if (!storeExists && vWithId.isEmpty) {
-            // a zero-variant batch on a FRESH db (headers but no records)
-            // must not create the store at all: writing an empty table
-            // leaves a marker-only directory no later read can infer a
-            // schema from, poisoning every subsequent load. The ledger
-            // still records completed/0 below (the reference loads 0
-            // rows into pre-existing tables; here no table = no rows).
-            // The isEmpty probe costs one first-row parse attempt and
-            // runs only on this fresh-db arm.
-            batchN = 0L
           } else {
-            val base =
-              if (storeExists) {
+            val vc = vWithId.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              batchN = progress.stage("parse_count")(vc.count())
+              if (!storeExists && batchN == 0 && swaps.isEmpty) {
+                // a zero-variant batch on a FRESH db (headers but no
+                // records) must not create the store at all: writing an
+                // empty table leaves a marker-only directory no later
+                // read can infer a schema from, poisoning every
+                // subsequent load. The ledger still records completed/0
+                // below (the reference loads 0 rows into pre-existing
+                // tables; here no table = no rows).
+              } else if (!storeExists) {
+                // fresh db: all three tables derive from the CACHED
+                // batch, so they are independent of each other — one
+                // concurrent group (plus any pending genotype swap),
+                // same all-or-nothing swap
+                progress.stage("write_tables") {
+                  graft.sinks.Writers.replaceInPlaceAllStagedGrouped(Seq(
+                    swaps.toSeq ++ Seq[(String, Map[String, String] => Unit)](
+                      (s"$db/variants",
+                        tmps => graft.sinks.Writers.writeVariants(
+                          vc, tmps(s"$db/variants"))),
+                      (s"$db/rsid_idx",
+                        tmps => graft.sinks.Writers.writeRsidIndex(
+                          vc, tmps(s"$db/rsid_idx"))),
+                      (s"$db/gene_idx",
+                        tmps => graft.sinks.Writers.writeGeneIndex(
+                          vc, tmps(s"$db/gene_idx"))))))
+                }
+              } else {
                 val survivors = prevBatch match {
                   case Some(b) => graft.audit.Audit.dropBatch(variants, b)
                   case None    => variants
                 }
-                survivors.unionByName(v, allowMissingColumns = true)
-              } else v
-            swaps += ((s"$db/variants",
-              tmps => graft.sinks.Writers.writeVariants(
-                graft.ingest.VariantMatching.withVariantId(base),
-                tmps(s"$db/variants"))))
-            // K1b/K1d: the rsID and gene secondary projections are cheap
-            // column scans of the freshly STAGED variants data (not a
-            // re-run of the parse), and commit in the same all-or-nothing
-            // swap as the variants table — no window where a new store is
-            // live with a stale index (the reference recreates indexes
-            // inside the load transaction, `schema.py:347-359`). They
-            // stage as one concurrent GROUP: both scan the staged
-            // variants temp and are independent of each other
-            val projections = Seq[(String, Map[String, String] => Unit)](
-              (s"$db/rsid_idx",
-                tmps => graft.sinks.Writers.writeRsidIndex(
-                  spark.read.parquet(tmps(s"$db/variants")),
-                  tmps(s"$db/rsid_idx"))),
-              (s"$db/gene_idx",
-                tmps => graft.sinks.Writers.writeGeneIndex(
-                  spark.read.parquet(tmps(s"$db/variants")),
-                  tmps(s"$db/gene_idx"))))
-            progress.stage("write_tables") {
-              graft.sinks.Writers.replaceInPlaceAllStagedGrouped(
-                swaps.toSeq.map(Seq(_)) :+ projections)
-            }
+                val base = survivors.unionByName(vc,
+                  allowMissingColumns = true)
+                swaps += ((s"$db/variants",
+                  tmps => graft.sinks.Writers.writeVariants(
+                    graft.ingest.VariantMatching.withVariantId(base),
+                    tmps(s"$db/variants"))))
+                // K1b/K1d: the rsID and gene secondary projections are
+                // cheap column scans of the freshly STAGED variants data
+                // (store-sized here, so NOT re-derived from the batch
+                // cache), and commit in the same all-or-nothing swap as
+                // the variants table — no window where a new store is
+                // live with a stale index (the reference recreates
+                // indexes inside the load transaction,
+                // `schema.py:347-359`). They stage as one concurrent
+                // GROUP: both scan the staged variants temp and are
+                // independent of each other
+                val projections = Seq[(String, Map[String, String] => Unit)](
+                  (s"$db/rsid_idx",
+                    tmps => graft.sinks.Writers.writeRsidIndex(
+                      spark.read.parquet(tmps(s"$db/variants")),
+                      tmps(s"$db/rsid_idx"))),
+                  (s"$db/gene_idx",
+                    tmps => graft.sinks.Writers.writeGeneIndex(
+                      spark.read.parquet(tmps(s"$db/variants")),
+                      tmps(s"$db/gene_idx"))))
+                progress.stage("write_tables") {
+                  graft.sinks.Writers.replaceInPlaceAllStagedGrouped(
+                    swaps.toSeq.map(Seq(_)) :+ projections)
+                }
+              }
+            } finally vc.unpersist()
           }
           // the APPEND paths accumulate files across loads; --compact
           // folds the fold-back into this load (pre-commit, so a failure
@@ -556,16 +599,12 @@ object Graft {
             }
           // per-BATCH count, not the whole store's: the ledger row records
           // what THIS file contributed (reference `variants_loaded`,
-          // `loader.py:547-560`). The append path counted its cached
-          // batch (O(batch)); a fresh db IS the batch, so its count comes
-          // from the written footers (O(files) metadata, no re-scan);
-          // only the force-reload rewrite pays a column-pruned store scan.
+          // `loader.py:547-560`). Every path counted its cached batch
+          // above — O(batch), never a store scan. The footer fallback is
+          // defensive only (batchN is always set on the paths above).
           val n =
             if (batchN >= 0) batchN
-            else if (!storeExists)
-              graft.sinks.Writers.parquetRowCount(s"$db/variants")
-            else spark.read.parquet(s"$db/variants")
-              .filter($"load_batch_id" === batchId).count()
+            else graft.sinks.Writers.parquetRowCount(s"$db/variants")
           if (n == 0) {
             // a zero-variant batch (e.g. a VCF with headers but no
             // records) must not leave schema-less marker directories: a

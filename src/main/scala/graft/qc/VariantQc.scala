@@ -37,6 +37,18 @@ object VariantQc {
     * HWE UDF runs on the aggregated row (one call per variant, not per
     * genotype).
     */
+  /** The columns `fromGenotypes` contributes to a variants row once the
+    * load drops `n_samples` before its QC join. The reference's variants
+    * table carries every QC column regardless of whether the file had a
+    * FORMAT/sample section, null until filled (`schema.py:110-187`) — a
+    * sample-less load adds these as typed nulls so every store shares
+    * one schema and mixed cohorts stay on the O(batch) append path. */
+  val joinedColumns: Seq[(String, org.apache.spark.sql.types.DataType)] = Seq(
+    "n_het" -> IntegerType, "n_hom_ref" -> IntegerType,
+    "n_hom_alt" -> IntegerType, "n_called" -> IntegerType,
+    "call_rate" -> DoubleType, "aaf" -> DoubleType,
+    "maf" -> DoubleType, "mac" -> IntegerType, "hwe_p" -> DoubleType)
+
   def fromGenotypes(genotypes: DataFrame): DataFrame = {
     import genotypes.sparkSession.implicits._
     val cls = genotypeClass($"gt", $"a1", $"a2")

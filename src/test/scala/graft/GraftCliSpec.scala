@@ -503,6 +503,67 @@ class GraftCliSpec extends SparkSpec {
     checkRegion()
   }
 
+  test("mixed sample-less / genotyped / --normalize cohort stays on the append path") {
+    // The schema-widening trap (reference: the variants table carries
+    // EVERY column regardless of the file's FORMAT content, null until
+    // filled — `schema.py:110-187`): a sample-less load must produce the
+    // SAME store schema as a genotyped one, so loading file A without
+    // samples then file B with samples (or mixing --normalize) appends
+    // O(batch) instead of tripping the schema-evolution full rewrite.
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfDir = Files.createTempDirectory("mixvcf")
+    val noSamples = vcfDir.resolve("nosamples.vcf").toString
+    val withSamples = vcfDir.resolve("samples.vcf").toString
+    val normed = vcfDir.resolve("normed.vcf").toString
+    graft.vcf.SyntheticVcf.write(noSamples, 800, samples = Seq.empty,
+      seed = 71L)
+    graft.vcf.SyntheticVcf.write(withSamples, 800, seed = 72L)
+    graft.vcf.SyntheticVcf.write(normed, 800, samples = Seq.empty, seed = 73L)
+    Graft.run(spark, Array("load", noSamples, "--db", db))
+    val schema0 = spark.read.parquet(s"$db/variants").schema
+    // the sample-less store already carries the QC columns, typed, null
+    graft.qc.VariantQc.joinedColumns.foreach { case (c, t) =>
+      val f = schema0.fields.find(_.name == c)
+      assert(f.exists(_.dataType == t), s"missing/mistyped QC column $c")
+    }
+    def inventory(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$db/variants"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val inv0 = inventory()
+    Graft.run(spark, Array("load", withSamples, "--db", db))
+    val inv1 = inventory()
+    inv0.foreach { case (path, id) =>
+      assert(inv1.get(path).contains(id),
+        s"genotyped load into a sample-less store rewrote $path")
+    }
+    Graft.run(spark, Array("load", normed, "--db", db, "--normalize"))
+    val inv2 = inventory()
+    inv1.foreach { case (path, id) =>
+      assert(inv2.get(path).contains(id),
+        s"--normalize load into a mixed store rewrote $path")
+    }
+    // all three batches serve: per-batch counts and a cross-batch lookup
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.select($"load_batch_id").distinct().count() == 3)
+    // the genotyped batch's QC columns are filled; the sample-less are null
+    assert(v.filter($"n_called".isNotNull).count() > 0)
+    assert(v.filter($"n_called".isNull).count() > 0)
+    val probe = v.filter($"chrom" === "chr1").agg(
+      org.apache.spark.sql.functions.min($"pos")).head().getLong(0)
+    assert(graft.query.PointLookup.byPosition(
+      spark, s"$db/variants", "chr1", probe).nonEmpty)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(!vOut.toString.contains("STALE"), vOut.toString)
+    assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
+  }
+
   test("a load after a schema-widening rewrite verb still appends, null-filling the widened columns") {
     // import-frequencies / load-reference / annotate-ld-blocks WIDEN the
     // store schema (popmax_af, in_hapmap3, ld_block_id) via a full
