@@ -277,7 +277,8 @@ object Graft {
           val swaps = scala.collection.mutable.ArrayBuffer[
             (String, Map[String, String] => Unit)]()
           if (header.samples.nonEmpty) {
-            var g = graft.vcf.VcfReader.genotypes(spark, vcf, opts.humanGenome)
+            var g = graft.vcf.VcfReader.genotypes(spark, vcf,
+                opts.humanGenome, opts.skipMalformed)
               .withColumn("load_batch_id", lit(batchId))
             if (has(args, "--anonymize")) {
               anonIds = Some(g.select($"sample_id").distinct()
@@ -291,22 +292,7 @@ object Graft {
             // the just-written columnar data instead of re-parsing the
             // VCF text a second time.
             var qcOpt: Option[DataFrame] = None
-            prevBatch match {
-              case Some(b) if new java.io.File(s"$db/genotypes").exists() =>
-                // force-reload drops the previous batch's genotype rows
-                // too — append alone would double them on every reload.
-                // QC comes from the parse here: the new rows aren't on
-                // disk until the swap commits
-                qcOpt = Some(progress.stage("genotype_qc") {
-                  graft.qc.VariantQc.fromGenotypes(g).localCheckpoint()
-                })
-                val gSwap = graft.audit.Audit.dropBatch(
-                    spark.read.parquet(s"$db/genotypes"), b)
-                  .unionByName(g, allowMissingColumns = true)
-                swaps += ((s"$db/genotypes",
-                  tmps => graft.sinks.Writers.writeGenotypes(
-                    gSwap, tmps(s"$db/genotypes"))))
-              case _ =>
+            locally {
                 // flag BEFORE the write: a failure mid-append may have
                 // committed some files, and the rollback must cover them
                 appendedG = true
@@ -333,6 +319,30 @@ object Graft {
                 // a cached probe listing; drop same-JVM cached listings
                 // so a lookup right after this load sees the new files
                 graft.query.PointLookup.invalidateListings(s"$db/genotypes")
+                // force-reload drops the previous batch's genotype rows —
+                // append alone would double them on every reload. The
+                // drop is SURGICAL (DELETE WHERE load_batch_id
+                // semantics, `loader.py:244-252`): every load stamps
+                // load_batch_id and appends its rows as new files, so
+                // the old batch's files are identified by footer stats
+                // and renamed away at O(batch) metadata cost; only
+                // post-compact files mixing batches pay a filtered
+                // single-file rewrite. It runs AFTER the new batch's
+                // append succeeded (a corrupt reload file never destroys
+                // the batch it replaces) and BEFORE the QC plan below
+                // lists the directory (a lazy plan would capture the
+                // doomed files). Crash semantics deviate from the
+                // reference's single transaction: a failure between this
+                // drop and the ledger commit leaves the old batch
+                // dropped and the new one rolled back/'failed' — the
+                // file reads as not loaded; re-running the load recovers.
+                prevBatch.foreach { b =>
+                  progress.stage("drop_prev_genotypes") {
+                    graft.sinks.Writers.dropBatchFiles(
+                      spark, s"$db/genotypes", b)
+                  }
+                  graft.query.PointLookup.invalidateListings(s"$db/genotypes")
+                }
                 // QC from the WRITTEN batch rows: a column-pruned scan of
                 // compressed parquet (row groups of other batches prune
                 // on load_batch_id stats) beats re-parsing the VCF text.
@@ -360,13 +370,13 @@ object Graft {
             }
           } else prevBatch.foreach { b =>
             // sample-free reload of a file whose previous batch had
-            // samples: its old genotype rows still must go
+            // samples: its old genotype rows still must go — the same
+            // surgical O(batch) drop as the genotyped arm
             if (new java.io.File(s"$db/genotypes").exists()) {
-              val gDrop = graft.audit.Audit.dropBatch(
-                spark.read.parquet(s"$db/genotypes"), b)
-              swaps += ((s"$db/genotypes",
-                tmps => graft.sinks.Writers.writeGenotypes(
-                  gDrop, tmps(s"$db/genotypes"))))
+              progress.stage("drop_prev_genotypes") {
+                graft.sinks.Writers.dropBatchFiles(spark, s"$db/genotypes", b)
+              }
+              graft.query.PointLookup.invalidateListings(s"$db/genotypes")
             }
           }
           // One schema for every store, reference-style: the variants
@@ -400,9 +410,11 @@ object Graft {
           // into disjoint sorted files. The append path requires the
           // batch schema to be a subset of the store's and both covering
           // projections to be present in their covering shape — schema
-          // evolution, a force-reload (which must DROP the prior batch's
-          // rows), legacy slim projections, and brand-new dbs take the
-          // staged full-rewrite swap instead.
+          // evolution, legacy slim projections, and brand-new dbs take
+          // the staged full-rewrite swap instead. A force-reload on an
+          // append-ready store stays O(batch): the prior batch's files
+          // are surgically dropped (dropBatchFiles) and the new batch
+          // appends like any other file.
           val vWithId = graft.ingest.VariantMatching.withVariantId(v)
           val storeExists = new java.io.File(s"$db/variants").exists()
           lazy val storeSchema = spark.read.parquet(s"$db/variants").schema
@@ -421,7 +433,7 @@ object Graft {
             } catch { case scala.util.control.NonFatal(_) => None }
           lazy val rsidSchema = projSchema(s"$db/rsid_idx")
           lazy val geneSchema = projSchema(s"$db/gene_idx")
-          val canAppend = storeExists && prevBatch.isEmpty && {
+          val appendReady = storeExists && {
             val extra = vWithId.columns.toSet -- storeSchema.fieldNames.toSet
             // covering = the projection carries every store column (a
             // slim legacy rsid_idx or a drifted projection must not be
@@ -436,9 +448,14 @@ object Graft {
             val rsidCovering = rsidSchema.exists(s =>
               s.fields.toSeq.map(f => f.name -> f.dataType).toSet ==
                 storeTypes.toSet)
+            // load_batch_id is REQUIRED in the gene projection: the
+            // O(batch) force-reload drops a batch's index rows by footer
+            // stats on that column; a legacy 8-column gene_idx routes to
+            // the full rewrite, which migrates it
             val geneReady = geneSchema.exists { s =>
               s.fieldNames.toSet == Set("gene", "chrom", "pos", "ref",
-                "alt", "impact", "consequence", "variant_id") &&
+                "alt", "impact", "consequence", "variant_id",
+                "load_batch_id") &&
               s.fields.forall(f => storeTypes.get(f.name).contains(f.dataType))
             }
             // NAME overlap is not enough: alignTo CASTS the batch to the
@@ -462,6 +479,13 @@ object Graft {
                 "full-rewrite load instead of batch append")
             extra.isEmpty && typeDrift.isEmpty && rsidCovering && geneReady
           }
+          // force-reload on an append-ready store is DELETE + INSERT at
+          // O(batch): surgically drop the previous batch's files from
+          // the store and both projections (footer-stat identified, see
+          // dropBatchFiles), then take the same append path a new file
+          // takes. Only a store the append guards reject (schema drift,
+          // legacy projections) pays the staged full rewrite.
+          val canAppend = appendReady
           var batchN = -1L
           // EVERY load path caches the parsed batch and counts it first:
           // the count fills the cache (so later writes read materialized
@@ -482,6 +506,20 @@ object Graft {
               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {
               batchN = progress.stage("parse_count")(vc.count())
+              // the old batch is dropped only AFTER the new file parsed
+              // and cached cleanly — a corrupt reload file must never
+              // destroy the batch it was meant to replace. A failure
+              // from here on leaves the old batch gone and the new one
+              // rolled back ('failed' ledger row): the file reads as not
+              // loaded, and re-running the load recovers.
+              prevBatch.foreach { b =>
+                progress.stage("drop_prev_batch") {
+                  Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
+                    graft.sinks.Writers.dropBatchFiles(spark, s"$db/$t", b))
+                }
+                Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
+                  graft.query.PointLookup.invalidateListings(s"$db/$t"))
+              }
               // flag only once writes may have landed files — a failure
               // in the count above needs no store rollback
               appendedV = true
@@ -629,8 +667,10 @@ object Graft {
                 rm(d)
               }
             }
-            if (!storeExists)
-              Seq("variants", "rsid_idx", "gene_idx").foreach(rmIfNoParquet)
+            // unconditional: also covers a force-reload to an empty file
+            // whose surgical drop removed the store's only batch (a no-op
+            // when any other batch's parquet remains)
+            Seq("variants", "rsid_idx", "gene_idx").foreach(rmIfNoParquet)
             if (appendedG) rmIfNoParquet("genotypes")
           }
           ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
@@ -757,6 +797,10 @@ object Graft {
           if (has(args, "--rebuild") || has(args, "--drop-orphans"))
             sys.error("validate <batch-id> does not take --rebuild or " +
               "--drop-orphans; run them on a bare `validate --db ...`")
+          // a fresh or pre-ledger store must answer "batch not found",
+          // not an opaque path-not-found AnalysisException
+          if (!new java.io.File(s"$db/ledger").exists())
+            sys.error(s"Load batch not found: $batchId")
           val ledgerRow = spark.read.parquet(s"$db/ledger")
             .filter($"load_batch_id" === batchId)
             .orderBy($"completed_at".desc).limit(1).collect().headOption
@@ -765,7 +809,12 @@ object Graft {
           val actualN = batch.count()
           val dupN = batch.groupBy($"chrom", $"pos", $"ref", $"alt")
             .count().filter($"count" > 1).count()
-          val expected = ledgerRow.getAs[Long]("n_variants")
+          // nullable read: an in-flight row's null count must not
+          // silently unbox to 0 (the status gate below is the real
+          // guard, but 0==0 passing on a null is a trap worth closing)
+          val expected = Option(
+            ledgerRow.getAs[java.lang.Long]("n_variants"))
+            .map(_.toLong).getOrElse(-1L)
           val status = ledgerRow.getAs[String]("status")
           println(s"Load Batch: $batchId")
           println(s"Status: $status")
@@ -1470,6 +1519,8 @@ object Graft {
       |       [--pmid P] [--sample-size N] [--n-cases N] [--n-controls N]
       |       [--genome-build GRCh38]
       |  import-pgs <scoring-file> --db DIR
+      |  import-frequencies <gnomad-vcf> --db DIR [--source gnomAD_v3]
+      |       [--subset non_cancer] [--prefix P]
       |  list-annotations|list-studies|list-pgs --db DIR [--json]
       |  load-reference <hapmap3-tsv> --db DIR
       |  annotate-ld-blocks <bed> --db DIR [--population EUR] [--build grch37]

@@ -6,10 +6,13 @@ import graft.vcf.VcfReader
 import graft.qc.{SampleQc, VariantQc}
 
 /** VCF-domain operator queries (SURVEY §2.1/§2.3/§2.6) over the reference
-  * repo's public test fixtures. These are not SQL-expressible for the
-  * DuckDB oracle (custom parsing + UDFs), so the driver records rows-only
-  * checks; exact semantics are covered by the ScalaTest differential
-  * specs. The sfDir parameter is unused — inputs are VCF files.
+  * repo's public test fixtures. Every key here carries a DuckDB oracle in
+  * `VcfOracles` (since round 2): the oracle SQL re-derives the expected
+  * result from independently staged inputs, so the driver's correctness
+  * gate hash-compares rows+schema for all of them (see COVERAGE.md's
+  * preamble for the documented reference deviations the oracles mirror).
+  * ScalaTest differential specs additionally pin the parsing/UDF
+  * semantics. The sfDir parameter is unused — inputs are VCF files.
   */
 object VcfQueries {
 

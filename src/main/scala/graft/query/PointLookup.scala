@@ -210,17 +210,24 @@ object PointLookup {
     * mtimes) would serve a non-empty but incomplete result — the empty-
     * result staleness guard in readListed can't see it. Two defenses:
     * same-JVM writers call `invalidateListings` after an append, and a
-    * listing taken while the directory's mtime is still SETTLING (within
-    * `MtimeGranularityMs` of the probe's clock) is served but NOT cached
-    * — a cross-process append can only share a tick with a modification
-    * that just happened, so refusing to cache during that window closes
-    * the cross-JVM case at the cost of relisting only while the
-    * directory is actively being written. */
+    * listing is cached only once it has SETTLED — two consecutive
+    * listings observed the same (mtime, file names, file lengths). An
+    * append racing the first listing within one tick shows up as a
+    * changed file set on the second, so the pair stays uncached and
+    * relists. Settling is judged purely from storage-side observations —
+    * no comparison of the reader's clock against the storage-assigned
+    * mtime, so clock skew between reader and storage (which broke the
+    * previous wall-clock-distance guard when storage lagged) cannot
+    * produce premature caching. The residual window is an append that
+    * lands in the same tick strictly AFTER two identical listings —
+    * closed for same-JVM writers by invalidateListings, and vanishingly
+    * narrow cross-JVM (two listings + an unchanged-mtime append inside
+    * one granularity tick). */
   private val listingCache = lru[String, (Long, Seq[FileStatus])](256)
 
-  /** Coarsest directory-mtime resolution defended against (FAT and some
-    * object stores round to 2 s; ext4/xfs/HDFS are finer). */
-  private val MtimeGranularityMs = 2000L
+  /** Listings seen exactly once (mtime + file identity): promoted to
+    * listingCache when a second listing observes the same state. */
+  private val pendingListing = lru[String, (Long, Seq[(String, Long)])](256)
 
   /** Drop cached listings for `dir` and its partition subdirectories —
     * called by same-session APPEND writers (the load's genotype append),
@@ -229,11 +236,13 @@ object PointLookup {
     * (new mtime, and dead files escalate into the relist-once retry). */
   def invalidateListings(dir: String): Unit = {
     val prefix = new Path(dir).toString
-    listingCache.synchronized {
-      val it = listingCache.keySet().iterator()
-      while (it.hasNext) {
-        val k = it.next()
-        if (k == prefix || k.startsWith(prefix + "/")) it.remove()
+    Seq(listingCache, pendingListing).foreach { cache =>
+      cache.synchronized {
+        val it = cache.keySet().iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          if (k == prefix || k.startsWith(prefix + "/")) it.remove()
+        }
       }
     }
   }
@@ -252,14 +261,19 @@ object PointLookup {
     else {
       val files = fs.listStatus(dir).toSeq
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      // cache only once the mtime has settled: a directory modified
-      // within the last granularity tick may still take appends that
-      // leave its mtime unchanged, which a cached listing would miss
-      if (System.currentTimeMillis() - dirStatus.getModificationTime >
-          MtimeGranularityMs)
+      // cache only once the listing has SETTLED: this listing agrees
+      // with the previous one on mtime AND file identity (see the cache
+      // doc above — storage-side observations only, no reader-clock
+      // comparison)
+      val identity = files.map(f => (f.getPath.getName, f.getLen))
+        .sortBy(_._1)
+      val state = (dirStatus.getModificationTime, identity)
+      if (pendingListing.get(key) == state)
         listingCache.put(key, (dirStatus.getModificationTime, files))
-      else
+      else {
         listingCache.remove(key)
+        pendingListing.put(key, state)
+      }
       (files, false)
     }
   }

@@ -2,6 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Sink surface (SURVEY §2.2).
   *
@@ -77,8 +78,14 @@ object Writers {
                      mode: String = "overwrite"): Unit =
     variants
       .filter(col("gene").isNotNull)
-      .select(col("gene"), col("chrom"), col("pos"), col("ref"), col("alt"),
-        col("impact"), col("consequence"), col("variant_id"))
+      .select(Seq("gene", "chrom", "pos", "ref", "alt",
+        "impact", "consequence", "variant_id").map(col) ++
+        // batch provenance when the source carries it (every load does):
+        // the O(batch) force-reload drops a batch's index rows by footer
+        // stats on this column, file-surgically, instead of rewriting
+        // the projection (see dropBatchFiles)
+        (if (variants.columns.contains("load_batch_id"))
+           Seq(col("load_batch_id")) else Nil): _*)
       .repartitionByRange(col("gene"))
       .sortWithinPartitions(col("gene"), col("chrom"), col("pos"))
       .write.mode(mode)
@@ -380,6 +387,163 @@ object Writers {
     n
   }
 
+  /** O(batch) physical delete of one load batch from a parquet table —
+    * the analogue of the reference's `DELETE WHERE load_batch_id = $1`
+    * (`loader.py:244-252`), which is O(batch) in Postgres. Every load
+    * path stamps `load_batch_id` and appends the batch as NEW files, so
+    * a batch's rows live in files whose footer row-group stats pin the
+    * column to exactly that id: those files are REMOVED by rename (an
+    * O(1) metadata op each), files whose stats exclude the id are never
+    * opened, and only post-`compact` files that mix batches pay a
+    * filtered single-file rewrite. Cost is O(files holding the batch),
+    * not O(store) — on a 100 TB cohort a force-reload touches one VCF's
+    * worth of files.
+    *
+    * Two-phase for crash safety, mirroring the staged-swap discipline:
+    * mixed-file rewrites stage to temp siblings first (destinations
+    * untouched); then the metadata phase renames doomed files into a
+    * trash sibling of the table root and swaps the staged rewrites in.
+    * A failure mid-metadata restores from trash; success deletes the
+    * trash. Returns (filesRemoved, filesRewritten). */
+  def dropBatchFiles(spark: SparkSession, dir: String,
+                     batchId: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return (0, 0)
+    val pure = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    val mixed = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    val idBin = org.apache.parquet.io.api.Binary.fromString(batchId)
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        try {
+          val hasCol = r.getFileMetaData.getSchema.getFields.asScala
+            .exists(_.getName == "load_batch_id")
+          if (hasCol) {
+            // classify per row group: a file is PURE when every row
+            // group's min==max==batchId; it MAY hold the batch when any
+            // row group's [min,max] covers it (or stats are absent —
+            // conservative)
+            var anyMay = false
+            var allPure = true
+            r.getRowGroups.asScala.foreach { rg =>
+              val st = rg.getColumns.asScala
+                .find(_.getPath.toDotString == "load_batch_id")
+                .map(_.getStatistics).orNull
+              if (st == null || st.isEmpty || !st.hasNonNullValue) {
+                // no usable stats: cannot exclude the batch
+                anyMay = true; allPure = false
+              } else {
+                val mn = st.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                val mx = st.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                val covers = mn.compareTo(idBin) <= 0 &&
+                  mx.compareTo(idBin) >= 0
+                val pureRg = covers && mn.compareTo(mx) == 0 &&
+                  st.getNumNulls == 0
+                if (covers) anyMay = true
+                if (!pureRg) allPure = false
+              }
+            }
+            if (anyMay && allPure) pure += f.getPath
+            else if (anyMay) mixed += f.getPath
+          }
+          // no load_batch_id column: rows predate batch stamping and
+          // cannot belong to a just-ledgered batch — untouched
+        } finally r.close()
+      }
+    }
+    if (pure.isEmpty && mixed.isEmpty) return (0, 0)
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val trash = new org.apache.hadoop.fs.Path(s"$dir.trash-$suffix")
+    fs.mkdirs(trash)
+    // stage phase: filtered single-file rewrites of mixed files (rare —
+    // only post-compact files straddle batches). Destinations untouched.
+    val rewrites = mixed.zipWithIndex.map { case (p, i) =>
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir.tmp-$suffix-$i")
+      spark.read.parquet(p.toString)
+        .filter(!(col("load_batch_id") <=> lit(batchId)))
+        .coalesce(1)
+        .write.option("parquet.page.row.count.limit", "512")
+        .parquet(tmp.toString)
+      (p, tmp)
+    }
+    // metadata phase: trash pure files and swap rewrites in; rollback
+    // restores everything from trash on failure
+    val trashed = scala.collection.mutable.ArrayBuffer[
+      (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]()
+    def toTrash(p: org.apache.hadoop.fs.Path): Unit = {
+      val t = new org.apache.hadoop.fs.Path(trash, s"${trashed.length}-${p.getName}")
+      if (!fs.rename(p, t)) sys.error(s"dropBatchFiles: cannot stage $p aside")
+      trashed += ((p, t))
+    }
+    try {
+      pure.foreach(toTrash)
+      rewrites.foreach { case (p, tmp) =>
+        toTrash(p)
+        // the staged rewrite holds ONE data file; move it under the
+        // original name so hive partition discovery sees a plain file
+        val dataFile = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+        dataFile.foreach { d =>
+          if (!fs.rename(d, p))
+            sys.error(s"dropBatchFiles: cannot land rewrite for $p")
+        }
+        fs.delete(tmp, true)
+      }
+    } catch {
+      case e: Throwable =>
+        try {
+          trashed.reverse.foreach { case (orig, t) =>
+            if (!fs.exists(orig)) fs.rename(t, orig); ()
+          }
+          rewrites.foreach { case (_, tmp) =>
+            if (fs.exists(tmp)) fs.delete(tmp, true); ()
+          }
+          fs.delete(trash, true)
+        } catch { case _: Throwable => () }
+        throw e
+    }
+    fs.delete(trash, true)
+    (pure.length, mixed.length)
+  }
+
+  /** One row per key with a DETERMINISTIC survivor: the row whose
+    * non-key content maximizes a stable content hash (map columns via
+    * their JSON form; a per-column isnull flag keeps null placement in
+    * the hash). `dropDuplicates` keeps a partition-order-dependent
+    * arbitrary row, so duplicate-keyed NON-identical rows would make
+    * store contents nondeterministic across runs — where the reference's
+    * ON CONFLICT DO UPDATE raises "row affected a second time". The
+    * content-hash pick is this path's documented relaxation of that
+    * error: stable across runs and cluster layouts, one aggregation, no
+    * window/sort. */
+  private def dedupDeterministic(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val nonKey = df.columns.filterNot(keys.contains).toSeq
+    if (nonKey.isEmpty) df.dropDuplicates(keys)
+    else {
+      val hashCols = nonKey.flatMap { c =>
+        val v = df.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.MapType => to_json(col(c))
+          case _ => col(c)
+        }
+        Seq(v, isnull(col(c)))
+      }
+      df.groupBy(keys.map(col): _*)
+        .agg(max_by(struct(nonKey.map(col): _*),
+          xxhash64(hashCols: _*)).as("_row"))
+        .select(df.columns.toSeq.map(c =>
+          if (keys.contains(c)) col(c)
+          else col(s"_row.`$c`").as(c)): _*)
+    }
+  }
+
   /** K3 — upsert semantics (ON CONFLICT DO UPDATE): incoming rows win,
     * existing rows without a match survive (left_anti + union).
     * `allowMissingColumns` tolerates on-disk schema drift (an older table
@@ -387,11 +551,9 @@ object Writers {
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
              allowMissingColumns: Boolean = false): DataFrame =
     // dedupe incoming on the keys first: a batch carrying the same key
-    // twice must leave ONE row per key, as insertIgnore already does
-    // (Postgres ON CONFLICT DO UPDATE errors on "row affected a second
-    // time" — collapsing to one arbitrary candidate is this path's
-    // documented relaxation)
-    incoming.dropDuplicates(keys).unionByName(
+    // twice must leave ONE row per key, as insertIgnore already does —
+    // with a deterministic survivor (see dedupDeterministic)
+    dedupDeterministic(incoming, keys).unionByName(
       existing.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti"),
       allowMissingColumns = allowMissingColumns)
 
@@ -399,8 +561,7 @@ object Writers {
   def insertIgnore(existing: DataFrame, incoming: DataFrame,
                    keys: Seq[String]): DataFrame =
     existing.unionByName(
-      incoming
-        .dropDuplicates(keys)
+      dedupDeterministic(incoming, keys)
         .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
 
   /** K5 — TSV / JSON result output. The CSV writer rejects complex types,

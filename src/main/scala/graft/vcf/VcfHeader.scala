@@ -57,45 +57,69 @@ object VcfHeader {
     "HGVS.p", "cDNA.pos/cDNA.length", "CDS.pos/CDS.length", "AA.pos/AA.length",
     "Distance", "ERRORS/WARNINGS/INFO")
 
-  /** Read header lines (## + #CHROM) from the start of the file. */
+  /** Read header lines (## + #CHROM) from the start of the file.
+    *
+    * The body scan (spark.read.text) accepts globs and directories for
+    * many-file cohort layouts; the full header (INFO/FORMAT metadata) is
+    * resolved from the lexicographically first matching shard. Genotype
+    * sample ids are assigned POSITIONALLY from that header's #CHROM
+    * line, so "shards share a header" is not assumed — it is VERIFIED:
+    * every expanded shard's #CHROM sample columns are read (a bounded
+    * prefix each, one driver-side open per shard, once per load) and the
+    * load FAILS if any shard's sample set or order differs — otherwise
+    * every genotype row of the divergent shard would be silently
+    * attributed to the wrong sample. */
   def readHeaderLines(spark: SparkSession, path: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    // the body scan (spark.read.text) accepts globs and directories for
-    // many-file cohort layouts; resolve the header from the FIRST
-    // matching file the same way (cohort shards share a header by
-    // construction — one header read serves the whole layout)
     val asked = new Path(path)
     val fs = asked.getFileSystem(conf)
-    val hPath = {
+    val expanded: Seq[Path] = {
       val matches =
         try Option(fs.globStatus(asked)).getOrElse(Array.empty)
         catch { case scala.util.control.NonFatal(_) => Array.empty[org.apache.hadoop.fs.FileStatus] }
-      val expanded = matches.flatMap { st =>
+      matches.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).filter(_.isFile)
             .filterNot(_.getPath.getName.startsWith("."))
         else Array(st)
-      }
-      if (expanded.isEmpty) asked // single missing file: fail in fs.open below
-      else expanded.map(_.getPath).minBy(_.toString)
+      }.map(_.getPath).sortBy(_.toString).toSeq
     }
-    val codec = new CompressionCodecFactory(conf).getCodec(hPath)
-    val raw = fs.open(hPath)
-    val in = if (codec != null) codec.createInputStream(raw) else raw
-    val reader = new BufferedReader(new InputStreamReader(in, "UTF-8"))
-    try {
-      val lines = mutable.ArrayBuffer[String]()
-      var line = reader.readLine()
-      var done = false
-      while (line != null && !done) {
-        if (line.startsWith("#")) {
-          lines += line
-          if (line.startsWith("#CHROM")) done = true
-        } else done = true
-        if (!done) line = reader.readLine()
-      }
-      lines.toSeq
-    } finally reader.close()
+    def headerOf(p: Path): Seq[String] = {
+      val codec = new CompressionCodecFactory(conf).getCodec(p)
+      val raw = fs.open(p)
+      val in = if (codec != null) codec.createInputStream(raw) else raw
+      val reader = new BufferedReader(new InputStreamReader(in, "UTF-8"))
+      try {
+        val lines = mutable.ArrayBuffer[String]()
+        var line = reader.readLine()
+        var done = false
+        while (line != null && !done) {
+          if (line.startsWith("#")) {
+            lines += line
+            if (line.startsWith("#CHROM")) done = true
+          } else done = true
+          if (!done) line = reader.readLine()
+        }
+        lines.toSeq
+      } finally reader.close()
+    }
+    expanded match {
+      case Seq() =>
+        headerOf(asked) // single missing file: fs.open fails
+      case Seq(single) => headerOf(single)
+      case many =>
+        val first = headerOf(many.head)
+        val want = first.find(_.startsWith("#CHROM"))
+        many.tail.foreach { p =>
+          val got = headerOf(p).find(_.startsWith("#CHROM"))
+          if (got != want)
+            sys.error(s"cohort shards disagree on #CHROM sample columns: " +
+              s"${many.head} vs $p — genotype sample ids are positional, " +
+              "so mixed-sample shards cannot load as one layout; load " +
+              "the shards as separate files instead")
+        }
+        first
+    }
   }
 
   def read(spark: SparkSession, path: String): VcfHeaderInfo =

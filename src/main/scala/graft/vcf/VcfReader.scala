@@ -244,7 +244,8 @@ object VcfReader {
     * single narrow projection over the text scan, no shuffle.
     */
   def genotypes(spark: SparkSession, path: String,
-                humanGenome: Boolean = true): DataFrame = {
+                humanGenome: Boolean = true,
+                skipMalformed: Boolean = true): DataFrame = {
     import spark.implicits._
     val header = VcfHeader.read(spark, path)
     require(header.samples.nonEmpty, s"VCF has no sample columns: $path")
@@ -256,12 +257,17 @@ object VcfReader {
       struct(lit(name).as("sample_id"), col("fields").getItem(9 + i).as("sval"))
     }
 
-    val long = body.select(baseColumns($"value"): _*)
-      // same malformed-line tolerance as the variants scan: a row the
-      // variants side drops must not survive here as an orphan genotype
-      // (both tables parse the same file in one load)
-      .filter($"pos".isNotNull && $"ref".isNotNull && $"ref" =!= "" &&
+    val parsed = body.select(baseColumns($"value"): _*)
+    // same malformed-line tolerance as the variants scan, under the SAME
+    // option: a row the variants side drops must not survive here as an
+    // orphan genotype, and a row the variants side KEEPS (skipMalformed
+    // = false) must keep its genotype rows too — filtering here
+    // unconditionally would invert the orphan asymmetry this guard
+    // exists to prevent (both tables parse the same file in one load)
+    val long = (if (skipMalformed)
+      parsed.filter($"pos".isNotNull && $"ref".isNotNull && $"ref" =!= "" &&
         $"alt_raw".isNotNull && $"alt_raw" =!= "")
+    else parsed)
       .withColumn("chrom", normalizedChrom(humanGenome))
       .withColumn("alts", split($"alt_raw", ","))
       .withColumn("n_alts", size($"alts"))

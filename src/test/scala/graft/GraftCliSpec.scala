@@ -1094,6 +1094,108 @@ class GraftCliSpec extends SparkSpec {
     assert(g.select($"load_batch_id").distinct().count() == 1)
   }
 
+  test("force-reload in a 3-batch cohort is O(batch): other batches' files untouched") {
+    // the DELETE WHERE load_batch_id analogue (`loader.py:244-252`,
+    // O(batch) in Postgres): reloading ONE file of a 3-file cohort must
+    // drop-and-replace only that batch's files — every file the other
+    // two batches wrote (store, both projections, genotypes) survives
+    // byte-identical. A store rewrite would show here as changed
+    // (length, mtime) or vanished paths.
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfDir = Files.createTempDirectory("reloadvcf")
+    val vcfs = (0 until 3).map { i =>
+      val p = vcfDir.resolve(s"f$i.vcf").toString
+      graft.vcf.SyntheticVcf.write(p, 600, seed = 91L + i)
+      p
+    }
+    vcfs.foreach(f => Graft.run(spark, Array("load", f, "--db", db)))
+    val ledger = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed")
+      .orderBy($"completed_at").collect()
+    assert(ledger.length == 3)
+    val midBatch = ledger(1).getAs[String]("load_batch_id")
+    val tables = Seq("variants", "rsid_idx", "gene_idx", "genotypes")
+    def inventory(t: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$db/$t"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val before = tables.map(t => t -> inventory(t)).toMap
+    val totalBefore = spark.read.parquet(s"$db/variants").count()
+    val genoBefore = spark.read.parquet(s"$db/genotypes").count()
+    Graft.run(spark, Array("load", vcfs(1), "--db", db, "--force-reload"))
+    val after = tables.map(t => t -> inventory(t)).toMap
+    // every surviving pre-reload file either belonged to the reloaded
+    // batch (now gone) or is byte-identical; at least one file per table
+    // must be untouched (the other two batches' data)
+    tables.foreach { t =>
+      val untouched = before(t).filter { case (p, id) =>
+        after(t).get(p).contains(id) }
+      assert(untouched.nonEmpty, s"$t: force-reload rewrote every file")
+      // and the reloaded batch's files are genuinely gone or replaced:
+      // the table must not have grown by a full extra batch
+      val v = spark.read.parquet(s"$db/$t")
+      assert(v.filter($"load_batch_id" === midBatch).count() == 0,
+        s"$t: old batch rows survived the reload")
+    }
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.count() == totalBefore) // same file → same row count
+    assert(spark.read.parquet(s"$db/genotypes").count() == genoBefore)
+    assert(v.select($"load_batch_id").distinct().count() == 3)
+    // probes and validate agree post-reload
+    val probe = v.filter($"chrom" === "chr1")
+      .agg(org.apache.spark.sql.functions.min($"pos")).head().getLong(0)
+    assert(graft.query.PointLookup.byPosition(
+      spark, s"$db/variants", "chr1", probe).nonEmpty)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(!vOut.toString.contains("STALE"), vOut.toString)
+    assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
+    assert(!vOut.toString.contains("orphan"), vOut.toString)
+  }
+
+  test("force-reload after compact still drops the old batch (mixed-file rewrite path)") {
+    // post-compact files mix batches, so the surgical drop cannot just
+    // unlink — it must take the filtered single-file rewrite path
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcfDir = Files.createTempDirectory("reloadvcf2")
+    val a = vcfDir.resolve("a.vcf").toString
+    val b = vcfDir.resolve("b.vcf").toString
+    graft.vcf.SyntheticVcf.write(a, 400, seed = 101L)
+    graft.vcf.SyntheticVcf.write(b, 400, seed = 102L)
+    Graft.run(spark, Array("load", a, "--db", db))
+    Graft.run(spark, Array("load", b, "--db", db))
+    Graft.run(spark, Array("compact", "--db", db,
+      "--tables", "variants,genotypes,rsid_idx,gene_idx"))
+    val batches0 = spark.read.parquet(s"$db/variants")
+      .select($"load_batch_id").distinct().count()
+    assert(batches0 == 2)
+    val nB = spark.read.parquet(s"$db/variants")
+      .join(spark.read.parquet(s"$db/ledger")
+        .filter($"status" === "completed" && $"file_path" === b)
+        .select($"load_batch_id"), Seq("load_batch_id")).count()
+    assert(nB > 0)
+    Graft.run(spark, Array("load", b, "--db", db, "--force-reload"))
+    val v = spark.read.parquet(s"$db/variants")
+    assert(v.count() == spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").select($"load_batch_id")
+      .join(v, Seq("load_batch_id")).count())
+    assert(v.select($"load_batch_id").distinct().count() == 2)
+    // no duplicated sites within any batch
+    assert(v.groupBy($"load_batch_id", $"chrom", $"pos", $"ref", $"alt")
+      .count().filter($"count" > 1).count() == 0)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
+    assert(!vOut.toString.contains("orphan"), vOut.toString)
+  }
+
   test("failed load writes a 'failed' ledger row, and skip never honors it") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = fixture("hapmap3_overlap.vcf")

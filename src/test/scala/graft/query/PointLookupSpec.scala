@@ -189,12 +189,13 @@ class PointLookupSpec extends SparkSpec {
       .toDF("chrom", "pos", "ref", "alt")
     graft.sinks.Writers.writeVariants(v1, s"$base/variants")
     val dir = new java.io.File(s"$base/variants/chrom=chr1")
-    // age the mtime past the settling window so the probe CACHES the
-    // listing (a fresh mtime is deliberately not cached — see
-    // MtimeGranularityMs); the stale-recovery paths below need the
-    // cache populated to be exercised at all
+    // settle the cache: a listing is cached only once TWO consecutive
+    // listings agree (no reader-clock comparison), so probe twice — the
+    // stale-recovery paths below need the cache populated to be
+    // exercised at all
     val mtime = System.currentTimeMillis() - 60000L
     assert(dir.setLastModified(mtime))
+    assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L).nonEmpty)
     assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L).nonEmpty)
     // rewrite: new part files (new names), old paths now dead
     val v2 = Seq(("chr1", 100L, "A", "G"), ("chr1", 300L, "G", "A"))
@@ -214,6 +215,7 @@ class PointLookupSpec extends SparkSpec {
     val mtime2 = System.currentTimeMillis() - 60000L
     assert(dir.setLastModified(mtime2))
     assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 300L).nonEmpty)
+    assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 300L).nonEmpty)
     val v3 = Seq(("chr1", 100L, "A", "G"), ("chr1", 400L, "T", "A"))
       .toDF("chrom", "pos", "ref", "alt")
     graft.sinks.Writers.writeVariants(v3, s"$base/variants")
@@ -223,15 +225,15 @@ class PointLookupSpec extends SparkSpec {
     assert(rows2.head("pos") == "100")
   }
 
-  test("a listing inside the mtime settling window is not cached, so a " +
-       "same-tick cross-process append stays visible") {
-    // a cross-process appender can only share an mtime tick with a
-    // modification that JUST happened; the cache refuses entries whose
-    // dir mtime is within MtimeGranularityMs of the probe clock, so the
-    // next probe relists and sees the appended file. Simulate the tick
-    // by pinning the dir mtime ahead of the clock across the append
-    // (same code path as a genuine coarse-granularity tick: the mtime
-    // does not move, and it is within the settling window throughout).
+  test("an unsettled listing is not cached, so a same-tick cross-process " +
+       "append stays visible") {
+    // a listing is cached only once two consecutive listings observe
+    // the same (mtime, file set) — judged purely from storage-side
+    // observations, so reader/storage clock skew cannot cache
+    // prematurely. A cross-process append between the first listing and
+    // the next probe changes the file set, so the pair never settles
+    // and the relist sees the appended file. Simulate a coarse mtime
+    // tick by pinning the dir mtime across the append.
     val base = Files.createTempDirectory("settling").toString
     graft.sinks.Writers.writeVariants(
       Seq(("chr1", 100L, "A", "G")).toDF("chrom", "pos", "ref", "alt"),
@@ -251,6 +253,22 @@ class PointLookupSpec extends SparkSpec {
     assert(dir.setLastModified(tick))
     val rows = PointLookup.byPosition(spark, s"$base/variants", "chr1", 500L)
     assert(rows.nonEmpty, "same-tick cross-process append was invisible")
+    // lagging-storage-clock variant: the storage-assigned mtime is far in
+    // the reader's PAST (the case a wall-clock-distance settle guard
+    // cached prematurely on) — the first listing after a same-tick
+    // append must still see the new file, because settling needs two
+    // AGREEING listings, not an old-looking mtime
+    val lag = System.currentTimeMillis() - 60000L
+    assert(dir.setLastModified(lag))
+    PointLookup.invalidateListings(s"$base/variants")
+    assert(PointLookup.byPosition(spark, s"$base/variants", "chr1", 100L).nonEmpty)
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, s"appended2-${src.getName}").toPath)
+    assert(dir.setLastModified(lag))
+    val rows2 = PointLookup.byPosition(spark, s"$base/variants", "chr1", 500L)
+    // two files now carry pos=500; both must serve
+    assert(rows2.length == 2,
+      s"lagging-clock same-tick append was invisible (${rows2.length} rows)")
   }
 
   test("byRsid falls back to two probes over a legacy slim index") {

@@ -252,4 +252,30 @@ class VcfReaderSpec extends SparkSpec {
     assert(VcfReader.variants(spark, s"$dir/*.vcf").count() == 2)
     assert(VcfReader.genotypes(spark, s"$dir/*.vcf").count() == 2)
   }
+
+  test("cohort shards with divergent #CHROM sample columns fail the header read") {
+    // genotype sample ids are POSITIONAL from the first shard's header:
+    // silently accepting a shard with different sample columns would
+    // misattribute every one of its genotype rows to the wrong sample
+    val dir = java.nio.file.Files.createTempDirectory("cohortbadglob")
+    def shard(name: String, samples: String): Unit = {
+      java.nio.file.Files.writeString(dir.resolve(name),
+        s"""##fileformat=VCFv4.2
+           |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+           |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	$samples
+           |chr1	100	.	A	G	50	PASS	.	GT	0/1
+           |""".stripMargin)
+      ()
+    }
+    shard("a.vcf", "S1\tS2")
+    shard("b.vcf", "S2\tS1") // same set, different ORDER — still positional
+    val e = intercept[RuntimeException] {
+      graft.vcf.VcfHeader.read(spark, s"$dir/*.vcf")
+    }
+    assert(e.getMessage.contains("disagree on #CHROM sample columns"))
+    // identical shards still read fine through the verification
+    shard("b.vcf", "S1\tS2")
+    assert(graft.vcf.VcfHeader.read(spark, s"$dir/*.vcf").samples ==
+      Seq("S1", "S2"))
+  }
 }
