@@ -462,6 +462,74 @@ object Bench {
       results(name) = medianClean(name, parseMask)
     }
 
+    // ---- pipeline scale-stress: the 100 TB dedup/ANN claims, measured —
+    // bucketed joins, the skew cap, and bounded driver state exercised at
+    // 1M docs, with a 100k run of the same plans as the linearity
+    // reference (wall-times should scale ~linearly in corpus size; a
+    // quadratic candidate join or driver-sized collect shows up as a
+    // blow-up or an OOM, not a slow row). Single-run rows: these are
+    // minute-scale jobs, and the claim is asymptotic shape, not
+    // microsecond stability.
+    def scaleCorpus(n: Long, dir: String): Unit = {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) return
+      val vocab = 50000
+      val hot = 2000L // identical docs: one pathological LSH bucket (the cap's prey)
+      // 12 hash-derived words; ids with id%50==1 copy the PREVIOUS id's
+      // first 11 words (near-dup pairs at ~0.75 shingle-jaccard), word 12
+      // is always the doc's own
+      val baseId = col("id") - when(col("id") % 50 === 1, 1).otherwise(0)
+      def word(seed: org.apache.spark.sql.Column,
+               j: org.apache.spark.sql.Column) =
+        concat(lit("w"), pmod(xxhash64(seed * 1000003L + j), lit(vocab)))
+      val text = when(col("id") < hot,
+        lit((0 until 12).map(j => s"hot$j").mkString(" ")))
+        .otherwise(concat_ws(" ",
+          concat_ws(" ", transform(sequence(lit(0), lit(10)),
+            j => word(baseId, j))),
+          word(col("id"), lit(11))))
+      val emb = transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64((col("id") % 20) * 64L + j), lit(2001)) - 1000L)
+          .cast("double") / 1000.0 +
+         (pmod(xxhash64(col("id") * 64L + j), lit(2001)) - 1000L)
+           .cast("double") / 10000.0).cast("float"))
+      spark.range(n)
+        .select(col("id").as("doc_id"), text.as("text"), emb.as("embedding"))
+        .write.parquet(dir)
+    }
+    val scaleSizes = Seq(("100k", 100000L), ("1m", 1000000L))
+    scaleSizes.foreach { case (label, n) =>
+      scaleCorpus(n, s"/tmp/graft_bench_scale_$label")
+    }
+    scaleSizes.foreach { case (label, n) =>
+      val corpus = spark.read.parquet(s"/tmp/graft_bench_scale_$label")
+      val docs = corpus.select("doc_id", "text")
+      val vecs = corpus.select(col("doc_id").as("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") % (n / 100) === 0)
+      def pairs() = graft.pipeline.Dedup.minhashCandidatePairs(
+        docs, maxBucketSize = Some(500))
+      record(s"p_scale_minhash_pairs_$label", time {
+        val nP = pairs().count()
+        // the hot bucket must have been capped: 2000 identical docs
+        // would alone contribute ~2M pairs
+        assert(nP < 500000, s"skew cap failed: $nP candidate pairs")
+      })
+      record(s"p_scale_dedup_cluster_$label", time {
+        assert(graft.pipeline.Dedup.clusterPairs(pairs()).count() > 0)
+      })
+      record(s"p_scale_ivf_topk_$label", time {
+        val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)
+        assert(graft.pipeline.Similarity.ivfTopK(vecs, queries, k = 10,
+          nCentroids = 64, nProbe = 4, centroids = Some(cents))
+          .count() >= queries.count() * 10)
+      })
+    }
+    Seq("p_scale_minhash_pairs", "p_scale_dedup_cluster",
+        "p_scale_ivf_topk").foreach { m =>
+      scaleSizes.foreach { case (label, _) =>
+        results(s"${m}_$label") = raw(s"${m}_$label").head
+      }
+    }
+
     // throughput forms of the parse metrics (what BASELINE.md quotes)
     if (results("vcf_parse_100k") > 0)
       results("vcf_parse_100k_var_s") = 100000.0 / results("vcf_parse_100k")
