@@ -156,6 +156,57 @@ class WritersSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("dropBatchFiles: pure files unlink, mixed files rewrite filtered, others untouched") {
+    val dir = Files.createTempDirectory("dropbatch").toString + "/t"
+    // pure batch-A file, pure batch-B file, a MIXED A+B file, and a
+    // legacy file with no load_batch_id column at all
+    Seq((1L, "A"), (2L, "A")).toDF("id", "load_batch_id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "B"), (4L, "B")).toDF("id", "load_batch_id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((5L, "A"), (6L, "B")).toDF("id", "load_batch_id")
+      .coalesce(1).sortWithinPartitions($"load_batch_id")
+      .write.mode("append").parquet(dir)
+    // legacy file written to a sibling then moved in (schema differs)
+    val legacyDir = Files.createTempDirectory("dropbatchlegacy").toString + "/w"
+    Seq(Tuple1(7L)).toDF("id").coalesce(1).write.parquet(legacyDir)
+    val legacySrc = new java.io.File(legacyDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val legacyDst = new java.io.File(dir, s"legacy-${legacySrc.getName}")
+    java.nio.file.Files.copy(legacySrc.toPath, legacyDst.toPath)
+    val legacyMtime = legacyDst.lastModified()
+
+    // the test dir deliberately mixes schemas (legacy file without the
+    // column), so its own reads need mergeSchema; real stores are
+    // schema-consistent
+    def readAll() = spark.read.option("mergeSchema", "true").parquet(dir)
+    def fileFor(id: Long): Option[String] = {
+      import org.apache.spark.sql.functions.input_file_name
+      readAll().withColumn("f", input_file_name())
+        .filter($"id" === id).collect().headOption.map(_.getAs[String]("f"))
+    }
+    val pureBFile = fileFor(3L).get
+    val (removed, rewritten) = Writers.dropBatchFiles(spark, dir, "A")
+    assert(removed == 1, s"expected 1 pure batch-A file removed, got $removed")
+    assert(rewritten == 1, s"expected 1 mixed file rewritten, got $rewritten")
+    val back = readAll()
+    // batch A fully gone; B and the legacy row intact
+    assert(back.filter($"load_batch_id" <=> "A").count() == 0)
+    assert(back.filter($"id".isin(3L, 4L, 6L)).count() == 3)
+    assert(back.filter($"id" === 7L).count() == 1)
+    // the pure-B file and legacy file were never touched
+    assert(fileFor(4L).get == pureBFile, "pure batch-B file was rewritten")
+    assert(legacyDst.lastModified() == legacyMtime, "legacy file touched")
+    // no trash/tmp residue
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.contains(".trash-") || f.getName.contains(".tmp-")))
+    // dropping a batch that is not present is a no-op
+    assert(Writers.dropBatchFiles(spark, dir, "ZZZ") == ((0, 0)))
+    // and a missing directory answers (0,0) rather than failing
+    assert(Writers.dropBatchFiles(spark, s"$dir-nope", "A") == ((0, 0)))
+  }
+
   test("upsert: incoming wins, unmatched existing survives") {
     val existing = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
     val incoming = Seq((1L, "new"), (3L, "add")).toDF("id", "v")
