@@ -189,19 +189,65 @@ object Audit {
         if (ch == null) null
         else try ch.lock() catch { case scala.util.control.NonFatal(_) => null }
       try {
-        val tip = read().orderBy($"audit_id".desc)
-          .select($"audit_id", $"entry_hash").limit(1).collect().headOption
-        val (prevId, prevHash) = tip
-          .map(r => (r.getLong(0), r.getString(1)))
-          .getOrElse((0L, GenesisHash))
+        val (prevId, prevHash) = readTip()
         val eventTime = java.time.Instant.now().toString
         val h = entryHash(eventTime, eventType, userName, action, success, prevHash)
         Seq(AuditEvent(prevId + 1, eventTime, eventType, userName, action,
           success, prevHash, h)).toDF()
           .write.mode("append").parquet(dir)
+        writeTipSidecar(prevId + 1, h)
       } finally {
         if (lock != null) try lock.release() catch { case _: Throwable => () }
         if (ch != null) try ch.close() catch { case _: Throwable => () }
+      }
+    }
+
+    /** Chain tip without a log-sized scan: each append records
+      * (audit_id, entry_hash, resulting data-file count) in a dotfile
+      * sidecar, so the next append's tip read is O(1) instead of a Spark
+      * job over every audit file — the difference between a constant and
+      * an O(operations) cost per mutating verb on a long-lived db. The
+      * sidecar is advisory, never trusted blindly: it is honored only
+      * when the directory's current data-file count matches the count it
+      * recorded, so a crash between the parquet append and the sidecar
+      * write (or an out-of-band append) falls back to the full ordered
+      * scan — the chain can never silently fork on a stale tip. */
+    private def dataFileCount(): Int = {
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+      files.count(f => !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_") && f.getName.endsWith(".parquet"))
+    }
+
+    private def tipPath = java.nio.file.Paths.get(dir, ".tip")
+
+    private def writeTipSidecar(id: Long, hash: String): Unit =
+      try {
+        val tmp = java.nio.file.Paths.get(dir, s".tip.tmp-${Thread.currentThread().getId}")
+        java.nio.file.Files.writeString(tmp, s"$id $hash ${dataFileCount()}")
+        java.nio.file.Files.move(tmp, tipPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () } // advisory
+
+    private def readTip(): (Long, String) = {
+      val fromSidecar =
+        try {
+          if (java.nio.file.Files.exists(tipPath)) {
+            java.nio.file.Files.readString(tipPath).trim.split(" ") match {
+              case Array(id, hash, n)
+                if n.toInt == dataFileCount() && hash.length == 64 =>
+                Some((id.toLong, hash))
+              case _ => None
+            }
+          } else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      fromSidecar.getOrElse {
+        read().orderBy($"audit_id".desc)
+          .select($"audit_id", $"entry_hash").limit(1).collect().headOption
+          .map(r => (r.getLong(0), r.getString(1)))
+          .getOrElse((0L, GenesisHash))
       }
     }
   }

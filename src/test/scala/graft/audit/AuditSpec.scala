@@ -102,6 +102,33 @@ class AuditSpec extends SparkSpec {
   }
 }
 
+class AuditTipSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("audit tip sidecar: O(1) tip honored only when file count matches; stale falls back") {
+    val dir = Files.createTempDirectory("audittip").toString + "/audit_log"
+    val log = new Audit.AuditLog(spark, dir)
+    log.append("load", "a", success = true)
+    log.append("compact", "b", success = true)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".tip")))
+    // stale sidecar: delete it entirely — next append must full-scan and
+    // keep the chain intact
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, ".tip"))
+    log.append("load", "c", success = true)
+    // stale COUNT: doctor the sidecar to claim a wrong file count — the
+    // mismatch must force the fallback, not fork the chain from a bogus id
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, ".tip"),
+      s"999 ${"ab" * 32} 1")
+    log.append("export", "d", success = true)
+    val verified = Audit.verifyChain(log.read())
+    assert(verified.count() == 4)
+    assert(verified.filter(!$"chain_valid").count() == 0,
+      verified.orderBy($"audit_id").collect().mkString("\n"))
+    assert(verified.agg(org.apache.spark.sql.functions.max($"audit_id"))
+      .head().getLong(0) == 4L)
+  }
+}
+
 class WritersSpec extends SparkSpec {
   import spark.implicits._
   import graft.sinks.Writers

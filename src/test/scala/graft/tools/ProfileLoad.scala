@@ -4,6 +4,7 @@ package graft.tools
 object ProfileLoad {
   def main(args: Array[String]): Unit = {
     val spark = graft.Tables.session()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
     spark.sparkContext.setLogLevel("WARN")
     val vcf = "/tmp/graft_bench_100k.vcf"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcf)))
