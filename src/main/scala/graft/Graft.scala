@@ -896,16 +896,23 @@ object Graft {
               (if (has(args, "--drop-orphans")) ""
                else " — run `validate --drop-orphans` to repair"))
             if (has(args, "--drop-orphans")) {
-              if (orphanV.nonEmpty)
-                replaceVariantsStaged(spark, db,
-                  orphanV.foldLeft(variants)(graft.audit.Audit.dropBatch))
-              if (orphanG.nonEmpty)
-                graft.sinks.Writers.replaceInPlace(
-                  orphanG.foldLeft(spark.read.parquet(gDir))(
-                    graft.audit.Audit.dropBatch), gDir)(
-                  (d, p) => graft.sinks.Writers.writeGenotypes(d, p))
+              // surgical repair, the same O(orphan) machinery as
+              // force-reload: an orphan is crash residue of a partial
+              // APPEND, so its rows live in their own footer-identified
+              // files across all four tables (appends stamp every table;
+              // only post-compact mixed files pay a filtered rewrite) —
+              // no store-sized rebuild to drop batch-sized residue
+              val allOrphans = (orphanV ++ orphanG).distinct
+              val tables = Seq("variants", "rsid_idx", "gene_idx",
+                "genotypes").filter(t => new java.io.File(s"$db/$t").exists())
+              allOrphans.foreach { b =>
+                tables.foreach(t =>
+                  graft.sinks.Writers.dropBatchFiles(spark, s"$db/$t", b))
+              }
+              tables.foreach(t =>
+                graft.query.PointLookup.invalidateListings(s"$db/$t"))
               println(s"dropped orphan batch(es): " +
-                (orphanV ++ orphanG).distinct.mkString(","))
+                allOrphans.mkString(","))
             }
           }
         }

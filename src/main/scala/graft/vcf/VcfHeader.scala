@@ -110,14 +110,29 @@ object VcfHeader {
       case many =>
         val first = headerOf(many.head)
         val want = first.find(_.startsWith("#CHROM"))
-        many.tail.foreach { p =>
-          val got = headerOf(p).find(_.startsWith("#CHROM"))
-          if (got != want)
-            sys.error(s"cohort shards disagree on #CHROM sample columns: " +
-              s"${many.head} vs $p — genotype sample ids are positional, " +
-              "so mixed-sample shards cannot load as one layout; load " +
-              "the shards as separate files instead")
-        }
+        // bounded-parallel verification: each probe is one bounded-prefix
+        // read, but a 10k-shard cohort on an object store would pay
+        // 10k×RTT serially — 16 concurrent probes keep the check
+        // O(shards/16) without unbounded driver threads
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, many.size))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val checks = many.tail.map { p =>
+            Future(p -> headerOf(p).find(_.startsWith("#CHROM")))
+          }
+          checks.foreach { f =>
+            val (p, got) = Await.result(f, Duration.Inf)
+            if (got != want)
+              sys.error(s"cohort shards disagree on #CHROM sample columns: " +
+                s"${many.head} vs $p — genotype sample ids are positional, " +
+                "so mixed-sample shards cannot load as one layout; load " +
+                "the shards as separate files instead")
+          }
+        } finally pool.shutdown()
         first
     }
   }
