@@ -192,9 +192,11 @@ object Graft {
       case "load" =>
         val vcf = args(1)
         val ledger = new graft.audit.Audit.Ledger(spark, s"$db/ledger")
-        val hash = graft.audit.Audit.fileSha256(vcf)
+        val progress = new graft.audit.LoadProgress(spark)
+        val hash = progress.stage("file_hash")(graft.audit.Audit.fileSha256(vcf))
         val existing = ledger.checkExisting(hash)
         if (existing.isDefined && !has(args, "--force-reload")) {
+          progress.close()
           println(s"skip: file already loaded (batch ${existing.get})")
           return
         }
@@ -238,9 +240,10 @@ object Graft {
         // a crash mid-load must leave a visible in_progress/failed row, not
         // silence. checkExisting only honors status='completed', so these
         // rows never satisfy the skip check.
-        ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
-          "in_progress", 0L, now(), ledgerNote))
-        val progress = new graft.audit.LoadProgress(spark)
+        progress.stage("ledger_begin") {
+          ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
+            "in_progress", 0L, now(), ledgerNote))
+        }
         val prevBatch = if (has(args, "--force-reload")) existing else None
         // commit point = the 'completed' ledger row; post-commit failures
         // (vault, progress printing) must never roll the batch back
@@ -249,6 +252,14 @@ object Graft {
         // all-or-nothing
         var appendedG = false
         var appendedV = false
+        // the genotype append runs on its own driver thread (see below);
+        // any failure path must drain it before touching the store
+        var genoPending: Option[scala.concurrent.Future[Unit]] = None
+        def drainGeno(): Unit = genoPending.foreach { f =>
+          scala.util.Try(scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+          genoPending = None
+        }
         try {
           val opts = graft.vcf.VcfReader.Options(
             normalize = has(args, "--normalize"),
@@ -256,7 +267,8 @@ object Graft {
             minInfoScore = arg(args, "--min-info-score").map(_.toDouble))
           var v = graft.vcf.VcfReader.variants(spark, vcf, opts)
             .withColumn("load_batch_id", lit(batchId))
-          val header = graft.vcf.VcfHeader.read(spark, vcf)
+          val header = progress.stage("read_header")(
+            graft.vcf.VcfHeader.read(spark, vcf))
           // Sample anonymization (`loader.py:326+`, phi/anonymizer):
           // deterministic ANON_<sha256(salt||id)[:12]> ids. The mapping is
           // ONE-WAY by design (deviation from the reference's encrypted
@@ -276,6 +288,10 @@ object Graft {
           // later writers may read earlier entries' staged temp data.
           val swaps = scala.collection.mutable.ArrayBuffer[
             (String, Map[String, String] => Unit)]()
+          // per-batch QC aggregate, produced by the genotype future below
+          // (cached + counted there); read on the main thread only after
+          // the join-point Await — future completion publishes the write
+          var qcCache: Option[DataFrame] = None
           if (header.samples.nonEmpty) {
             var g = graft.vcf.VcfReader.genotypes(spark, vcf,
                 opts.humanGenome, opts.skipMalformed)
@@ -285,17 +301,22 @@ object Graft {
                 .select(anonId($"sample_id").as("anon_id")))
               g = g.withColumn("sample_id", anonId($"sample_id"))
             }
-            // variant QC joins onto v on the full decomposed key —
-            // (chrom,pos,ref) alone would row-multiply sites that share a
-            // position across ALTs. Computed AFTER the genotype write
-            // where possible (the append arm) so the aggregation scans
-            // the just-written columnar data instead of re-parsing the
-            // VCF text a second time.
-            var qcOpt: Option[DataFrame] = None
-            locally {
-                // flag BEFORE the write: a failure mid-append may have
-                // committed some files, and the rollback must cover them
-                appendedG = true
+            // flag BEFORE the write: a failure mid-append may have
+            // committed some files, and the rollback must cover them
+            appendedG = true
+            // The genotype side (text parse -> hive append -> reload
+            // drop) runs on ITS OWN DRIVER THREAD, overlapped with the
+            // variants parse_count below: the two are independent scans
+            // of the same file, and together they keep the executor pool
+            // full where running them back-to-back left cores idle in
+            // each phase (the r7/r8 load regression: ~1.4s genotype
+            // write + ~1.7s variants parse sequential; overlapped they
+            // cost ~max of the two). Variant QC DOES depend on the
+            // written files, so it materializes only after the join
+            // point below awaits this future.
+            val gw = g
+            val gFallback = g
+            genoPending = Some(scala.concurrent.Future {
                 // hive-partitioned by chrom from the FIRST append (the
                 // variants layout): the genotype point probe then lists
                 // one chrom directory instead of footer-testing every
@@ -311,7 +332,7 @@ object Graft {
                 val legacyFlat = Option(gDir.listFiles()).exists(
                   _.exists(f => f.isFile && f.getName.endsWith(".parquet")))
                 progress.stage("write_genotypes") {
-                  val w = g.write.mode("append")
+                  val w = gw.write.mode("append")
                   (if (legacyFlat) w else w.partitionBy("chrom"))
                     .parquet(s"$db/genotypes")
                 }
@@ -343,31 +364,38 @@ object Graft {
                   }
                   graft.query.PointLookup.invalidateListings(s"$db/genotypes")
                 }
-                // QC from the WRITTEN batch rows: a column-pruned scan of
-                // compressed parquet (row groups of other batches prune
-                // on load_batch_id stats) beats re-parsing the VCF text.
-                // chrom is a hive partition column on read-back — cast
-                // pins it to string so the join key types match v's.
-                // A zero-row batch on a fresh db leaves no parquet to
-                // infer a schema from — QC falls back to the parse plan
-                // (empty aggregate, same null-filled join as before)
+                // QC from the WRITTEN batch rows, still on this thread
+                // (it depends only on the files this future just wrote,
+                // so it overlaps the variants parse like the write did):
+                // a column-pruned scan of compressed parquet (row groups
+                // of other batches prune on load_batch_id stats) beats
+                // re-parsing the VCF text a third time. chrom is a hive
+                // partition column on read-back — cast pins it to string
+                // so the join key types match v's. A zero-row batch on a
+                // fresh db leaves no parquet to infer a schema from — QC
+                // falls back to the parse plan (empty aggregate, same
+                // null-filled join). Cached + counted so the table
+                // writes reuse the aggregated rows instead of re-running
+                // the aggregation per write.
                 val gHasFiles = Option(
                   new java.io.File(s"$db/genotypes").listFiles()).exists(
                   _.exists(f => f.isDirectory ||
                     f.getName.endsWith(".parquet")))
-                qcOpt = Some(progress.stage("genotype_qc") {
-                  if (gHasFiles)
-                    graft.qc.VariantQc.fromGenotypes(
-                      spark.read.parquet(s"$db/genotypes")
-                        .withColumn("chrom", $"chrom".cast("string"))
-                        .filter($"load_batch_id" === batchId))
-                  else graft.qc.VariantQc.fromGenotypes(g)
-                })
-            }
-            qcOpt.foreach { qc =>
-              v = v.join(qc.drop("n_samples"),
-                Seq("chrom", "pos", "ref", "alt"), "left")
-            }
+                val qc = progress.stage("genotype_qc") {
+                  val q = (if (gHasFiles)
+                      graft.qc.VariantQc.fromGenotypes(
+                        spark.read.parquet(s"$db/genotypes")
+                          .withColumn("chrom", $"chrom".cast("string"))
+                          .filter($"load_batch_id" === batchId))
+                    else graft.qc.VariantQc.fromGenotypes(gFallback))
+                    .drop("n_samples")
+                    .persist(
+                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  q.count()
+                  q
+                }
+                qcCache = Some(qc)
+            }(scala.concurrent.ExecutionContext.global))
           } else prevBatch.foreach { b =>
             // sample-free reload of a file whose previous batch had
             // samples: its old genotype rows still must go — the same
@@ -378,18 +406,6 @@ object Graft {
               }
               graft.query.PointLookup.invalidateListings(s"$db/genotypes")
             }
-          }
-          // One schema for every store, reference-style: the variants
-          // table carries the QC columns even when the file had no
-          // FORMAT/sample section, null until filled
-          // (`schema.py:110-187`). Without this, a cohort mixing
-          // sample-less and genotyped files trips the schema-evolution
-          // full rewrite on the second load (an O(store) cost for an
-          // O(batch) file); with it, both load shapes produce identical
-          // columns and stay on the append path.
-          graft.qc.VariantQc.joinedColumns.foreach { case (c, t) =>
-            if (!v.columns.contains(c))
-              v = v.withColumn(c, lit(null).cast(t))
           }
           // §2.13 append-only cohort: a db accumulates ONE batch per VCF.
           // The reference deletes only the SAME file's previous batch and
@@ -416,6 +432,47 @@ object Graft {
           // are surgically dropped (dropBatchFiles) and the new batch
           // appends like any other file.
           val vWithId = graft.ingest.VariantMatching.withVariantId(v)
+          // EVERY load path caches the parsed batch and counts it first:
+          // the count fills the cache (so later writes read materialized
+          // rows instead of re-running the parse — repartitionByRange
+          // alone executes its input twice, once sampling range bounds
+          // and once shuffling), it runs CONCURRENTLY with the genotype
+          // append above (the two text parses together fill the executor
+          // pool), and the count IS the per-batch ledger number. A batch
+          // is one VCF — MEMORY_AND_DISK spills rather than OOMs at
+          // cohort scale.
+          val vCache = vWithId.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          var batchN = -1L
+          try {
+          batchN = progress.stage("parse_count")(vCache.count())
+          // join point: the genotype append, any force-reload drop, and
+          // the QC aggregate must all be complete before the batch plan
+          // below is finalized
+          genoPending.foreach(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+          genoPending = None
+          var vc: DataFrame = vCache
+          qcCache.foreach { qc =>
+            // variant QC joins on the full decomposed key —
+            // (chrom,pos,ref) alone would row-multiply sites that share
+            // a position across ALTs. The left join is count-preserving
+            // (QC keys are its groupBy output, unique), so batchN above
+            // is still the ledger number.
+            vc = vCache.join(qc, Seq("chrom", "pos", "ref", "alt"), "left")
+          }
+          // One schema for every store, reference-style: the variants
+          // table carries the QC columns even when the file had no
+          // FORMAT/sample section, null until filled
+          // (`schema.py:110-187`). Without this, a cohort mixing
+          // sample-less and genotyped files trips the schema-evolution
+          // full rewrite on the second load (an O(store) cost for an
+          // O(batch) file); with it, both load shapes produce identical
+          // columns and stay on the append path.
+          graft.qc.VariantQc.joinedColumns.foreach { case (c, t) =>
+            if (!vc.columns.contains(c))
+              vc = vc.withColumn(c, lit(null).cast(t))
+          }
           val storeExists = new java.io.File(s"$db/variants").exists()
           lazy val storeSchema = spark.read.parquet(s"$db/variants").schema
           def alignTo(df: DataFrame,
@@ -434,7 +491,7 @@ object Graft {
           lazy val rsidSchema = projSchema(s"$db/rsid_idx")
           lazy val geneSchema = projSchema(s"$db/gene_idx")
           val appendReady = storeExists && {
-            val extra = vWithId.columns.toSet -- storeSchema.fieldNames.toSet
+            val extra = vc.columns.toSet -- storeSchema.fieldNames.toSet
             // covering = the projection carries every store column (a
             // slim legacy rsid_idx or a drifted projection must not be
             // appended to — its rows would miss columns silently)
@@ -467,7 +524,7 @@ object Graft {
             // partition unreachable by any chrom-scoped probe. Any
             // common-column type mismatch routes to the full rewrite,
             // where unionByName's type reconciliation handles it.
-            val batchTypes = vWithId.schema.map(f => f.name -> f.dataType).toMap
+            val batchTypes = vc.schema.map(f => f.name -> f.dataType).toMap
             val typeDrift = storeSchema.fields.toSeq.flatMap(f =>
               batchTypes.get(f.name).filter(_ != f.dataType)
                 .map(t => s"${f.name}: $t vs store ${f.dataType}"))
@@ -486,62 +543,47 @@ object Graft {
           // takes. Only a store the append guards reject (schema drift,
           // legacy projections) pays the staged full rewrite.
           val canAppend = appendReady
-          var batchN = -1L
-          // EVERY load path caches the parsed batch and counts it first:
-          // the count fills the cache (so later writes read materialized
-          // rows instead of re-running parse+QC — repartitionByRange
-          // alone executes its input twice, once sampling range bounds
-          // and once shuffling) and the count IS the per-batch ledger
-          // number, replacing the fresh-db footer re-scan and the
-          // force-reload's post-write store filter. A batch is one VCF —
-          // MEMORY_AND_DISK spills rather than OOMs at cohort scale.
           if (canAppend) {
-            // one computation of the batch serves all three appends and
-            // the ledger count: the count runs FIRST, filling the cache,
-            // so the three appends all read materialized rows — and being
-            // independent writes to three directories, they run
-            // concurrently (local[32] has the idle cores; on a cluster
-            // the scheduler interleaves their stages)
-            val vc = alignTo(vWithId, storeSchema).persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              batchN = progress.stage("parse_count")(vc.count())
-              // the old batch is dropped only AFTER the new file parsed
-              // and cached cleanly — a corrupt reload file must never
-              // destroy the batch it was meant to replace. A failure
-              // from here on leaves the old batch gone and the new one
-              // rolled back ('failed' ledger row): the file reads as not
-              // loaded, and re-running the load recovers.
-              prevBatch.foreach { b =>
-                progress.stage("drop_prev_batch") {
-                  Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
-                    graft.sinks.Writers.dropBatchFiles(spark, s"$db/$t", b))
-                }
+            // the cached batch serves all three appends and the ledger
+            // count (already taken above, so the cache is full and the
+            // three appends read materialized rows); being independent
+            // writes to three directories they run concurrently
+            // (local[32] has the idle cores; on a cluster the scheduler
+            // interleaves their stages). The QC join runs per write, but
+            // over the two caches — a thin projection, not a re-parse.
+            //
+            // the old batch is dropped only AFTER the new file parsed
+            // and cached cleanly — a corrupt reload file must never
+            // destroy the batch it was meant to replace. A failure
+            // from here on leaves the old batch gone and the new one
+            // rolled back ('failed' ledger row): the file reads as not
+            // loaded, and re-running the load recovers.
+            prevBatch.foreach { b =>
+              progress.stage("drop_prev_batch") {
                 Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
-                  graft.query.PointLookup.invalidateListings(s"$db/$t"))
+                  graft.sinks.Writers.dropBatchFiles(spark, s"$db/$t", b))
               }
-              // flag only once writes may have landed files — a failure
-              // in the count above needs no store rollback
-              appendedV = true
-              progress.stage("write_tables") {
-                graft.sinks.Writers.runConcurrently(Seq(
-                  () => graft.sinks.Writers.writeVariants(
-                    vc, s"$db/variants", mode = "append"),
-                  () => graft.sinks.Writers.writeRsidIndex(
-                    alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append"),
-                  () => graft.sinks.Writers.writeGeneIndex(
-                    vc, s"$db/gene_idx", mode = "append")))
-              }
-            } finally vc.unpersist() // a failed append must not leak the cache
+              Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
+                graft.query.PointLookup.invalidateListings(s"$db/$t"))
+            }
+            // flag only once writes may have landed files — a failure
+            // before this point needs no store rollback
+            appendedV = true
+            val aligned = alignTo(vc, storeSchema)
+            progress.stage("write_tables") {
+              graft.sinks.Writers.runConcurrently(Seq(
+                () => graft.sinks.Writers.writeVariants(
+                  aligned, s"$db/variants", mode = "append"),
+                () => graft.sinks.Writers.writeRsidIndex(
+                  alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append"),
+                () => graft.sinks.Writers.writeGeneIndex(
+                  aligned, s"$db/gene_idx", mode = "append")))
+            }
             // appends can land within the directory-mtime tick of a
             // cached probe listing (same-JVM); swaps don't need this
             Seq("variants", "rsid_idx", "gene_idx").foreach(t =>
               graft.query.PointLookup.invalidateListings(s"$db/$t"))
           } else {
-            val vc = vWithId.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              batchN = progress.stage("parse_count")(vc.count())
               if (!storeExists && batchN == 0 && swaps.isEmpty) {
                 // a zero-variant batch on a FRESH db (headers but no
                 // records) must not create the store at all: writing an
@@ -603,7 +645,14 @@ object Graft {
                     swaps.toSeq.map(Seq(_)) :+ projections)
                 }
               }
-            } finally vc.unpersist()
+          }
+          } finally {
+            // a failed load must not leak caches, and any in-flight
+            // genotype append must land (or fail) BEFORE the catch
+            // handler below rolls the batch back
+            drainGeno()
+            qcCache.foreach(_.unpersist())
+            vCache.unpersist()
           }
           // the APPEND paths accumulate files across loads; --compact
           // folds the fold-back into this load (pre-commit, so a failure
@@ -673,8 +722,10 @@ object Graft {
             Seq("variants", "rsid_idx", "gene_idx").foreach(rmIfNoParquet)
             if (appendedG) rmIfNoParquet("genotypes")
           }
-          ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
-            "completed", n, now(), ledgerNote))
+          progress.stage("ledger_commit") {
+            ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
+              "completed", n, now(), ledgerNote))
+          }
           committed = true
           // vault write only after the load committed (no orphan vault rows
           // from failed loads), deduped against prior loads of the same
@@ -700,6 +751,10 @@ object Graft {
           println(s"loaded $n variants (batch $batchId)")
         } catch {
           case e: Throwable if !committed =>
+            // any in-flight genotype append must finish landing (or
+            // failing) before the rollback below touches its files —
+            // a no-op when the happy path's finally already drained it
+            drainGeno()
             // roll back this batch's genotype appends (best-effort; the
             // swapped tables never committed), then ledger the failure —
             // orphan data with no audit trace is the reference's explicit

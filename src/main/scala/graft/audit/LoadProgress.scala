@@ -40,19 +40,26 @@ final class LoadProgress(spark: SparkSession) extends SparkListener {
   /** Run a named load stage; record wall time and the task-metric deltas
     * it produced. The listener bus is async, so it is drained before each
     * snapshot — otherwise a stage's trailing task-end events are missed
-    * or attributed to the next stage. */
+    * or attributed to the next stage.
+    *
+    * Stages may run CONCURRENTLY (the load verb overlaps the genotype
+    * append with the variants parse on two driver threads): wall times
+    * stay exact per stage, but the record-count deltas of overlapping
+    * stages include each other's tasks — progress totals remain correct,
+    * per-stage attribution is approximate only while stages overlap. */
   def stage[T](name: String)(body: => T): T = {
     org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
     val (r0, w0) = (recordsRead.get(), recordsWritten.get())
     val t0 = System.nanoTime()
     val out = body
     org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
-    reports += StageReport(name, (System.nanoTime() - t0) / 1e9,
+    val rep = StageReport(name, (System.nanoTime() - t0) / 1e9,
       recordsRead.get() - r0, recordsWritten.get() - w0)
+    reports.synchronized { reports += rep }
     out
   }
 
-  def report(): Seq[StageReport] = reports.toSeq
+  def report(): Seq[StageReport] = reports.synchronized { reports.toSeq }
 
   /** One line per stage, the `load` verb's progress output. */
   def print(): Unit = report().foreach { r =>
