@@ -1215,6 +1215,45 @@ class GraftCliSpec extends SparkSpec {
       .filter($"status" === "completed").count() == 1)
   }
 
+  test("a genotype-side write failure fails the whole load at the join point, nothing half-committed") {
+    // the genotype append runs on its own driver thread, overlapped with
+    // the variants parse; its failure must surface at the load's join
+    // point and fail the WHOLE load — no store/projection tables from a
+    // load whose genotype side never landed, a 'failed' ledger row, and
+    // a clean retry once the obstruction is gone
+    val db = Files.createTempDirectory("graftdb").toString
+    val vcf = Files.createTempDirectory("genofail")
+      .resolve("cohort.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf, 200, seed = 91L) // genotyped (S1,S2)
+    // a corrupt legacy flat file in the genotypes table: the append
+    // itself lands (flat, matching the legacy layout), then the QC
+    // read-back of the directory hits the unreadable footer and fails
+    // the genotype thread — while the variants parse proceeds normally
+    Files.createDirectories(java.nio.file.Paths.get(s"$db/genotypes"))
+    Files.write(java.nio.file.Paths.get(s"$db/genotypes/legacy.parquet"),
+      "not parquet at all".getBytes)
+    intercept[Throwable] {
+      Graft.run(spark, Array("load", vcf, "--db", db))
+    }
+    assert(!new java.io.File(s"$db/variants").exists(),
+      "variants table must not exist after a genotype-side failure")
+    assert(!new java.io.File(s"$db/rsid_idx").exists())
+    assert(!new java.io.File(s"$db/gene_idx").exists())
+    val ledger = spark.read.parquet(s"$db/ledger")
+    assert(ledger.filter($"status" === "failed").count() == 1)
+    assert(ledger.filter($"status" === "completed").count() == 0)
+    // retry after removing the corruption: full load goes through (the
+    // failed attempt's orphan genotype rows are exactly what
+    // `validate --drop-orphans` reconciles; the new batch is complete)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$db/genotypes/legacy.parquet"))
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    assert(spark.read.parquet(s"$db/variants").count() >= 200)
+    assert(spark.read.parquet(s"$db/genotypes").count() > 0)
+    assert(spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").count() == 1)
+  }
+
   test("phi scan covers sample names and data rows; --fail-on-phi implies the scan") {
     val db = Files.createTempDirectory("graftdb").toString
     // sample-name PHI: an MRN used as a sample id lives on the #CHROM
