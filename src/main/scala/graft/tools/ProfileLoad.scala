@@ -50,6 +50,17 @@ object ProfileLoad {
       println(f"run $i total ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
+    if (args.contains("--1m")) {
+      println("==== fresh-db 1M load (scaling check) ====")
+      val vcf1m = "/tmp/graft_bench_1m.vcf"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcf1m)))
+        graft.vcf.SyntheticVcf.write(vcf1m, 1000000)
+      rmrf(new java.io.File("/tmp/graft_prof_db1m"))
+      val t0 = System.nanoTime()
+      graft.Graft.run(spark, Array("load", vcf1m, "--db", "/tmp/graft_prof_db1m"))
+      println(f"1m load total ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
     println("==== cohort appends (vcf_load_cohort_append shape) ====")
     val cohortDb = "/tmp/graft_prof_cohortdb"
     rmrf(new java.io.File(cohortDb))
