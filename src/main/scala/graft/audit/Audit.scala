@@ -33,6 +33,74 @@ object Audit {
       completed_at: java.sql.Timestamp,
       note: String = "")     // e.g. PHI-scan outcome (loader.py:275-298)
 
+  /** Driver-side single-row parquet append. A 1-row `toDF().write`
+    * schedules a full Spark job (~100-250 ms of scheduler + committer
+    * overhead) for a metadata-table row; the ledger and audit log append
+    * one row per mutating verb, so every verb paid that floor twice or
+    * three times. This writes the row with parquet-hadoop's example
+    * writer on the driver: one file open, one page, no job. Types match
+    * what Spark writes for the same case classes (BINARY/UTF8 strings,
+    * INT64 longs, INT64 TIMESTAMP(MICROS) — readable back alongside any
+    * Spark-written files already in the directory, by Spark and DuckDB
+    * alike). Columns are passed as (name, value) with scala types
+    * String / Long / Boolean / java.sql.Timestamp; null values are
+    * simply omitted (all schema fields are optional). */
+  private[graft] def appendRowDriverSide(
+      dir: String, cols: Seq[(String, Any)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val b = Types.buildMessage()
+    cols.foreach { case (name, v) =>
+      v match {
+        case _: String =>
+          b.addField(Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(name))
+        case _: Long | _: Int =>
+          b.addField(Types.optional(PrimitiveTypeName.INT64).named(name))
+        case _: Boolean =>
+          b.addField(Types.optional(PrimitiveTypeName.BOOLEAN).named(name))
+        case _: java.sql.Timestamp =>
+          b.addField(Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(name))
+        case null =>
+          b.addField(Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(name))
+        case other => sys.error(
+          s"appendRowDriverSide: unsupported type ${other.getClass} for $name")
+      }
+    }
+    val schema = b.named("spark_schema")
+    new java.io.File(dir).mkdirs()
+    val path = new org.apache.hadoop.fs.Path(dir,
+      s"part-driver-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(path, conf))
+      .withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(schema)
+      cols.foreach { case (name, v) =>
+        v match {
+          case s: String             => g.append(name, s)
+          case l: Long               => g.append(name, l)
+          case i: Int                => g.append(name, i.toLong)
+          case bo: Boolean           => g.append(name, bo)
+          case t: java.sql.Timestamp =>
+            g.append(name,
+              t.getTime * 1000L + (t.getNanos % 1000000) / 1000L)
+          case _                     => () // null: leave unset
+        }
+      }
+      w.write(g)
+    } finally w.close()
+  }
+
   /** Parquet-backed batch ledger (replaces `variant_load_audit`). */
   final class Ledger(spark: SparkSession, dir: String) {
     import spark.implicits._
@@ -55,7 +123,14 @@ object Audit {
     }
 
     def append(entry: LedgerEntry): Unit =
-      Seq(entry).toDF().write.mode("append").parquet(dir)
+      appendRowDriverSide(dir, Seq(
+        "load_batch_id" -> entry.load_batch_id,
+        "file_path" -> entry.file_path,
+        "file_hash" -> entry.file_hash,
+        "status" -> entry.status,
+        "n_variants" -> entry.n_variants,
+        "completed_at" -> entry.completed_at,
+        "note" -> entry.note))
   }
 
   /** Drop a reloaded batch's rows (the DELETE side of delete-then-insert;
@@ -192,9 +267,15 @@ object Audit {
         val (prevId, prevHash) = readTip()
         val eventTime = java.time.Instant.now().toString
         val h = entryHash(eventTime, eventType, userName, action, success, prevHash)
-        Seq(AuditEvent(prevId + 1, eventTime, eventType, userName, action,
-          success, prevHash, h)).toDF()
-          .write.mode("append").parquet(dir)
+        appendRowDriverSide(dir, Seq(
+          "audit_id" -> (prevId + 1),
+          "event_time" -> eventTime,
+          "event_type" -> eventType,
+          "user_name" -> userName,
+          "action" -> action,
+          "success" -> success,
+          "previous_hash" -> prevHash,
+          "entry_hash" -> h))
         writeTipSidecar(prevId + 1, h)
       } finally {
         if (lock != null) try lock.release() catch { case _: Throwable => () }
