@@ -91,19 +91,44 @@ object Graft {
   /** Replace one key's rows in a fact table (per-study / per-score
     * delete-then-insert, so several studies coexist as in the reference's
     * keyed tables); whole-table overwrite when the existing layout
-    * predates the key column. The key value is a per-import literal, so
-    * the existing table is pruned with a filter — the (expensive)
-    * incoming plan appears once in the written union and executes exactly
-    * once, inside the write. */
+    * predates the key column.
+    *
+    * O(import), not O(table): every import stamps its key and lands as
+    * NEW files, so replacing a key's prior rows is the same surgical
+    * footer-stat drop force-reload uses (`Writers.dropKeyFiles` — the
+    * parquet analogue of the reference's `DELETE WHERE study_id`, which
+    * is O(batch) in Postgres), followed by a plain append of the
+    * incoming batch null-padded to the table schema. On a table holding
+    * hundreds of studies, an import touches one study's files and never
+    * rewrites the others (spec-pinned by file-inventory survival).
+    * A batch whose schema genuinely drifts from the table's (new or
+    * retyped columns) takes the staged full-rewrite union instead,
+    * where unionByName reconciles. Crash window, as on the load path:
+    * a failure between the drop and the append leaves the key's rows
+    * absent — re-running the import recovers; the registry row keeps
+    * the prior counts until then. */
   private def replaceByKey(spark: SparkSession, dir: String,
                            incoming: DataFrame, key: String,
                            value: String): Unit = {
     if (new java.io.File(dir).exists() &&
         spark.read.parquet(dir).columns.contains(key)) {
-      val keep = spark.read.parquet(dir).filter(!(col(key) <=> lit(value)))
-      graft.sinks.Writers.replaceInPlace(
-        keep.unionByName(incoming, allowMissingColumns = true),
-        dir)((d, p) => d.write.parquet(p))
+      val storeSchema = spark.read.parquet(dir).schema
+      val storeTypes = storeSchema.map(f => f.name -> f.dataType).toMap
+      val incomingTypes = incoming.schema.map(f => f.name -> f.dataType)
+      val appendable = incomingTypes.forall { case (c, t) =>
+        storeTypes.get(c).contains(t) } // subset columns, exact types
+      if (appendable) {
+        graft.sinks.Writers.dropKeyFiles(spark, dir, key, value)
+        incoming.select(storeSchema.map(f =>
+          (if (incoming.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+          .write.mode("append").parquet(dir)
+      } else {
+        val keep = spark.read.parquet(dir).filter(!(col(key) <=> lit(value)))
+        graft.sinks.Writers.replaceInPlace(
+          keep.unionByName(incoming, allowMissingColumns = true),
+          dir)((d, p) => d.write.parquet(p))
+      }
     } else {
       // an existing table WITHOUT the key column predates per-key
       // coexistence — replacing it drops every prior import's rows, so

@@ -406,7 +406,20 @@ object Writers {
     * A failure mid-metadata restores from trash; success deletes the
     * trash. Returns (filesRemoved, filesRewritten). */
   def dropBatchFiles(spark: SparkSession, dir: String,
-                     batchId: String): (Int, Int) = {
+                     batchId: String): (Int, Int) =
+    dropKeyFiles(spark, dir, "load_batch_id", batchId)
+
+  /** The general form of `dropBatchFiles`: physical delete of every row
+    * with `keyCol == value`, file-surgically via footer stats. Used with
+    * keyCol = study_accession / pgs_id by the import verbs' per-key
+    * replace (the reference's `DELETE WHERE study_id` /
+    * `DELETE WHERE pgs_id` are O(batch) the same way) and with
+    * load_batch_id by force-reload. Requires the table's writes to stamp
+    * `keyCol` per batch and land each import as NEW files — exactly what
+    * the import verbs' append path does. */
+  def dropKeyFiles(spark: SparkSession, dir: String, keyCol: String,
+                   value: String): (Int, Int) = {
+    val batchId = value
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
@@ -423,7 +436,7 @@ object Writers {
             f.getPath, conf))
         try {
           val hasCol = r.getFileMetaData.getSchema.getFields.asScala
-            .exists(_.getName == "load_batch_id")
+            .exists(_.getName == keyCol)
           if (hasCol) {
             // classify per row group: a file is PURE when every row
             // group's min==max==batchId; it MAY hold the batch when any
@@ -433,7 +446,7 @@ object Writers {
             var allPure = true
             r.getRowGroups.asScala.foreach { rg =>
               val st = rg.getColumns.asScala
-                .find(_.getPath.toDotString == "load_batch_id")
+                .find(_.getPath.toDotString == keyCol)
                 .map(_.getStatistics).orNull
               if (st == null || st.isEmpty || !st.hasNonNullValue) {
                 // no usable stats: cannot exclude the batch
@@ -468,7 +481,7 @@ object Writers {
     val rewrites = mixed.zipWithIndex.map { case (p, i) =>
       val tmp = new org.apache.hadoop.fs.Path(s"$dir.tmp-$suffix-$i")
       spark.read.parquet(p.toString)
-        .filter(!(col("load_batch_id") <=> lit(batchId)))
+        .filter(!(col(keyCol) <=> lit(batchId)))
         .coalesce(1)
         .write.option("parquet.page.row.count.limit", "512")
         .parquet(tmp.toString)

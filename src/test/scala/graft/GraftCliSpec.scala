@@ -1518,14 +1518,39 @@ class GraftCliSpec extends SparkSpec {
     Graft.run(spark, Array("import-gwas", tsvA.toString, "--db", db,
       "--study-accession", "GCST_A", "--trait", "Height",
       "--sample-size", "1000"))
+    // per-study imports are O(import), not O(table): every import lands
+    // as new study-stamped files, so importing (or re-importing) one
+    // study must leave every other study's files byte-identical — the
+    // `DELETE WHERE study_id` + INSERT shape, not a table rewrite
+    def inventory(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$db/gwas_stats"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
+    val invA = inventory()
     Graft.run(spark, Array("import-gwas", tsvB.toString, "--db", db,
       "--study-accession", "GCST_B"))
+    val invAB = inventory()
+    invA.foreach { case (p, id) =>
+      assert(invAB.get(p).contains(id),
+        s"importing study B rewrote study A's file $p")
+    }
     val st = spark.read.parquet(s"$db/gwas_stats")
     assert(st.filter($"study_accession" === "GCST_A").count() == 2)
     assert(st.filter($"study_accession" === "GCST_B").count() == 1)
-    // re-import study A: its rows are replaced, B's untouched
+    // re-import study A: its rows are replaced, B's files untouched
     Graft.run(spark, Array("import-gwas", tsvA.toString, "--db", db,
       "--study-accession", "GCST_A"))
+    val inv2 = inventory()
+    invAB.filterNot { case (p, _) => invA.contains(p) }.foreach {
+      case (p, id) =>
+        assert(inv2.get(p).contains(id),
+          s"re-importing study A rewrote study B's file $p")
+    }
+    assert(invA.keySet.intersect(inv2.keySet).isEmpty,
+      "re-importing study A must replace its own files")
     val st2 = spark.read.parquet(s"$db/gwas_stats")
     assert(st2.filter($"study_accession" === "GCST_A").count() == 2)
     assert(st2.filter($"study_accession" === "GCST_B").count() == 1)
