@@ -109,32 +109,41 @@ object Graft {
     * the prior counts until then. */
   private def replaceByKey(spark: SparkSession, dir: String,
                            incoming: DataFrame, key: String,
-                           value: String): Unit = {
+                           value: String): Unit =
+    replaceByKeys(spark, dir, incoming, Seq(key -> value))
+
+  /** Composite-key form (import-frequencies replaces per
+    * (source, subset), the reference's ON CONFLICT key). */
+  private def replaceByKeys(spark: SparkSession, dir: String,
+                            incoming: DataFrame,
+                            keys: Seq[(String, String)]): Unit = {
     if (new java.io.File(dir).exists() &&
-        spark.read.parquet(dir).columns.contains(key)) {
+        keys.forall(k => spark.read.parquet(dir).columns.contains(k._1))) {
       val storeSchema = spark.read.parquet(dir).schema
       val storeTypes = storeSchema.map(f => f.name -> f.dataType).toMap
       val incomingTypes = incoming.schema.map(f => f.name -> f.dataType)
       val appendable = incomingTypes.forall { case (c, t) =>
         storeTypes.get(c).contains(t) } // subset columns, exact types
       if (appendable) {
-        graft.sinks.Writers.dropKeyFiles(spark, dir, key, value)
+        graft.sinks.Writers.dropKeyFiles(spark, dir, keys)
         incoming.select(storeSchema.map(f =>
           (if (incoming.columns.contains(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name)): _*)
           .write.mode("append").parquet(dir)
       } else {
-        val keep = spark.read.parquet(dir).filter(!(col(key) <=> lit(value)))
+        val keep = spark.read.parquet(dir).filter(
+          !keys.map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
         graft.sinks.Writers.replaceInPlace(
           keep.unionByName(incoming, allowMissingColumns = true),
           dir)((d, p) => d.write.parquet(p))
       }
     } else {
-      // an existing table WITHOUT the key column predates per-key
+      // an existing table WITHOUT the key column(s) predates per-key
       // coexistence — replacing it drops every prior import's rows, so
       // say so instead of doing it silently
       if (new java.io.File(dir).exists())
-        println(s"WARNING: existing $dir predates the '$key' column; " +
+        println(s"WARNING: existing $dir predates the " +
+          s"'${keys.map(_._1).mkString(",")}' column(s); " +
           "replacing the WHOLE table (prior imports' rows are dropped)")
       incoming.write.mode("overwrite").parquet(dir)
     }
@@ -1233,21 +1242,12 @@ object Graft {
           freqVcf, source = source, prefix = prefix, subset = subset)
         // per-(source,subset) replace — the reference upserts ON CONFLICT
         // (variant_id, source, population, subset), so several sources/
-        // subsets coexist and a re-import replaces only its own rows
+        // subsets coexist and a re-import replaces only its own rows.
+        // O(import) via the composite-key surgical drop + append (see
+        // replaceByKeys): other sources' files survive untouched.
         val freqDir = s"$db/population_frequencies"
-        if (new java.io.File(freqDir).exists() &&
-            spark.read.parquet(freqDir).columns.contains("subset")) {
-          val keep = spark.read.parquet(freqDir)
-            .filter(!($"source" === source && $"subset" === subset))
-          graft.sinks.Writers.replaceInPlace(
-            keep.unionByName(long, allowMissingColumns = true),
-            freqDir)((d, p) => d.write.parquet(p))
-        } else {
-          if (new java.io.File(freqDir).exists())
-            println(s"WARNING: existing $freqDir predates the 'subset' " +
-              "column; replacing the WHOLE table (prior sources' rows are dropped)")
-          long.write.mode("overwrite").parquet(freqDir)
-        }
+        replaceByKeys(spark, freqDir, long,
+          Seq("source" -> source, "subset" -> subset))
         val nFreq = spark.read.parquet(freqDir)
           .filter($"source" === source && $"subset" === subset).count()
         if (!has(args, "--no-update-popmax") &&

@@ -409,24 +409,35 @@ object Writers {
                      batchId: String): (Int, Int) =
     dropKeyFiles(spark, dir, "load_batch_id", batchId)
 
-  /** The general form of `dropBatchFiles`: physical delete of every row
-    * with `keyCol == value`, file-surgically via footer stats. Used with
-    * keyCol = study_accession / pgs_id by the import verbs' per-key
-    * replace (the reference's `DELETE WHERE study_id` /
-    * `DELETE WHERE pgs_id` are O(batch) the same way) and with
-    * load_batch_id by force-reload. Requires the table's writes to stamp
-    * `keyCol` per batch and land each import as NEW files — exactly what
-    * the import verbs' append path does. */
+  /** Single-key form of `dropKeyFiles`. */
   def dropKeyFiles(spark: SparkSession, dir: String, keyCol: String,
-                   value: String): (Int, Int) = {
-    val batchId = value
+                   value: String): (Int, Int) =
+    dropKeyFiles(spark, dir, Seq(keyCol -> value))
+
+  /** The general form of `dropBatchFiles`: physical delete of every row
+    * where ALL `keys` columns equal their values (conjunction),
+    * file-surgically via footer stats. Used with study_accession /
+    * pgs_id by the import verbs' per-key replace and with
+    * (source, subset) by import-frequencies (the reference's
+    * `DELETE WHERE study_id` / composite-key upserts are O(batch) the
+    * same way), and with load_batch_id by force-reload. Requires the
+    * table's writes to stamp every key column constant per import and
+    * land each import as NEW files — exactly what the import verbs'
+    * append path does. A file is PURE (droppable whole) when every row
+    * group pins EVERY key to its value; it MAY hold matching rows when
+    * every key's [min,max] covers its value in some row group (any key
+    * excluding its value excludes the conjunction). */
+  def dropKeyFiles(spark: SparkSession, dir: String,
+                   keys: Seq[(String, String)]): (Int, Int) = {
+    require(keys.nonEmpty, "dropKeyFiles: at least one key required")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return (0, 0)
     val pure = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
     val mixed = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
-    val idBin = org.apache.parquet.io.api.Binary.fromString(batchId)
+    val bins = keys.map { case (c, v) =>
+      c -> org.apache.parquet.io.api.Binary.fromString(v) }
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
@@ -435,40 +446,43 @@ object Writers {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             f.getPath, conf))
         try {
-          val hasCol = r.getFileMetaData.getSchema.getFields.asScala
-            .exists(_.getName == keyCol)
-          if (hasCol) {
-            // classify per row group: a file is PURE when every row
-            // group's min==max==batchId; it MAY hold the batch when any
-            // row group's [min,max] covers it (or stats are absent —
-            // conservative)
+          val fields = r.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+          if (bins.forall(b => fields.contains(b._1))) {
+            // classify per row group, conjunctively over all keys
             var anyMay = false
             var allPure = true
             r.getRowGroups.asScala.foreach { rg =>
-              val st = rg.getColumns.asScala
-                .find(_.getPath.toDotString == keyCol)
-                .map(_.getStatistics).orNull
-              if (st == null || st.isEmpty || !st.hasNonNullValue) {
-                // no usable stats: cannot exclude the batch
-                anyMay = true; allPure = false
-              } else {
-                val mn = st.genericGetMin
-                  .asInstanceOf[org.apache.parquet.io.api.Binary]
-                val mx = st.genericGetMax
-                  .asInstanceOf[org.apache.parquet.io.api.Binary]
-                val covers = mn.compareTo(idBin) <= 0 &&
-                  mx.compareTo(idBin) >= 0
-                val pureRg = covers && mn.compareTo(mx) == 0 &&
-                  st.getNumNulls == 0
-                if (covers) anyMay = true
-                if (!pureRg) allPure = false
+              var rgCovers = true
+              var rgPure = true
+              bins.foreach { case (keyCol, idBin) =>
+                val st = rg.getColumns.asScala
+                  .find(_.getPath.toDotString == keyCol)
+                  .map(_.getStatistics).orNull
+                if (st == null || st.isEmpty || !st.hasNonNullValue) {
+                  // no usable stats: cannot exclude the value — treat as
+                  // covering but never pure
+                  rgPure = false
+                } else {
+                  val mn = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  val mx = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  val covers = mn.compareTo(idBin) <= 0 &&
+                    mx.compareTo(idBin) >= 0
+                  if (!covers) rgCovers = false
+                  if (!(covers && mn.compareTo(mx) == 0 &&
+                      st.getNumNulls == 0)) rgPure = false
+                }
               }
+              if (rgCovers) anyMay = true
+              if (!(rgCovers && rgPure)) allPure = false
             }
             if (anyMay && allPure) pure += f.getPath
             else if (anyMay) mixed += f.getPath
           }
-          // no load_batch_id column: rows predate batch stamping and
-          // cannot belong to a just-ledgered batch — untouched
+          // a key column missing entirely: rows predate key stamping and
+          // cannot match a just-stamped import — untouched
         } finally r.close()
       }
     }
@@ -478,10 +492,12 @@ object Writers {
     fs.mkdirs(trash)
     // stage phase: filtered single-file rewrites of mixed files (rare —
     // only post-compact files straddle batches). Destinations untouched.
+    val dropPred = keys.map { case (c, v) => col(c) <=> lit(v) }
+      .reduce(_ && _)
     val rewrites = mixed.zipWithIndex.map { case (p, i) =>
       val tmp = new org.apache.hadoop.fs.Path(s"$dir.tmp-$suffix-$i")
       spark.read.parquet(p.toString)
-        .filter(!(col(keyCol) <=> lit(batchId)))
+        .filter(!dropPred)
         .coalesce(1)
         .write.option("parquet.page.row.count.limit", "512")
         .parquet(tmp.toString)

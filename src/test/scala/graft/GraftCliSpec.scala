@@ -1457,15 +1457,34 @@ class GraftCliSpec extends SparkSpec {
       s"stale rsID projection after import-frequencies: $idxHit")
 
     // sources coexist per (source, subset) as in the reference's
-    // ON CONFLICT key; re-import replaces only its own rows
+    // ON CONFLICT key; re-import replaces only its own rows, and — the
+    // O(import) claim — other sources' FILES survive byte-identical
+    // (composite-key surgical drop + append, not a table rewrite)
+    def freqInventory(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(s"$db/population_frequencies"))
+        .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    }
     val n0 = long.count()
+    val invV3 = freqInventory()
     Graft.run(spark, Array("import-frequencies", freqVcf, "--db", db,
       "--source", "gnomAD_v4"))
+    val invV34 = freqInventory()
+    invV3.foreach { case (p, id) =>
+      assert(invV34.get(p).contains(id),
+        s"importing gnomAD_v4 rewrote gnomAD_v3's file $p")
+    }
     val both = spark.read.parquet(s"$db/population_frequencies")
     assert(both.filter($"source" === "gnomAD_v3").count() == n0)
     assert(both.filter($"source" === "gnomAD_v4").count() == n0)
     Graft.run(spark, Array("import-frequencies", freqVcf, "--db", db,
       "--source", "gnomAD_v4"))
+    invV3.foreach { case (p, id) =>
+      assert(freqInventory().get(p).contains(id),
+        s"re-importing gnomAD_v4 rewrote gnomAD_v3's file $p")
+    }
     assert(spark.read.parquet(s"$db/population_frequencies").count() == 2 * n0)
 
     // a second source that does NOT cover rs1 must not null rs1's popmax
