@@ -299,7 +299,7 @@ object Graft {
             normalize = has(args, "--normalize"),
             humanGenome = !has(args, "--no-human-genome"),
             minInfoScore = arg(args, "--min-info-score").map(_.toDouble))
-          var v = graft.vcf.VcfReader.variants(spark, vcf, opts)
+          val v = graft.vcf.VcfReader.variants(spark, vcf, opts)
             .withColumn("load_batch_id", lit(batchId))
           val header = progress.stage("read_header")(
             graft.vcf.VcfHeader.read(spark, vcf))
@@ -349,7 +349,6 @@ object Graft {
             // written files, so it materializes only after the join
             // point below awaits this future.
             val gw = g
-            val gFallback = g
             genoPending = Some(scala.concurrent.Future {
                 // hive-partitioned by chrom from the FIRST append (the
                 // variants layout): the genotype point probe then lists
@@ -421,7 +420,7 @@ object Graft {
                         spark.read.parquet(s"$db/genotypes")
                           .withColumn("chrom", $"chrom".cast("string"))
                           .filter($"load_batch_id" === batchId))
-                    else graft.qc.VariantQc.fromGenotypes(gFallback))
+                    else graft.qc.VariantQc.fromGenotypes(gw))
                     .drop("n_samples")
                     .persist(
                       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
