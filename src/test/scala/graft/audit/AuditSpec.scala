@@ -234,6 +234,42 @@ class WritersSpec extends SparkSpec {
     assert(Writers.dropBatchFiles(spark, s"$dir-nope", "A") == ((0, 0)))
   }
 
+  test("dropKeyFiles: composite key drops the conjunction only") {
+    // import-frequencies' (source, subset) replace: dropping
+    // (v3, nfe) must not touch (v4, nfe) — same subset, different
+    // source — nor (v3, all); a mixed file rewrites keeping the
+    // non-matching conjunctions
+    val dir = Files.createTempDirectory("dropkeys").toString + "/t"
+    Seq((1L, "v3", "nfe"), (2L, "v3", "nfe"))
+      .toDF("id", "source", "subset")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "v4", "nfe")).toDF("id", "source", "subset")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((4L, "v3", "all")).toDF("id", "source", "subset")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((5L, "v3", "nfe"), (6L, "v3", "all"))
+      .toDF("id", "source", "subset")
+      .coalesce(1).write.mode("append").parquet(dir)
+    def fileFor(id: Long): String = {
+      import org.apache.spark.sql.functions.input_file_name
+      spark.read.parquet(dir).withColumn("f", input_file_name())
+        .filter($"id" === id).head().getAs[String]("f")
+    }
+    val v4File = fileFor(3L)
+    val v3AllFile = fileFor(4L)
+    val (removed, rewritten) = Writers.dropKeyFiles(
+      spark, dir, Seq("source" -> "v3", "subset" -> "nfe"))
+    assert(removed == 1, s"expected the pure (v3,nfe) file removed: $removed")
+    assert(rewritten == 1, s"expected the mixed file rewritten: $rewritten")
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"source" === "v3" && $"subset" === "nfe").count() == 0)
+    assert(back.filter($"id".isin(3L, 4L, 6L)).count() == 3,
+      "non-matching conjunctions must survive")
+    // files not holding the dropped conjunction were never touched
+    assert(fileFor(3L) == v4File, "(v4,nfe) file was rewritten")
+    assert(fileFor(4L) == v3AllFile, "(v3,all) file was rewritten")
+  }
+
   test("upsert: incoming wins, unmatched existing survives") {
     val existing = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
     val incoming = Seq((1L, "new"), (3L, "add")).toDF("id", "v")
