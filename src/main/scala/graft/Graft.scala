@@ -857,17 +857,31 @@ object Graft {
             // region-scoped scans prune row groups afterwards; the
             // covering projections (which fragment under batch-append
             // loads) re-cluster on their own probe keys
+            // the import fact tables cluster on their REPLACE key first:
+            // range-partitioning by key yields (mostly) key-pure files,
+            // so the O(import) surgical drop keeps working after a
+            // compact instead of degrading every file to the
+            // filtered-rewrite path
             val sortCols = t match {
-              case "genotypes" => Seq("chrom", "pos")
-              case "rsid_idx"  => Seq("rs_id")
-              case "gene_idx"  => Seq("gene", "chrom", "pos")
-              case _           => Seq.empty[String]
+              case "genotypes"   => Seq("chrom", "pos")
+              case "rsid_idx"    => Seq("rs_id")
+              case "gene_idx"    => Seq("gene", "chrom", "pos")
+              case "gwas_stats"  =>
+                Seq("study_accession", "chromosome", "base_pair_location")
+              case "prs_weights" => Seq("pgs_id")
+              case "population_frequencies" =>
+                Seq("source", "subset", "variant_id")
+              case _             => Seq.empty[String]
             }
+            // a legacy table predating one of the cluster columns still
+            // compacts — on whatever key prefix it carries
+            val present = spark.read.parquet(s"$db/$t").columns.toSet
+            val usable = sortCols.filter(present.contains)
             val n = graft.sinks.Writers.compactPlain(
-              spark, s"$db/$t", targetMb, sortCols,
+              spark, s"$db/$t", targetMb, usable,
               partitionCol = if (t == "genotypes") Some("chrom") else None)
             println(s"compacted $t to $n file(s)" +
-              (if (sortCols.nonEmpty) s" clustered on ${sortCols.mkString(",")}"
+              (if (usable.nonEmpty) s" clustered on ${usable.mkString(",")}"
                else ""))
           case t => println(s"skip $t: not present in $db")
         }

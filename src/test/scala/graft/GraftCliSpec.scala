@@ -1573,6 +1573,18 @@ class GraftCliSpec extends SparkSpec {
     val st2 = spark.read.parquet(s"$db/gwas_stats")
     assert(st2.filter($"study_accession" === "GCST_A").count() == 2)
     assert(st2.filter($"study_accession" === "GCST_B").count() == 1)
+    // compaction clusters gwas_stats on study_accession (content
+    // unchanged), and the per-study surgical replace still works on the
+    // compacted layout
+    Graft.run(spark, Array("compact", "--db", db, "--tables", "gwas_stats"))
+    val stc = spark.read.parquet(s"$db/gwas_stats")
+    assert(stc.filter($"study_accession" === "GCST_A").count() == 2)
+    assert(stc.filter($"study_accession" === "GCST_B").count() == 1)
+    Graft.run(spark, Array("import-gwas", tsvB.toString, "--db", db,
+      "--study-accession", "GCST_B"))
+    val stc2 = spark.read.parquet(s"$db/gwas_stats")
+    assert(stc2.filter($"study_accession" === "GCST_A").count() == 2)
+    assert(stc2.filter($"study_accession" === "GCST_B").count() == 1)
     // registry: one row per study, metadata kept
     val reg = spark.read.parquet(s"$db/studies")
     assert(reg.count() == 2)
