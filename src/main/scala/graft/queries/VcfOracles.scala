@@ -31,6 +31,7 @@ object VcfOracles {
     "vcf_partition_stats", "vcf_genotype_stats", "vcf_pgs_listing",
     "vcf_prs_candidates", "vcf_file_hash", "vcf_info_score_filter",
     "vcf_upsert", "vcf_reload_ledger", "vcf_multi_file_cohort",
+    "vcf_import_replace",
     "vcf_export_ldpred2",
     "vcf_filter_split", "vcf_toml_config", "vcf_synthetic_scan",
     "vcf_store_roundtrip", "vcf_tsv_roundtrip", "vcf_sample_join",

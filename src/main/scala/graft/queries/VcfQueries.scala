@@ -506,6 +506,55 @@ object VcfQueries {
         .orderBy($"file_name")
     },
 
+    // Fact-table import analogue of the cohort key: per-study replace
+    // THROUGH THE CLI VERB is delete-then-insert on exactly one study's
+    // rows (the reference's DELETE WHERE study_id, `gwas/loader.py`) —
+    // importing A, then B, then A with CHANGED betas must leave exactly
+    // A-new and B. Every TSV row matches a store variant by construction
+    // (positions/alleles from the fixture VCF), so the oracle re-derives
+    // the expected table from the TSVs alone; a replace that dropped the
+    // other study, duplicated the re-import, or kept stale A rows
+    // diverges in n_rows or sum_beta.
+    "vcf_import_replace" -> { (s, _) =>
+      import s.implicits._
+      val db = "/tmp/graft_import_replace_db"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(db))
+      graft.Graft.run(s, Array("load",
+        "/root/reference/tests/fixtures/hapmap3_overlap.vcf", "--db", db))
+      def writeTsv(path: String, rows: Seq[String]): Unit = {
+        val w = new java.io.PrintWriter(path)
+        try {
+          w.println("CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tSNP")
+          rows.foreach(w.println)
+        } finally w.close()
+      }
+      writeTsv("/tmp/graft_import_replace_a1.tsv", Seq(
+        "1\t752566\tA\tG\t1e-8\t0.05\t0.01\t0.25\trs3094315",
+        "1\t752721\tG\tA\t1e-6\t0.02\t0.01\t0.40\trs3131972"))
+      writeTsv("/tmp/graft_import_replace_a2.tsv", Seq(
+        "1\t752566\tA\tG\t1e-8\t0.07\t0.01\t0.25\trs3094315",
+        "1\t752721\tG\tA\t1e-6\t0.04\t0.01\t0.40\trs3131972"))
+      writeTsv("/tmp/graft_import_replace_b.tsv", Seq(
+        "1\t752566\tA\tG\t1e-4\t0.01\t0.01\t0.25\trs3094315"))
+      graft.Graft.run(s, Array("import-gwas",
+        "/tmp/graft_import_replace_a1.tsv", "--db", db,
+        "--study-accession", "GCST_A"))
+      graft.Graft.run(s, Array("import-gwas",
+        "/tmp/graft_import_replace_b.tsv", "--db", db,
+        "--study-accession", "GCST_B"))
+      graft.Graft.run(s, Array("import-gwas",
+        "/tmp/graft_import_replace_a2.tsv", "--db", db,
+        "--study-accession", "GCST_A"))
+      s.read.parquet(s"$db/gwas_stats")
+        .groupBy($"study_accession")
+        .agg(count(lit(1)).as("n_rows"), sum($"beta").as("sum_beta"))
+        .orderBy($"study_accession")
+    },
+
     // S10: the synthetic VCF generator is deterministic for a given seed —
     // generate, parse, and let the oracle re-derive the decomposed rows
     // from the same /tmp file (Number=A AF slicing included)
