@@ -46,7 +46,8 @@ object Audit {
     * String / Long / Boolean / java.sql.Timestamp; null values are
     * simply omitted (all schema fields are optional). */
   private[graft] def appendRowDriverSide(
-      dir: String, cols: Seq[(String, Any)]): Unit = {
+      dir: String, cols: Seq[(String, Any)],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val b = Types.buildMessage()
@@ -74,8 +75,6 @@ object Audit {
     new java.io.File(dir).mkdirs()
     val path = new org.apache.hadoop.fs.Path(dir,
       s"part-driver-${java.util.UUID.randomUUID()}.snappy.parquet")
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration
     val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
         .fromPath(path, conf))
@@ -130,7 +129,8 @@ object Audit {
         "status" -> entry.status,
         "n_variants" -> entry.n_variants,
         "completed_at" -> entry.completed_at,
-        "note" -> entry.note))
+        "note" -> entry.note),
+        spark.sparkContext.hadoopConfiguration)
   }
 
   /** Drop a reloaded batch's rows (the DELETE side of delete-then-insert;
@@ -275,7 +275,8 @@ object Audit {
           "action" -> action,
           "success" -> success,
           "previous_hash" -> prevHash,
-          "entry_hash" -> h))
+          "entry_hash" -> h),
+          spark.sparkContext.hadoopConfiguration)
         writeTipSidecar(prevId + 1, h)
       } finally {
         if (lock != null) try lock.release() catch { case _: Throwable => () }
