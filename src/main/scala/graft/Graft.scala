@@ -575,7 +575,7 @@ object Graft {
           // dropBatchFiles), then take the same append path a new file
           // takes. Only a store the append guards reject (schema drift,
           // legacy projections) pays the staged full rewrite.
-          val canAppend = appendReady
+          val canAppend = progress.stage("schema_check")(appendReady)
           if (canAppend) {
             // the cached batch serves all three appends and the ledger
             // count (already taken above, so the cache is full and the
