@@ -117,21 +117,31 @@ object Graft {
   private def replaceByKeys(spark: SparkSession, dir: String,
                             incoming: DataFrame,
                             keys: Seq[(String, String)]): Unit = {
+    lazy val existing = spark.read.parquet(dir)
     if (new java.io.File(dir).exists() &&
-        keys.forall(k => spark.read.parquet(dir).columns.contains(k._1))) {
-      val storeSchema = spark.read.parquet(dir).schema
+        keys.forall(k => existing.columns.contains(k._1))) {
+      val storeSchema = existing.schema
       val storeTypes = storeSchema.map(f => f.name -> f.dataType).toMap
       val incomingTypes = incoming.schema.map(f => f.name -> f.dataType)
       val appendable = incomingTypes.forall { case (c, t) =>
         storeTypes.get(c).contains(t) } // subset columns, exact types
       if (appendable) {
-        graft.sinks.Writers.dropKeyFiles(spark, dir, keys)
-        incoming.select(storeSchema.map(f =>
+        // the incoming plan is executed and CACHED before the surgical
+        // drop destroys the key's prior rows — a malformed import input
+        // (the plan's first execution is here, not at the verb's start)
+        // must fail BEFORE its key's existing data is gone, mirroring
+        // the load path's parse-before-drop ordering
+        val vc = incoming.select(storeSchema.map(f =>
           (if (incoming.columns.contains(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name)): _*)
-          .write.mode("append").parquet(dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          vc.count()
+          graft.sinks.Writers.dropKeyFiles(spark, dir, keys)
+          vc.write.mode("append").parquet(dir)
+        } finally vc.unpersist()
       } else {
-        val keep = spark.read.parquet(dir).filter(
+        val keep = existing.filter(
           !keys.map { case (c, v) => col(c) <=> lit(v) }.reduce(_ && _))
         graft.sinks.Writers.replaceInPlace(
           keep.unionByName(incoming, allowMissingColumns = true),
@@ -227,10 +237,14 @@ object Graft {
         val vcf = args(1)
         val ledger = new graft.audit.Audit.Ledger(spark, s"$db/ledger")
         val progress = new graft.audit.LoadProgress(spark)
+        // the listener's lifetime spans EVERY exit from here on — the
+        // skip return, a PHI-scan abort, a ledger_begin failure — not
+        // just the load body's try below; a leaked listener would keep
+        // processing task events for the session's lifetime
+        try {
         val hash = progress.stage("file_hash")(graft.audit.Audit.fileSha256(vcf))
         val existing = ledger.checkExisting(hash)
         if (existing.isDefined && !has(args, "--force-reload")) {
-          progress.close()
           println(s"skip: file already loaded (batch ${existing.get})")
           return
         }
@@ -424,22 +438,19 @@ object Graft {
                     .drop("n_samples")
                     .persist(
                       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                  q.count()
+                  // a failed materialization must not leak the cache —
+                  // qcCache is only assigned after a successful count,
+                  // so the finally's unpersist would never see it
+                  try q.count()
+                  catch { case e: Throwable => q.unpersist(); throw e }
                   q
                 }
                 qcCache = Some(qc)
             }(scala.concurrent.ExecutionContext.global))
-          } else prevBatch.foreach { b =>
-            // sample-free reload of a file whose previous batch had
-            // samples: its old genotype rows still must go — the same
-            // surgical O(batch) drop as the genotyped arm
-            if (new java.io.File(s"$db/genotypes").exists()) {
-              progress.stage("drop_prev_genotypes") {
-                graft.sinks.Writers.dropBatchFiles(spark, s"$db/genotypes", b)
-              }
-              graft.query.PointLookup.invalidateListings(s"$db/genotypes")
-            }
           }
+          // (a sample-free reload's genotype drop is deferred past
+          // parse_count below — a corrupt replacement file must fail the
+          // load BEFORE it destroys the batch it was meant to replace)
           // §2.13 append-only cohort: a db accumulates ONE batch per VCF.
           // The reference deletes only the SAME file's previous batch and
           // otherwise appends (`loader.py:244-252`; the acceptance
@@ -476,6 +487,7 @@ object Graft {
           // cohort scale.
           val vCache = vWithId.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          var vcJoined: Option[DataFrame] = None
           var batchN = -1L
           try {
           batchN = progress.stage("parse_count")(vCache.count())
@@ -485,14 +497,31 @@ object Graft {
           genoPending.foreach(f => scala.concurrent.Await.result(
             f, scala.concurrent.duration.Duration.Inf))
           genoPending = None
+          if (header.samples.isEmpty) prevBatch.foreach { b =>
+            // sample-free reload of a file whose previous batch had
+            // samples: its old genotype rows still must go — the same
+            // surgical O(batch) drop as the genotyped arm, run only now
+            // that the replacement file parsed cleanly
+            if (new java.io.File(s"$db/genotypes").exists()) {
+              progress.stage("drop_prev_genotypes") {
+                graft.sinks.Writers.dropBatchFiles(spark, s"$db/genotypes", b)
+              }
+              graft.query.PointLookup.invalidateListings(s"$db/genotypes")
+            }
+          }
           var vc: DataFrame = vCache
           qcCache.foreach { qc =>
             // variant QC joins on the full decomposed key —
             // (chrom,pos,ref) alone would row-multiply sites that share
             // a position across ALTs. The left join is count-preserving
             // (QC keys are its groupBy output, unique), so batchN above
-            // is still the ledger number.
-            vc = vCache.join(qc, Seq("chrom", "pos", "ref", "alt"), "left")
+            // is still the ledger number. Small batches broadcast the
+            // (one-row-per-variant) QC side so the cached batch is never
+            // shuffled; cohort-scale batches fall back to the shuffle
+            // join rather than a driver-sized broadcast.
+            val qcSide =
+              if (batchN < 2000000L) broadcast(qc) else qc
+            vc = vCache.join(qcSide, Seq("chrom", "pos", "ref", "alt"), "left")
           }
           // One schema for every store, reference-style: the variants
           // table carries the QC columns even when the file had no
@@ -505,6 +534,17 @@ object Graft {
           graft.qc.VariantQc.joinedColumns.foreach { case (c, t) =>
             if (!vc.columns.contains(c))
               vc = vc.withColumn(c, lit(null).cast(t))
+          }
+          if (qcCache.isDefined) {
+            // one execution of the QC join serves all three table writes:
+            // left unpersisted, each write — plus repartitionByRange's
+            // range-sampling pass — re-runs the batch-sized shuffle join,
+            // ~6 executions per load. (The sample-less shape skips this:
+            // vc is then a trivial null-pad projection over vCache.)
+            vc = vc.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            vcJoined = Some(vc)
+            progress.stage("join_qc")(vc.count())
           }
           val storeExists = new java.io.File(s"$db/variants").exists()
           lazy val storeSchema = spark.read.parquet(s"$db/variants").schema
@@ -523,7 +563,9 @@ object Graft {
             } catch { case scala.util.control.NonFatal(_) => None }
           lazy val rsidSchema = projSchema(s"$db/rsid_idx")
           lazy val geneSchema = projSchema(s"$db/gene_idx")
-          val appendReady = storeExists && {
+          // lazy: forced inside the schema_check stage below, so the
+          // guard's footer/schema reads are attributed to it
+          lazy val appendReady = storeExists && {
             val extra = vc.columns.toSet -- storeSchema.fieldNames.toSet
             // covering = the projection carries every store column (a
             // slim legacy rsid_idx or a drifted projection must not be
@@ -684,6 +726,7 @@ object Graft {
             // genotype append must land (or fail) BEFORE the catch
             // handler below rolls the batch back
             drainGeno()
+            vcJoined.foreach(_.unpersist())
             qcCache.foreach(_.unpersist())
             vCache.unpersist()
           }
@@ -811,6 +854,7 @@ object Graft {
             ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
               "failed", 0L, now(), s"error: ${e.getMessage}"))
             throw e
+        }
         } finally progress.close()
 
       case "compact" =>

@@ -73,11 +73,17 @@ object Audit {
     }
     val schema = b.named("spark_schema")
     new java.io.File(dir).mkdirs()
+    // crash atomicity, committer-style: write to a DOT-prefixed temp
+    // (ignored by Spark/DuckDB directory reads), then rename into the
+    // final name — a kill mid-write must never leave a footer-less
+    // .parquet that bricks every later read of the metadata table
+    val id = java.util.UUID.randomUUID()
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".part-driver-$id.tmp")
     val path = new org.apache.hadoop.fs.Path(dir,
-      s"part-driver-${java.util.UUID.randomUUID()}.snappy.parquet")
+      s"part-driver-$id.snappy.parquet")
     val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-        .fromPath(path, conf))
+        .fromPath(tmp, conf))
       .withType(schema)
       .withCompressionCodec(
         org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -98,6 +104,11 @@ object Audit {
       }
       w.write(g)
     } finally w.close()
+    val fs = tmp.getFileSystem(conf)
+    if (!fs.rename(tmp, path)) {
+      fs.delete(tmp, false)
+      sys.error(s"appendRowDriverSide: cannot land $path")
+    }
   }
 
   /** Parquet-backed batch ledger (replaces `variant_load_audit`). */

@@ -464,14 +464,19 @@ object Writers {
                   // covering but never pure
                   rgPure = false
                 } else {
-                  val mn = st.genericGetMin
-                    .asInstanceOf[org.apache.parquet.io.api.Binary]
-                  val mx = st.genericGetMax
-                    .asInstanceOf[org.apache.parquet.io.api.Binary]
-                  val covers = mn.compareTo(idBin) <= 0 &&
-                    mx.compareTo(idBin) >= 0
+                  // compare with the STATISTICS' own comparator (unsigned
+                  // lexicographic for UTF8 binary — the order the stats
+                  // were written under); Binary.compareTo is signed-byte
+                  // and disagrees for multi-byte UTF-8 key values, which
+                  // user-supplied accessions/sources can carry
+                  val cmp = st.comparator()
+                    .asInstanceOf[java.util.Comparator[AnyRef]]
+                  val mn = st.genericGetMin.asInstanceOf[AnyRef]
+                  val mx = st.genericGetMax.asInstanceOf[AnyRef]
+                  val covers = cmp.compare(mn, idBin) <= 0 &&
+                    cmp.compare(mx, idBin) >= 0
                   if (!covers) rgCovers = false
-                  if (!(covers && mn.compareTo(mx) == 0 &&
+                  if (!(covers && cmp.compare(mn, mx) == 0 &&
                       st.getNumNulls == 0)) rgPure = false
                 }
               }

@@ -13,7 +13,9 @@ import org.apache.spark.sql.SparkSession
   */
 object ProfileLoad {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toInt).getOrElse(3)
+    // the run count is the first NUMERIC arg — `ProfileLoad --1m` alone
+    // must not NumberFormatException on the flag
+    val n = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
