@@ -113,8 +113,10 @@ object Graft {
     replaceByKeys(spark, dir, incoming, Seq(key -> value))
 
   /** Composite-key form (import-frequencies replaces per
-    * (source, subset), the reference's ON CONFLICT key). */
-  private def replaceByKeys(spark: SparkSession, dir: String,
+    * (source, subset), the reference's ON CONFLICT key).
+    * `private[graft]` so the validate-before-drop ordering is
+    * spec-pinnable with a deliberately failing incoming plan. */
+  private[graft] def replaceByKeys(spark: SparkSession, dir: String,
                             incoming: DataFrame,
                             keys: Seq[(String, String)]): Unit = {
     lazy val existing = spark.read.parquet(dir)

@@ -1600,6 +1600,37 @@ class GraftCliSpec extends SparkSpec {
       .csv(out).count() == 1)
   }
 
+  test("per-key replace validates the incoming batch BEFORE dropping the key") {
+    // the reference's DELETE + INSERT runs in one transaction; here the
+    // protection is ordering — the incoming plan's first execution (its
+    // cache-and-count) must happen before dropKeyFiles destroys the
+    // key's prior rows, so a malformed import input fails with the
+    // store intact rather than after its study vanished
+    import org.apache.spark.sql.functions.{lit, udf}
+    val dir = Files.createTempDirectory("rbk").toString + "/t"
+    Seq(("GCST_A", 1L), ("GCST_A", 2L), ("GCST_B", 9L)).toDF("k", "v")
+      .write.mode("append").parquet(dir)
+    val boom = udf((i: Long) =>
+      if (i >= 0) sys.error("malformed import") else i)
+    val bad = spark.range(1)
+      .select(lit("GCST_A").as("k"), boom($"id").as("v"))
+    val e = intercept[Exception] {
+      Graft.replaceByKeys(spark, dir, bad, Seq("k" -> "GCST_A"))
+    }
+    assert(e.getMessage != null)
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"k" === "GCST_A").count() == 2,
+      "failed import destroyed the key's prior rows")
+    assert(back.filter($"k" === "GCST_B").count() == 1)
+    // and a clean replace still lands
+    val good = Seq(("GCST_A", 7L)).toDF("k", "v")
+    Graft.replaceByKeys(spark, dir, good, Seq("k" -> "GCST_A"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter($"k" === "GCST_A").collect()
+      .map(_.getAs[Long]("v")).toSeq == Seq(7L))
+    assert(after.filter($"k" === "GCST_B").count() == 1)
+  }
+
   test("import-pgs registers the score; list verbs answer on empty and populated dbs") {
     val db = Files.createTempDirectory("graftdb").toString
     // empty db: listings answer without error

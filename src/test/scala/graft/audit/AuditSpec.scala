@@ -270,6 +270,56 @@ class WritersSpec extends SparkSpec {
     assert(fileFor(4L) == v3AllFile, "(v3,all) file was rewritten")
   }
 
+  test("dropKeyFiles: multi-byte UTF-8 key values classify by unsigned order") {
+    // parquet UTF8 binary stats order UNSIGNED lexicographic; a signed
+    // byte compare sees 0xCE-leading "ΩΩΩ" as LESS than "AAA" and would
+    // misclassify a mixed [AAA, ΩΩΩ] file as not covering the Greek key,
+    // leaving its rows behind — a silent duplicate on the next import of
+    // a non-ASCII study accession / source name
+    val dir = Files.createTempDirectory("droputf8").toString + "/t"
+    Seq((1L, "AAA"), (2L, "ΩΩΩ")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "ΩΩΩ")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((4L, "AAA")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(dir)
+    def fileFor(id: Long): String = {
+      import org.apache.spark.sql.functions.input_file_name
+      spark.read.parquet(dir).withColumn("f", input_file_name())
+        .filter($"id" === id).head().getAs[String]("f")
+    }
+    val asciiOnly = fileFor(4L)
+    val (removed, rewritten) = Writers.dropKeyFiles(spark, dir, "k", "ΩΩΩ")
+    assert(removed == 1, s"pure ΩΩΩ file should unlink whole: $removed")
+    assert(rewritten == 1, s"mixed [AAA,ΩΩΩ] file should rewrite: $rewritten")
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"k" === "ΩΩΩ").count() == 0,
+      "multi-byte key rows survived the drop")
+    assert(back.filter($"k" === "AAA").count() == 2)
+    assert(fileFor(4L) == asciiOnly, "ASCII-only file was touched")
+  }
+
+  test("appendRowDriverSide: leftover temp junk never bricks the table") {
+    // a kill mid-write leaves only a DOT-prefixed .tmp (ignored by
+    // Spark's directory listing); later reads and appends proceed, and
+    // a clean append leaves no temp residue of its own
+    val dir = Files.createTempDirectory("drvrow").toString + "/ledger"
+    val ledger = new Audit.Ledger(spark, dir)
+    ledger.append(Audit.LedgerEntry("b1", "/x.vcf", "h1", "completed",
+      1L, new java.sql.Timestamp(1000)))
+    // simulate the crash artifact: garbage bytes under the temp name
+    Files.write(java.nio.file.Paths.get(dir, ".part-driver-dead.tmp"),
+      Array[Byte](1, 2, 3))
+    assert(spark.read.parquet(dir).count() == 1)
+    ledger.append(Audit.LedgerEntry("b2", "/y.vcf", "h2", "completed",
+      2L, new java.sql.Timestamp(2000)))
+    assert(ledger.checkExisting("h2").contains("b2"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.count(_.endsWith(".snappy.parquet")) == 2)
+    assert(!names.exists(n => n.endsWith(".tmp") && n != ".part-driver-dead.tmp"),
+      s"append leaked its own temp: $names")
+  }
+
   test("upsert: incoming wins, unmatched existing survives") {
     val existing = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
     val incoming = Seq((1L, "new"), (3L, "add")).toDF("id", "v")
