@@ -15,16 +15,24 @@ v AS (
   FROM raw
 ),
 stats AS (
-  SELECT trim(f[1]) AS chromosome, CAST(trim(f[2]) AS BIGINT) AS base_pair_location,
-    upper(trim(f[3])) AS effect_allele, upper(trim(f[4])) AS other_allele,
-    TRY_CAST(trim(f[8]) AS DOUBLE) AS effect_allele_frequency,
-    CASE WHEN len(f) >= 9 AND trim(f[9]) <> '' THEN trim(f[9]) END AS rsid,
-    ROW_NUMBER() OVER (ORDER BY f[2], f[3], f[4], f[8]) AS sid
-  FROM (
-    SELECT string_split(column0, chr(9)) AS f
-    FROM read_csv('/tmp/graft_gwas_stats.tsv',
-      sep=chr(1), quote='', header=false, columns={'column0':'VARCHAR'})
-  ) WHERE f[1] <> 'chromosome'
+  -- get_value semantics: strip, empty string = missing; rows lacking a
+  -- required value are dropped (engine-side row filter twin)
+  SELECT * FROM (
+    SELECT NULLIF(trim(f[1]), '') AS chromosome,
+      TRY_CAST(NULLIF(trim(f[2]), '') AS BIGINT) AS base_pair_location,
+      upper(NULLIF(trim(f[3]), '')) AS effect_allele,
+      upper(NULLIF(trim(f[4]), '')) AS other_allele,
+      TRY_CAST(NULLIF(trim(f[5]), '') AS DOUBLE) AS p_value,
+      TRY_CAST(NULLIF(trim(f[8]), '') AS DOUBLE) AS effect_allele_frequency,
+      CASE WHEN len(f) >= 9 AND trim(f[9]) <> '' THEN trim(f[9]) END AS rsid,
+      ROW_NUMBER() OVER (ORDER BY f[2], f[3], f[4], f[8]) AS sid
+    FROM (
+      SELECT string_split(column0, chr(9)) AS f
+      FROM read_csv('/tmp/graft_gwas_stats.tsv',
+        sep=chr(1), quote='', header=false, columns={'column0':'VARCHAR'})
+    ) WHERE f[1] <> 'chromosome'
+  ) WHERE chromosome IS NOT NULL AND base_pair_location IS NOT NULL
+    AND effect_allele IS NOT NULL AND p_value IS NOT NULL
 ),
 cand AS (
   SELECT sid, chromosome, base_pair_location, other_allele AS j_ref,
@@ -64,8 +72,14 @@ joined AS (
 ),
 harm AS (
   SELECT *,
-    translate(effect_allele, 'ACGT', 'TGCA') AS ec,
-    translate(other_allele, 'ACGT', 'TGCA') AS oc,
+    -- whole-allele complement (gwas/loader.py complement_allele dict):
+    -- only single-base A/C/G/T complement; indels pass through unchanged
+    CASE WHEN effect_allele IN ('A','C','G','T')
+         THEN translate(effect_allele, 'ACGT', 'TGCA')
+         ELSE effect_allele END AS ec,
+    CASE WHEN other_allele IN ('A','C','G','T')
+         THEN translate(other_allele, 'ACGT', 'TGCA')
+         ELSE other_allele END AS oc,
     (effect_allele = v_ref AND other_allele = v_alt)
       OR (effect_allele = v_alt AND other_allele = v_ref) AS direct_set,
     abs(effect_allele_frequency - v_af) AS fd_direct,
@@ -75,7 +89,13 @@ harm AS (
 harm2 AS (
   SELECT *,
     (ec = v_ref AND oc = v_alt) OR (ec = v_alt AND oc = v_ref) AS comp_set,
-    (ec = other_allele AND effect_allele_frequency IS NOT NULL
+    -- strand-ambiguous = the {A,T} / {C,G} single-base sets only
+    -- (loader.py is_strand_ambiguous frozenset)
+    (((effect_allele = 'A' AND other_allele = 'T')
+       OR (effect_allele = 'T' AND other_allele = 'A')
+       OR (effect_allele = 'C' AND other_allele = 'G')
+       OR (effect_allele = 'G' AND other_allele = 'C'))
+      AND effect_allele_frequency IS NOT NULL
       AND v_af IS NOT NULL) AS freq_usable
   FROM harm
 )

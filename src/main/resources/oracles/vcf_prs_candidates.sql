@@ -95,11 +95,24 @@ flagged AS (
     ON regexp_replace(v.chrom, '^chr', '') = p.p_chrom AND v.pos = p.position
    AND (((upper(v.ref) = p.a1 AND upper(v.alt) = p.a2) OR
          (upper(v.ref) = p.a2 AND upper(v.alt) = p.a1))
-     OR (translate(upper(v.ref), 'ACGT', 'TGCA') <> upper(v.alt)
-         AND ((translate(upper(v.ref), 'ACGT', 'TGCA') = p.a1
-               AND translate(upper(v.alt), 'ACGT', 'TGCA') = p.a2)
-           OR (translate(upper(v.ref), 'ACGT', 'TGCA') = p.a2
-               AND translate(upper(v.alt), 'ACGT', 'TGCA') = p.a1))))
+     -- whole-allele complement + frozenset ambiguity, as in
+     -- vcf_hapmap3_flag.sql (hapmap3.py dict-complement semantics)
+     OR (NOT ((upper(v.ref) = 'A' AND upper(v.alt) = 'T')
+           OR (upper(v.ref) = 'T' AND upper(v.alt) = 'A')
+           OR (upper(v.ref) = 'C' AND upper(v.alt) = 'G')
+           OR (upper(v.ref) = 'G' AND upper(v.alt) = 'C'))
+         AND ((CASE WHEN upper(v.ref) IN ('A','C','G','T')
+                    THEN translate(upper(v.ref), 'ACGT', 'TGCA')
+                    ELSE upper(v.ref) END = p.a1
+               AND CASE WHEN upper(v.alt) IN ('A','C','G','T')
+                        THEN translate(upper(v.alt), 'ACGT', 'TGCA')
+                        ELSE upper(v.alt) END = p.a2)
+           OR (CASE WHEN upper(v.ref) IN ('A','C','G','T')
+                    THEN translate(upper(v.ref), 'ACGT', 'TGCA')
+                    ELSE upper(v.ref) END = p.a2
+               AND CASE WHEN upper(v.alt) IN ('A','C','G','T')
+                        THEN translate(upper(v.alt), 'ACGT', 'TGCA')
+                        ELSE upper(v.alt) END = p.a1))))
 ),
 gwas AS (
   SELECT trim(f[1]) AS chromosome, CAST(trim(f[2]) AS BIGINT) AS bp,

@@ -11,10 +11,30 @@ import org.apache.spark.sql.types._
   */
 object GenomicsFunctions {
 
-  /** Strand complement via character translation
-    * (`gwas/loader.py:68-77`). */
+  /** Strand complement via PER-CHARACTER translation — the semantics of
+    * the reference's SQL `alleles_match` twin
+    * (`validation/sql_functions.py:214-216`: `TRANSLATE(r1,'ACGT','TGCA')`)
+    * and of `prs/pgs_catalog.py:173-176` (per-base join). NOT the right
+    * complement for the GWAS-loader/HapMap3 paths — see
+    * [[complementAllele]]. */
   def complement(allele: Column): Column =
     translate(upper(allele), "ACGT", "TGCA")
+
+  /** Strand complement with WHOLE-ALLELE semantics — the reference's
+    * `complement_allele` in `gwas/loader.py:74-77` and
+    * `references/hapmap3.py:41-44`: a dict lookup of the entire allele
+    * string, so only single-base A/C/G/T complement and every other
+    * allele (indels, MNPs, symbolic) passes through unchanged — i.e.
+    * indels are never strand-flipped. The reference carries BOTH
+    * semantics (its SQL twin translates per character); callers here pick
+    * the one their cited reference path uses. Returns the UPPERED allele
+    * on pass-through, matching the reference call sites (they upper()
+    * before complementing). */
+  def complementAllele(allele: Column): Column = {
+    val u = upper(allele)
+    when(u.isin("A", "C", "G", "T"), translate(u, "ACGT", "TGCA"))
+      .otherwise(u)
+  }
 
   /** Allele harmonization check: direct, swapped, complement, or
     * complement-swapped match; NULL-strict
@@ -31,10 +51,18 @@ object GenomicsFunctions {
   }
 
   /** A/T and C/G pairs are strand-ambiguous: their complement equals the
-    * swap, so orientation can't be resolved from alleles alone
-    * (`references/hapmap3.py:41-50`, `prs/pgs_catalog.py:147-156`). */
-  def isStrandAmbiguous(ref: Column, alt: Column): Column =
-    complement(ref) === upper(alt)
+    * swap, so orientation can't be resolved from alleles alone. The
+    * reference tests SET equality of the whole alleles against {A,T} and
+    * {C,G} (`references/hapmap3.py:47-50`, `gwas/loader.py:68-72`,
+    * `prs/pgs_catalog.py:147-151` — identical frozenset form in all
+    * three), so ONLY single-base pairs are ever ambiguous; a multi-base
+    * reverse pair like (AT, TA) is not (and per [[complementAllele]] is
+    * not complementable either). */
+  def isStrandAmbiguous(ref: Column, alt: Column): Column = {
+    val (r, a) = (upper(ref), upper(alt))
+    (r === "A" && a === "T") || (r === "T" && a === "A") ||
+      (r === "C" && a === "G") || (r === "G" && a === "C")
+  }
 
   /** Allele frequency from a dosage array: AVG(d)/2 ignoring NULLs, NULL
     * when no valid entries (`validation/sql_functions.py:159-166`). */

@@ -6,9 +6,10 @@ import org.apache.spark.sql.types._
 
 /** GWAS-SSF summary-statistics TSV scan (SURVEY S4 —
   * `gwas/loader.py:18-50,203-316`): header alias normalization
-  * (case-insensitive, 24 aliases), required-column validation, typed
-  * casts. The scan itself is `spark.read.csv`, so schema validation is
-  * driver-side metadata work and the data path stays distributed.
+  * (case-insensitive, the reference's 23-entry alias map),
+  * required-column validation, typed casts. The scan itself is
+  * `spark.read.csv`, so schema validation is driver-side metadata work
+  * and the data path stays distributed.
   */
 object GwasReader {
 
@@ -56,15 +57,24 @@ object GwasReader {
     if (missing.nonEmpty)
       throw GwasParseError(s"Missing required columns: ${missing.toSeq.sorted.mkString(", ")}")
 
+    // `get_value` (`loader.py:249-256`) strips then treats the EMPTY
+    // string as missing — a whitespace-only chromosome or allele is
+    // absent, not a "" value, so the required-value filter below drops
+    // the row (the reference aborts; see the documented deviation on the
+    // S4 COVERAGE row: malformed/missing values there raise
+    // GWASParseError for the whole file, here they null out and the
+    // row-level filter applies)
+    def blankNull(c: org.apache.spark.sql.Column) = nullif(trim(c), lit(""))
     def opt(c: String, t: DataType): org.apache.spark.sql.Column =
-      if (renamed.columns.contains(c)) trim(col(c)).cast(t) else lit(null).cast(t)
+      if (renamed.columns.contains(c)) blankNull(col(c)).cast(t)
+      else lit(null).cast(t)
 
     renamed.select(
-      trim(col("chromosome")).as("chromosome"),
-      trim(col("base_pair_location")).cast(LongType).as("base_pair_location"),
-      upper(trim(col("effect_allele"))).as("effect_allele"),
-      upper(trim(col("other_allele"))).as("other_allele"),
-      trim(col("p_value")).cast(DoubleType).as("p_value"),
+      blankNull(col("chromosome")).as("chromosome"),
+      blankNull(col("base_pair_location")).cast(LongType).as("base_pair_location"),
+      upper(blankNull(col("effect_allele"))).as("effect_allele"),
+      upper(blankNull(col("other_allele"))).as("other_allele"),
+      blankNull(col("p_value")).cast(DoubleType).as("p_value"),
       opt("rsid", StringType).as("rsid"),
       opt("beta", DoubleType).as("beta"),
       opt("odds_ratio", DoubleType).as("odds_ratio"),

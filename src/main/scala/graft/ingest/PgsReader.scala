@@ -97,9 +97,16 @@ object PgsReader {
   def readMetadata(spark: SparkSession, path: String): PgsMetadata =
     parseHeader(readHeaderLines(spark, path))
 
-  /** Body scan: aliased columns, typed weights. Odds-ratio weight files
-    * (`#weight_type=OR`) are converted to beta via ln(OR), matching the
-    * reference's scoring conventions (`prs/pgs_catalog.py:203-342`). */
+  /** Body scan: aliased columns, typed weights. Weights are stored RAW
+    * regardless of `#weight_type` — the reference records weight_type as
+    * score metadata only and never transforms effect_weight
+    * (`prs/pgs_catalog.py:286-342` parses the value as-is;
+    * `prs/loader.py:113` inserts it unchanged; its tests pin
+    * `weight_type=OR` / `log(OR)` as metadata round trips). Rows missing
+    * effect_allele or effect_weight are dropped — the row-filter twin of
+    * the reference's per-row `PGSParseError` (documented deviation:
+    * strict-abort there, null-and-drop here, as on the GWAS scan). Empty
+    * strings are missing values (`get_value`, `pgs_catalog.py:287-294`). */
   def read(spark: SparkSession, path: String): (PgsMetadata, DataFrame) = {
     val meta = readMetadata(spark, path)
     val raw = spark.read
@@ -114,21 +121,20 @@ object PgsReader {
       else df.withColumnRenamed(c, canonical)
     }
     def opt(c: String, t: DataType): org.apache.spark.sql.Column =
-      if (renamed.columns.contains(c)) trim(col(c)).cast(t) else lit(null).cast(t)
+      if (renamed.columns.contains(c)) nullif(trim(col(c)), lit("")).cast(t)
+      else lit(null).cast(t)
 
-    val isOr = meta.weightType.exists(w => w.equalsIgnoreCase("or") ||
-      w.toLowerCase.contains("odds"))
-    val weight = opt("effect_weight", DoubleType)
     val body = renamed.select(
       opt("rsid", StringType).as("rsid"),
       opt("chr_name", StringType).as("chr_name"),
       opt("chr_position", LongType).as("chr_position"),
       upper(opt("effect_allele", StringType)).as("effect_allele"),
       upper(opt("other_allele", StringType)).as("other_allele"),
-      (if (isOr) log(weight) else weight).as("effect_weight"),
+      opt("effect_weight", DoubleType).as("effect_weight"),
       opt("allele_frequency", DoubleType).as("allele_frequency"),
       opt("locus_name", StringType).as("locus_name"))
       .withColumn("pgs_id", lit(meta.pgsId))
+      .filter(col("effect_allele").isNotNull && col("effect_weight").isNotNull)
     (meta, body)
   }
 }

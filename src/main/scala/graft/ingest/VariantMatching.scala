@@ -121,10 +121,13 @@ object VariantMatching {
   /** J3 harmonization direction: is the effect allele the VCF ALT?
     * Mirrors `compute_is_effect_allele_alt` (`gwas/loader.py:80-114`):
     * direct orientation, then strand-complemented; null when unmatched.
-    * Pure column expression applied inside the join projection. */
+    * Complement is the loader's WHOLE-ALLELE form (`loader.py:74-77` —
+    * multi-base alleles pass through unchanged, so indels never
+    * strand-flip; see GenomicsFunctions.complementAllele). Pure column
+    * expression applied inside the join projection. */
   def isEffectAlleleAlt(ea: Column, oa: Column, ref: Column, alt: Column): Column = {
     val (e, o, r, a) = (upper(ea), upper(oa), upper(ref), upper(alt))
-    val (ec, oc) = (complement(ea), complement(oa))
+    val (ec, oc) = (complementAllele(ea), complementAllele(oa))
     when(e === a && o === r, lit(true))
       .when(e === r && o === a, lit(false))
       .when(ec === a && oc === r, lit(true))
@@ -146,11 +149,16 @@ object VariantMatching {
                        eaf: Column, vcfAltAf: Column): Column = {
     val (e, o) = (upper(ea), upper(oa))
     val (r, a) = (upper(ref), upper(alt))
-    val (ec, oc) = (complement(ea), complement(oa))
+    // WHOLE-ALLELE complement (`loader.py:74-77`): multi-base alleles
+    // pass through unchanged, so an indel pair never strand-flips —
+    // (TA,G) vs VCF (AT,C) is NO match, where a per-char translate
+    // would invent a flipped one
+    val (ec, oc) = (complementAllele(ea), complementAllele(oa))
     val directSet = (e === r && o === a) || (e === a && o === r)
     val compSet = (ec === r && oc === a) || (ec === a && oc === r)
-    // A/T and C/G pairs: the complement IS the swap (`loader.py:68-72`)
-    val ambiguous = ec === o
+    // single-base A/T and C/G pairs only (`loader.py:68-72` frozenset):
+    // the complement IS the swap, so orientation needs the AF rescue
+    val ambiguous = graft.functions.GenomicsFunctions.isStrandAmbiguous(e, o)
     val fdDirect = abs(eaf - vcfAltAf)
     val fdFlipped = abs(lit(1.0) - eaf - vcfAltAf)
     val freqUsable = ambiguous && eaf.isNotNull && vcfAltAf.isNotNull
@@ -183,8 +191,12 @@ object VariantMatching {
     val ref = upper($"ref")
     val alt = upper($"alt")
     val exactMatch = (ref === $"a1" && alt === $"a2") || (ref === $"a2" && alt === $"a1")
-    val refC = complement($"ref")
-    val altC = complement($"alt")
+    // WHOLE-ALLELE complement (`references/hapmap3.py:41-44` dict form):
+    // indel/MNP alleles pass through unchanged, so the complement arm
+    // collapses to the exact arm for them rather than inventing a
+    // per-char-translated flag
+    val refC = complementAllele($"ref")
+    val altC = complementAllele($"alt")
     val compMatch = !isStrandAmbiguous($"ref", $"alt") &&
       ((refC === $"a1" && altC === $"a2") || (refC === $"a2" && altC === $"a1"))
 

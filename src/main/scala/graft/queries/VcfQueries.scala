@@ -782,8 +782,13 @@ object VcfQueries {
 
   /** Variants VCF + GWAS-SSF TSV covering every match/harmonization
     * branch: direct, swapped, complement-only (rsid fallback), ambiguous
-    * with AF rescue in both directions, ambiguous unresolvable, and a
-    * position-miss rsid fallback. */
+    * with AF rescue in both directions, ambiguous unresolvable, a
+    * position-miss rsid fallback, and two multi-base rsid matches (rs700
+    * reverse-pair indel, rs800 MNP reverse pair) that must NOT
+    * strand-flip or AF-rescue — the reference's complement is a
+    * whole-allele dict and its ambiguity test is single-base-set only
+    * (`gwas/loader.py:68-77`), so a per-char translate would wrongly
+    * harmonize both. */
   private[graft] def writeGwasFixtures(): (String, String) = {
     val vcf = java.nio.file.Paths.get("/tmp/graft_gwas_variants.vcf")
     java.nio.file.Files.writeString(vcf,
@@ -796,6 +801,8 @@ object VcfQueries {
         |chr1	400	rs400	A	T	50	PASS	AF=0.25
         |chr1	500	rs500	C	G	50	PASS	AF=0.6
         |chr1	600	rs600	G	C	50	PASS	AF=0.5
+        |chr1	700	rs700	AT	C	50	PASS	AF=0.3
+        |chr1	800	rs800	GG	CC	50	PASS	AF=0.3
         |""".stripMargin)
     val tsv = java.nio.file.Paths.get("/tmp/graft_gwas_stats.tsv")
     java.nio.file.Files.writeString(tsv,
@@ -808,6 +815,9 @@ object VcfQueries {
         |1	500	T	A	1e-4	0.01	0.01	0.15
         |1	600	G	C	1e-3	0.03	0.01	0.5	rs600
         |1	999	G	A	1e-2	0.04	0.01	0.3	rs100
+        |1	700	TA	G	1e-3	0.02	0.01	0.3	rs700
+        |1	800	AT	TA	1e-3	0.02	0.01	0.31	rs800
+        | 	900	A	G	1e-3	0.02	0.01	0.3	rs100
         |""".stripMargin)
     (vcf.toString, tsv.toString)
   }

@@ -50,6 +50,24 @@ class GwasReaderSpec extends SparkSpec {
     val e = intercept[GwasReader.GwasParseError](GwasReader.read(spark, p))
     assert(e.getMessage.contains("other_allele"))
   }
+
+  test("blank required values drop the row; blank optionals are NULL not empty") {
+    // get_value (`gwas/loader.py:249-256`) strips and treats "" as
+    // missing — a whitespace-only chromosome/allele is an absent value
+    // (the reference aborts the file; the documented deviation here is
+    // a row-level drop), and a blank optional lands as NULL
+    val p = writeTsv(
+      "chr\tpos\tea\toa\tpval\trsid",
+      "1\t100\tA\tG\t0.5\trs1",
+      " \t200\tA\tG\t0.5\trs2",   // blank chromosome -> dropped
+      "1\t300\t \tG\t0.5\trs3",   // blank effect allele -> dropped
+      "1\t400\tA\t \t0.5\trs4")   // blank OTHER allele -> kept, NULL oa
+    val df = GwasReader.read(spark, p)
+    val rows = df.select($"rsid", $"other_allele").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set("rs1", "rs4"))
+    assert(rows("rs4") == null)
+  }
 }
 
 class PgsReaderSpec extends SparkSpec {
@@ -68,13 +86,39 @@ class PgsReaderSpec extends SparkSpec {
     assert(r.getAs[String]("pgs_id") == "PGS000001")
   }
 
-  test("odds-ratio weights convert to beta via ln") {
+  test("odds-ratio weights are stored RAW; weight_type is metadata only") {
+    // the reference never transforms effect_weight — weight_type=OR /
+    // log(OR) is recorded on the score row and the value is inserted
+    // as-is (`prs/pgs_catalog.py:286-342`, `prs/loader.py:113`); an
+    // invented ln(OR) conversion would silently change every PRS score
+    // computed from an OR-typed file
     val (meta, body) = PgsReader.read(spark, fixture("pgs_test_or.txt"))
     assert(meta.pgsId == "PGS000002")
-    val w = body.select($"effect_weight").filter($"effect_weight".isNotNull)
-      .head().getDouble(0)
-    // ln of an OR near 1 is near 0 but not equal to the raw OR
-    assert(math.abs(w) < 1.0)
+    assert(meta.weightType.contains("OR"))
+    val w = body.filter($"rsid" === "rs3094315").head()
+      .getAs[Double]("effect_weight")
+    assert(math.abs(w - 1.12) < 1e-12, s"OR weight must stay raw, got $w")
+  }
+
+  test("weight rows missing effect_allele or effect_weight are dropped; blanks are missing") {
+    val p = java.nio.file.Files.createTempFile("pgs", ".txt")
+    java.nio.file.Files.writeString(p,
+      """###PGS CATALOG SCORING FILE
+        |#pgs_id=PGS999999
+        |#genome_build=GRCh38
+        |rsID	chr_name	chr_position	effect_allele	other_allele	effect_weight
+        |rs1	1	100	A	G	0.5
+        |rs2	1	200	 	G	0.4
+        |rs3	1	300	C	G
+        |rs4	 	400	G	A	0.3
+        |""".stripMargin)
+    val (_, body) = PgsReader.read(spark, p.toString)
+    val rows = body.select($"rsid", $"chr_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // rs2 (blank effect_allele) and rs3 (blank weight) drop; rs4 keeps
+    // the row but its whitespace-only chr_name is NULL, not " "
+    assert(rows.keySet == Set("rs1", "rs4"))
+    assert(rows("rs4") == null)
   }
 }
 
@@ -206,6 +250,48 @@ class VariantMatchingSpec extends SparkSpec {
     assert(triple(5) == ((true, false, false)))
     assert(triple(6) == ((false, null, null)))
     assert(triple(7) == ((false, null, null)))
+  }
+
+  test("harmonizeAlleles: multi-base alleles never strand-flip or AF-rescue") {
+    // the reference's complement_allele (gwas/loader.py:74-77) is a
+    // WHOLE-ALLELE dict lookup — "TA" complements to "TA", not "AT" — and
+    // is_strand_ambiguous (:68-72) is set-equality with {A,T}/{C,G}, so
+    // indel/MNP pairs are neither complementable nor ambiguous. A
+    // per-character translate would wrongly flip row 0 and AF-rescue
+    // row 1.
+    val df = Seq(
+      ("TA", "G", "AT", "C", None, None),               // per-char comp would "flip"
+      ("AT", "TA", "GG", "CC", Some(0.31), Some(0.3)),  // per-char comp(AT)=TA==oa would AF-rescue
+      ("AT", "C", "AT", "C", None, None),               // multi-base direct still matches
+      ("AT", "C", "C", "AT", Some(0.3), Some(0.3))      // multi-base swapped still matches
+    ).toDF("ea", "oa", "ref", "alt", "eaf", "vcfaf")
+    val rows = df.withColumn("h", VariantMatching.harmonizeAlleles(
+        $"ea", $"oa", $"ref", $"alt", $"eaf", $"vcfaf"))
+      .select($"h.is_match", $"h.is_flipped", $"h.is_effect_allele_alt").collect()
+    def triple(i: Int) = (rows(i).getBoolean(0),
+      if (rows(i).isNullAt(1)) null else rows(i).getBoolean(1),
+      if (rows(i).isNullAt(2)) null else rows(i).getBoolean(2))
+    assert(triple(0) == ((false, null, null)))
+    assert(triple(1) == ((false, null, null)))
+    assert(triple(2) == ((true, false, false)))
+    assert(triple(3) == ((true, false, true)))
+  }
+
+  test("hapmap3 flagging: multi-base complement arm collapses to exact (no per-char flag)") {
+    import org.apache.spark.sql.functions.lit
+    val v = Seq(("chr1", 100L, "AT", "C"), ("chr1", 200L, "A", "G"))
+      .toDF("chrom", "pos", "ref", "alt")
+      .withColumn("rs_id", lit(null).cast("string"))
+    // panel entry (TA, G) at pos 100 is the per-char translate of the
+    // variant's (AT, C) — hapmap3.py's dict complement leaves "AT"
+    // unchanged, so this must NOT flag; the single-base complement at
+    // pos 200 (panel holds T/C = complement of A/G) must flag
+    val panel = Seq(("rsX", "1", 100L, "TA", "G"), ("rsY", "1", 200L, "T", "C"))
+      .toDF("rsid", "chrom", "position", "a1", "a2")
+    val flagged = VariantMatching.flagHapmap3(v, panel).cache()
+    assert(!flagged.filter($"pos" === 100L).head().getAs[Boolean]("in_hapmap3"),
+      "multi-base reverse pair must not complement-match")
+    assert(flagged.filter($"pos" === 200L).head().getAs[Boolean]("in_hapmap3"))
   }
 
   test("hapmap3 flagging on overlap fixture") {
