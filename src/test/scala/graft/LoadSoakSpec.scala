@@ -86,4 +86,72 @@ class LoadSoakSpec extends SparkSpec {
     assert(spark.read.parquet(s"$db/variants").count() == before)
     reconcile()
   }
+
+  test("driver-side probes never lose committed rows while loads append concurrently") {
+    // the serving face's listing cache promotes only SETTLED listings
+    // (two identical observations) and same-JVM writers invalidate it —
+    // this soak drives both from different threads at once: a reader
+    // hammering point/genotype probes on batch-1 keys while a writer
+    // thread appends three more cohort files and force-reloads one.
+    // Committed batch-1 rows must be present in EVERY probe answer —
+    // a stale or half-settled listing that DROPS previously-committed
+    // files would surface here as a missing row, and any probe
+    // exception (listed-then-dropped file, torn footer cache) fails the
+    // test via the recorded error.
+    val db = Files.createTempDirectory("probedb").toString
+    val dir = Files.createTempDirectory("probevcf")
+    val base = dir.resolve("base.vcf").toString
+    graft.vcf.SyntheticVcf.write(base, 800, seed = 900L)
+    Graft.run(spark, Array("load", base, "--db", db))
+
+    val probeRows = spark.read.parquet(s"$db/variants")
+      .filter($"chrom" === "chr1")
+      .select($"pos").orderBy($"pos").limit(5)
+      .collect().map(_.getLong(0))
+    val batch1 = spark.read.parquet(s"$db/variants")
+      .select($"load_batch_id").head().getString(0)
+    val genoProbe = spark.read.parquet(s"$db/genotypes")
+      .filter($"chrom" === "chr1").select($"pos").head().getLong(0)
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val probes = new java.util.concurrent.atomic.AtomicLong(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          probeRows.foreach { p =>
+            val hit = graft.query.PointLookup.byPosition(
+              spark, s"$db/variants", "chr1", p)
+            assert(hit.exists(_.get("load_batch_id").contains(batch1)),
+              s"probe chr1:$p lost its batch-1 row mid-append: $hit")
+          }
+          val g = graft.query.PointLookup.genotypesAt(
+            spark, s"$db/genotypes", "chr1", genoProbe, genoProbe)
+          assert(g.nonEmpty, s"genotype probe chr1:$genoProbe went empty")
+          probes.addAndGet(probeRows.length + 1)
+        }
+      } catch { case t: Throwable => err.set(t) }
+    })
+    reader.start()
+    try {
+      (0 until 3).foreach { i =>
+        val p = dir.resolve(s"c$i.vcf").toString
+        graft.vcf.SyntheticVcf.write(p, 600, seed = 910L + i)
+        Graft.run(spark, Array("load", p, "--db", db))
+      }
+      // a force-reload of a NON-probed file exercises the drop path
+      // (surgical file unlinks) under the reader's nose
+      Graft.run(spark, Array("load", dir.resolve("c0.vcf").toString,
+        "--db", db, "--force-reload"))
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    if (err.get() != null) throw err.get()
+    assert(probes.get() > 0, "reader thread never completed a probe round")
+    // final state: all four files' batches live, probes still green
+    val hit = graft.query.PointLookup.byPosition(
+      spark, s"$db/variants", "chr1", probeRows.head)
+    assert(hit.exists(_.get("load_batch_id").contains(batch1)))
+  }
 }

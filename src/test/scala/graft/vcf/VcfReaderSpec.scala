@@ -143,6 +143,67 @@ class VcfReaderSpec extends SparkSpec {
     assert(df.filter($"chrom".startsWith("chr")).count() == df.count())
   }
 
+  test("randomized Number=A/R/G slicing matches the spec formulas (seeded fuzz)") {
+    // 120 random records × 1-4 ALTs with random values (incl. '.'
+    // missing entries and negatives): the decomposed row for alt index a
+    // (1-based) must carry A→[v(a-1)], R→[v0, va],
+    // G→[g0, g(a(a+1)/2), g(a(a+1)/2 + a)] — the fixed-vector test
+    // above pins one case; this sweeps the index arithmetic across ALT
+    // counts the way a fixed fixture can't
+    val rnd = new scala.util.Random(77077L)
+    val alleles = Seq("A", "C", "G", "T")
+    def value(): String =
+      if (rnd.nextInt(10) == 0) "."
+      else if (rnd.nextBoolean()) rnd.nextInt(200).toString
+      else f"${rnd.nextDouble() * 4 - 2}%.3f"
+    final case class Rec(pos: Long, ref: String, alts: Seq[String],
+                         a: Seq[String], r: Seq[String], g: Seq[String])
+    val recs = (0 until 120).map { i =>
+      val ref = alleles(rnd.nextInt(4))
+      val nAlt = 1 + rnd.nextInt(4)
+      // distinct single-base alts (may include MNP-ish strings too)
+      val alts = (0 until nAlt).map(j =>
+        if (rnd.nextInt(5) == 0) alleles(rnd.nextInt(4)) + alleles(rnd.nextInt(4))
+        else alleles((alleles.indexOf(ref) + 1 + j) % 4) + (if (j >= 3) j.toString else ""))
+        .distinct
+      val n = alts.length
+      Rec(10000L + i * 10, ref, alts,
+        a = Seq.fill(n)(value()),
+        r = Seq.fill(n + 1)(value()),
+        g = Seq.fill((n + 1) * (n + 2) / 2)(value()))
+    }
+    val vcf = java.nio.file.Files.createTempFile("fuzzarg", ".vcf")
+    val sb = new StringBuilder
+    sb ++= "##fileformat=VCFv4.2\n"
+    sb ++= "##INFO=<ID=FA,Number=A,Type=String,Description=\"a\">\n"
+    sb ++= "##INFO=<ID=FR,Number=R,Type=String,Description=\"r\">\n"
+    sb ++= "##INFO=<ID=FG,Number=G,Type=String,Description=\"g\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    recs.foreach { rec =>
+      sb ++= s"chr1\t${rec.pos}\t.\t${rec.ref}\t${rec.alts.mkString(",")}\t50\tPASS\t"
+      sb ++= s"FA=${rec.a.mkString(",")};FR=${rec.r.mkString(",")};FG=${rec.g.mkString(",")}\n"
+    }
+    java.nio.file.Files.writeString(vcf, sb.toString)
+    val got = VcfReader.variants(spark, vcf.toString)
+      .select($"pos", $"alt_idx", $"info"("FA").as("fa"),
+        $"info"("FR").as("fr"), $"info"("FG").as("fg"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getString(4)))).toMap
+    recs.foreach { rec =>
+      rec.alts.indices.foreach { idx =>
+        val a = idx + 1 // 1-based alt index
+        val het = a * (a + 1) / 2
+        val exp = (rec.a(idx), s"${rec.r(0)},${rec.r(a)}",
+          s"${rec.g(0)},${rec.g(het)},${rec.g(het + a)}")
+        val key = (rec.pos, idx)
+        assert(got.contains(key), s"missing decomposed row $key")
+        assert(got(key) == exp,
+          s"pos=${rec.pos} alt#$a (${rec.alts(idx)} of ${rec.alts.length}): " +
+            s"got ${got(key)}, want $exp")
+      }
+    }
+  }
+
   test("triallelic GP slices to the spec triple; dosage from the het/hom slots") {
     // spec ordering for alts T,G: 0/0,0/1,1/1,0/2,1/2,2/2 — alt G (a=2)
     // takes {gp[0], gp[3], gp[5]} and dosage = gp[3] + 2·gp[5]
