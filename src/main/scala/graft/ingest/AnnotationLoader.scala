@@ -67,12 +67,24 @@ object AnnotationLoader {
     * (`_extract_field_value`, `annotation_loader.py:174-223`): FILTER is
     * special-cased; others read the (already per-ALT-sliced) info map,
     * cast by type, defaulting to missing_value / missing_string.
+    *
+    * Documented deviation on multi-valued fields: the reference indexes
+    * the raw cyvcf2 tuple with `value[alt_idx]` regardless of the
+    * declared Number (`annotation_loader.py:205-209` — which mis-slices
+    * Number=R, whose index 0 is the REF slot), where this reader slices
+    * per the declared Number first (spec F(j,k) for G) and numeric
+    * extraction then takes the first sliced element. For Number=A —
+    * every numeric field in echtvar-style configs (AF/AC/nhomalt) —
+    * the two agree exactly.
     */
   private def fieldColumn(cfg: FieldConfig): Column = {
     if (cfg.field.equalsIgnoreCase("FILTER")) {
-      // our reader surfaces PASS/'.' as []; reference stores missing_string
+      // our reader surfaces PASS/'.' as []; the reference stores
+      // `missing_string or "PASS"` (`annotation_loader.py:190-193`) —
+      // the default "." is truthy in that expression, so only an
+      // explicitly EMPTY missing_string falls back to "PASS"
       when(size(col("filter")) === 0,
-        lit(if (cfg.missingString != ".") cfg.missingString else "PASS"))
+        lit(if (cfg.missingString.isEmpty) "PASS" else cfg.missingString))
         .otherwise(array_join(col("filter"), ";"))
         .as(cfg.alias)
     } else {

@@ -441,6 +441,39 @@ class AnnotationLoaderSpec extends SparkSpec {
       Seq("chrom", "pos", "ref", "alt", "gnomad_ac", "gnomad_af", "gnomad_filter"))
   }
 
+  test("FILTER field default missing_string is '.', not PASS (reference truthiness)") {
+    // `_extract_field_value` returns `missing_string or "PASS"` for a
+    // PASS/'.'-filtered record — the default missing_string "." is
+    // TRUTHY in that expression, so only an explicitly empty
+    // missing_string ever yields "PASS"
+    val f = Files.createTempFile("cfg", ".json")
+    Files.writeString(f,
+      """[{"field": "FILTER", "alias": "f_default"}]""")
+    val cfgDefault = AnnotationLoader.loadFieldConfig(f.toString)
+    assert(cfgDefault.head.missingString == ".")
+    val vcf = Files.createTempFile("ann", ".vcf")
+    Files.writeString(vcf,
+      """##fileformat=VCFv4.2
+        |##INFO=<ID=AC,Number=A,Type=Integer,Description="ac">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	.	A	G	50	PASS	AC=3
+        |chr1	200	.	C	T	50	lowq	AC=4
+        |""".stripMargin)
+    val annoD = AnnotationLoader.load(spark, vcf.toString, cfgDefault)
+    val byPos = annoD.collect().map(r =>
+      r.getAs[Long]("pos") -> r.getAs[String]("f_default")).toMap
+    assert(byPos(100L) == ".", s"default missing_string must serve '.': $byPos")
+    assert(byPos(200L) == "lowq")
+    // explicitly empty missing_string is the one PASS fallback
+    Files.writeString(f,
+      """[{"field": "FILTER", "alias": "f_empty", "missing_string": ""}]""")
+    val annoE = AnnotationLoader.load(spark, vcf.toString,
+      AnnotationLoader.loadFieldConfig(f.toString))
+    val byPosE = annoE.collect().map(r =>
+      r.getAs[Long]("pos") -> r.getAs[String]("f_empty")).toMap
+    assert(byPosE(100L) == "PASS")
+  }
+
   test("annotation source load from VCF with aliases and dedup") {
     val f = Files.createTempFile("cfg", ".json")
     Files.writeString(f,
