@@ -1360,6 +1360,10 @@ object Graft {
         println("ld blocks assigned")
 
       case "compute-sample-qc" =>
+        // a sample-less db has no genotypes table at all — answer with
+        // the verb's contract, not a path-not-found AnalysisException
+        if (!new java.io.File(s"$db/genotypes").exists())
+          sys.error("no genotypes table: load a VCF with sample columns first")
         val g = spark.read.parquet(s"$db/genotypes")
         val sqc = graft.qc.SampleQc.compute(g, graft.qc.VariantQc.fromGenotypes(g))
         sqc.write.mode("overwrite").parquet(s"$db/sample_qc")
@@ -1489,6 +1493,11 @@ object Graft {
         // or the join output carries ambiguous duplicate columns
         val claimed = scala.collection.mutable.Set[String]() ++ variants.columns
         val srcDfs = sources.map { name =>
+          // name the miss: an unregistered source is a user typo, not a
+          // path-not-found AnalysisException
+          if (!new java.io.File(s"$db/anno_$name").exists())
+            sys.error(s"unknown annotation source '$name': " +
+              "load it with load-annotation, or see list-annotations")
           val df0 = spark.read.parquet(s"$db/anno_$name")
           val payload = df0.columns.toSeq
             .filterNot(graft.query.Annotator.JoinKey.contains)
@@ -1560,14 +1569,21 @@ object Graft {
       case "export-plink" | "export-prscs" | "export-ldpred2" | "export-prsice" =>
         // --study scopes the export to one study's stats (the reference's
         // exports are study-id-scoped, `cli.py:7249-7270`)
+        if (!new java.io.File(s"$db/gwas_stats").exists())
+          sys.error("no gwas_stats table: run import-gwas first")
         val statsAll = spark.read.parquet(s"$db/gwas_stats")
         val statsScoped = arg(args, "--study") match {
           case Some(s) if statsAll.columns.contains("study_accession") =>
             statsAll.filter($"study_accession" === s)
           case _ => statsAll
         }
+        // beta is exported AS IMPORTED: every reference export selects
+        // g.beta with `beta IS NOT NULL` (`export/prs_formats.py:115-124`
+        // etc.) and never derives it from odds_ratio — an invented
+        // ln(OR) fallback would silently export transformed values under
+        // the BETA header for OR-only studies; those rows are excluded,
+        // as the reference excludes them
         val stats = statsScoped
-          .withColumn("beta", coalesce($"beta", log($"odds_ratio")))
         val vf = graft.export.PrsFormats.VariantFilter(
           hapmap3Only = has(args, "--hapmap3-only"),
           minInfo = arg(args, "--min-info").map(_.toDouble),

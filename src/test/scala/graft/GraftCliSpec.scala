@@ -1600,6 +1600,53 @@ class GraftCliSpec extends SparkSpec {
       .csv(out).count() == 1)
   }
 
+  test("verbs on absent tables answer with their contract, not a path error") {
+    val db = Files.createTempDirectory("graftdb").toString
+    // a SAMPLE-FREE load: no genotypes table is ever created
+    val vcf = Files.createTempDirectory("nos").resolve("n.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf, 50, samples = Seq.empty)
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    val e1 = intercept[RuntimeException] {
+      Graft.run(spark, Array("compute-sample-qc", "--db", db))
+    }
+    assert(e1.getMessage.contains("no genotypes table"), e1.getMessage)
+    val out = Files.createTempDirectory("exp").resolve("x.txt").toString
+    val e2 = intercept[RuntimeException] {
+      Graft.run(spark, Array("export-plink", out, "--db", db))
+    }
+    assert(e2.getMessage.contains("no gwas_stats table"), e2.getMessage)
+    val e3 = intercept[RuntimeException] {
+      Graft.run(spark, Array("annotate", "--db", db, "--anno", "nope"))
+    }
+    assert(e3.getMessage.contains("unknown annotation source 'nope'"),
+      e3.getMessage)
+  }
+
+  test("exports ship beta AS IMPORTED: no invented ln(OR) fallback for OR-only rows") {
+    // every reference export selects g.beta WHERE beta IS NOT NULL and
+    // never derives beta from odds_ratio — an OR-only study exports
+    // ZERO rows to beta-keyed formats rather than silently shipping
+    // ln(OR) under the BETA header
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    val dir = Files.createTempDirectory("gwas")
+    val tsv = dir.resolve("or_only.tsv")
+    Files.write(tsv, java.util.Arrays.asList(
+      "CHR\tPOS\tEA\tOA\tPVAL\tOR\tSE\tEAF\tSNP",
+      "1\t752566\tA\tG\t1e-8\t1.12\t0.01\t0.25\trs3094315"))
+    Graft.run(spark, Array("import-gwas", tsv.toString, "--db", db,
+      "--study-accession", "GCST_OR"))
+    val st = spark.read.parquet(s"$db/gwas_stats")
+      .filter($"study_accession" === "GCST_OR").head()
+    assert(st.isNullAt(st.fieldIndex("beta")))
+    assert(math.abs(st.getAs[Double]("odds_ratio") - 1.12) < 1e-12)
+    val out = Files.createTempDirectory("exp").resolve("or.txt").toString
+    Graft.run(spark, Array("export-plink", out, "--db", db,
+      "--study", "GCST_OR"))
+    assert(spark.read.option("sep", "\t").option("header", "true")
+      .csv(out).count() == 0, "OR-only rows must not export a derived beta")
+  }
+
   test("per-key replace validates the incoming batch BEFORE dropping the key") {
     // the reference's DELETE + INSERT runs in one transaction; here the
     // protection is ordering — the incoming plan's first execution (its
