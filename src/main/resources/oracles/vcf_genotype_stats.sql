@@ -5,7 +5,8 @@ WITH raw AS (
   WHERE column0 NOT LIKE '#%'
 ),
 gts AS (
-  SELECT string_split(f[5], ',') AS alts,
+  SELECT f[1] AS v_chrom, f[2] AS v_pos, f[4] AS v_ref,
+    string_split(f[5], ',') AS alts,
     string_split(f[9], ':') AS fkeys,
     unnest(['S1', 'S2', 'S3']) AS sample_id,
     unnest([f[10], f[11], f[12]]) AS sval
@@ -43,7 +44,8 @@ dec AS (
   FROM rec
 ),
 geno AS (
-  SELECT sample_id,
+  SELECT v_chrom, v_pos, v_ref, alt AS v_alt,
+    sample_id,
     CASE WHEN gt_raw NOT LIKE '%/%' AND gt_raw NOT LIKE '%|%'
               AND a1_line IS NOT NULL THEN CAST(a1_line AS VARCHAR)
          ELSE COALESCE(CAST(a1_line AS VARCHAR), '.') ||
@@ -66,6 +68,7 @@ geno AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_genotypes,
   CAST(COUNT(DISTINCT sample_id) AS BIGINT) AS n_samples,
+  CAST(COUNT(DISTINCT (v_chrom, v_pos, v_ref, v_alt)) AS BIGINT) AS n_variants,
   CAST(SUM(CASE WHEN dosage IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_dosage,
   CAST(SUM(CASE WHEN gt <> './.' THEN 1 ELSE 0 END) AS BIGINT) AS n_called,
   CAST(COUNT(*) AS BIGINT) AS n_adj_pass,

@@ -11,8 +11,31 @@ class DashboardsSpec extends SparkSpec {
     val stats = Dashboards.genotypeStats(g).head()
     assert(stats.getAs[Long]("n_genotypes") == 12)
     assert(stats.getAs[Long]("n_samples") == 3)
+    assert(stats.getAs[Long]("n_variants") == 4) // reference unique_variants
     assert(stats.getAs[Long]("n_called") == 12)
     assert(Dashboards.dosageViolations(g).count() == 0)
+  }
+
+  test("constraint validators cover the reference's full CHECK list") {
+    import org.apache.spark.sql.functions.lit
+    val v = graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf"))
+      .withColumn("call_rate", lit(0.99)).withColumn("maf", lit(0.1))
+      .withColumn("hwe_p", lit(0.5)).withColumn("aaf", lit(0.3))
+      .withColumn("mac", lit(4)).withColumn("n_het", lit(2))
+      .withColumn("n_hom_ref", lit(1)).withColumn("n_hom_alt", lit(1))
+      .withColumn("imputation_r2", lit(0.9))
+    assert(Dashboards.constraintViolations(v).count() == 0)
+    val bad = v.withColumn("aaf", lit(1.2)).withColumn("mac", lit(-1))
+      .withColumn("n_het", lit(-3)).withColumn("imputation_r2", lit(2.0))
+    val byName = Dashboards.constraintViolations(bad)
+      .groupBy($"constraint").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = v.count()
+    assert(byName.get("aaf_range").contains(n))
+    assert(byName.get("mac_nonneg").contains(n))
+    assert(byName.get("n_het_nonneg").contains(n))
+    assert(byName.get("imputation_r2_range").contains(n))
+    assert(!byName.contains("maf_range"))
   }
 
   test("partition stats and variant constraint checks") {
