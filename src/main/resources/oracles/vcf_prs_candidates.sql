@@ -140,6 +140,10 @@ stats AS (
 )
 SELECT fl.variant_id, fl.chrom, fl.pos, fl.ref, fl.alt, fl.rs_id,
   fl.info_score, q.call_rate, q.hwe_p, q.maf, q.aaf, fl.in_hapmap3,
+  -- reference matview columns (`prs_views.py:45-46`): the fixture store
+  -- predates LD annotation and carries no batch stamp, so both are NULL
+  CAST(NULL AS BIGINT) AS ld_block_id,
+  CAST(NULL AS VARCHAR) AS load_batch_id,
   fl.af_nfe AS gnomad_nfe_af, fl.af_afr AS gnomad_afr_af,
   fl.af_eas AS gnomad_eas_af,
   s.beta, s.standard_error, s.p_value

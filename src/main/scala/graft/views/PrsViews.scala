@@ -42,12 +42,19 @@ object PrsViews {
         col("AFR").as("gnomad_afr_af"),
         col("EAS").as("gnomad_eas_af"))
 
+    // the reference's column list includes ld_block_id and load_batch_id
+    // (`prs_views.py:45-46`); its variants table always carries both,
+    // ours grows ld_block_id at annotate-ld-blocks — null until then
+    def opt(c: String, t: org.apache.spark.sql.types.DataType) =
+      if (variants.columns.contains(c)) col(c) else lit(null).cast(t).as(c)
     prsReadyFilter(variants)
       .join(freqsWide, Seq("variant_id"), "left")
       .join(gwasStats.select($"variant_id", $"beta", $"standard_error", $"p_value"),
         Seq("variant_id"))
       .select($"variant_id", $"chrom", $"pos", $"ref", $"alt", $"rs_id",
         $"info_score", $"call_rate", $"hwe_p", $"maf", $"aaf", $"in_hapmap3",
+        opt("ld_block_id", org.apache.spark.sql.types.LongType),
+        opt("load_batch_id", org.apache.spark.sql.types.StringType),
         $"gnomad_nfe_af", $"gnomad_afr_af", $"gnomad_eas_af",
         $"beta", $"standard_error", $"p_value")
   }
