@@ -126,6 +126,13 @@ object SampleQc {
       avg($"call_rate").as("mean_call_rate"),
       median.as("median_call_rate"),
       min($"call_rate").as("min_call_rate"),
-      max($"call_rate").as("max_call_rate"))
+      max($"call_rate").as("max_call_rate"),
+      // the reference's sample_qc_summary also averages these three
+      // (`qc/schema.py:85-87`); its n_sex_discordant / n_contaminated
+      // read contamination machinery that is out of scope here
+      // (documented on the A4/A5 COVERAGE rows)
+      avg($"het_hom_ratio").as("mean_het_hom_ratio"),
+      avg($"ti_tv_ratio").as("mean_ti_tv_ratio"),
+      avg($"f_inbreeding").as("mean_f_inbreeding"))
   }
 }

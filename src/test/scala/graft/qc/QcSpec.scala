@@ -190,5 +190,11 @@ class SampleQcSpec extends SparkSpec {
     val b = SampleQc.batchSummary(sqc).head()
     assert(b.getAs[Long]("n_samples") == 3)
     assert(b.getAs[Double]("median_call_rate") == 1.0)
+    // reference sample_qc_summary columns (qc/schema.py:85-87); the
+    // tiny fixture leaves the ratios null (no homs / no transversions),
+    // so the means are schema-presence assertions here — their math is
+    // covered by the per-sample specs above
+    Seq("mean_het_hom_ratio", "mean_ti_tv_ratio", "mean_f_inbreeding")
+      .foreach(c => assert(b.schema.fieldNames.contains(c), c))
   }
 }
