@@ -72,4 +72,62 @@ class ImportSoakSpec extends SparkSpec {
       check()
     }
   }
+
+  test("randomized composite-key frequency imports match the per-(source,subset) model (seeded)") {
+    // the (source, subset) COMPOSITE replace key: re-importing one
+    // combination must replace exactly its own rows — a conjunction bug
+    // in dropKeyFiles (dropping per-key instead of per-pair) or a
+    // compact that destroys key purity diverges from the model at once
+    val rng = new scala.util.Random(55441L)
+    val db = Files.createTempDirectory("freqsoak").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    val dir = Files.createTempDirectory("freqsoakvcf")
+    // two content versions: AF values differ, so the model tracks af sum
+    val vcfs = Seq(0, 1).map { v =>
+      val p = dir.resolve(s"freq_v$v.vcf")
+      Files.writeString(p,
+        s"""##fileformat=VCFv4.2
+           |##INFO=<ID=AF_nfe,Number=A,Type=Float,Description="nfe">
+           |##INFO=<ID=AF_afr,Number=A,Type=Float,Description="afr">
+           |##INFO=<ID=AC_nfe,Number=A,Type=Integer,Description="nfe">
+           |#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+           |chr1\t752566\trs3094315\tA\tG\t50\tPASS\tAF_nfe=0.${v}1;AF_afr=0.${v}2;AC_nfe=${v + 1}
+           |chr1\t752721\trs3131972\tG\tA\t50\tPASS\tAF_nfe=0.${v}3;AF_afr=0.${v}4;AC_nfe=${v + 2}
+           |""".stripMargin)
+      // 2 variants × 2 populations; af sum from the literals above
+      v -> ((p.toString, 4L, 0.10 * v * 4 + 0.01 + 0.02 + 0.03 + 0.04))
+    }.toMap
+    val combos = for (s <- Seq("gnomAD_v3", "gnomAD_v4"); x <- Seq("all", "controls"))
+      yield (s, x)
+    val live = scala.collection.mutable.Map[(String, String), (Long, Double)]()
+
+    def check(): Unit = {
+      val got = spark.read.parquet(s"$db/population_frequencies")
+        .groupBy($"source", $"subset")
+        .agg(count(lit(1)).as("n"), sum($"af").as("sa"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet == live.keySet.toSet,
+        s"combos ${got.keySet} != model ${live.keySet}")
+      live.foreach { case (k, (n, sa)) =>
+        val (gn, gsa) = got(k)
+        assert(gn == n, s"$k: $gn rows != model $n")
+        assert(math.abs(gsa - sa) < 1e-9, s"$k: af sum $gsa != model $sa")
+      }
+    }
+
+    (0 until 10).foreach { _ =>
+      val (src, sub) = combos(rng.nextInt(combos.length))
+      val v = rng.nextInt(2)
+      val (path, n, sa) = vcfs(v)
+      Graft.run(spark, Array("import-frequencies", path, "--db", db,
+        "--source", src, "--subset", sub))
+      live((src, sub)) = (n, sa)
+      if (rng.nextDouble() < 0.3)
+        Graft.run(spark, Array("compact", "--db", db,
+          "--tables", "population_frequencies"))
+      check()
+    }
+  }
 }
