@@ -520,9 +520,13 @@ object Graft {
             // is still the ledger number. Small batches broadcast the
             // (one-row-per-variant) QC side so the cached batch is never
             // shuffled; cohort-scale batches fall back to the shuffle
-            // join rather than a driver-sized broadcast.
+            // join rather than a driver-sized broadcast. The threshold
+            // is a system property so the shuffle arm is testable at
+            // spec scale (and tunable for executor-memory budgets).
+            val bcMax = sys.props.get("graft.qc.broadcast.max.rows")
+              .map(_.toLong).getOrElse(2000000L)
             val qcSide =
-              if (batchN < 2000000L) broadcast(qc) else qc
+              if (batchN < bcMax) broadcast(qc) else qc
             vc = vCache.join(qcSide, Seq("chrom", "pos", "ref", "alt"), "left")
           }
           // One schema for every store, reference-style: the variants

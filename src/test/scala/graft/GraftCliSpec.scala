@@ -1647,6 +1647,28 @@ class GraftCliSpec extends SparkSpec {
       .csv(out).count() == 0, "OR-only rows must not export a derived beta")
   }
 
+  test("cohort-scale QC join arm (shuffle, no broadcast) loads identically") {
+    // batchN >= graft.qc.broadcast.max.rows takes the shuffle join —
+    // the arm every cohort-scale load runs in production but specs never
+    // reach at fixture size. Force it to 0 and assert the loaded store
+    // matches a broadcast-arm load of the same file bit-for-bit.
+    val vcf = Files.createTempDirectory("qcarm").resolve("a.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf, 300, seed = 7700L)
+    val dbB = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", vcf, "--db", dbB))
+    val dbS = Files.createTempDirectory("graftdb").toString
+    System.setProperty("graft.qc.broadcast.max.rows", "0")
+    try Graft.run(spark, Array("load", vcf, "--db", dbS))
+    finally System.clearProperty("graft.qc.broadcast.max.rows")
+    val cols = spark.read.parquet(s"$dbB/variants").columns
+      .filterNot(_ == "load_batch_id").sorted.toSeq
+    def fp(db: String) = spark.read.parquet(s"$db/variants")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy($"chrom", $"pos", $"ref", $"alt")
+      .collect().map(_.toString).toSeq
+    assert(fp(dbS) == fp(dbB), "shuffle-arm load diverged from broadcast arm")
+  }
+
   test("per-key replace validates the incoming batch BEFORE dropping the key") {
     // the reference's DELETE + INSERT runs in one transaction; here the
     // protection is ordering — the incoming plan's first execution (its
