@@ -123,6 +123,29 @@ class PlanSpec extends SparkSpec {
       v.filter($"gene" === someGene).count())
   }
 
+  test("store scan: a chrom filter prunes hive partitions, pos pushes to the scan") {
+    // the Spark-side analogue of the reference's verify_partition_pruning
+    // (`partitions.py:49-96`): an analytical region scan over the K1
+    // layout must hit ONE chrom directory (PartitionFilters) and push
+    // the pos bounds into the parquet scan (PushedFilters) — at 100 TB
+    // this is the difference between reading one chromosome and reading
+    // the store
+    val dir = java.nio.file.Files.createTempDirectory("prunestore").toString
+    val v = graft.ingest.VariantMatching.withVariantId(
+      graft.vcf.VcfReader.variants(spark, fixture("hapmap3_overlap.vcf")))
+    graft.sinks.Writers.writeVariants(v, s"$dir/variants")
+    val scan = spark.read.parquet(s"$dir/variants")
+      .filter($"chrom" === "chr1" && $"pos" >= 752000L && $"pos" <= 850000L)
+    val p = plan(scan)
+    assert(p.contains("PartitionFilters") && p.contains("chrom"),
+      s"no chrom partition filter in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(pos,752000)") &&
+      p.contains("LessThanOrEqual(pos,850000)"),
+      s"pos bounds not pushed:\n$p")
+    assert(scan.count() == v.filter($"chrom" === "chr1" &&
+      $"pos".between(752000L, 850000L)).count())
+  }
+
   test("text analysis quality columns stay codegen'd (no UDF barrier)") {
     val df = graft.pipeline.TextAnalysis.withQuality(Tables(spark, sfDir).documents)
     val p = plan(df)
