@@ -77,6 +77,17 @@ class LoadSoakSpec extends SparkSpec {
       if (rng.nextBoolean()) flags += "--normalize"
       Graft.run(spark, Array("load", f, "--db", db) ++ flags)
       loaded += f
+      // matview refreshes interleave with loads in real operation; a
+      // refresh must neither corrupt the store nor leave an unreadable
+      // view directory on a store whose QC/flag columns are young
+      if (rng.nextDouble() < 0.3) {
+        Graft.run(spark, Array("refresh-views", "--db", db))
+        val vd = new java.io.File(s"$db/views")
+        if (vd.isDirectory)
+          vd.listFiles().filter(_.isDirectory).foreach { v =>
+            spark.read.parquet(v.getPath).count() // readable, any count
+          }
+      }
       reconcile()
     }
     // compaction folds fragmentation without changing content

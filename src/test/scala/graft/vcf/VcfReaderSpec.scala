@@ -143,6 +143,75 @@ class VcfReaderSpec extends SparkSpec {
     assert(df.filter($"chrom".startsWith("chr")).count() == df.count())
   }
 
+  test("randomized GT per-ALT remap and DS slicing match the biallelic convention (seeded fuzz)") {
+    // 100 random records × 1-3 ALTs × 3 samples with random GTs
+    // (diploid / haploid / missing / phased): the decomposed row for alt
+    // k must carry a1/a2 remapped by the bcftools-norm convention
+    // (allele==k → 1, other non-missing → 0, '.' → null) and the k-th
+    // DS value — the index arithmetic where the reference's own het-slot
+    // bug lived, swept across shapes a fixed fixture can't cover
+    val rnd = new scala.util.Random(880880L)
+    final case class S(gt: String, ds: Seq[String])
+    final case class Rec(pos: Long, alts: Seq[String], samples: Seq[S])
+    val recs = (0 until 100).map { i =>
+      val nAlt = 1 + rnd.nextInt(3)
+      val alts = (0 until nAlt).map(j => Seq("C", "G", "T")(j))
+      val samples = (0 until 3).map { _ =>
+        def allele(): String =
+          if (rnd.nextInt(8) == 0) "." else rnd.nextInt(nAlt + 1).toString
+        val gt =
+          if (rnd.nextInt(10) == 0) allele() // haploid
+          else s"${allele()}${if (rnd.nextBoolean()) "|" else "/"}${allele()}"
+        val ds = (0 until nAlt).map(_ =>
+          if (rnd.nextInt(6) == 0) "." else f"${rnd.nextDouble() * 2}%.2f")
+        S(gt, ds)
+      }
+      Rec(20000L + i * 10, alts, samples)
+    }
+    val vcf = java.nio.file.Files.createTempFile("fuzzgt", ".vcf")
+    val sb = new StringBuilder
+    sb ++= "##fileformat=VCFv4.2\n"
+    sb ++= "##FORMAT=<ID=GT,Number=1,Type=String,Description=\"gt\">\n"
+    sb ++= "##FORMAT=<ID=DS,Number=A,Type=Float,Description=\"ds\">\n"
+    sb ++= "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\n"
+    recs.foreach { r =>
+      sb ++= s"chr1\t${r.pos}\t.\tA\t${r.alts.mkString(",")}\t50\tPASS\t.\tGT:DS"
+      r.samples.foreach(s => sb ++= s"\t${s.gt}:${s.ds.mkString(",")}")
+      sb ++= "\n"
+    }
+    java.nio.file.Files.writeString(vcf, sb.toString)
+    val got = VcfReader.genotypes(spark, vcf.toString)
+      .select($"pos", $"alt_idx", $"sample_id", $"a1", $"a2", $"ds")
+      .collect().map { r =>
+        (r.getLong(0), r.getInt(1), r.getString(2)) ->
+          ((if (r.isNullAt(3)) null else Int.box(r.getInt(3))),
+           (if (r.isNullAt(4)) null else Int.box(r.getInt(4))),
+           (if (r.isNullAt(5)) null else Double.box(r.getDouble(5))))
+      }.toMap
+    recs.foreach { rec =>
+      rec.alts.indices.foreach { idx =>
+        val k = idx + 1
+        rec.samples.zipWithIndex.foreach { case (s, si) =>
+          val parts = s.gt.split("[/|]")
+          def remap(a: String): Integer =
+            if (a == ".") null else if (a.toInt == k) 1 else 0
+          val expA1 = remap(parts(0))
+          val expA2 = if (parts.length < 2) null else remap(parts(1))
+          val expDs: java.lang.Double =
+            if (s.ds(idx) == ".") null else s.ds(idx).toDouble
+          val key = (rec.pos, idx, s"S${si + 1}")
+          assert(got.contains(key), s"missing genotype row $key")
+          val (a1, a2, ds) = got(key)
+          assert(a1 == expA1 && a2 == expA2,
+            s"$key gt=${s.gt} k=$k: got ($a1,$a2), want ($expA1,$expA2)")
+          assert((ds == null && expDs == null) ||
+            (ds != null && expDs != null && math.abs(ds - expDs) < 1e-9),
+            s"$key ds: got $ds, want $expDs")
+        }
+      }
+    }
+  }
+
   test("randomized Number=A/R/G slicing matches the spec formulas (seeded fuzz)") {
     // 120 random records × 1-4 ALTs with random values (incl. '.'
     // missing entries and negatives): the decomposed row for alt index a
