@@ -1641,14 +1641,34 @@ object Graft {
         }
 
       case "audit-export" =>
-        // `audit export` face (`cli.py:2503+`): the chained log as JSON
-        // for external compliance tooling, id-ordered
+        // `audit export` face (`cli.py:2503+` / `integrity.py:254-308`):
+        // the chained log as ONE JSON document with integrity metadata
+        // (entry_count, first/last hash, content checksum), so
+        // `audit-verify-backup` can prove the file untampered offline
         val exportDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
         if (exportDf.isEmpty) println("no audit log")
         else {
-          graft.sinks.Writers.writeJson(exportDf.orderBy($"audit_id"), args(1))
-          println(s"exported audit log to ${args(1)}")
+          val entries = exportDf.orderBy($"audit_id")
+            .select($"audit_id", $"event_time", $"event_type", $"user_name",
+              $"action", $"success", $"previous_hash", $"entry_hash")
+            .collect() // audit-sized
+            .map(r => graft.audit.Audit.BackupEntry(r.getLong(0),
+              r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+              r.getBoolean(5), r.getString(6), r.getString(7)))
+            .toSeq
+          graft.audit.Audit.writeBackup(entries, args(1))
+          println(s"exported ${entries.length} audit entries to ${args(1)}")
         }
+
+      case "audit-verify-backup" =>
+        // `audit verify-backup` (`cli.py:2577-2633`): check an exported
+        // backup file against its embedded checksums; nonzero exit on
+        // mismatch, as the reference documents
+        if (!new java.io.File(args(1)).exists())
+          sys.error(s"File not found: ${args(1)}")
+        val (ok, message) = graft.audit.Audit.verifyBackupFile(args(1))
+        if (ok) println(message)
+        else sys.error(s"Backup verification failed: $message")
 
       case "audit-stats" =>
         // `audit stats` face (`cli.py:2636+`): per-verb counts + range
@@ -1701,6 +1721,7 @@ object Graft {
       |  audit-verify --db DIR
       |  audit-stats --db DIR
       |  audit-export <out.json> --db DIR
+      |  audit-verify-backup <backup.json>
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]
       |  benchmark""".stripMargin)

@@ -382,6 +382,97 @@ object Audit {
                 action: String, success: Boolean, previousHash: String): String =
     entryHash(eventTime, eventType, userName, action, success, previousHash, Nil)
 
+  // ---- §2.10: audit backup export with integrity metadata ----
+
+  private def jsStr(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' || c > '\u007f' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** One exported audit row, already ordered by audit_id. */
+  final case class BackupEntry(auditId: Long, eventTime: String,
+                               eventType: String, userName: String,
+                               action: String, success: Boolean,
+                               previousHash: String, entryHash: String) {
+    /** Canonical form: the reference checksums
+      * `json.dumps(entries, sort_keys=True, separators=(",", ":"))`
+      * (`audit/integrity.py:294-296`) — keys sorted, no spaces,
+      * non-ASCII \uXXXX-escaped. */
+    def canonicalJson: String =
+      s"""{"action":${jsStr(action)},"audit_id":$auditId,""" +
+        s""""entry_hash":${jsStr(entryHash)},"event_time":${jsStr(eventTime)},""" +
+        s""""event_type":${jsStr(eventType)},"previous_hash":${jsStr(previousHash)},""" +
+        s""""success":${if (success) "true" else "false"},""" +
+        s""""user_name":${jsStr(userName)}}"""
+  }
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def entriesChecksum(entries: Seq[BackupEntry]): String =
+    sha256Hex(entries.map(_.canonicalJson).mkString("[", ",", "]"))
+
+  /** `audit export` with integrity metadata
+    * (`audit/integrity.py:254-308` export_with_integrity → the
+    * `audit verify-backup` contract): one JSON document holding the
+    * id-ordered entries plus entry_count / first_hash / last_hash and a
+    * checksum over the canonical entries serialization. Deviation,
+    * documented: no date-range scoping — the whole (audit-sized) log
+    * exports; the reference's created_date windowing presumes its
+    * date-partitioned Postgres table. */
+  def writeBackup(entries: Seq[BackupEntry], outPath: String): Unit = {
+    val meta =
+      s"""{"export_time":${jsStr(java.time.Instant.now().toString)},""" +
+        s""""entry_count":${entries.length},""" +
+        s""""first_hash":${entries.headOption.map(e => jsStr(e.entryHash)).getOrElse("null")},""" +
+        s""""last_hash":${entries.lastOption.map(e => jsStr(e.entryHash)).getOrElse("null")},""" +
+        s""""checksum":${jsStr(entriesChecksum(entries))}}"""
+    val doc = s"""{"metadata":$meta,""" +
+      s""""entries":${entries.map(_.canonicalJson).mkString("[", ",", "]")}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), doc)
+    ()
+  }
+
+  /** `audit verify-backup` (`cli.py:2577-2633` / `integrity.py:310-341`):
+    * entry count, first/last entry hash, and the content checksum must
+    * all match the embedded metadata. Returns (ok, message) with the
+    * reference's failure wording. */
+  def verifyBackupFile(path: String): (Boolean, String) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    val meta = root.get("metadata")
+    val entriesNode = root.get("entries")
+    if (meta == null || entriesNode == null || !entriesNode.isArray)
+      return (false, "Missing required field in backup")
+    import scala.jdk.CollectionConverters._
+    def str(n: com.fasterxml.jackson.databind.JsonNode, f: String): String = {
+      val v = n.get(f); if (v == null || v.isNull) null else v.asText()
+    }
+    val entries = entriesNode.elements().asScala.map { e =>
+      BackupEntry(e.get("audit_id").asLong(), str(e, "event_time"),
+        str(e, "event_type"), str(e, "user_name"), str(e, "action"),
+        e.get("success").asBoolean(), str(e, "previous_hash"),
+        str(e, "entry_hash"))
+    }.toSeq
+    val expectedN = meta.get("entry_count").asLong()
+    if (entries.length.toLong != expectedN)
+      return (false, s"Entry count mismatch: expected $expectedN, got ${entries.length}")
+    if (entries.nonEmpty) {
+      if (entries.head.entryHash != str(meta, "first_hash"))
+        return (false, "First entry hash does not match metadata")
+      if (entries.last.entryHash != str(meta, "last_hash"))
+        return (false, "Last entry hash does not match metadata")
+    }
+    if (entriesChecksum(entries) != str(meta, "checksum"))
+      return (false, "Content checksum mismatch (data may have been modified)")
+    (true, "Backup verification passed")
+  }
+
   private val entryHashUdf = udf(
     (eventTime: String, eventType: String, userName: String, action: String,
      success: Boolean, previousHash: String) =>

@@ -934,12 +934,32 @@ class GraftCliSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("FAILED"), e.getMessage)
     Graft.run(spark, Array("audit-stats", "--db", db))
-    // JSON export carries the full chained rows, id-ordered
+    // export carries the full chained rows, id-ordered, inside an
+    // integrity envelope that verify-backup proves untampered
     val exp = Files.createTempDirectory("auditexp").resolve("log.json").toString
     Graft.run(spark, Array("audit-export", exp, "--db", db))
-    val exported = spark.read.json(exp)
-    assert(exported.count() == 4)
-    assert(exported.columns.contains("entry_hash"))
+    val doc = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(exp))
+    assert(doc.get("metadata").get("entry_count").asInt() == 4)
+    assert(doc.get("entries").size() == 4)
+    assert(doc.get("entries").get(0).has("entry_hash"))
+    Graft.run(spark, Array("audit-verify-backup", exp))
+    // value tampering inside an entry → checksum mismatch, loud failure
+    val tamperedJson = Files.readString(java.nio.file.Paths.get(exp))
+      .replaceFirst("\"user_name\":\"", "\"user_name\":\"evil-")
+    val exp2 = Files.createTempDirectory("auditexp").resolve("bad.json")
+    Files.writeString(exp2, tamperedJson)
+    val eb = intercept[RuntimeException] {
+      Graft.run(spark, Array("audit-verify-backup", exp2.toString))
+    }
+    assert(eb.getMessage.contains("checksum mismatch"), eb.getMessage)
+    // a dropped entry → count mismatch named first
+    val shortJson = tamperedJson.replaceFirst("\"entry_count\":4", "\"entry_count\":9")
+    Files.writeString(exp2, shortJson)
+    val ec = intercept[RuntimeException] {
+      Graft.run(spark, Array("audit-verify-backup", exp2.toString))
+    }
+    assert(ec.getMessage.contains("Entry count mismatch"), ec.getMessage)
   }
 
   test("per-chrom compaction folds only fragmented partitions, content unchanged") {
