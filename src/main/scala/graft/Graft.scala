@@ -1660,6 +1660,104 @@ object Graft {
           println(s"exported ${entries.length} audit entries to ${args(1)}")
         }
 
+      case "phi-scan" =>
+        // standalone scan face (`cli.py:5465-5507` phi_scan +
+        // `:5651+` phi_detect's bounded record sampling): report PHI in
+        // headers, sample names and a data sample WITHOUT loading. A
+        // report, not a gate — exit stays zero (the load verb's
+        // --fail-on-phi is the enforcing face).
+        val vcf = args(1)
+        if (!new java.io.File(vcf).exists())
+          sys.error(s"VCF file not found: $vcf")
+        val maxRecords = arg(args, "--max-records").map(_.toInt).getOrElse(1000)
+        val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
+        val findings =
+          graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
+            .redactions.map(r => graft.transform.PhiSanitizer.Detection(
+              r.pattern, r.category, "HEADER")) ++
+          headerLines.filter(_.startsWith("#CHROM"))
+            .flatMap(graft.transform.PhiSanitizer.scanChromLine) ++
+          spark.read.textFile(vcf).filter(!$"value".startsWith("#"))
+            .limit(maxRecords).collect().toSeq
+            .flatMap(graft.transform.PhiSanitizer.scanDataLine)
+        if (findings.isEmpty) println("No PHI detected")
+        else {
+          println(s"PHI detected: ${findings.length} finding(s)")
+          println("Summary:")
+          findings.groupBy(_.category).toSeq.sortBy(_._1).foreach {
+            case (cat, fs) => println(s"  $cat: ${fs.length}")
+          }
+          println("Findings:")
+          findings.take(10).foreach(f =>
+            println(s"  [${f.category}] ${f.context}"))
+          if (findings.length > 10)
+            println(s"  ... and ${findings.length - 10} more")
+        }
+
+      case "phi-sanitize" =>
+        // `phi sanitize` (`cli.py:5510-5573`): write a copy of the VCF
+        // with PHI-bearing header lines redacted; data lines stream
+        // through unchanged. --preview lists the planned redactions
+        // without writing. Driver-side streaming IO over one file — the
+        // same single-node shape as the reference (this is a file
+        // utility, not a table operator).
+        val vcf = args(1)
+        if (!new java.io.File(vcf).exists())
+          sys.error(s"VCF file not found: $vcf")
+        val conf = spark.sparkContext.hadoopConfiguration
+        val inPath = new org.apache.hadoop.fs.Path(vcf)
+        val fs = inPath.getFileSystem(conf)
+        val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        def reader() = {
+          val raw = fs.open(inPath)
+          val in = Option(codecs.getCodec(inPath))
+            .map(_.createInputStream(raw): java.io.InputStream).getOrElse(raw)
+          new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+        }
+        if (has(args, "--preview")) {
+          val r = reader()
+          try {
+            var n = 0
+            var line = r.readLine()
+            while (line != null && line.startsWith("#")) {
+              val (_, reds) = graft.transform.PhiSanitizer.sanitizeLine(line)
+              reds.foreach { red => n += 1
+                if (n <= 20) println(s"  [${red.category}] ${red.pattern}") }
+              line = r.readLine()
+            }
+            if (n > 20) println(s"  ... and ${n - 20} more")
+            println(s"Items to sanitize: $n")
+          } finally r.close()
+        } else {
+          val outPath = arg(args, "--output").getOrElse(
+            sys.error("phi-sanitize needs --output <path> (or --preview)"))
+          val oPath = new org.apache.hadoop.fs.Path(outPath)
+          val rawOut = oPath.getFileSystem(conf).create(oPath, true)
+          val out = Option(codecs.getCodec(oPath))
+            .map(_.createOutputStream(rawOut): java.io.OutputStream)
+            .getOrElse(rawOut)
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(out, "UTF-8"))
+          val r = reader()
+          var removed = 0
+          try {
+            var inHeader = true
+            var line = r.readLine()
+            while (line != null) {
+              val toWrite =
+                if (inHeader && line.startsWith("#")) {
+                  val (s, reds) = graft.transform.PhiSanitizer.sanitizeLine(line)
+                  removed += reds.length
+                  s
+                } else { inHeader = false; line }
+              w.write(toWrite); w.newLine()
+              line = r.readLine()
+            }
+          } finally { r.close(); w.close() }
+          println(s"Sanitized VCF written to $outPath")
+          println(s"Removed $removed PHI item(s)")
+        }
+
       case "audit-verify-backup" =>
         // `audit verify-backup` (`cli.py:2577-2633`): check an exported
         // backup file against its embedded checksums; nonzero exit on
@@ -1722,6 +1820,8 @@ object Graft {
       |  audit-stats --db DIR
       |  audit-export <out.json> --db DIR
       |  audit-verify-backup <backup.json>
+      |  phi-scan <vcf> [--max-records N]
+      |  phi-sanitize <vcf> (--output out.vcf[.gz] | --preview)
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]
       |  benchmark""".stripMargin)

@@ -1689,6 +1689,47 @@ class GraftCliSpec extends SparkSpec {
     assert(fp(dbS) == fp(dbB), "shuffle-arm load diverged from broadcast arm")
   }
 
+  test("phi-scan reports findings standalone; phi-sanitize writes a clean copy") {
+    val dir = Files.createTempDirectory("phicli")
+    val vcf = dir.resolve("p.vcf").toString
+    Files.writeString(java.nio.file.Paths.get(vcf),
+      """##fileformat=VCFv4.2
+        |##source=pipeline run by jsmith@hospital.org on 2023-01-15
+        |##INFO=<ID=DP,Number=1,Type=Integer,Description="depth">
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	MRN:445566	A	G	50	PASS	DP=10
+        |""".stripMargin)
+    val out1 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out1)) {
+      Graft.run(spark, Array("phi-scan", vcf))
+    }
+    val s1 = out1.toString
+    assert(s1.contains("PHI detected"), s1)
+    assert(s1.contains("email") && s1.contains("mrn"), s1)
+    // sanitize: headers redacted, data lines byte-identical
+    val cleaned = dir.resolve("clean.vcf").toString
+    Graft.run(spark, Array("phi-sanitize", vcf, "--output", cleaned))
+    val lines = Files.readAllLines(java.nio.file.Paths.get(cleaned))
+    assert(!lines.get(1).contains("jsmith@hospital.org"), lines.get(1))
+    assert(lines.get(1).contains("[REDACTED]"))
+    assert(lines.get(4).contains("MRN:445566"), "data lines must pass through")
+    // the sanitized file still parses
+    assert(graft.vcf.VcfReader.variants(spark, cleaned).count() == 1)
+    // preview prints the plan without writing anything
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Graft.run(spark, Array("phi-sanitize", vcf, "--preview"))
+    }
+    assert(out2.toString.contains("Items to sanitize"), out2.toString)
+    // a clean file scans clean
+    val cleanScan = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cleanScan)) {
+      Graft.run(spark, Array("phi-scan", cleaned))
+    }
+    assert(cleanScan.toString.contains("PHI detected"),
+      "the MRN-style ID column finding must survive sanitize (headers-only)")
+  }
+
   test("per-key replace validates the incoming batch BEFORE dropping the key") {
     // the reference's DELETE + INSERT runs in one transaction; here the
     // protection is ordering — the incoming plan's first execution (its
