@@ -1758,6 +1758,67 @@ object Graft {
           println(s"Removed $removed PHI item(s)")
         }
 
+      case "phi-report" =>
+        // `phi report <batch-id>` (`cli.py:5575+`): what the PHI scan
+        // found during that load — served from the ledger row's note
+        // (where the load records scan outcome per batch)
+        val batchId = args(1)
+        if (!new java.io.File(s"$db/ledger").exists())
+          sys.error(s"Load batch not found: $batchId")
+        val row = spark.read.parquet(s"$db/ledger")
+          .filter($"load_batch_id" === batchId)
+          .orderBy($"completed_at".desc).limit(1).collect().headOption
+          .getOrElse(sys.error(s"Load batch not found: $batchId"))
+        val note = Option(row.getAs[String]("note")).getOrElse("")
+        println(s"batch $batchId (${row.getAs[String]("file_path")}): " +
+          (if (note.startsWith("phi_scan")) note
+           else "no PHI scan recorded (load ran without --phi-scan)"))
+
+      case "phi-stats" =>
+        // `phi stats` (`cli.py:5377+`): anonymization + scan statistics —
+        // vault size (distinct anonymized ids) and per-batch scan notes
+        val vaultDir = s"$db/phi_vault/sample_id_mapping"
+        val nAnon =
+          if (new java.io.File(vaultDir).exists())
+            spark.read.parquet(vaultDir).select($"anon_id").distinct().count()
+          else 0L
+        println(s"anonymized_sample_ids=$nAnon")
+        if (new java.io.File(s"$db/ledger").exists()) {
+          val notes = spark.read.parquet(s"$db/ledger")
+            .filter($"status" === "completed" && $"note".startsWith("phi_scan"))
+            .select($"note").collect().map(_.getString(0))
+          val clean = notes.count(_ == "phi_scan: clean")
+          println(s"loads_scanned=${notes.length} clean=$clean " +
+            s"with_findings=${notes.length - clean}")
+        } else println("loads_scanned=0 clean=0 with_findings=0")
+
+      case "phi-patterns-list" =>
+        // `phi patterns list` (`cli.py:5749+`): the builtin detection
+        // pattern registry, category + regex
+        graft.transform.PhiSanitizer.BuiltinPatterns.foreach {
+          case (re, cat) => println(s"$cat\t${re.pattern}")
+        }
+
+      case "phi-patterns-test" =>
+        // `phi patterns test` (`cli.py:5796-5830`): compile a user regex
+        // and report its matches in the input; invalid patterns fail
+        // with the compile error
+        val pat = arg(args, "--pattern").getOrElse(
+          sys.error("phi-patterns-test needs --pattern <regex>"))
+        val input = arg(args, "--input").getOrElse(
+          sys.error("phi-patterns-test needs --input <text>"))
+        val flags = if (has(args, "--ignore-case"))
+          java.util.regex.Pattern.CASE_INSENSITIVE else 0
+        val compiled =
+          try java.util.regex.Pattern.compile(pat, flags)
+          catch { case e: java.util.regex.PatternSyntaxException =>
+            sys.error(s"Invalid regex pattern: ${e.getMessage}") }
+        val m = compiled.matcher(input)
+        val hits = scala.collection.mutable.ArrayBuffer[String]()
+        while (m.find()) hits += m.group()
+        if (hits.isEmpty) println("no match")
+        else hits.foreach(h => println(s"match: $h"))
+
       case "audit-verify-backup" =>
         // `audit verify-backup` (`cli.py:2577-2633`): check an exported
         // backup file against its embedded checksums; nonzero exit on
@@ -1822,6 +1883,10 @@ object Graft {
       |  audit-verify-backup <backup.json>
       |  phi-scan <vcf> [--max-records N]
       |  phi-sanitize <vcf> (--output out.vcf[.gz] | --preview)
+      |  phi-report <batch-id> --db DIR
+      |  phi-stats --db DIR
+      |  phi-patterns-list
+      |  phi-patterns-test --pattern RE --input TEXT [--ignore-case]
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]
       |  benchmark""".stripMargin)

@@ -1730,6 +1730,44 @@ class GraftCliSpec extends SparkSpec {
       "the MRN-style ID column finding must survive sanitize (headers-only)")
   }
 
+  test("phi-report / phi-stats / phi-patterns verbs answer from the ledger and registry") {
+    val dir = Files.createTempDirectory("phirep")
+    val vcf = dir.resolve("p.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf, 50, seed = 31L)
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", vcf, "--db", db, "--phi-scan",
+      "--anonymize"))
+    val batch = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").head().getAs[String]("load_batch_id")
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    val rep = captured(Array("phi-report", batch, "--db", db))
+    assert(rep.contains("phi_scan"), rep)
+    val e = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-report", "nope", "--db", db))
+    }
+    assert(e.getMessage.contains("Load batch not found"), e.getMessage)
+    val stats = captured(Array("phi-stats", "--db", db))
+    assert(stats.contains("anonymized_sample_ids=2"), stats) // S1, S2 anon
+    assert(stats.contains("loads_scanned=1"), stats)
+    val pats = captured(Array("phi-patterns-list"))
+    assert(pats.contains("ssn") && pats.contains("email"), pats)
+    val hit = captured(Array("phi-patterns-test",
+      "--pattern", "MRN\\d+", "--input", "id MRN445 rest"))
+    assert(hit.contains("match: MRN445"), hit)
+    val miss = captured(Array("phi-patterns-test",
+      "--pattern", "XYZ", "--input", "abc"))
+    assert(miss.contains("no match"), miss)
+    val bad = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-patterns-test",
+        "--pattern", "(", "--input", "abc"))
+    }
+    assert(bad.getMessage.contains("Invalid regex pattern"), bad.getMessage)
+  }
+
   test("per-key replace validates the incoming batch BEFORE dropping the key") {
     // the reference's DELETE + INSERT runs in one transaction; here the
     // protection is ordering — the incoming plan's first execution (its
