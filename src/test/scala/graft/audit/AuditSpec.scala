@@ -320,6 +320,44 @@ class WritersSpec extends SparkSpec {
       s"append leaked its own temp: $names")
   }
 
+  test("backup checksum is byte-compatible with Python json.dumps (differential)") {
+    // the reference verifies backups by re-dumping the parsed entries
+    // with json.dumps(sort_keys=True, separators=(",",":")) and
+    // sha256-ing the result (`audit/integrity.py:294-296,332-335`) — a
+    // user pointing Python tooling at OUR export must get OUR checksum
+    val py = try {
+      new ProcessBuilder("python3", "--version").start().waitFor() == 0
+    } catch { case _: Throwable => false }
+    assume(py, "python3 not available")
+    val entries = Seq(
+      Audit.BackupEntry(1L, "2026-08-14T00:00:00Z", "load", "ünïcode-üser",
+        "loaded \"x.vcf\"", success = true, "0" * 64, "a" * 64),
+      Audit.BackupEntry(2L, "2026-08-14T00:01:00Z", "compact", null,
+        "compacted", success = false, "a" * 64, "b" * 64))
+    val out = Files.createTempFile("backup", ".json").toString
+    Audit.writeBackup(entries, out)
+    val script = Files.createTempFile("chk", ".py")
+    Files.writeString(script,
+      """import json, hashlib, sys
+        |doc = json.load(open(sys.argv[1]))
+        |c = hashlib.sha256(json.dumps(doc["entries"], sort_keys=True,
+        |    separators=(",", ":")).encode()).hexdigest()
+        |print("PYCHK=" + c)
+        |print("METAC=" + doc["metadata"]["checksum"])
+        |""".stripMargin)
+    val p = new ProcessBuilder("python3", script.toString, out)
+      .redirectErrorStream(true).start()
+    val outText = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    assert(p.waitFor() == 0, outText)
+    val lines = outText.linesIterator.toSeq
+    val pychk = lines.find(_.startsWith("PYCHK=")).get.drop(6)
+    val metac = lines.find(_.startsWith("METAC=")).get.drop(6)
+    assert(pychk == metac,
+      s"python json.dumps checksum $pychk != embedded $metac\n$outText")
+    // and our own verifier agrees
+    assert(Audit.verifyBackupFile(out)._1)
+  }
+
   test("upsert: incoming wins, unmatched existing survives") {
     val existing = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
     val incoming = Seq((1L, "new"), (3L, "add")).toDF("id", "v")
