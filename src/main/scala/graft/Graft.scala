@@ -262,15 +262,29 @@ object Graft {
         // a silent no-op.
         var ledgerNote = ""
         if (has(args, "--phi-scan") || has(args, "--fail-on-phi")) {
+          // custom patterns from the per-db registry (phi-patterns-add) or
+          // an explicit --phi-patterns-config merge into the builtin scan,
+          // the reference's config-fed PHIScanner (`loader.py:275-277`)
+          val custom = arg(args, "--phi-patterns-config")
+            .map(graft.transform.PhiPatternRegistry.load)
+            .getOrElse {
+              val dbReg = s"$db/phi_patterns.toml"
+              if (new java.io.File(dbReg).exists())
+                graft.transform.PhiPatternRegistry.load(dbReg)
+              else Nil
+            }
+          val customPats = custom.map(p => (p.regex, p.name))
+          val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
           val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
           val meta = graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
             .redactions.map(r =>
-              graft.transform.PhiSanitizer.Detection(r.pattern, r.category, "HEADER"))
+              graft.transform.PhiSanitizer.Detection(r.pattern, r.category, "HEADER")) ++
+            graft.transform.PhiSanitizer.scanHeaderCustom(headerLines, customPats)
           val sampleIds = headerLines.filter(_.startsWith("#CHROM"))
-            .flatMap(graft.transform.PhiSanitizer.scanChromLine)
+            .flatMap(l => graft.transform.PhiSanitizer.scanChromLine(l, allPats))
           val dataRows = spark.read.textFile(vcf)
             .filter(!$"value".startsWith("#")).limit(1000).collect().toSeq
-            .flatMap(graft.transform.PhiSanitizer.scanDataLine)
+            .flatMap(l => graft.transform.PhiSanitizer.scanDataLine(l, allPats))
           val findings = meta ++ sampleIds ++ dataRows
           if (findings.nonEmpty) {
             val cats = findings.map(_.category).distinct.sorted
@@ -1661,37 +1675,90 @@ object Graft {
         }
 
       case "phi-scan" =>
-        // standalone scan face (`cli.py:5465-5507` phi_scan +
-        // `:5651+` phi_detect's bounded record sampling): report PHI in
-        // headers, sample names and a data sample WITHOUT loading. A
-        // report, not a gate — exit stays zero (the load verb's
-        // --fail-on-phi is the enforcing face).
+        // standalone scan face (`cli.py:5465-5507` phi_scan + `:5651-5746`
+        // phi_detect): report PHI in headers, sample names and data rows
+        // WITHOUT loading. A report, not a gate — exit stays zero (the
+        // load verb's --fail-on-phi is the enforcing face). Sampling knobs
+        // match phi_detect's defaults: --sample-rate 1.0, --max-records
+        // unset = every record (`detector.py:159-195` — max_records caps
+        // the SCANNED count and the rate draw filters per record, so the
+        // scan covers the first N records that pass the draw). Unlike the
+        // reference's driver-side line loop, the data-row sweep is a
+        // distributed flatMap + groupBy — an unbounded full-file scan must
+        // not collect the file to the driver.
         val vcf = args(1)
         if (!new java.io.File(vcf).exists())
           sys.error(s"VCF file not found: $vcf")
-        val maxRecords = arg(args, "--max-records").map(_.toInt).getOrElse(1000)
+        val sampleRate = arg(args, "--sample-rate").map(_.toDouble).getOrElse(1.0)
+        if (sampleRate <= 0.0 || sampleRate > 1.0)
+          sys.error(s"--sample-rate must be in (0.0, 1.0]: $sampleRate")
+        val maxRecords = arg(args, "--max-records").map(_.toInt)
+        // custom registry: explicit --patterns-config, else the per-db
+        // registry phi-patterns-add writes (when a --db was given and the
+        // file exists) — the reference persists to a config file the later
+        // scan loads (`cli.py:5857+`, `patterns.py:224-240`)
+        val custom = arg(args, "--patterns-config")
+          .map(graft.transform.PhiPatternRegistry.load)
+          .getOrElse {
+            val dbReg = s"$db/phi_patterns.toml"
+            if (new java.io.File(dbReg).exists())
+              graft.transform.PhiPatternRegistry.load(dbReg)
+            else Nil
+          }
+        val registry = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
+        val customPats = custom.map(p => (p.regex, p.name))
+        val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
         val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
-        val findings =
+        val headerFindings =
           graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
             .redactions.map(r => graft.transform.PhiSanitizer.Detection(
               r.pattern, r.category, "HEADER")) ++
+          graft.transform.PhiSanitizer.scanHeaderCustom(headerLines, customPats) ++
           headerLines.filter(_.startsWith("#CHROM"))
-            .flatMap(graft.transform.PhiSanitizer.scanChromLine) ++
-          spark.read.textFile(vcf).filter(!$"value".startsWith("#"))
-            .limit(maxRecords).collect().toSeq
-            .flatMap(graft.transform.PhiSanitizer.scanDataLine)
-        if (findings.isEmpty) println("No PHI detected")
-        else {
-          println(s"PHI detected: ${findings.length} finding(s)")
+            .flatMap(l => graft.transform.PhiSanitizer.scanChromLine(l, allPats))
+        val data = spark.read.textFile(vcf).filter(!$"value".startsWith("#"))
+        val recordsTotal = data.count()
+        // rate draw first, then the scanned-count cap — mirrors the
+        // reference's per-record order; seed fixed so reruns see the same
+        // sample (documented deviation from random.random())
+        val drawn =
+          if (sampleRate < 1.0) data.sample(withReplacement = false, sampleRate, 42L)
+          else data
+        val sampled = maxRecords.map(drawn.limit).getOrElse(drawn)
+        val detections = sampled.flatMap(l =>
+          graft.transform.PhiSanitizer.scanDataLine(l, allPats))
+        val recordsScanned = sampled.count()
+        val dataSummary = detections.groupBy($"category").count()
+          .as[(String, Long)].collect().toMap
+        val dataFirst = detections.take(10).toSeq
+        val summary = (headerFindings.groupBy(_.category)
+          .map { case (c, fs) => c -> fs.length.toLong } ++
+          dataSummary.map { case (c, n) =>
+            c -> (headerFindings.count(_.category == c).toLong + n) }).toMap
+        val nFindings = summary.values.sum
+        if (nFindings == 0) {
+          println("No PHI detected")
+          println(s"Records scanned: $recordsScanned / $recordsTotal")
+        } else {
+          println(s"PHI detected: $nFindings finding(s)")
+          println(s"Records scanned: $recordsScanned / $recordsTotal")
           println("Summary:")
-          findings.groupBy(_.category).toSeq.sortBy(_._1).foreach {
-            case (cat, fs) => println(s"  $cat: ${fs.length}")
+          summary.toSeq.sortBy(_._1).foreach {
+            case (cat, n) => println(s"  $cat: $n")
           }
+          println("Summary by severity:")
+          summary.toSeq
+            .groupBy { case (c, _) =>
+              graft.transform.PhiSanitizer.severityOf(c, registry) }
+            .map { case (s, xs) => s -> xs.map(_._2).sum }
+            .toSeq.sortBy(_._1).foreach {
+              case (sev, n) => println(s"  $sev: $n")
+            }
           println("Findings:")
-          findings.take(10).foreach(f =>
+          (headerFindings ++ dataFirst).take(10).foreach(f =>
             println(s"  [${f.category}] ${f.context}"))
-          if (findings.length > 10)
-            println(s"  ... and ${findings.length - 10} more")
+          if (nFindings > 10)
+            println(s"  ... and ${nFindings - 10} more")
         }
 
       case "phi-sanitize" =>
@@ -1793,11 +1860,51 @@ object Graft {
         } else println("loads_scanned=0 clean=0 with_findings=0")
 
       case "phi-patterns-list" =>
-        // `phi patterns list` (`cli.py:5749+`): the builtin detection
-        // pattern registry, category + regex
-        graft.transform.PhiSanitizer.BuiltinPatterns.foreach {
-          case (re, cat) => println(s"$cat\t${re.pattern}")
+        // `phi patterns list` (`cli.py:5749-5793`): the detection pattern
+        // registry — builtins plus any custom registry file
+        // (--patterns-config, or the per-db phi_patterns.toml written by
+        // phi-patterns-add). --severity filters like the reference's
+        // get_patterns_by_severity.
+        val custom = arg(args, "--patterns-config")
+          .map(graft.transform.PhiPatternRegistry.load)
+          .getOrElse {
+            val dbReg = s"$db/phi_patterns.toml"
+            if (new java.io.File(dbReg).exists())
+              graft.transform.PhiPatternRegistry.load(dbReg)
+            else Nil
+          }
+        val all = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
+        val wanted = arg(args, "--severity") match {
+          case Some(s) => all.filter(_.severity == s)
+          case None    => all
         }
+        println(s"PHI detection patterns (${wanted.length} total)")
+        wanted.sortBy(p => (p.severity, p.name)).foreach { p =>
+          println(s"${p.severity}\t${p.name}\t${p.regex.pattern}\t${p.description}")
+        }
+
+      case "phi-patterns-add" =>
+        // `phi patterns add` (`cli.py:5823-5880`): persist a user-defined
+        // pattern into a TOML registry consumed by later scans. Severity
+        // vocabulary and regex compile are validated before anything is
+        // written; the registry file defaults to the per-db
+        // phi_patterns.toml so `phi-scan --db` and `load --phi-scan` pick
+        // the pattern up without an extra flag (the reference's default is
+        // ./phi_patterns.toml + explicit --config on the scan).
+        val name = arg(args, "--name").getOrElse(
+          sys.error("phi-patterns-add needs --name <name>"))
+        val pattern = arg(args, "--pattern").getOrElse(
+          sys.error("phi-patterns-add needs --pattern <regex>"))
+        val severity = arg(args, "--severity").getOrElse(
+          sys.error("phi-patterns-add needs --severity " +
+            "<critical|high|medium|low>"))
+        val description = arg(args, "--description").getOrElse("")
+        val cfg = arg(args, "--patterns-config")
+          .getOrElse(s"$db/phi_patterns.toml")
+        graft.transform.PhiPatternRegistry.append(
+          cfg, name, pattern, severity, description,
+          caseInsensitive = has(args, "--ignore-case"))
+        println(s"Pattern '$name' added to $cfg")
 
       case "phi-patterns-test" =>
         // `phi patterns test` (`cli.py:5796-5830`): compile a user regex
@@ -1881,11 +1988,13 @@ object Graft {
       |  audit-stats --db DIR
       |  audit-export <out.json> --db DIR
       |  audit-verify-backup <backup.json>
-      |  phi-scan <vcf> [--max-records N]
+      |  phi-scan <vcf> [--sample-rate R] [--max-records N] [--patterns-config F]
       |  phi-sanitize <vcf> (--output out.vcf[.gz] | --preview)
       |  phi-report <batch-id> --db DIR
       |  phi-stats --db DIR
-      |  phi-patterns-list
+      |  phi-patterns-list [--severity S] [--patterns-config F]
+      |  phi-patterns-add --name N --pattern RE --severity S [--description D]
+      |       [--ignore-case] [--patterns-config F]
       |  phi-patterns-test --pattern RE --input TEXT [--ignore-case]
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]

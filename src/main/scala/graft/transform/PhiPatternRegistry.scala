@@ -1,0 +1,151 @@
+package graft.transform
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.util.matching.Regex
+
+/** Custom PHI pattern persistence (`cli.py:5823-5880` phi patterns add +
+  * `phi/patterns.py:224-240` load_custom_patterns): user-defined detection
+  * patterns live in a TOML file of `[[patterns]]` tables (the reference's
+  * default file name is phi_patterns.toml) and are merged into the builtin
+  * registry by later scans. Validation mirrors the reference: severity must
+  * be one of critical/high/medium/low (`patterns.py:26-28`), and the regex
+  * must compile — both rejected at add time AND at load time (a hand-edited
+  * file gets the same errors `PHIPattern.from_dict` would raise).
+  *
+  * Driver-side file IO on a small config file — same single-node shape as
+  * the reference's tomllib/tomli_w round trip.
+  */
+object PhiPatternRegistry {
+
+  import PhiSanitizer.{PhiPattern, Severities}
+
+  /** Validate + compile one pattern the way `PHIPattern.from_dict` +
+    * `phi_patterns_add` do: severity vocabulary first, then regex compile;
+    * case_insensitive folds into the compiled regex as an inline flag. */
+  def make(name: String, pattern: String, severity: String,
+      description: String, caseInsensitive: Boolean = false): PhiPattern = {
+    if (!Severities.contains(severity))
+      sys.error(s"Invalid severity: $severity. " +
+        s"Must be one of: ${Severities.mkString(", ")}")
+    val src = if (caseInsensitive) "(?i)" + pattern else pattern
+    val compiled =
+      try src.r
+      catch { case e: java.util.regex.PatternSyntaxException =>
+        sys.error(s"Invalid regex pattern: ${e.getMessage}") }
+    PhiPattern(name, compiled, severity, description)
+  }
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) {
+      val body = t.substring(1, t.length - 1)
+      val out = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c == '\\' && i + 1 < body.length) {
+          body.charAt(i + 1) match {
+            case '\\' => out += '\\'; i += 2
+            case '"'  => out += '"'; i += 2
+            case 't'  => out += '\t'; i += 2
+            case 'n'  => out += '\n'; i += 2
+            case 'r'  => out += '\r'; i += 2
+            case o    => out += '\\'; out += o; i += 2
+          }
+        } else { out += c; i += 1 }
+      }
+      out.toString
+    } else t
+  }
+
+  private def quote(v: String): String =
+    "\"" + v.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c    => c.toString
+    } + "\""
+
+  /** Raw (pre-compile) fields of one [[patterns]] table. */
+  final case class RawPattern(name: String, pattern: String, severity: String,
+      description: String, caseInsensitive: Boolean)
+
+  private def parseRaw(lines: Seq[String]): Seq[RawPattern] = {
+    val out = scala.collection.mutable.ArrayBuffer[RawPattern]()
+    var cur: scala.collection.mutable.Map[String, String] = null
+    def flush(): Unit = if (cur != null) {
+      out += RawPattern(
+        cur.getOrElse("name", ""),
+        cur.getOrElse("pattern", ""),
+        cur.getOrElse("severity", ""),
+        cur.getOrElse("description", ""),
+        cur.get("case_insensitive").contains("true"))
+      cur = null
+    }
+    lines.foreach { raw =>
+      // a '#' inside a quoted value is content, not a comment — only strip
+      // comments on structural lines
+      val t = raw.trim
+      if (t == "[[patterns]]") { flush(); cur = scala.collection.mutable.Map() }
+      else if (cur != null && t.nonEmpty && !t.startsWith("#")) {
+        val i = t.indexOf('=')
+        if (i > 0) {
+          val key = t.substring(0, i).trim
+          val v = t.substring(i + 1).trim
+          cur(key) = if (v == "true" || v == "false") v else unquote(v)
+        }
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Load + validate every custom pattern in the file; errors name the
+    * offending entry. Missing file is an error (the reference raises
+    * FileNotFoundError — `patterns.py:225-226`). */
+  def load(path: String): Seq[PhiPattern] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) sys.error(s"Pattern config not found: $path")
+    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split("\n", -1).toSeq
+    parseRaw(lines).map { r =>
+      if (r.name.isEmpty) sys.error(s"Pattern entry missing name in $path")
+      make(r.name, r.pattern, r.severity, r.description, r.caseInsensitive)
+    }
+  }
+
+  /** Append one validated pattern to the config file (creating it if
+    * absent), preserving existing entries — the reference's read-modify-
+    * write (`cli.py:5857-5878`). Written atomically via temp + move so a
+    * crash can't truncate an existing registry. */
+  def append(path: String, name: String, pattern: String, severity: String,
+      description: String, caseInsensitive: Boolean = false): Unit = {
+    make(name, pattern, severity, description, caseInsensitive) // validate
+    val p = Paths.get(path)
+    val existing =
+      if (Files.exists(p))
+        parseRaw(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split("\n", -1).toSeq)
+      else Nil
+    val all = existing :+
+      RawPattern(name, pattern, severity, description, caseInsensitive)
+    val body = all.map { r =>
+      val ci = if (r.caseInsensitive) "case_insensitive = true\n" else ""
+      s"""[[patterns]]
+         |name = ${quote(r.name)}
+         |pattern = ${quote(r.pattern)}
+         |severity = ${quote(r.severity)}
+         |description = ${quote(r.description)}
+         |$ci""".stripMargin
+    }.mkString("\n")
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -14,18 +14,60 @@ object PhiSanitizer {
 
   final case class Redaction(pattern: String, category: String)
 
-  val BuiltinPatterns: Seq[(Regex, String)] = Seq(
-    ("""\b\d{3}-\d{2}-\d{4}\b""".r, "ssn"),
-    ("""\b(?:MRN|mrn)[:\s]?\d+\b""".r, "mrn"),
-    ("""(?i)\b(?:patient|subject|case)[_-]?(?:id|num(?:ber)?)[:\s=]?\S+""".r, "patient_id"),
-    ("""\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b""".r, "email"),
-    ("""\b(?:\+1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b""".r, "phone"),
-    ("""(?i)\b(?:dob|date[_\s]?of[_\s]?birth|birth[_\s]?date)[:\s=]?\S+""".r, "dob"),
-    ("""\b(?:0?[1-9]|1[0-2])/(?:0?[1-9]|[12]\d|3[01])/(?:19|20)\d{2}\b""".r, "date_us"),
-    ("""\b(?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01])\b""".r, "date_iso"),
-    ("""\b(?:(?:25[0-5]|2[0-4]\d|[01]?\d\d?)\.){3}(?:25[0-5]|2[0-4]\d|[01]?\d\d?)\b""".r, "ip"),
-    ("""/(?:home|Users)/[a-zA-Z][a-zA-Z0-9._-]*/""".r, "home_path"),
-    ("""(?i)\b(?:accession|acc)[:\s=]?\S+""".r, "accession"))
+  /** One detection pattern with the reference registry's metadata
+    * (`phi/patterns.py:16-42` PHIPattern: name, compiled regex, severity
+    * in {critical,high,medium,low}, free-text description). Regex is
+    * java-serializable so pattern seqs ride into executor closures for
+    * distributed data-row scans. */
+  final case class PhiPattern(
+      name: String, regex: Regex, severity: String, description: String)
+
+  /** The reference's closed severity vocabulary
+    * (`phi/patterns.py:26-28` __post_init__ validation). */
+  val Severities: Seq[String] = Seq("critical", "high", "medium", "low")
+
+  /** Builtin registry mirroring `phi/patterns.py:48-200` BUILTIN_PATTERNS
+    * (severity + description carried verbatim; names keep this repo's
+    * established categories, e.g. patient_id for the reference's
+    * mrn_prefixed). */
+  val BuiltinRegistry: Seq[PhiPattern] = Seq(
+    PhiPattern("ssn", """\b\d{3}-\d{2}-\d{4}\b""".r, "critical",
+      "Social Security Number pattern (XXX-XX-XXXX)"),
+    PhiPattern("mrn", """\b(?:MRN|mrn)[:\s]?\d+\b""".r, "critical",
+      "Medical Record Number"),
+    PhiPattern("patient_id",
+      """(?i)\b(?:patient|subject|case)[_-]?(?:id|num(?:ber)?)[:\s=]?\S+""".r,
+      "critical", "Patient/subject identifier pattern"),
+    PhiPattern("email",
+      """\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b""".r,
+      "high", "Email address"),
+    PhiPattern("phone",
+      """\b(?:\+1[-.\s]?)?\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\b""".r,
+      "high", "Phone number (US format)"),
+    PhiPattern("dob",
+      """(?i)\b(?:dob|date[_\s]?of[_\s]?birth|birth[_\s]?date)[:\s=]?\S+""".r,
+      "critical", "Date of birth field"),
+    PhiPattern("date_us",
+      """\b(?:0?[1-9]|1[0-2])/(?:0?[1-9]|[12]\d|3[01])/(?:19|20)\d{2}\b""".r,
+      "medium", "Date in MM/DD/YYYY format"),
+    PhiPattern("date_iso",
+      """\b(?:19|20)\d{2}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01])\b""".r,
+      "low", "Date in YYYY-MM-DD format"),
+    PhiPattern("ip",
+      """\b(?:(?:25[0-5]|2[0-4]\d|[01]?\d\d?)\.){3}(?:25[0-5]|2[0-4]\d|[01]?\d\d?)\b""".r,
+      "medium", "IPv4 address"),
+    PhiPattern("home_path", """/(?:home|Users)/[a-zA-Z][a-zA-Z0-9._-]*/""".r,
+      "medium", "Unix/macOS home directory path"),
+    PhiPattern("accession", """(?i)\b(?:accession|acc)[:\s=]?\S+""".r,
+      "high", "Accession number (may link to patient)"))
+
+  val BuiltinPatterns: Seq[(Regex, String)] =
+    BuiltinRegistry.map(p => (p.regex, p.name))
+
+  /** severity for a detection category; custom patterns resolve through
+    * the seq passed at scan time, so lookup takes the active registry */
+  def severityOf(category: String, registry: Seq[PhiPattern]): String =
+    registry.find(_.name == category).map(_.severity).getOrElse("high")
 
   /** ID= values whose lines are never redacted (genome provenance, not
     * PHI) — the reference's `preserve_fields`
@@ -103,11 +145,14 @@ object PhiSanitizer {
 
   final case class Detection(value: String, category: String, context: String)
 
-  /** Run every builtin pattern over one value (`detector.py:61-120`);
-    * preserved tokens are word-boundary matches, not substrings (see
-    * sanitizeLine). */
-  def scanValue(value: String, context: String): Seq[Detection] =
-    BuiltinPatterns.flatMap { case (re, cat) =>
+  /** Run every pattern over one value (`detector.py:61-120`); preserved
+    * tokens are word-boundary matches, not substrings (see sanitizeLine).
+    * Pattern seq defaults to the builtins; phi-scan passes builtins ++
+    * custom registry patterns (`patterns.py:224-240` load_custom_patterns
+    * feeding the detector). */
+  def scanValue(value: String, context: String,
+      patterns: Seq[(Regex, String)] = BuiltinPatterns): Seq[Detection] =
+    patterns.flatMap { case (re, cat) =>
       re.findAllIn(value).toSeq
         .filterNot(m => PreservedTokenRe.findFirstIn(m).isDefined)
         .map(m => Detection(m, cat, context))
@@ -115,28 +160,43 @@ object PhiSanitizer {
 
   /** Scan the #CHROM column-header line's sample names
     * (`detector.py:180-186`). */
-  def scanChromLine(line: String): Seq[Detection] = {
+  def scanChromLine(line: String,
+      patterns: Seq[(Regex, String)] = BuiltinPatterns): Seq[Detection] = {
     val parts = line.split("\t", -1)
     if (!line.startsWith("#CHROM") || parts.length <= 9) Nil
     else parts.drop(9).toSeq.zipWithIndex.flatMap { case (s, i) =>
-      scanValue(s, s"SAMPLE_ID[$i]")
+      scanValue(s, s"SAMPLE_ID[$i]", patterns)
     }
   }
 
   /** Scan one data row's PHI-bearing fields: ID, INFO, FORMAT, sample
     * columns (`detector.py:196-214`). */
-  def scanDataLine(line: String): Seq[Detection] = {
+  def scanDataLine(line: String,
+      patterns: Seq[(Regex, String)] = BuiltinPatterns): Seq[Detection] = {
     val p = line.split("\t", -1)
     if (line.startsWith("#") || p.length < 8) Nil
     else {
-      val id = if (p(2) != ".") scanValue(p(2), "ID") else Nil
-      val info = if (p(7) != ".") scanValue(p(7), "INFO") else Nil
-      val fmt = if (p.length > 8) scanValue(p(8), "FORMAT") else Nil
+      val id = if (p(2) != ".") scanValue(p(2), "ID", patterns) else Nil
+      val info = if (p(7) != ".") scanValue(p(7), "INFO", patterns) else Nil
+      val fmt = if (p.length > 8) scanValue(p(8), "FORMAT", patterns) else Nil
       val samples =
         if (p.length > 9) p.drop(9).toSeq.zipWithIndex.flatMap { case (s, i) =>
-          scanValue(s, s"SAMPLE[$i]")
+          scanValue(s, s"SAMPLE[$i]", patterns)
         } else Nil
       id ++ info ++ fmt ++ samples
     }
   }
+
+  /** Scan ## meta header lines with EXTRA (custom) patterns only — the
+    * builtin header coverage is sanitizeHeader's redaction scan; this adds
+    * the custom-registry sweep the reference gets for free by feeding one
+    * merged registry into its detector (`detector.py:168-178`). Preserve
+    * semantics match sanitizeLine: reference/assembly provenance lines are
+    * skipped. */
+  def scanHeaderCustom(lines: Seq[String],
+      patterns: Seq[(Regex, String)]): Seq[Detection] =
+    if (patterns.isEmpty) Nil
+    else lines.filter(_.startsWith("##"))
+      .filter(l => PreserveIdRe.findFirstIn(l).isEmpty)
+      .flatMap(l => scanValue(l, "HEADER", patterns))
 }

@@ -1768,6 +1768,117 @@ class GraftCliSpec extends SparkSpec {
     assert(bad.getMessage.contains("Invalid regex pattern"), bad.getMessage)
   }
 
+  test("phi-patterns-add persists a custom pattern that later scans detect") {
+    val dir = Files.createTempDirectory("phiadd")
+    val db = dir.resolve("db").toString
+    val vcf = dir.resolve("c.vcf").toString
+    // SECRETTOKEN-1234 matches no builtin pattern — only the custom one
+    Files.writeString(java.nio.file.Paths.get(vcf),
+      """##fileformat=VCFv4.2
+        |##source=exported with key SECRETTOKEN-1234
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	.	A	G	50	PASS	DP=10
+        |""".stripMargin)
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    // before add: scan is clean (builtins don't know the token shape)
+    val before = captured(Array("phi-scan", vcf, "--db", db))
+    assert(before.contains("No PHI detected"), before)
+    // validation mirrors the reference: bad severity and bad regex are
+    // rejected before anything is written (`cli.py:5840-5855`)
+    val badSev = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-patterns-add", "--db", db,
+        "--name", "x", "--pattern", "a+", "--severity", "urgent"))
+    }
+    assert(badSev.getMessage.contains("Invalid severity"), badSev.getMessage)
+    val badRe = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-patterns-add", "--db", db,
+        "--name", "x", "--pattern", "(", "--severity", "high"))
+    }
+    assert(badRe.getMessage.contains("Invalid regex pattern"), badRe.getMessage)
+    assert(!new java.io.File(s"$db/phi_patterns.toml").exists(),
+      "failed validation must not write the registry")
+    // add → list → scan round trip
+    Graft.run(spark, Array("phi-patterns-add", "--db", db,
+      "--name", "secret_token", "--pattern", """SECRETTOKEN-\d+""",
+      "--severity", "critical", "--description", "export token"))
+    val listed = captured(Array("phi-patterns-list", "--db", db))
+    assert(listed.contains("secret_token") && listed.contains("ssn"), listed)
+    val onlyCrit = captured(Array("phi-patterns-list", "--db", db,
+      "--severity", "critical"))
+    assert(onlyCrit.contains("secret_token") && !onlyCrit.contains("email"),
+      onlyCrit)
+    val after = captured(Array("phi-scan", vcf, "--db", db))
+    assert(after.contains("PHI detected") && after.contains("secret_token"),
+      after)
+    assert(after.contains("critical: 1"), after) // severity summary resolves
+    // the same per-db registry gates the load path
+    val e = intercept[RuntimeException] {
+      Graft.run(spark, Array("load", vcf, "--db", db, "--fail-on-phi"))
+    }
+    assert(e.getMessage.contains("PHI detected"), e.getMessage)
+    // a second add appends, not clobbers; explicit --patterns-config works
+    Graft.run(spark, Array("phi-patterns-add", "--db", db,
+      "--name", "tok2", "--pattern", "ZZ\\d+", "--severity", "low",
+      "--ignore-case"))
+    val pats = graft.transform.PhiPatternRegistry.load(s"$db/phi_patterns.toml")
+    assert(pats.map(_.name) == Seq("secret_token", "tok2"), pats)
+    assert(pats(1).regex.findFirstIn("zz42").isDefined, "--ignore-case folds in")
+    val viaCfg = captured(Array("phi-patterns-list",
+      "--patterns-config", s"$db/phi_patterns.toml"))
+    assert(viaCfg.contains("tok2"), viaCfg)
+    // loading a missing config is the reference's FileNotFoundError
+    val nf = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-scan", vcf,
+        "--patterns-config", dir.resolve("nope.toml").toString))
+    }
+    assert(nf.getMessage.contains("Pattern config not found"), nf.getMessage)
+  }
+
+  test("phi-scan honors --sample-rate and --max-records") {
+    val dir = Files.createTempDirectory("phisample")
+    val vcf = dir.resolve("s.vcf").toString
+    val rows = (1 to 60).map(i =>
+      s"chr1\t${100 + i}\tMRN:99$i\tA\tG\t50\tPASS\tDP=$i").mkString("\n")
+    Files.writeString(java.nio.file.Paths.get(vcf),
+      "##fileformat=VCFv4.2\n" +
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n" + rows + "\n")
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    def scanned(s: String): (Long, Long) = {
+      val m = """Records scanned: (\d+) / (\d+)""".r.findFirstMatchIn(s)
+        .getOrElse(fail(s"no scanned line in: $s"))
+      (m.group(1).toLong, m.group(2).toLong)
+    }
+    // defaults match the reference's phi detect: every record scanned
+    val full = captured(Array("phi-scan", vcf))
+    assert(scanned(full) == ((60L, 60L)), full)
+    assert(full.contains("mrn: 60"), full)
+    // --max-records caps the scanned count, total still reports the file
+    val capped = captured(Array("phi-scan", vcf, "--max-records", "10"))
+    assert(scanned(capped) == ((10L, 60L)), capped)
+    assert(capped.contains("mrn: 10"), capped)
+    // --sample-rate draws a strict subset (seeded, so stable across runs)
+    val sampledOut = captured(Array("phi-scan", vcf, "--sample-rate", "0.2"))
+    val (ns, nt) = scanned(sampledOut)
+    assert(nt == 60L && ns > 0L && ns < 60L, sampledOut)
+    // rate draw composes with the cap: scanned <= max
+    val both = captured(Array("phi-scan", vcf,
+      "--sample-rate", "0.5", "--max-records", "5"))
+    assert(scanned(both)._1 <= 5L, both)
+    // knob validation
+    val bad = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-scan", vcf, "--sample-rate", "1.5"))
+    }
+    assert(bad.getMessage.contains("--sample-rate"), bad.getMessage)
+  }
+
   test("per-key replace validates the incoming batch BEFORE dropping the key") {
     // the reference's DELETE + INSERT runs in one transaction; here the
     // protection is ordering — the incoming plan's first execution (its
