@@ -1658,11 +1658,30 @@ object Graft {
         // `audit export` face (`cli.py:2503+` / `integrity.py:254-308`):
         // the chained log as ONE JSON document with integrity metadata
         // (entry_count, first/last hash, content checksum), so
-        // `audit-verify-backup` can prove the file untampered offline
+        // `audit-verify-backup` can prove the file untampered offline.
+        // --start/--end window the export on the entries' event dates —
+        // the reference's created_date range (`integrity.py:270-279`);
+        // metadata carries the window and the checksum covers the
+        // exported entries, so a windowed backup verifies the same way.
+        val startDate = arg(args, "--start")
+        val endDate = arg(args, "--end")
+        (startDate.toSeq ++ endDate).foreach { d =>
+          if (!d.matches("""\d{4}-\d{2}-\d{2}"""))
+            sys.error(s"--start/--end must be YYYY-MM-DD: $d")
+        }
         val exportDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
         if (exportDf.isEmpty) println("no audit log")
         else {
-          val entries = exportDf.orderBy($"audit_id")
+          // event_time is an ISO-8601 instant, so its first 10 chars are
+          // the UTC date and string order IS date order
+          val eventDate = substring($"event_time", 1, 10)
+          val windowed = (startDate, endDate) match {
+            case (Some(s), Some(e)) => exportDf.filter(eventDate.between(s, e))
+            case (Some(s), None)    => exportDf.filter(eventDate >= s)
+            case (None, Some(e))    => exportDf.filter(eventDate <= e)
+            case (None, None)       => exportDf
+          }
+          val entries = windowed.orderBy($"audit_id")
             .select($"audit_id", $"event_time", $"event_type", $"user_name",
               $"action", $"success", $"previous_hash", $"entry_hash")
             .collect() // audit-sized
@@ -1670,8 +1689,13 @@ object Graft {
               r.getString(1), r.getString(2), r.getString(3), r.getString(4),
               r.getBoolean(5), r.getString(6), r.getString(7)))
             .toSeq
-          graft.audit.Audit.writeBackup(entries, args(1))
-          println(s"exported ${entries.length} audit entries to ${args(1)}")
+          graft.audit.Audit.writeBackup(entries, args(1), startDate, endDate)
+          val windowNote = (startDate.toSeq ++ endDate) match {
+            case Nil => ""
+            case _   => s" (window ${startDate.getOrElse("…")}" +
+              s"..${endDate.getOrElse("…")})"
+          }
+          println(s"exported ${entries.length} audit entries to ${args(1)}$windowNote")
         }
 
       case "phi-scan" =>
@@ -1986,7 +2010,7 @@ object Graft {
       |  annotation-query "<sql>" --db DIR [--output PATH] [--format tsv|json]
       |  audit-verify --db DIR
       |  audit-stats --db DIR
-      |  audit-export <out.json> --db DIR
+      |  audit-export <out.json> --db DIR [--start YYYY-MM-DD] [--end YYYY-MM-DD]
       |  audit-verify-backup <backup.json>
       |  phi-scan <vcf> [--sample-rate R] [--max-records N] [--patterns-config F]
       |  phi-sanitize <vcf> (--output out.vcf[.gz] | --preview)

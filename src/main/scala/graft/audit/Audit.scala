@@ -421,13 +421,19 @@ object Audit {
     * (`audit/integrity.py:254-308` export_with_integrity → the
     * `audit verify-backup` contract): one JSON document holding the
     * id-ordered entries plus entry_count / first_hash / last_hash and a
-    * checksum over the canonical entries serialization. Deviation,
-    * documented: no date-range scoping — the whole (audit-sized) log
-    * exports; the reference's created_date windowing presumes its
-    * date-partitioned Postgres table. */
-  def writeBackup(entries: Seq[BackupEntry], outPath: String): Unit = {
+    * checksum over the canonical entries serialization. start/end carry
+    * the export's date window into the metadata (the reference's
+    * BackupMetadata.start_date/end_date — `integrity.py:76-82`); null
+    * means a whole-log export. The checksum covers ONLY the entries
+    * array, so windowed and whole-log backups verify through the same
+    * `audit-verify-backup` contract. */
+  def writeBackup(entries: Seq[BackupEntry], outPath: String,
+                  startDate: Option[String] = None,
+                  endDate: Option[String] = None): Unit = {
     val meta =
       s"""{"export_time":${jsStr(java.time.Instant.now().toString)},""" +
+        s""""start_date":${startDate.map(jsStr).getOrElse("null")},""" +
+        s""""end_date":${endDate.map(jsStr).getOrElse("null")},""" +
         s""""entry_count":${entries.length},""" +
         s""""first_hash":${entries.headOption.map(e => jsStr(e.entryHash)).getOrElse("null")},""" +
         s""""last_hash":${entries.lastOption.map(e => jsStr(e.entryHash)).getOrElse("null")},""" +

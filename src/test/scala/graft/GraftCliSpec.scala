@@ -962,6 +962,55 @@ class GraftCliSpec extends SparkSpec {
     assert(ec.getMessage.contains("Entry count mismatch"), ec.getMessage)
   }
 
+  test("audit-export --start/--end windows on event dates and still verifies") {
+    // the reference's export takes a created_date range
+    // (`integrity.py:270-279`); metadata carries the window and the
+    // checksum covers exactly the exported entries
+    val db = Files.createTempDirectory("auditwin").toString
+    val events = (1 to 6).map { i =>
+      graft.audit.Audit.AuditEvent(i.toLong,
+        f"2026-08-${9 + i}%02dT12:00:00Z", "load", "u", s"load f$i.vcf",
+        success = true, if (i == 1) graft.audit.Audit.GenesisHash
+        else s"h${i - 1}" * 8, s"h$i" * 8)
+    }
+    spark.createDataFrame(events).write.parquet(s"$db/audit_log")
+    val dir = Files.createTempDirectory("auditwinout")
+    def export(extra: String*): com.fasterxml.jackson.databind.JsonNode = {
+      val out = dir.resolve(s"e${extra.hashCode}.json").toString
+      Graft.run(spark, Array("audit-export", out, "--db", db) ++ extra)
+      Graft.run(spark, Array("audit-verify-backup", out)) // must verify
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(out))
+    }
+    // whole-log export: null window, all 6 entries (dates 08-10..08-15)
+    val full = export()
+    assert(full.get("metadata").get("entry_count").asInt() == 6)
+    assert(full.get("metadata").get("start_date").isNull)
+    // both bounds inclusive
+    val win = export("--start", "2026-08-11", "--end", "2026-08-13")
+    assert(win.get("metadata").get("entry_count").asInt() == 3, win)
+    assert(win.get("metadata").get("start_date").asText() == "2026-08-11")
+    assert(win.get("metadata").get("end_date").asText() == "2026-08-13")
+    assert(win.get("entries").get(0).get("audit_id").asLong() == 2L)
+    assert(win.get("entries").get(2).get("audit_id").asLong() == 4L)
+    // half-open windows work alone
+    val fromOnly = export("--start", "2026-08-14")
+    assert(fromOnly.get("metadata").get("entry_count").asInt() == 2, fromOnly)
+    assert(fromOnly.get("metadata").get("end_date").isNull)
+    val toOnly = export("--end", "2026-08-10")
+    assert(toOnly.get("metadata").get("entry_count").asInt() == 1, toOnly)
+    // an empty window exports an empty-but-valid backup
+    val empty = export("--start", "2030-01-01")
+    assert(empty.get("metadata").get("entry_count").asInt() == 0, empty)
+    assert(empty.get("metadata").get("first_hash").isNull)
+    // malformed dates are rejected before any work
+    val bad = intercept[RuntimeException] {
+      Graft.run(spark, Array("audit-export", dir.resolve("x.json").toString,
+        "--db", db, "--start", "08/11/2026"))
+    }
+    assert(bad.getMessage.contains("YYYY-MM-DD"), bad.getMessage)
+  }
+
   test("per-chrom compaction folds only fragmented partitions, content unchanged") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = Files.createTempDirectory("pcvcf").resolve("v.vcf").toString
