@@ -370,6 +370,143 @@ class VariantMatchingSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("fuzz: harmonization matches literal twins of BOTH reference complement semantics (seeded)") {
+    // The reference carries two complement semantics: gwas/loader.py's
+    // WHOLE-ALLELE dict lookup (`loader.py:74-77`, used by
+    // compute_is_effect_allele_alt :80-114 and harmonize_alleles
+    // :115-190) and validation/sql_functions.py's PER-CHARACTER
+    // TRANSLATE (`sql_functions.py:214-216`, used by alleles_match
+    // :182-227). Each engine path must track ITS cited twin on random
+    // allele pairs — including the boundary inputs where the two
+    // semantics disagree (indels, MNPs, ambiguous A/T-C/G).
+
+    // ---- literal Scala twins of the Python/plpgsql reference ----
+    // gwas/loader.py:74-77
+    def complementWhole(a: String): String = {
+      val u = a.toUpperCase
+      Map("A" -> "T", "T" -> "A", "C" -> "G", "G" -> "C").getOrElse(u, u)
+    }
+    // gwas/loader.py:68-72
+    def ambiguousTwin(a1: String, a2: String): Boolean = {
+      val p = Set(a1.toUpperCase, a2.toUpperCase)
+      p == Set("A", "T") || p == Set("C", "G")
+    }
+    // gwas/loader.py:80-114
+    def effectAltTwin(ea: String, oa: String, ref: String, alt: String): Option[Boolean] = {
+      val (e, o, r, a) = (ea.toUpperCase, oa.toUpperCase, ref.toUpperCase, alt.toUpperCase)
+      if (e == a && o == r) Some(true)
+      else if (e == r && o == a) Some(false)
+      else {
+        val (ec, oc) = (complementWhole(e), complementWhole(o))
+        if (ec == a && oc == r) Some(true)
+        else if (ec == r && oc == a) Some(false)
+        else None
+      }
+    }
+    // gwas/loader.py:115-190 → (is_match, is_flipped, is_effect_allele_alt)
+    def harmonizeTwin(ea: String, oa: String, ref: String, alt: String,
+        eaf: Option[Double], af: Option[Double])
+        : (Boolean, Option[Boolean], Option[Boolean]) = {
+      val (e, o, r, a) = (ea.toUpperCase, oa.toUpperCase, ref.toUpperCase, alt.toUpperCase)
+      if (Set(e, o) == Set(r, a)) (true, Some(false), Some(e == a))
+      else {
+        val (ec, oc) = (complementWhole(e), complementWhole(o))
+        if (Set(ec, oc) == Set(r, a)) (true, Some(true), Some(ec == a))
+        else if (ambiguousTwin(e, o) && eaf.isDefined && af.isDefined) {
+          val fdDirect = math.abs(eaf.get - af.get)
+          val fdFlipped = math.abs((1 - eaf.get) - af.get)
+          if (fdDirect < 0.1) (true, Some(false), Some(true))
+          else if (fdFlipped < 0.1) (true, Some(false), Some(false))
+          else (false, None, None)
+        } else (false, None, None)
+      }
+    }
+    // validation/sql_functions.py:214-216
+    def translateTwin(s: String): String = s.toUpperCase.map {
+      case 'A' => 'T'; case 'C' => 'G'; case 'G' => 'C'; case 'T' => 'A'
+      case c => c
+    }
+    // validation/sql_functions.py:182-227 (NULL-strict)
+    def allelesMatchTwin(ref1: String, alt1: String, ref2: String, alt2: String)
+        : Option[Boolean] =
+      if (ref1 == null || alt1 == null || ref2 == null || alt2 == null) None
+      else {
+        val (r1, a1, r2, a2) = (ref1.toUpperCase, alt1.toUpperCase,
+          ref2.toUpperCase, alt2.toUpperCase)
+        val (r1c, a1c) = (translateTwin(r1), translateTwin(a1))
+        Some((r1 == r2 && a1 == a2) || (r1 == a2 && a1 == r2) ||
+          (r1c == r2 && a1c == a2) || (r1c == a2 && a1c == r2))
+      }
+
+    // ---- seeded generator biased toward the disagreement boundary ----
+    val rnd = new scala.util.Random(20260814L)
+    val bases = Array("A", "C", "G", "T")
+    def allele(): String = rnd.nextInt(10) match {
+      case 0 | 1 | 2 | 3 | 4 => bases(rnd.nextInt(4))                  // SNP
+      case 5 => bases(rnd.nextInt(4)).toLowerCase                      // case noise
+      case 6 | 7 => (1 to 2 + rnd.nextInt(3))                          // MNP/indel
+        .map(_ => bases(rnd.nextInt(4))).mkString
+      case 8 => Seq("AT", "TA", "CG", "GC")(rnd.nextInt(4))            // reverse-pair bait
+      case _ => Seq("<DEL>", "N", "*")(rnd.nextInt(3))                 // symbolic
+    }
+    def freq(): Option[Double] =
+      if (rnd.nextInt(4) == 0) None
+      else Some(math.rint(rnd.nextDouble() * 100) / 100)
+    val cases = (1 to 4000).map { i =>
+      // quarter of the rows force near-miss structure: derive (ref, alt)
+      // from (ea, oa) by swap / whole-complement / per-char-translate so
+      // every branch (incl. the two-semantics disagreements) is exercised
+      val (ea, oa) = (allele(), allele())
+      val (ref, alt) = rnd.nextInt(8) match {
+        case 0 => (oa, ea)
+        case 1 => (complementWhole(ea), complementWhole(oa))
+        case 2 => (translateTwin(ea), translateTwin(oa))
+        case 3 => (translateTwin(oa), translateTwin(ea))
+        case _ => (allele(), allele())
+      }
+      (i.toLong, ea, oa, ref, alt, freq(), freq())
+    }
+    val df = cases.toDF("id", "ea", "oa", "ref", "alt", "eaf", "vcfaf")
+    val got = df.select($"id",
+        VariantMatching.isEffectAlleleAlt($"ea", $"oa", $"ref", $"alt").as("eaa"),
+        VariantMatching.harmonizeAlleles(
+          $"ea", $"oa", $"ref", $"alt", $"eaf", $"vcfaf").as("h"),
+        graft.functions.GenomicsFunctions.allelesMatch(
+          $"ea", $"oa", $"ref", $"alt").as("am"))
+      .select($"id", $"eaa", $"h.is_match", $"h.is_flipped",
+        $"h.is_effect_allele_alt", $"am")
+      .collect().map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+        r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toMap
+    var disagreements = 0
+    cases.foreach { case (id, ea, oa, ref, alt, eaf, af) =>
+      val (gEaa, gMatch, gFlip, gHEaa, gAm) = got(id)
+      val label = s"case $id: ea=$ea oa=$oa ref=$ref alt=$alt eaf=$eaf af=$af"
+      assert(gEaa == effectAltTwin(ea, oa, ref, alt), s"isEffectAlleleAlt $label")
+      val (tMatch, tFlip, tEaa) = harmonizeTwin(ea, oa, ref, alt, eaf, af)
+      assert(gMatch == tMatch, s"harmonize.is_match $label")
+      assert(gFlip == tFlip, s"harmonize.is_flipped $label")
+      assert(gHEaa == tEaa, s"harmonize.is_effect_allele_alt $label")
+      assert(gAm == allelesMatchTwin(ea, oa, ref, alt), s"allelesMatch $label")
+      // count rows where the two complement semantics genuinely diverge —
+      // the generator must hit the boundary, not just agreeable SNPs
+      val wholeMatch = harmonizeTwin(ea, oa, ref, alt, None, None)._1
+      if (allelesMatchTwin(ea, oa, ref, alt).contains(true) != wholeMatch)
+        disagreements += 1
+    }
+    assert(disagreements > 50,
+      s"generator missed the dual-semantics boundary: only $disagreements")
+    // NULL-strictness of the SQL twin rides through the column form
+    val nulls = Seq((null.asInstanceOf[String], "A", "A", "T"))
+      .toDF("r1", "a1", "r2", "a2")
+      .select(graft.functions.GenomicsFunctions.allelesMatch(
+        $"r1", $"a1", $"r2", $"a2").as("m")).head()
+    assert(nulls.isNullAt(0))
+  }
 }
 
 class FilterExpressionSpec extends SparkSpec {
