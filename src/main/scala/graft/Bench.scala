@@ -463,13 +463,13 @@ object Bench {
     }
 
     // ---- pipeline scale-stress: the 100 TB dedup/ANN claims, measured —
-    // bucketed joins, the skew cap, and bounded driver state exercised at
-    // 1M docs, with a 100k run of the same plans as the linearity
-    // reference (wall-times should scale ~linearly in corpus size; a
-    // quadratic candidate join or driver-sized collect shows up as a
-    // blow-up or an OOM, not a slow row). Single-run rows: these are
-    // minute-scale jobs, and the claim is asymptotic shape, not
-    // microsecond stability.
+    // bucketed joins, the skew cap, and bounded driver state exercised
+    // across two decades of corpus size (100k → 1M → 10M docs), with the
+    // 1M→10M per-doc ratio GATED below (wall-times should scale
+    // ~linearly in corpus size; a quadratic candidate join or
+    // driver-sized collect shows up as a gate failure or an OOM, not a
+    // slow row). Single-run rows: these are minute-scale jobs, and the
+    // claim is asymptotic shape, not microsecond stability.
     def scaleCorpus(n: Long, dir: String): Unit = {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) return
       val vocab = 50000
@@ -496,7 +496,8 @@ object Bench {
         .select(col("id").as("doc_id"), text.as("text"), emb.as("embedding"))
         .write.parquet(dir)
     }
-    val scaleSizes = Seq(("100k", 100000L), ("1m", 1000000L))
+    val scaleSizes = Seq(
+      ("100k", 100000L), ("1m", 1000000L), ("10m", 10000000L))
     scaleSizes.foreach { case (label, n) =>
       scaleCorpus(n, s"/tmp/graft_bench_scale_$label")
     }
@@ -505,17 +506,25 @@ object Bench {
       val docs = corpus.select("doc_id", "text")
       val vecs = corpus.select(col("doc_id").as("vec_id"), col("embedding"))
       val queries = vecs.filter(col("vec_id") % (n / 100) === 0)
-      def pairs() = graft.pipeline.Dedup.minhashCandidatePairs(
-        docs, maxBucketSize = Some(500))
+      // pairs materialize ONCE per size (eager localCheckpoint inside the
+      // pairs row): candidate generation and cluster formation are timed
+      // as the separate pipeline stages they are, instead of the cluster
+      // row silently re-running the generator (which would double-charge
+      // minhash and drown the label-propagation signal at 10M)
+      var pairsDf: DataFrame = null
       record(s"p_scale_minhash_pairs_$label", time {
-        val nP = pairs().count()
+        pairsDf = graft.pipeline.Dedup.minhashCandidatePairs(
+          docs, maxBucketSize = Some(500)).localCheckpoint()
+        val nP = pairsDf.count()
         // the hot bucket must have been capped: 2000 identical docs
-        // would alone contribute ~2M pairs
-        assert(nP < 500000, s"skew cap failed: $nP candidate pairs")
+        // would alone contribute ~2M pairs; genuine near-dup pairs are
+        // ~n/50, so n/2 is generous headroom without hiding a quadratic
+        assert(nP < n / 2, s"skew cap failed at $label: $nP candidate pairs")
       })
       record(s"p_scale_dedup_cluster_$label", time {
-        assert(graft.pipeline.Dedup.clusterPairs(pairs()).count() > 0)
+        assert(graft.pipeline.Dedup.clusterPairs(pairsDf).count() > 0)
       })
+      pairsDf.unpersist()
       record(s"p_scale_ivf_topk_$label", time {
         val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)
         assert(graft.pipeline.Similarity.ivfTopK(vecs, queries, k = 10,
@@ -523,11 +532,25 @@ object Bench {
           .count() >= queries.count() * 10)
       })
     }
+    // Scale GATE, not just evidence: per-doc wall-time at 10M must stay
+    // within ScaleGateFactor of the 1M point (VERDICT r9 §next-round #1).
+    // A lost skew cap, an accidental cartesian, or driver-sized state
+    // turns superlinear here and FAILS the bench loudly instead of
+    // shipping as a slow row. Both points run in this same session, so
+    // host load inflates numerator and denominator together.
+    val ScaleGateFactor = 1.5
     Seq("p_scale_minhash_pairs", "p_scale_dedup_cluster",
         "p_scale_ivf_topk").foreach { m =>
       scaleSizes.foreach { case (label, _) =>
         results(s"${m}_$label") = raw(s"${m}_$label").head
       }
+      val perDoc1m = results(s"${m}_1m") / 1e6
+      val perDoc10m = results(s"${m}_10m") / 1e7
+      val ratio = perDoc10m / perDoc1m
+      results(s"${m}_per_doc_ratio") = ratio // derived, excluded from total
+      assert(ratio <= ScaleGateFactor,
+        f"SCALE REGRESSION: $m per-doc wall-time grew $ratio%.2fx from 1M " +
+          f"to 10M docs (gate $ScaleGateFactor%.1fx) — superlinear behavior")
     }
 
     // throughput forms of the parse metrics (what BASELINE.md quotes)
@@ -550,9 +573,11 @@ object Bench {
     val cleanJson = "{\"headline\":" + maskJson(headlineMask) +
       ",\"parse\":" + maskJson(parseMask) +
       ",\"probe_clean_threshold_sec\":" + CleanProbeSec + "}"
-    // derived throughput metrics are not seconds — keep them out of total
+    // derived throughput/ratio metrics are not seconds — keep them out
+    // of total
     val total = results.collect {
-      case (k, v) if v >= 0 && !k.endsWith("_var_s") => v
+      case (k, v) if v >= 0 && !k.endsWith("_var_s") &&
+        !k.endsWith("_per_doc_ratio") => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"clean":$cleanJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -189,6 +189,15 @@ object PointLookup {
           size() > maxEntries
       })
 
+  /** Cache capacities are system properties (read once at class load) so
+    * a long-lived serving driver over many stores can size them to its
+    * heap: footers are ~10-100 KB each, page indexes ~100 KB per file,
+    * listings a few KB per directory. Defaults fit a single-db server in
+    * a few hundred MB; a multi-tenant driver fronting hundreds of stores
+    * raises them, a memory-tight one lowers them. */
+  private def cacheEntries(prop: String, default: Int): Int =
+    sys.props.get(prop).flatMap(_.toIntOption).filter(_ > 0).getOrElse(default)
+
   /** One Hadoop conf per SESSION: newHadoopConf() clones the full Spark
     * conf (milliseconds, pure overhead per probe) and the result is
     * identical across probes of the same session — but NOT across
@@ -223,11 +232,13 @@ object PointLookup {
     * closed for same-JVM writers by invalidateListings, and vanishingly
     * narrow cross-JVM (two listings + an unchanged-mtime append inside
     * one granularity tick). */
-  private val listingCache = lru[String, (Long, Seq[FileStatus])](256)
+  private val listingCache = lru[String, (Long, Seq[FileStatus])](
+    cacheEntries("graft.probe.listing.cache.entries", 256))
 
   /** Listings seen exactly once (mtime + file identity): promoted to
     * listingCache when a second listing observes the same state. */
-  private val pendingListing = lru[String, (Long, Seq[(String, Long)])](256)
+  private val pendingListing = lru[String, (Long, Seq[(String, Long)])](
+    cacheEntries("graft.probe.listing.cache.entries", 256))
 
   /** Drop cached listings for `dir` and its partition subdirectories —
     * called by same-session APPEND writers (the load's genotype append),
@@ -281,7 +292,8 @@ object PointLookup {
   /** Footer cache: (mtime, length, parsed footer) by path. Immutable
     * store files (parquet is write-once) make staleness checkable from
     * FileStatus alone; a rewritten file gets a new mtime/length. */
-  private val footerCache = lru[String, (Long, Long, ParquetMetadata)](1024)
+  private val footerCache = lru[String, (Long, Long, ParquetMetadata)](
+    cacheEntries("graft.probe.footer.cache.entries", 1024))
 
   /** Page-index cache: per file, per row group, per column the parsed
     * (column index, offset index) pair — the page-level min/max statistics
@@ -293,12 +305,14 @@ object PointLookup {
     * Postgres makes when a B-tree's upper levels stay pinned in shared
     * buffers. ~100 KB per cached file. */
   private val indexCache =
-    lru[String, (Long, Long, Seq[Map[ColumnPath, (ColumnIndex, OffsetIndex)]])](256)
+    lru[String, (Long, Long, Seq[Map[ColumnPath, (ColumnIndex, OffsetIndex)]])](
+      cacheEntries("graft.probe.index.cache.entries", 256))
 
   /** ColumnIO cache: the record-assembly tree is a pure function of the
     * file schema (~1 ms to build for a 30-column schema — pure CPU,
     * identical on every probe of the same file). */
-  private val columnIOCache = lru[String, (Long, Long, MessageColumnIO)](256)
+  private val columnIOCache = lru[String, (Long, Long, MessageColumnIO)](
+    cacheEntries("graft.probe.index.cache.entries", 256))
 
   /** `readFilteredRowGroup(blockIndex, rowRanges)` is public but returns
     * the package-private ColumnChunkPageReadStore, which scalac refuses
