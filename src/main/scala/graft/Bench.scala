@@ -319,6 +319,21 @@ object Bench {
     var cohortNext = 0
     Graft.run(spark, Array("load", vcfPath, "--db", cohortDb))
     cohortVcfs.foreach(preTouch)
+    // untimed fresh-db load warm-up: the exact vcf_load_100k body, run
+    // once before the timed rounds (same move as the cohort seed above)
+    // so round 1 measures the steady-state load the BASELINE row
+    // describes, not residual first-execution/writeback state; historic
+    // round-1 outliers (r7 45s, r8 53s, r9 16.7s vs ~3.4s warm) were
+    // masked by medianClean but wasted a round and muddied the raw array
+    rmrf(new java.io.File("/tmp/graft_bench_loaddb"))
+    Graft.run(spark, Array("load", vcfPath, "--db", "/tmp/graft_bench_loaddb"))
+    // flush accumulated dirty pages from the multi-GB preamble (synthetic
+    // VCFs + store builds) so the first timed write rounds don't absorb
+    // the OS writeback burst the preamble earned
+    try {
+      val p = new ProcessBuilder("sync").start()
+      p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS); ()
+    } catch { case _: Throwable => () }
 
     val store = spark.read.parquet(dbPath)
     val rsidIdx = spark.read.parquet(rsidIdxPath)
