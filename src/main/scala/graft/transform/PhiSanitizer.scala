@@ -6,9 +6,11 @@ import scala.util.matching.Regex
   * `phi/patterns.py`): regex redaction of identifying strings from VCF
   * header lines. Driver-side string work (headers are small); the same
   * patterns are usable as `regexp_replace` columns if PHI could appear in
-  * data rows. Pattern set mirrors the reference's built-ins: SSN, MRN,
-  * patient ids, emails, phone numbers, DOB markers, date literals, card
-  * numbers, IPs, home paths, accession ids.
+  * data rows. Pattern set mirrors the reference's built-ins
+  * (`phi/patterns.py:48-200`, all 18): SSN, MRN, patient ids, emails,
+  * phone/fax numbers, DOB markers, date literals, card numbers, IPs,
+  * unix/windows home paths, hospital names, name/address fields, device
+  * serials, accession ids.
   */
 object PhiSanitizer {
 
@@ -59,7 +61,30 @@ object PhiSanitizer {
     PhiPattern("home_path", """/(?:home|Users)/[a-zA-Z][a-zA-Z0-9._-]*/""".r,
       "medium", "Unix/macOS home directory path"),
     PhiPattern("accession", """(?i)\b(?:accession|acc)[:\s=]?\S+""".r,
-      "high", "Accession number (may link to patient)"))
+      "high", "Accession number (may link to patient)"),
+    PhiPattern("credit_card",
+      """\b(?:4\d{3}|5[1-5]\d{2}|6011|3[47]\d{2})[-\s]?\d{4}[-\s]?\d{4}[-\s]?\d{4}\b""".r,
+      "critical", "Credit card number pattern"),
+    PhiPattern("home_path_windows",
+      """[A-Z]:\\Users\\[a-zA-Z][a-zA-Z0-9._-]*\\""".r,
+      "medium", "Windows home directory path"),
+    PhiPattern("institution_hospital",
+      ("""(?i)\b(?:Mayo\s+Clinic|Johns\s+Hopkins|MGH|Massachusetts\s+General|""" +
+        """Cleveland\s+Clinic|MD\s+Anderson|Memorial\s+Sloan|Stanford\s+(?:Health|Hospital|Medicine)|""" +
+        """UCSF|UCLA\s+Health|Mount\s+Sinai|NYU\s+Langone|Cedars[-\s]Sinai)\b""").r,
+      "medium", "Major hospital/institution name"),
+    PhiPattern("name_field",
+      ("""(?i)\b(?:patient[_\s]?name|full[_\s]?name|first[_\s]?name|last[_\s]?name|""" +
+        """given[_\s]?name|family[_\s]?name|surname)[:\s=]?\S+""").r,
+      "critical", "Name field identifier"),
+    PhiPattern("address_field",
+      """(?i)\b(?:street|address|city|state|zip[_\s]?code|postal)[:\s=]?\S+""".r,
+      "high", "Address component field"),
+    PhiPattern("fax", """(?i)\b(?:fax|facsimile)[:\s=]?\S+""".r,
+      "high", "Fax number field"),
+    PhiPattern("device_id",
+      """(?i)\b(?:device[_\s]?(?:id|serial)|serial[_\s]?(?:number|num|no))[:\s=]?\S+""".r,
+      "medium", "Device identifier or serial number"))
 
   val BuiltinPatterns: Seq[(Regex, String)] =
     BuiltinRegistry.map(p => (p.regex, p.name))

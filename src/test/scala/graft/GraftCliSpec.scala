@@ -1885,6 +1885,19 @@ class GraftCliSpec extends SparkSpec {
         "--patterns-config", dir.resolve("nope.toml").toString))
     }
     assert(nf.getMessage.contains("Pattern config not found"), nf.getMessage)
+    // an explicit --phi-patterns-config on load reaches ANOTHER db's scan
+    // (no per-db registry there), same merge semantics
+    val db2 = dir.resolve("db2").toString
+    val e2 = intercept[RuntimeException] {
+      Graft.run(spark, Array("load", vcf, "--db", db2, "--fail-on-phi",
+        "--phi-patterns-config", s"$db/phi_patterns.toml"))
+    }
+    assert(e2.getMessage.contains("PHI detected"), e2.getMessage)
+    Graft.run(spark, Array("load", vcf, "--db", db2, "--phi-scan"))
+    val note2 = spark.read.parquet(s"$db2/ledger")
+      .filter($"status" === "completed").head().getAs[String]("note")
+    assert(note2 == "phi_scan: clean",
+      s"without the config the builtin scan must stay clean: $note2")
   }
 
   test("phi-scan honors --sample-rate and --max-records") {

@@ -593,4 +593,30 @@ class PhiSanitizerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!r.lines(1).contains("/home/jsmith"), s"leaked: ${r.lines(1)}")
     assert(!r.lines(1).contains("12345"), s"leaked: ${r.lines(1)}")
   }
+
+  test("full builtin registry: all 18 reference patterns present and firing") {
+    // one positive probe per pattern added for phi/patterns.py parity
+    // (the registry carries every reference builtin, each with its
+    // reference severity)
+    assert(PhiSanitizer.BuiltinRegistry.length == 18)
+    val probes = Seq(
+      ("credit_card", "card 4111-1111-1111-1111 on file", "critical"),
+      ("home_path_windows", """log at C:\Users\jdoe\run1.log""", "medium"),
+      ("institution_hospital", "treated at Mayo Clinic in 2019", "medium"),
+      ("name_field", "patient_name:John contact", "critical"),
+      ("address_field", "zip_code:02115", "high"),
+      ("fax", "fax:617-555-0199", "high"),
+      ("device_id", "device_id:SN-8812", "medium"))
+    probes.foreach { case (cat, text, sev) =>
+      val hits = PhiSanitizer.scanValue(text, "T")
+      assert(hits.exists(_.category == cat), s"$cat missed in: $text")
+      assert(PhiSanitizer.severityOf(cat, PhiSanitizer.BuiltinRegistry) == sev)
+    }
+    // sanitize redacts through the same registry
+    val (out, reds) = PhiSanitizer.sanitizeLine(
+      "##note=patient_name:Doe fax:555-0100 at Johns Hopkins")
+    assert(reds.map(_.category).toSet
+      .intersect(Set("name_field", "fax", "institution_hospital")).size == 3, reds)
+    assert(!out.contains("Doe"), out)
+  }
 }
