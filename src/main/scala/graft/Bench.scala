@@ -324,7 +324,12 @@ object Bench {
     // so round 1 measures the steady-state load the BASELINE row
     // describes, not residual first-execution/writeback state; historic
     // round-1 outliers (r7 45s, r8 53s, r9 16.7s vs ~3.4s warm) were
-    // masked by medianClean but wasted a round and muddied the raw array
+    // masked by medianClean but wasted a round and muddied the raw array.
+    // Profiled (see DEPLOY.md "Cold JVM vs steady state"): the cold cost
+    // is C2 JIT + codegen spread across every stage — a tiny-file
+    // product-side pre-warm measured WORSE end-to-end (7.0s warm-up +
+    // 7.7s first load vs 12.4s plain cold), so the engine doesn't carry
+    // one; the one untimed full-size load here is the honest fix
     rmrf(new java.io.File("/tmp/graft_bench_loaddb"))
     Graft.run(spark, Array("load", vcfPath, "--db", "/tmp/graft_bench_loaddb"))
     // flush accumulated dirty pages from the multi-GB preamble (synthetic
