@@ -299,6 +299,83 @@ class WritersSpec extends SparkSpec {
     assert(fileFor(4L) == asciiOnly, "ASCII-only file was touched")
   }
 
+  // --- dropKeyFiles rollback arms, under injected rename faults (the
+  // object-store failure mode: rename returns false mid-surgery). Both
+  // phases of the metadata step are exercised: trashing a doomed file,
+  // and landing a staged rewrite. After either fault the store must read
+  // back byte-identical and carry no trash/tmp residue — at 100 TB a
+  // half-applied per-key replace is silent data loss or duplication.
+
+  private def faultStore(prefix: String): (String, String, String) = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val base = Files.createTempDirectory(prefix).toString
+    val dir = s"faultfs://$base/t"
+    Seq((1L, "A"), (2L, "A")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "B")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((4L, "A"), (5L, "B")).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(dir) // mixed file
+    import org.apache.spark.sql.functions.input_file_name
+    val mixedName = new org.apache.hadoop.fs.Path(
+      spark.read.parquet(dir).withColumn("f", input_file_name())
+        .filter($"id" === 4L).head().getAs[String]("f")).getName
+    (base, dir, mixedName)
+  }
+
+  private def assertRolledBack(base: String, dir: String,
+                               before: Seq[org.apache.spark.sql.Row]): Unit = {
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before,
+      "store content changed across a rolled-back drop")
+    val residue = new java.io.File(base).listFiles().filter(f =>
+      f.getName.contains(".trash-") || f.getName.contains(".tmp-"))
+    assert(residue.isEmpty, residue.map(_.getName).mkString(","))
+  }
+
+  private def assertCleanDropWorks(dir: String): Unit = {
+    val (removed, rewritten) = Writers.dropKeyFiles(spark, dir, "k", "A")
+    assert(removed == 1 && rewritten == 1, s"$removed removed/$rewritten rewritten")
+    val back = spark.read.parquet(dir)
+    assert(back.filter($"k" === "A").count() == 0)
+    assert(back.filter($"k" === "B").count() == 2)
+  }
+
+  test("dropKeyFiles: a failed trash rename rolls back already-trashed files") {
+    val (base, dir, mixedName) = faultStore("droprb1")
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    // pure A-file trashes first; the MIXED file's trash rename then fails,
+    // so rollback must restore the pure file from trash
+    try {
+      FaultFs.failWhen = (src, dst) =>
+        dst.toString.contains(".trash-") && src.getName == mixedName
+      val e = intercept[RuntimeException](
+        Writers.dropKeyFiles(spark, dir, "k", "A"))
+      assert(e.getMessage.contains("cannot stage"), e.getMessage)
+    } finally FaultFs.reset()
+    assertRolledBack(base, dir, before)
+    assertCleanDropWorks(dir)
+  }
+
+  test("dropKeyFiles: a failed rewrite landing rolls back pure AND mixed files") {
+    val (base, dir, mixedName) = faultStore("droprb2")
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    // both files are in trash when the staged rewrite's landing rename
+    // (tmp data file -> original mixed path) fails; rollback must restore
+    // both. The committer's own renames stay inside the .tmp- dir and
+    // must not trip the fault.
+    try {
+      FaultFs.failWhen = (src, dst) =>
+        src.toString.contains(".tmp-") && dst.getName == mixedName &&
+          !dst.toString.contains(".tmp-")
+      val e = intercept[RuntimeException](
+        Writers.dropKeyFiles(spark, dir, "k", "A"))
+      assert(e.getMessage.contains("cannot land rewrite"), e.getMessage)
+    } finally FaultFs.reset()
+    assertRolledBack(base, dir, before)
+    assertCleanDropWorks(dir)
+  }
+
   test("appendRowDriverSide: leftover temp junk never bricks the table") {
     // a kill mid-write leaves only a DOT-prefixed .tmp (ignored by
     // Spark's directory listing); later reads and appends proceed, and
