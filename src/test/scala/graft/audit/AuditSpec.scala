@@ -492,6 +492,88 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(dirB).head().getString(1) == "b1")
   }
 
+  test("swap phase: a failed stage-aside rename reverses already-swapped tables") {
+    // tables swap in declaration order; table b's stage-aside rename
+    // fails AFTER table a has fully swapped to new data — the rollback
+    // must put a's previous data back and leave no tmp/old residue
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val base = Files.createTempDirectory("swapfault1").toString
+    val (dirA, dirB) = (s"faultfs://$base/a", s"faultfs://$base/b")
+    Seq((1L, "a0")).toDF("id", "v").write.parquet(dirA)
+    Seq((1L, "b0")).toDF("id", "v").write.parquet(dirB)
+    def writer(dst: String, value: String): Map[String, String] => Unit =
+      tmps => Seq((1L, value)).toDF("id", "v").write.parquet(tmps(dst))
+    try {
+      FaultFs.failWhen = (src, dst) =>
+        src.getName == "b" && dst.getName.startsWith("b.old-")
+      val e = intercept[RuntimeException] {
+        Writers.replaceInPlaceAllStagedGrouped(Seq(
+          Seq((dirA, writer(dirA, "a1"))),
+          Seq((dirB, writer(dirB, "b1")))))
+      }
+      assert(e.getMessage.contains("could not stage"), e.getMessage)
+    } finally FaultFs.reset()
+    assert(spark.read.parquet(dirA).head().getString(1) == "a0",
+      "already-swapped table a was not reversed")
+    assert(spark.read.parquet(dirB).head().getString(1) == "b0")
+    val residue = new java.io.File(base).listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
+    assert(residue.isEmpty, s"residue: ${residue.mkString(",")}")
+    // renames healthy again: the same swap lands
+    Writers.replaceInPlaceAllStagedGrouped(Seq(
+      Seq((dirA, writer(dirA, "a1"))), Seq((dirB, writer(dirB, "b1")))))
+    assert(spark.read.parquet(dirA).head().getString(1) == "a1")
+    assert(spark.read.parquet(dirB).head().getString(1) == "b1")
+  }
+
+  test("swap phase: a failed move-in rename restores the in-flight table and reverses the rest") {
+    // table c is NEW (no previous data); its tmp->dst move-in fails after
+    // a (existing) fully swapped — rollback restores a's previous data,
+    // c must not exist, and no residue survives. The in-flight-entry
+    // guard (restore-before-throw) is also exercised on an EXISTING b
+    // whose move-in fails after b was staged aside.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val base = Files.createTempDirectory("swapfault2").toString
+    val (dirA, dirB, dirC) =
+      (s"faultfs://$base/a", s"faultfs://$base/b", s"faultfs://$base/c")
+    Seq((1L, "a0")).toDF("id", "v").write.parquet(dirA)
+    Seq((1L, "b0")).toDF("id", "v").write.parquet(dirB)
+    def writer(dst: String, value: String): Map[String, String] => Unit =
+      tmps => Seq((1L, value)).toDF("id", "v").write.parquet(tmps(dst))
+    // arm 1: EXISTING table b's move-in fails (b already staged aside)
+    try {
+      FaultFs.failWhen = (src, dst) =>
+        src.getName.startsWith("b.tmp-") && dst.getName == "b"
+      val e = intercept[RuntimeException] {
+        Writers.replaceInPlaceAllStagedGrouped(Seq(
+          Seq((dirA, writer(dirA, "a1"))),
+          Seq((dirB, writer(dirB, "b1")))))
+      }
+      assert(e.getMessage.contains("could not move new data"), e.getMessage)
+    } finally FaultFs.reset()
+    assert(spark.read.parquet(dirA).head().getString(1) == "a0")
+    assert(spark.read.parquet(dirB).head().getString(1) == "b0",
+      "in-flight table b was left staged aside")
+    // arm 2: NEW table c's move-in fails (nothing to restore for c)
+    try {
+      FaultFs.failWhen = (src, dst) =>
+        src.getName.startsWith("c.tmp-") && dst.getName == "c"
+      intercept[RuntimeException] {
+        Writers.replaceInPlaceAllStagedGrouped(Seq(
+          Seq((dirA, writer(dirA, "a1"))),
+          Seq((dirC, writer(dirC, "c1")))))
+      }
+    } finally FaultFs.reset()
+    assert(spark.read.parquet(dirA).head().getString(1) == "a0")
+    assert(!new java.io.File(s"$base/c").exists(),
+      "a rolled-back CREATION must leave no destination")
+    val residue = new java.io.File(base).listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
+    assert(residue.isEmpty, s"residue: ${residue.mkString(",")}")
+  }
+
   test("grouped staging: a failure inside the concurrent group leaves all destinations untouched") {
     // the load stages [[variants], [rsid_idx, gene_idx]] — the second
     // group runs its writers concurrently. A failure of either
