@@ -574,6 +574,51 @@ class WritersSpec extends SparkSpec {
     assert(residue.isEmpty, s"residue: ${residue.mkString(",")}")
   }
 
+  test("compactPartitionDir: rename faults never lose the partition") {
+    // per-partition compaction is the 100 TB compact path; a failed
+    // rename must not leave the partition stranded at <root>.<dir>.old-*
+    // (invisible to partition discovery = silent data loss for the chrom)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val base = Files.createTempDirectory("compfault").toString
+    val root = s"faultfs://$base/t"
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, "chr1")).toDF("pos", "chrom")
+        .coalesce(1).write.mode("append").partitionBy("chrom").parquet(root)
+    }
+    val before = spark.read.parquet(root).orderBy("pos").collect().toSeq
+    def residue(): Seq[String] = new java.io.File(base).listFiles()
+      .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-")).toSeq
+    // arm 1: the stage-aside rename fails — nothing moved yet
+    try {
+      FaultFs.failWhen = (src, dst) =>
+        src.getName == "chrom=chr1" && dst.getName.contains(".old-")
+      val e = intercept[RuntimeException](Writers.compactPartitionDir(
+        spark, root, "chrom=chr1", 128, Seq("pos")))
+      assert(e.getMessage.contains("could not stage"), e.getMessage)
+    } finally FaultFs.reset()
+    assert(spark.read.parquet(root).orderBy("pos").collect().toSeq == before)
+    assert(residue().isEmpty, residue().mkString(","))
+    // arm 2: the move-in rename fails AFTER the partition was staged
+    // aside — the guard must put the old data back
+    try {
+      FaultFs.failWhen = (src, dst) =>
+        src.getName.contains(".tmp-") && dst.getName == "chrom=chr1"
+      val e = intercept[RuntimeException](Writers.compactPartitionDir(
+        spark, root, "chrom=chr1", 128, Seq("pos")))
+      assert(e.getMessage.contains("could not move new data"), e.getMessage)
+    } finally FaultFs.reset()
+    assert(spark.read.parquet(root).orderBy("pos").collect().toSeq == before,
+      "partition content lost across a rolled-back compaction")
+    assert(residue().isEmpty, residue().mkString(","))
+    // healthy renames: compaction lands, content identical, fewer files
+    Writers.compactPartitionDir(spark, root, "chrom=chr1", 128, Seq("pos"))
+    assert(spark.read.parquet(root).orderBy("pos").collect().toSeq == before)
+    val files = new java.io.File(s"$base/t/chrom=chr1").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, saw $files")
+  }
+
   test("grouped staging: a failure inside the concurrent group leaves all destinations untouched") {
     // the load stages [[variants], [rsid_idx, gene_idx]] — the second
     // group runs its writers concurrently. A failure of either
