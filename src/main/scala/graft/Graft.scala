@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sinks.DbFs
+
 /** Thin CLI mapping the reference's verbs (`cli.py:245-2490`) onto the
   * library. The "database" is a parquet directory layout:
   *
@@ -54,7 +56,7 @@ object Graft {
     * Registries are small metadata tables. */
   private def upsertRegistry(spark: SparkSession, dir: String,
                              row: DataFrame, key: String): Unit = {
-    if (new java.io.File(dir).exists())
+    if (DbFs.exists(dir))
       graft.sinks.Writers.replaceInPlace(
         graft.sinks.Writers.upsert(spark.read.parquet(dir), row, Seq(key),
           allowMissingColumns = true),
@@ -120,7 +122,7 @@ object Graft {
                             incoming: DataFrame,
                             keys: Seq[(String, String)]): Unit = {
     lazy val existing = spark.read.parquet(dir)
-    if (new java.io.File(dir).exists() &&
+    if (DbFs.exists(dir) &&
         keys.forall(k => existing.columns.contains(k._1))) {
       val storeSchema = existing.schema
       val storeTypes = storeSchema.map(f => f.name -> f.dataType).toMap
@@ -153,7 +155,7 @@ object Graft {
       // an existing table WITHOUT the key column(s) predates per-key
       // coexistence — replacing it drops every prior import's rows, so
       // say so instead of doing it silently
-      if (new java.io.File(dir).exists())
+      if (DbFs.exists(dir))
         println(s"WARNING: existing $dir predates the " +
           s"'${keys.map(_._1).mkString(",")}' column(s); " +
           "replacing the WHOLE table (prior imports' rows are dropped)")
@@ -269,7 +271,7 @@ object Graft {
             .map(graft.transform.PhiPatternRegistry.load)
             .getOrElse {
               val dbReg = s"$db/phi_patterns.toml"
-              if (new java.io.File(dbReg).exists())
+              if (DbFs.exists(dbReg))
                 graft.transform.PhiPatternRegistry.load(dbReg)
               else Nil
             }
@@ -391,9 +393,7 @@ object Graft {
                 // append there would mix layouts into an unreadable
                 // table, so such stores keep appending flat until a
                 // `compact` migrates them.
-                val gDir = new java.io.File(s"$db/genotypes")
-                val legacyFlat = Option(gDir.listFiles()).exists(
-                  _.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+                val legacyFlat = DbFs.hasFlatParquet(s"$db/genotypes")
                 progress.stage("write_genotypes") {
                   val w = gw.write.mode("append")
                   (if (legacyFlat) w else w.partitionBy("chrom"))
@@ -440,10 +440,7 @@ object Graft {
                 // null-filled join). Cached + counted so the table
                 // writes reuse the aggregated rows instead of re-running
                 // the aggregation per write.
-                val gHasFiles = Option(
-                  new java.io.File(s"$db/genotypes").listFiles()).exists(
-                  _.exists(f => f.isDirectory ||
-                    f.getName.endsWith(".parquet")))
+                val gHasFiles = DbFs.hasData(s"$db/genotypes")
                 val qc = progress.stage("genotype_qc") {
                   val q = (if (gHasFiles)
                       graft.qc.VariantQc.fromGenotypes(
@@ -518,7 +515,7 @@ object Graft {
             // samples: its old genotype rows still must go — the same
             // surgical O(batch) drop as the genotyped arm, run only now
             // that the replacement file parsed cleanly
-            if (new java.io.File(s"$db/genotypes").exists()) {
+            if (DbFs.exists(s"$db/genotypes")) {
               progress.stage("drop_prev_genotypes") {
                 graft.sinks.Writers.dropBatchFiles(spark, s"$db/genotypes", b)
               }
@@ -566,7 +563,7 @@ object Graft {
             vcJoined = Some(vc)
             progress.stage("join_qc")(vc.count())
           }
-          val storeExists = new java.io.File(s"$db/variants").exists()
+          val storeExists = DbFs.exists(s"$db/variants")
           lazy val storeSchema = spark.read.parquet(s"$db/variants").schema
           def alignTo(df: DataFrame,
                       target: org.apache.spark.sql.types.StructType) =
@@ -577,7 +574,7 @@ object Graft {
             // an unreadable projection (absent, or empty with no footer
             // to infer from) routes to the full-rewrite path, never fails
             try {
-              if (new java.io.File(dir).exists())
+              if (DbFs.exists(dir))
                 Some(spark.read.parquet(dir).schema)
               else None
             } catch { case scala.util.control.NonFatal(_) => None }
@@ -767,12 +764,12 @@ object Graft {
               // per-chrom incremental on the store (content unchanged, so
               // the projections stay FRESH — they only need their own
               // file-count fold-back, a plain clustered rewrite each)
-              new java.io.File(s"$db/variants").listFiles().toSeq
-                .filter(f => f.isDirectory && f.getName.startsWith("chrom="))
+              DbFs.subdirNames(s"$db/variants")
+                .filter(_.startsWith("chrom="))
                 .foreach { d =>
-                  if (d.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+                  if (DbFs.parquetFileCount(s"$db/variants/$d") > 1)
                     graft.sinks.Writers.compactPartitionDir(spark,
-                      s"$db/variants", d.getName, targetMb,
+                      s"$db/variants", d, targetMb,
                       sortCols = Seq("pos"))
                 }
               graft.sinks.Writers.compactPlain(spark, s"$db/rsid_idx",
@@ -798,19 +795,9 @@ object Graft {
             // The reference has no such failure mode — its tables exist
             // in the schema regardless of row count (`schema.py`).
             def rmIfNoParquet(t: String): Unit = {
-              val d = new java.io.File(s"$db/$t")
-              def hasParquet(f: java.io.File): Boolean =
-                if (f.isDirectory)
-                  Option(f.listFiles()).exists(_.exists(hasParquet))
-                else f.getName.endsWith(".parquet")
-              if (d.exists() && !hasParquet(d)) {
-                def rm(f: java.io.File): Unit = {
-                  if (f.isDirectory)
-                    Option(f.listFiles()).foreach(_.foreach(rm))
-                  f.delete(); ()
-                }
-                rm(d)
-              }
+              val d = s"$db/$t"
+              if (DbFs.exists(d) && !DbFs.hasParquetRecursive(d))
+                DbFs.deleteRecursive(d)
             }
             // unconditional: also covers a force-reload to an empty file
             // whose surgical drop removed the store's only batch (a no-op
@@ -832,7 +819,7 @@ object Graft {
             try {
               val vaultDir = s"$db/phi_vault/sample_id_mapping"
               val fresh =
-                if (new java.io.File(vaultDir).exists())
+                if (DbFs.exists(vaultDir))
                   ids.join(spark.read.parquet(vaultDir).select("anon_id"),
                     Seq("anon_id"), "left_anti")
                 else ids
@@ -856,7 +843,7 @@ object Graft {
             // orphan data with no audit trace is the reference's explicit
             // no-no (`loader.py:547-623`)
             try {
-              if (appendedG && new java.io.File(s"$db/genotypes").exists())
+              if (appendedG && DbFs.exists(s"$db/genotypes"))
                 graft.sinks.Writers.replaceInPlace(
                   graft.audit.Audit.dropBatch(
                     spark.read.parquet(s"$db/genotypes"), batchId),
@@ -890,7 +877,7 @@ object Graft {
           .getOrElse(Seq("variants", "genotypes"))
         tables.foreach {
           case "variants" if has(args, "--per-chrom") &&
-              new java.io.File(s"$db/variants").exists() =>
+              DbFs.exists(s"$db/variants") =>
             // incremental form: rewrite ONLY partition directories whose
             // file count exceeds --max-files — cost O(fragmented data),
             // the compaction shape a 100 TB store needs (the full-table
@@ -898,23 +885,23 @@ object Graft {
             // unchanged, so the covering projections stay fresh without
             // a rebuild (validate's fingerprint check proves it).
             val maxFiles = arg(args, "--max-files").getOrElse("8").toInt
-            val dirs = new java.io.File(s"$db/variants").listFiles().toSeq
-              .filter(f => f.isDirectory && f.getName.startsWith("chrom="))
+            val dirs = DbFs.subdirNames(s"$db/variants")
+              .filter(_.startsWith("chrom="))
             var doneN = 0
             dirs.foreach { d =>
-              val nf = d.listFiles().count(_.getName.endsWith(".parquet"))
+              val nf = DbFs.parquetFileCount(s"$db/variants/$d")
               if (nf > maxFiles) {
                 graft.sinks.Writers.compactPartitionDir(spark,
-                  s"$db/variants", d.getName, targetMb, sortCols = Seq("pos"))
+                  s"$db/variants", d, targetMb, sortCols = Seq("pos"))
                 doneN += 1
               }
             }
             println(s"compacted $doneN/${dirs.length} chrom partition(s) " +
               "(content unchanged; projections stay fresh)")
-          case "variants" if new java.io.File(s"$db/variants").exists() =>
+          case "variants" if DbFs.exists(s"$db/variants") =>
             replaceVariantsStaged(spark, db, variants)
             println("compacted variants (rsid_idx and gene_idx rebuilt)")
-          case t if new java.io.File(s"$db/$t").exists() =>
+          case t if DbFs.exists(s"$db/$t") =>
             // genotypes compact CLUSTERED on the variant site key AND
             // hive-partitioned by chrom (migrating any pre-hive flat
             // store), so the genotype probe lists one directory and
@@ -965,7 +952,7 @@ object Graft {
               "--drop-orphans; run them on a bare `validate --db ...`")
           // a fresh or pre-ledger store must answer "batch not found",
           // not an opaque path-not-found AnalysisException
-          if (!new java.io.File(s"$db/ledger").exists())
+          if (!DbFs.exists(s"$db/ledger"))
             sys.error(s"Load batch not found: $batchId")
           val ledgerRow = spark.read.parquet(s"$db/ledger")
             .filter($"load_batch_id" === batchId)
@@ -1008,7 +995,7 @@ object Graft {
         // per-batch expected-vs-actual against the ledger
         // (`cli.py:548-570`): every batch present in the store must hold
         // exactly the row count its completed ledger row recorded
-        if (hasBatch && new java.io.File(s"$db/ledger").exists()) {
+        if (hasBatch && DbFs.exists(s"$db/ledger")) {
           val actual = variants.groupBy($"load_batch_id")
             .agg(count(lit(1)).as("actual"))
           val rows = actual.join(
@@ -1052,7 +1039,7 @@ object Graft {
           val orphanV = orphansOf(variants)
           val gDir = s"$db/genotypes"
           val orphanG =
-            if (new java.io.File(gDir).exists() &&
+            if (DbFs.exists(gDir) &&
                 spark.read.parquet(gDir).columns.contains("load_batch_id"))
               orphansOf(spark.read.parquet(gDir))
             else Seq.empty
@@ -1070,7 +1057,7 @@ object Graft {
               // no store-sized rebuild to drop batch-sized residue
               val allOrphans = (orphanV ++ orphanG).distinct
               val tables = Seq("variants", "rsid_idx", "gene_idx",
-                "genotypes").filter(t => new java.io.File(s"$db/$t").exists())
+                "genotypes").filter(t => DbFs.exists(s"$db/$t"))
               allOrphans.foreach { b =>
                 tables.foreach(t =>
                   graft.sinks.Writers.dropBatchFiles(spark, s"$db/$t", b))
@@ -1094,7 +1081,7 @@ object Graft {
         Seq(("rsid_idx", variants.filter($"rs_id".isNotNull)),
             ("gene_idx", variants.filter($"gene".isNotNull)))
           .foreach { case (idx, expectDf) =>
-            if (new java.io.File(s"$db/$idx").exists()) {
+            if (DbFs.exists(s"$db/$idx")) {
               val idxDf = spark.read.parquet(s"$db/$idx")
               // shared columns in a fixed order — the projection may be a
               // column subset (gene_idx) or predate a since-added column
@@ -1172,7 +1159,7 @@ object Graft {
         // answers in fractions of a second driver-side)
         def genotypesFor(hits: Seq[Map[String, String]]): Seq[Map[String, String]] =
           if (has(args, "--genotypes") &&
-              new java.io.File(s"$db/genotypes").exists())
+              DbFs.exists(s"$db/genotypes"))
             hits.map(h => (h("chrom"), h("pos").toLong)).distinct
               .flatMap { case (c, p) =>
                 graft.query.PointLookup.genotypesAt(
@@ -1211,7 +1198,7 @@ object Graft {
               // (chrom,pos)-clustered genotypes table
               val gRows =
                 if (has(args, "--genotypes") &&
-                    new java.io.File(s"$db/genotypes").exists()) {
+                    DbFs.exists(s"$db/genotypes")) {
                   val g = graft.query.PointLookup.genotypesAt(
                     spark, s"$db/genotypes", chrom, lo, hi)
                   if (g.nonEmpty || chrom.startsWith("chr")) g
@@ -1234,11 +1221,11 @@ object Graft {
         // ledger (so audit reads work before the first load); the SQL
         // validation functions (hwe_exact_test, alleles_match,
         // af_from_dosages, n_eff, ...) are session-registered in main.
-        new java.io.File(db).mkdirs()
-        new java.io.File(s"$db/views").mkdirs()
+        DbFs.mkdirs(db)
+        DbFs.mkdirs(s"$db/views")
         println(s"ok: database layout initialized at $db")
         if (!has(args, "--skip-audit")) {
-          if (!new java.io.File(s"$db/ledger").exists())
+          if (!DbFs.exists(s"$db/ledger"))
             Seq.empty[graft.audit.Audit.LedgerEntry].toDF()
               .write.parquet(s"$db/ledger")
           println("ok: load-audit ledger created")
@@ -1265,7 +1252,7 @@ object Graft {
         // rows are stamped so several studies coexist, as in the
         // reference's study_id-keyed gwas_stats table
         val accession = arg(args, "--study-accession").getOrElse(
-          new java.io.File(args(1)).getName
+          DbFs.baseName(args(1))
             .replaceAll("\\.(tsv|txt|csv)(\\.gz)?$", ""))
         // one join execution: write (replacing this study's prior rows),
         // then count from the written parquet (matched) and the raw stats
@@ -1328,7 +1315,7 @@ object Graft {
         val nFreq = spark.read.parquet(freqDir)
           .filter($"source" === source && $"subset" === subset).count()
         if (!has(args, "--no-update-popmax") &&
-            new java.io.File(s"$db/variants").exists()) {
+            DbFs.exists(s"$db/variants")) {
           // popmax from the just-imported source's rows, as the reference
           // computes it from the imported record's own frequencies — and,
           // like its per-record UPDATE, only the variants this import
@@ -1380,7 +1367,7 @@ object Graft {
       case "compute-sample-qc" =>
         // a sample-less db has no genotypes table at all — answer with
         // the verb's contract, not a path-not-found AnalysisException
-        if (!new java.io.File(s"$db/genotypes").exists())
+        if (!DbFs.exists(s"$db/genotypes"))
           sys.error("no genotypes table: load a VCF with sample columns first")
         val g = spark.read.parquet(s"$db/genotypes")
         val sqc = graft.qc.SampleQc.compute(g, graft.qc.VariantQc.fromGenotypes(g))
@@ -1394,7 +1381,7 @@ object Graft {
         // call_rate first; a read-only serving face over the persisted
         // sample_qc table (our schema's failure drivers stand in for the
         // reference's contamination/sex-concordance columns)
-        if (!new java.io.File(s"$db/sample_qc").exists())
+        if (!DbFs.exists(s"$db/sample_qc"))
           println("no sample_qc table: run compute-sample-qc first")
         else {
           val failing = spark.read.parquet(s"$db/sample_qc")
@@ -1437,8 +1424,8 @@ object Graft {
             graft.views.PrsViews.chromosomeVariantCounts(vFull))
         val freqDir = s"$db/population_frequencies"
         val gwasDir = s"$db/gwas_stats"
-        if (new java.io.File(freqDir).exists() &&
-            new java.io.File(gwasDir).exists())
+        if (DbFs.exists(freqDir) &&
+            DbFs.exists(gwasDir))
           views += ("prs_candidate_variants" ->
             graft.views.PrsViews.prsCandidateVariants(
               vFull, spark.read.parquet(freqDir),
@@ -1447,7 +1434,7 @@ object Graft {
         else
           println("skip prs_candidate_variants: needs population_frequencies" +
             " (import-frequencies) and gwas_stats (import-gwas)")
-        if (new java.io.File(s"$db/sample_qc").exists())
+        if (DbFs.exists(s"$db/sample_qc"))
           views += ("sample_qc_summary" -> graft.qc.SampleQc.batchSummary(
             spark.read.parquet(s"$db/sample_qc")))
         else
@@ -1485,7 +1472,7 @@ object Graft {
           case "list-studies"     => (s"$db/studies", "study_accession")
           case _                  => (s"$db/pgs_scores", "pgs_id")
         }
-        if (!new java.io.File(dir).exists()) {
+        if (!DbFs.exists(dir)) {
           if (has(args, "--json")) println("[]")
           else println(s"no ${dir.split('/').last} registered")
         } else {
@@ -1513,7 +1500,7 @@ object Graft {
         val srcDfs = sources.map { name =>
           // name the miss: an unregistered source is a user typo, not a
           // path-not-found AnalysisException
-          if (!new java.io.File(s"$db/anno_$name").exists())
+          if (!DbFs.exists(s"$db/anno_$name"))
             sys.error(s"unknown annotation source '$name': " +
               "load it with load-annotation, or see list-annotations")
           val df0 = spark.read.parquet(s"$db/anno_$name")
@@ -1550,32 +1537,26 @@ object Graft {
         // Annotator.registerViews), the core long tables, and any
         // materialized views — first ad-hoc SQL against an annotation
         // source must not fail on an unknown table.
-        val dbDir = new java.io.File(db)
-        val annoSources =
-          if (dbDir.isDirectory)
-            dbDir.listFiles().toSeq
-              .filter(f => f.isDirectory && f.getName.startsWith("anno_"))
-              .map(f => graft.query.Annotator.Source(
-                f.getName.stripPrefix("anno_"),
-                spark.read.parquet(f.getPath), Nil))
-          else Nil
+        val annoSources = DbFs.subdirNames(db)
+          .filter(_.startsWith("anno_"))
+          .map(n => graft.query.Annotator.Source(
+            n.stripPrefix("anno_"),
+            spark.read.parquet(s"$db/$n"), Nil))
         // registration is presence-gated: an ad-hoc query right after
         // init-db (no variants loaded yet) must still see the registries
-        if (new java.io.File(s"$db/variants").exists())
+        if (DbFs.exists(s"$db/variants"))
           graft.query.Annotator.registerViews(variants, annoSources)
         else annoSources.foreach(s =>
           s.df.createOrReplaceTempView(s"anno_${s.name}"))
         Seq("genotypes", "gwas_stats", "prs_weights", "sample_qc",
             "population_frequencies", "ledger", "studies", "pgs_scores",
             "annotation_sources").foreach { t =>
-          if (new java.io.File(s"$db/$t").exists())
+          if (DbFs.exists(s"$db/$t"))
             spark.read.parquet(s"$db/$t").createOrReplaceTempView(t)
         }
-        val viewsDir = new java.io.File(s"$db/views")
-        if (viewsDir.isDirectory)
-          viewsDir.listFiles().toSeq.filter(_.isDirectory).foreach { f =>
-            spark.read.parquet(f.getPath).createOrReplaceTempView(f.getName)
-          }
+        DbFs.subdirNames(s"$db/views").foreach { n =>
+          spark.read.parquet(s"$db/views/$n").createOrReplaceTempView(n)
+        }
         val result = spark.sql(args(1))
         arg(args, "--output") match {
           case Some(p) if arg(args, "--format").contains("json") =>
@@ -1587,7 +1568,7 @@ object Graft {
       case "export-plink" | "export-prscs" | "export-ldpred2" | "export-prsice" =>
         // --study scopes the export to one study's stats (the reference's
         // exports are study-id-scoped, `cli.py:7249-7270`)
-        if (!new java.io.File(s"$db/gwas_stats").exists())
+        if (!DbFs.exists(s"$db/gwas_stats"))
           sys.error("no gwas_stats table: run import-gwas first")
         val statsAll = spark.read.parquet(s"$db/gwas_stats")
         val statsScoped = arg(args, "--study") match {
@@ -1725,7 +1706,7 @@ object Graft {
           .map(graft.transform.PhiPatternRegistry.load)
           .getOrElse {
             val dbReg = s"$db/phi_patterns.toml"
-            if (new java.io.File(dbReg).exists())
+            if (DbFs.exists(dbReg))
               graft.transform.PhiPatternRegistry.load(dbReg)
             else Nil
           }
@@ -1854,7 +1835,7 @@ object Graft {
         // found during that load — served from the ledger row's note
         // (where the load records scan outcome per batch)
         val batchId = args(1)
-        if (!new java.io.File(s"$db/ledger").exists())
+        if (!DbFs.exists(s"$db/ledger"))
           sys.error(s"Load batch not found: $batchId")
         val row = spark.read.parquet(s"$db/ledger")
           .filter($"load_batch_id" === batchId)
@@ -1870,11 +1851,11 @@ object Graft {
         // vault size (distinct anonymized ids) and per-batch scan notes
         val vaultDir = s"$db/phi_vault/sample_id_mapping"
         val nAnon =
-          if (new java.io.File(vaultDir).exists())
+          if (DbFs.exists(vaultDir))
             spark.read.parquet(vaultDir).select($"anon_id").distinct().count()
           else 0L
         println(s"anonymized_sample_ids=$nAnon")
-        if (new java.io.File(s"$db/ledger").exists()) {
+        if (DbFs.exists(s"$db/ledger")) {
           val notes = spark.read.parquet(s"$db/ledger")
             .filter($"status" === "completed" && $"note".startsWith("phi_scan"))
             .select($"note").collect().map(_.getString(0))
@@ -1893,7 +1874,7 @@ object Graft {
           .map(graft.transform.PhiPatternRegistry.load)
           .getOrElse {
             val dbReg = s"$db/phi_patterns.toml"
-            if (new java.io.File(dbReg).exists())
+            if (DbFs.exists(dbReg))
               graft.transform.PhiPatternRegistry.load(dbReg)
             else Nil
           }

@@ -72,7 +72,8 @@ object Audit {
       }
     }
     val schema = b.named("spark_schema")
-    new java.io.File(dir).mkdirs()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf).mkdirs(dirPath)
     // crash atomicity, committer-style: write to a DOT-prefixed temp
     // (ignored by Spark/DuckDB directory reads), then rename into the
     // final name — a kill mid-write must never leave a footer-less
@@ -116,7 +117,7 @@ object Audit {
     import spark.implicits._
 
     def read(): DataFrame =
-      if (new java.io.File(dir).exists()) spark.read.parquet(dir)
+      if (graft.sinks.DbFs.exists(dir)) spark.read.parquet(dir)
       else Seq.empty[LedgerEntry].toDF()
 
     /** K4 semantics (`loader.py:182-252`): an existing completed batch
@@ -157,6 +158,33 @@ object Audit {
   private val jvmDbLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** java.nio file locks are LOCAL-only: for a db on the local
+    * filesystem the lock file lives inside the db directory (visible,
+    * matching the reference's in-db arbitration shape); for any other
+    * scheme it falls back to a tmpdir file keyed by the db URI — the
+    * same-host cross-process serialization is preserved, and cross-host
+    * arbitration stays external as DEPLOY.md documents. */
+  private def lockFilePath(dir: String, name: String): java.nio.file.Path =
+    if (graft.sinks.DbFs.isLocal(dir))
+      java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(dir).toUri.getPath, name)
+    else {
+      val key = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), s".graft-$key$name")
+    }
+
+  /** Canonical same-JVM monitor key for a db path: resolved local path
+    * when local (two spellings of one directory must share a monitor),
+    * the URI string otherwise. */
+  private def monitorKey(dir: String): String =
+    if (graft.sinks.DbFs.isLocal(dir))
+      try new java.io.File(
+        new org.apache.hadoop.fs.Path(dir).toUri.getPath).getCanonicalPath
+      catch { case scala.util.control.NonFatal(_) => dir }
+    else dir
+
   /** Whole-db single-writer lock for mutating CLI verbs. The reference's
     * loads serialize at Postgres — every mutation runs inside a
     * transaction and row/table locks queue concurrent writers
@@ -173,13 +201,10 @@ object Audit {
     * filesystem without locking proceeds unlocked, where the staged-swap
     * discipline still keeps each single table internally consistent. */
   def withDbWriterLock[T](db: String)(body: => T): T = {
-    val canonical =
-      try new java.io.File(db).getCanonicalPath
-      catch { case scala.util.control.NonFatal(_) => db }
-    val monitor = jvmDbLocks.computeIfAbsent(canonical, _ => new Object)
+    val monitor = jvmDbLocks.computeIfAbsent(monitorKey(db), _ => new Object)
     monitor.synchronized {
-      new java.io.File(db).mkdirs()
-      val lockPath = java.nio.file.Paths.get(db, ".writer.lock")
+      graft.sinks.DbFs.mkdirs(db)
+      val lockPath = lockFilePath(db, ".writer.lock")
       val ch =
         try java.nio.channels.FileChannel.open(lockPath,
           java.nio.file.StandardOpenOption.CREATE,
@@ -235,9 +260,8 @@ object Audit {
       // "has data" = at least one non-hidden file: the lock file below
       // lives in the directory as a dotfile (which parquet listing
       // ignores), so bare existence no longer implies readable parquet
-      val d = new java.io.File(dir)
-      val files = Option(d.listFiles()).getOrElse(Array.empty)
-      if (files.exists(f => !f.getName.startsWith(".") && !f.getName.startsWith("_")))
+      val names = graft.sinks.DbFs.children(dir).map(_.getPath.getName)
+      if (names.exists(n => !n.startsWith(".") && !n.startsWith("_")))
         spark.read.parquet(dir)
       else Seq.empty[AuditEvent].toDF()
     }
@@ -254,18 +278,15 @@ object Audit {
       // best-effort OS file lock serializes other same-host processes;
       // filesystems without locking fall through, where verifyChain's
       // duplicate-id detection still names the condition distinctly.
-      val canonical =
-        try new java.io.File(dir).getCanonicalPath
-        catch { case scala.util.control.NonFatal(_) => dir }
       val monitor = jvmDbLocks.computeIfAbsent(
-        s"audit:$canonical", _ => new Object)
+        s"audit:${monitorKey(dir)}", _ => new Object)
       monitor.synchronized { appendLocked(eventType, action, success, userName) }
     }
 
     private def appendLocked(eventType: String, action: String,
                              success: Boolean, userName: String): Unit = {
-      new java.io.File(dir).mkdirs()
-      val lockPath = java.nio.file.Paths.get(dir, ".append.lock")
+      graft.sinks.DbFs.mkdirs(dir)
+      val lockPath = lockFilePath(dir, ".append.lock")
       val ch =
         try java.nio.channels.FileChannel.open(lockPath,
           java.nio.file.StandardOpenOption.CREATE,
@@ -306,35 +327,26 @@ object Audit {
       * write (or an out-of-band append) falls back to the full ordered
       * scan — the chain can never silently fork on a stale tip. */
     private def dataFileCount(): Int = {
-      val files = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty)
-      files.count(f => !f.getName.startsWith(".") &&
-        !f.getName.startsWith("_") && f.getName.endsWith(".parquet"))
+      graft.sinks.DbFs.children(dir).map(_.getPath.getName).count(n =>
+        !n.startsWith(".") && !n.startsWith("_") && n.endsWith(".parquet"))
     }
 
-    private def tipPath = java.nio.file.Paths.get(dir, ".tip")
+    private def tipPath = s"$dir/.tip"
 
     private def writeTipSidecar(id: Long, hash: String): Unit =
-      try {
-        val tmp = java.nio.file.Paths.get(dir, s".tip.tmp-${Thread.currentThread().getId}")
-        java.nio.file.Files.writeString(tmp, s"$id $hash ${dataFileCount()}")
-        java.nio.file.Files.move(tmp, tipPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ()
-      } catch { case scala.util.control.NonFatal(_) => () } // advisory
+      try graft.sinks.DbFs.writeStringAtomic(
+        tipPath, s"$id $hash ${dataFileCount()}")
+      catch { case scala.util.control.NonFatal(_) => () } // advisory
 
     private def readTip(): (Long, String) = {
       val fromSidecar =
         try {
-          if (java.nio.file.Files.exists(tipPath)) {
-            java.nio.file.Files.readString(tipPath).trim.split(" ") match {
-              case Array(id, hash, n)
-                if n.toInt == dataFileCount() && hash.length == 64 =>
-                Some((id.toLong, hash))
-              case _ => None
-            }
-          } else None
+          graft.sinks.DbFs.readString(tipPath).flatMap(_.trim.split(" ") match {
+            case Array(id, hash, n)
+              if n.toInt == dataFileCount() && hash.length == 64 =>
+              Some((id.toLong, hash))
+            case _ => None
+          })
         } catch { case scala.util.control.NonFatal(_) => None }
       fromSidecar.getOrElse {
         read().orderBy($"audit_id".desc)

@@ -1,0 +1,131 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem face for DB-directory metadata operations (existence,
+  * child listing, mkdirs, recursive delete) through the Hadoop
+  * `FileSystem` API, so a `--db` can live on any Hadoop-supported store
+  * (HDFS, S3A, GCS, local) — the deployment shape DEPLOY.md describes.
+  * `java.io.File` on a db path silently answers "absent" for any
+  * non-local scheme, which would route existing-store loads down the
+  * fresh-db path; every verb-side db check goes through here instead.
+  * INPUT files (the VCF being loaded, TSV/TOML configs, backup exports)
+  * stay driver-local `java.io` by design, matching the reference CLI's
+  * local-file arguments.
+  *
+  * All helpers resolve the FileSystem from the active session's Hadoop
+  * conf per call — cheap (Hadoop caches one FS instance per scheme) and
+  * correct across sessions with different conf.
+  */
+object DbFs {
+
+  private def conf =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def fsFor(p: Path) = p.getFileSystem(conf)
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fsFor(p).exists(p)
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    fsFor(p).mkdirs(p); ()
+  }
+
+  def deleteRecursive(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (fs.exists(p)) fs.delete(p, true); ()
+  }
+
+  /** Immediate children, empty when the directory is absent. */
+  def children(dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq
+  }
+
+  /** Names of immediate child DIRECTORIES (hive partition dirs). */
+  def subdirNames(dir: String): Seq[String] =
+    children(dir).filter(_.isDirectory).map(_.getPath.getName)
+
+  /** Count of immediate child `.parquet` files (fragmentation probes). */
+  def parquetFileCount(dir: String): Int =
+    children(dir).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** Any immediate child plain `.parquet` file? (legacy FLAT layout
+    * detection at a table root that is hive-partitioned when healthy.) */
+  def hasFlatParquet(dir: String): Boolean = parquetFileCount(dir) > 0
+
+  /** Any data-bearing child at all — a partition subdir or a flat
+    * parquet file? (Marker-only directories answer false.) */
+  def hasData(dir: String): Boolean =
+    children(dir).exists(s =>
+      s.isDirectory || s.getPath.getName.endsWith(".parquet"))
+
+  /** Does any `.parquet` file exist anywhere under `dir`? */
+  def hasParquetRecursive(dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
+  }
+
+  /** Basename of a path in any scheme. */
+  def baseName(path: String): String = new Path(path).getName
+
+  /** Read a small text file (sidecars, TOML registries); None if absent. */
+  def readString(path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Write a small text file atomically: temp sibling + rename, so a
+    * crash mid-write can never leave a truncated file under the final
+    * name (the same committer-style discipline the parquet appends use). */
+  def writeStringAtomic(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${Thread.currentThread().getId}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename first (atomic when dst is absent, and POSIX rename also
+    // overwrites); only on a store that refuses to clobber (HDFS) delete
+    // the old file and retry — the narrow window leaves the new content
+    // recoverable at the temp name
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        sys.error(s"writeStringAtomic: cannot land $path")
+      }
+    }
+  }
+
+  /** True for paths the local-filesystem driver-side faces can serve
+    * directly (no scheme, or file:). */
+  def isLocal(path: String): Boolean = {
+    val u = new Path(path).toUri
+    u.getScheme == null || u.getScheme == "file"
+  }
+}

@@ -1,9 +1,8 @@
 package graft.transform
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import scala.util.matching.Regex
+
+import graft.sinks.DbFs
 
 /** Custom PHI pattern persistence (`cli.py:5823-5880` phi patterns add +
   * `phi/patterns.py:224-240` load_custom_patterns): user-defined detection
@@ -108,10 +107,9 @@ object PhiPatternRegistry {
     * offending entry. Missing file is an error (the reference raises
     * FileNotFoundError — `patterns.py:225-226`). */
   def load(path: String): Seq[PhiPattern] = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) sys.error(s"Pattern config not found: $path")
-    val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .split("\n", -1).toSeq
+    val text = DbFs.readString(path).getOrElse(
+      sys.error(s"Pattern config not found: $path"))
+    val lines = text.split("\n", -1).toSeq
     parseRaw(lines).map { r =>
       if (r.name.isEmpty) sys.error(s"Pattern entry missing name in $path")
       make(r.name, r.pattern, r.severity, r.description, r.caseInsensitive)
@@ -125,12 +123,8 @@ object PhiPatternRegistry {
   def append(path: String, name: String, pattern: String, severity: String,
       description: String, caseInsensitive: Boolean = false): Unit = {
     make(name, pattern, severity, description, caseInsensitive) // validate
-    val p = Paths.get(path)
-    val existing =
-      if (Files.exists(p))
-        parseRaw(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-          .split("\n", -1).toSeq)
-      else Nil
+    val existing = DbFs.readString(path)
+      .map(t => parseRaw(t.split("\n", -1).toSeq)).getOrElse(Nil)
     val all = existing :+
       RawPattern(name, pattern, severity, description, caseInsensitive)
     val body = all.map { r =>
@@ -142,10 +136,6 @@ object PhiPatternRegistry {
          |description = ${quote(r.description)}
          |$ci""".stripMargin
     }.mkString("\n")
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    val tmp = Paths.get(path + ".tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    DbFs.writeStringAtomic(path, body)
   }
 }
