@@ -100,6 +100,56 @@ class SharedStoreSpec extends SparkSpec {
     assert(pOut.toString.contains("t_probe"), pOut.toString)
   }
 
+  test("a mutating verb queues behind another process's writer lock") {
+    // the cross-PROCESS arm of the single-writer discipline: a second
+    // graft process mutating the same db must make this one wait, not
+    // interleave. A python fcntl.lockf holder stands in for the other
+    // process — java.nio FileLock is fcntl-based on Linux, so the two
+    // contend on the same POSIX record lock (util-linux `flock` would
+    // NOT: flock(2) and fcntl locks are independent domains).
+    val db = Files.createTempDirectory("lockdb").toString
+    val lockFile = s"$db/.writer.lock"
+    // force lazy SparkSession init NOW: the holder's lease starts when
+    // it locks, and a ~10s first-use session build inside Graft.run
+    // would outlive it
+    spark.sparkContext
+    val holder = new ProcessBuilder("python3", "-c",
+      s"""import fcntl,time
+         |f=open('$lockFile','w')
+         |fcntl.lockf(f,fcntl.LOCK_EX)
+         |time.sleep(5)""".stripMargin).start()
+    try {
+      // wait until the other process actually holds the lock (poll with
+      // a non-blocking tryLock instead of a blind sleep)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var held = false
+      while (!held && System.nanoTime() < deadline) {
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(lockFile),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.tryLock()
+          if (l == null) held = true else l.release()
+        } finally ch.close()
+        if (!held) Thread.sleep(50)
+      }
+      assert(held, "flock holder never acquired the lock")
+      val out = new java.io.ByteArrayOutputStream()
+      val t0 = System.nanoTime()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Graft.run(spark, Array("init-db", "--db", db))
+      }
+      val waited = (System.nanoTime() - t0) / 1e9
+      assert(out.toString.contains("waiting for writer lock"),
+        s"expected the queueing message, got: ${out.toString}")
+      assert(out.toString.contains("ok: database layout initialized"),
+        "the verb must complete once the other process releases")
+      assert(waited >= 1.0,
+        f"verb returned in $waited%.2fs — it did not queue behind the holder")
+    } finally { holder.destroy(); holder.waitFor(); () }
+  }
+
   test("a fresh-db load whose swap rename fails rolls back and retries cleanly") {
     val db = schemeDb("sharedfault")
     val vcf = Files.createTempDirectory("sharedfaultvcf")
