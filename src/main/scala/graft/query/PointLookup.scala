@@ -508,16 +508,15 @@ object PointLookup {
       : Option[Seq[Map[String, String]]] =
     readFilteredRowGroupM.map { readFiltered =>
       val idx = indexesFor(conf, status, footer)
-      val inputFile = HadoopInputFile.fromStatus(status, conf)
-      // no filter in the options: row-group selection happens below via
-      // the cached indexes, and the record filter is applied at assembly
-      val options = HadoopReadOptions.builder(conf, status.getPath).build()
-      val reader = new ParquetFileReader(
-        inputFile, footer, options, inputFile.newStream())
-      try {
-        val columnIO = columnIOFor(status, footer)
-        val out = ArrayBuffer[Map[String, String]]()
-        footer.getBlocks.asScala.zipWithIndex.foreach { case (block, bi) =>
+      // Page row-ranges come ENTIRELY from cached metadata (footer +
+      // page indexes), so compute them for every row group BEFORE
+      // opening any stream: a file whose footer stats overlap the probe
+      // but whose pages all exclude it (common on fragmented cohort
+      // stores, where appended files' min/max spans overlap) is skipped
+      // without an open — on an object store that is one saved RTT per
+      // pruned file, locally ~0.2 ms each.
+      val blockRanges = footer.getBlocks.asScala.toSeq.zipWithIndex.map {
+        case (block, bi) =>
           val rgIdx = idx(bi)
           // `paths` = the columns PRESENT in this row group (parquet-mr's
           // own contract for calculateRowRanges): a filter column absent
@@ -539,16 +538,28 @@ object PointLookup {
               rgIdx.get(p).map(_._2).filter(_ != null).getOrElse(
                 throw new ColumnIndexStore.MissingOffsetIndexException(p))
           }
-          val ranges = ColumnIndexFilter.calculateRowRanges(
-            filter, cis, paths, block.getRowCount)
-          if (ranges.rowCount() > 0) {
+          (bi, ColumnIndexFilter.calculateRowRanges(
+            filter, cis, paths, block.getRowCount))
+      }.filter(_._2.rowCount() > 0)
+      if (blockRanges.isEmpty) Seq.empty
+      else {
+        val inputFile = HadoopInputFile.fromStatus(status, conf)
+        // no filter in the options: row-group selection happened above
+        // via the cached indexes; the record filter applies at assembly
+        val options = HadoopReadOptions.builder(conf, status.getPath).build()
+        val reader = new ParquetFileReader(
+          inputFile, footer, options, inputFile.newStream())
+        try {
+          val columnIO = columnIOFor(status, footer)
+          val out = ArrayBuffer[Map[String, String]]()
+          blockRanges.foreach { case (bi, ranges) =>
             val pages = readFiltered.invoke(reader, Int.box(bi), ranges)
               .asInstanceOf[PageReadStore]
             if (pages != null) assemble(pages, columnIO, footer, filter, out)
           }
-        }
-        out.toSeq
-      } finally reader.close()
+          out.toSeq
+        } finally reader.close()
+      }
     }
 
   private def readFileSlow(conf: Configuration, status: FileStatus,
