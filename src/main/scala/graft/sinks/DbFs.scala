@@ -21,7 +21,12 @@ import org.apache.spark.sql.SparkSession
 object DbFs {
 
   private def conf =
-    SparkSession.active.sparkContext.hadoopConfiguration
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      // driver-side utilities (PHI registry IO, lock-path probes) must
+      // work without a session too — a vanilla Hadoop conf serves every
+      // built-in scheme; session-registered schemes need the session
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   private def fsFor(p: Path) = p.getFileSystem(conf)
 

@@ -798,6 +798,52 @@ class PhiSanitizerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!r.lines(1).contains("12345"), s"leaked: ${r.lines(1)}")
   }
 
+  test("pattern registry TOML round-trips hostile strings (seeded fuzz)") {
+    // the registry's hand-rolled TOML quote/unquote must survive
+    // whatever lands in names/descriptions/patterns — backslashes,
+    // quotes, tabs, '=' signs, '#', unicode — across an append-reload
+    // cycle, including multiple appends to one file. Patterns are
+    // Pattern.quote-wrapped so arbitrary content stays compilable.
+    val rnd = new scala.util.Random(20260814L)
+    val alphabet =
+      "ab \\\"\t=#[]ü€Ω'_-.,:;()"
+    def randStr(n: Int): String =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 25).foreach { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("phitoml")
+      val cfg = dir.resolve("reg.toml").toString
+      val entries = (1 to 1 + rnd.nextInt(4)).map { i =>
+        val name = s"p$i" + randStr(rnd.nextInt(8)).replaceAll("[\t\n\r]", "_")
+        val pattern = java.util.regex.Pattern.quote(randStr(1 + rnd.nextInt(12)))
+        val sev = PhiSanitizer.Severities(rnd.nextInt(4))
+        val desc = randStr(rnd.nextInt(20))
+        val ci = rnd.nextBoolean()
+        graft.transform.PhiPatternRegistry.append(cfg, name, pattern, sev, desc, ci)
+        (name, pattern, sev, desc, ci)
+      }
+      val back = graft.transform.PhiPatternRegistry.load(cfg)
+      assert(back.length == entries.length, s"entry count drifted: $cfg")
+      back.zip(entries).foreach { case (got, (name, pattern, sev, desc, ci)) =>
+        assert(got.name == name, s"name drifted: '${got.name}' vs '$name'")
+        val expectRe = if (ci) "(?i)" + pattern else pattern
+        assert(got.regex.pattern.pattern == expectRe,
+          s"pattern drifted: '${got.regex.pattern.pattern}' vs '$expectRe'")
+        assert(got.severity == sev)
+        assert(got.description == desc,
+          s"description drifted: '${got.description}' vs '$desc'")
+      }
+    }
+    // validation errors still fire through the same path
+    val dir = java.nio.file.Files.createTempDirectory("phitomlv")
+    val cfg = dir.resolve("reg.toml").toString
+    val e1 = intercept[RuntimeException](
+      graft.transform.PhiPatternRegistry.append(cfg, "x", "a(", "high", ""))
+    assert(e1.getMessage.contains("Invalid regex"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      graft.transform.PhiPatternRegistry.append(cfg, "x", "a", "urgent", ""))
+    assert(e2.getMessage.contains("Invalid severity"), e2.getMessage)
+  }
+
   test("full builtin registry: all 18 reference patterns present and firing") {
     // one positive probe per pattern added for phi/patterns.py parity
     // (the registry carries every reference builtin, each with its
