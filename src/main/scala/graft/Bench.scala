@@ -526,25 +526,32 @@ object Bench {
       val docs = corpus.select("doc_id", "text")
       val vecs = corpus.select(col("doc_id").as("vec_id"), col("embedding"))
       val queries = vecs.filter(col("vec_id") % (n / 100) === 0)
-      // pairs materialize ONCE per size (eager localCheckpoint inside the
-      // pairs row): candidate generation and cluster formation are timed
+      // pairs materialize ONCE per size, to TEMP PARQUET inside the
+      // pairs row: candidate generation and cluster formation are timed
       // as the separate pipeline stages they are, instead of the cluster
       // row silently re-running the generator (which would double-charge
-      // minhash and drown the label-propagation signal at 10M)
-      var pairsDf: DataFrame = null
+      // minhash and drown the label-propagation signal at 10M). Parquet
+      // rather than localCheckpoint because Dataset.unpersist does NOT
+      // free a checkpoint's executor blocks (only ContextCleaner+GC do,
+      // eventually) — stale multi-GB pair blocks would sit in executor
+      // memory through the gated IVF measurement; deleting a directory
+      // frees deterministically
+      val pairsDir = s"/tmp/graft_bench_scale_pairs_$label"
+      rmrf(new java.io.File(pairsDir))
       record(s"p_scale_minhash_pairs_$label", time {
-        pairsDf = graft.pipeline.Dedup.minhashCandidatePairs(
-          docs, maxBucketSize = Some(500)).localCheckpoint()
-        val nP = pairsDf.count()
+        graft.pipeline.Dedup.minhashCandidatePairs(
+          docs, maxBucketSize = Some(500)).write.parquet(pairsDir)
+        val nP = spark.read.parquet(pairsDir).count()
         // the hot bucket must have been capped: 2000 identical docs
         // would alone contribute ~2M pairs; genuine near-dup pairs are
         // ~n/50, so n/2 is generous headroom without hiding a quadratic
         assert(nP < n / 2, s"skew cap failed at $label: $nP candidate pairs")
       })
       record(s"p_scale_dedup_cluster_$label", time {
-        assert(graft.pipeline.Dedup.clusterPairs(pairsDf).count() > 0)
+        assert(graft.pipeline.Dedup.clusterPairs(
+          spark.read.parquet(pairsDir)).count() > 0)
       })
-      pairsDf.unpersist()
+      rmrf(new java.io.File(pairsDir))
       record(s"p_scale_ivf_topk_$label", time {
         val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)
         assert(graft.pipeline.Similarity.ivfTopK(vecs, queries, k = 10,

@@ -26,6 +26,26 @@ object Graft {
   }
   private def has(args: Array[String], flag: String): Boolean = args.contains(flag)
 
+  /** Custom PHI patterns for a scan: an explicit config flag (either
+    * spelling — `--patterns-config` like the phi verbs, or
+    * `--phi-patterns-config` matching load's phi-prefixed flags), else
+    * the per-db registry written by phi-patterns-add — consulted ONLY
+    * when the caller named a `--db` explicitly. The world-shared
+    * default db must not let a leftover registry alter scan results
+    * invisibly (the reference's scanner likewise only consults a
+    * config it was explicitly fed — `cli.py:5651+`). */
+  private def customPhiPatterns(args: Array[String], db: String)
+      : Seq[graft.transform.PhiSanitizer.PhiPattern] =
+    Seq("--patterns-config", "--phi-patterns-config")
+      .flatMap(f => arg(args, f)).headOption
+      .map(graft.transform.PhiPatternRegistry.load)
+      .getOrElse {
+        val dbReg = s"$db/phi_patterns.toml"
+        if (arg(args, "--db").isDefined && DbFs.exists(dbReg))
+          graft.transform.PhiPatternRegistry.load(dbReg)
+        else Nil
+      }
+
   /** `studies` registry row (`gwas` schema — study_id/accession/trait/
     * sizes/build; `cli.py:997-1058` list-studies surface). */
   final case class StudyEntry(
@@ -177,7 +197,11 @@ object Graft {
 
   private val MutatingVerbs = Set("load", "compact", "init-db", "import-gwas",
     "import-pgs", "import-frequencies", "load-reference", "annotate-ld-blocks",
-    "compute-sample-qc", "refresh-views", "load-annotation")
+    "compute-sample-qc", "refresh-views", "load-annotation",
+    // mutates the per-db PHI registry: the detection configuration is
+    // db state — serialized under the writer lock and audit-logged like
+    // every other state change
+    "phi-patterns-add")
 
   /** Dispatch with operation auditing: every state-changing verb appends
     * one chained row to `$db/audit_log` (the reference's audit_log,
@@ -205,7 +229,11 @@ object Graft {
 
   private def runInner(spark: SparkSession, args: Array[String]): Unit = {
     val verb = args.head
-    val mutates = MutatingVerbs.contains(verb) ||
+    val mutates = (MutatingVerbs.contains(verb) &&
+      // phi-patterns-add with an explicit --patterns-config and no --db
+      // writes a standalone file, not db state — a file utility like
+      // phi-sanitize, with nothing to lock or audit
+      !(verb == "phi-patterns-add" && arg(args, "--db").isEmpty)) ||
       (verb == "validate" &&
         (has(args, "--rebuild") || has(args, "--drop-orphans")))
     if (!mutates) runVerb(spark, args)
@@ -265,16 +293,9 @@ object Graft {
         var ledgerNote = ""
         if (has(args, "--phi-scan") || has(args, "--fail-on-phi")) {
           // custom patterns from the per-db registry (phi-patterns-add) or
-          // an explicit --phi-patterns-config merge into the builtin scan,
+          // an explicit patterns-config flag merge into the builtin scan,
           // the reference's config-fed PHIScanner (`loader.py:275-277`)
-          val custom = arg(args, "--phi-patterns-config")
-            .map(graft.transform.PhiPatternRegistry.load)
-            .getOrElse {
-              val dbReg = s"$db/phi_patterns.toml"
-              if (DbFs.exists(dbReg))
-                graft.transform.PhiPatternRegistry.load(dbReg)
-              else Nil
-            }
+          val custom = customPhiPatterns(args, db)
           val customPats = custom.map(p => (p.regex, p.name))
           val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
           val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
@@ -1702,14 +1723,7 @@ object Graft {
         // registry phi-patterns-add writes (when a --db was given and the
         // file exists) — the reference persists to a config file the later
         // scan loads (`cli.py:5857+`, `patterns.py:224-240`)
-        val custom = arg(args, "--patterns-config")
-          .map(graft.transform.PhiPatternRegistry.load)
-          .getOrElse {
-            val dbReg = s"$db/phi_patterns.toml"
-            if (DbFs.exists(dbReg))
-              graft.transform.PhiPatternRegistry.load(dbReg)
-            else Nil
-          }
+        val custom = customPhiPatterns(args, db)
         val registry = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
         val customPats = custom.map(p => (p.regex, p.name))
         val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
@@ -1729,9 +1743,15 @@ object Graft {
         val drawn =
           if (sampleRate < 1.0) data.sample(withReplacement = false, sampleRate, 42L)
           else data
+        // DETECTIONS are cached, not the sampled text: the regex sweep is
+        // the dominant cost on a full-file scan and three consumers
+        // follow (count, category summary, first-findings) — without the
+        // cache each would re-read the file and re-run every pattern
         val sampled = maxRecords.map(drawn.limit).getOrElse(drawn)
         val detections = sampled.flatMap(l =>
           graft.transform.PhiSanitizer.scanDataLine(l, allPats))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         val recordsScanned = sampled.count()
         val dataSummary = detections.groupBy($"category").count()
           .as[(String, Long)].collect().toMap
@@ -1765,6 +1785,7 @@ object Graft {
           if (nFindings > 10)
             println(s"  ... and ${nFindings - 10} more")
         }
+        } finally detections.unpersist()
 
       case "phi-sanitize" =>
         // `phi sanitize` (`cli.py:5510-5573`): write a copy of the VCF
@@ -1870,17 +1891,14 @@ object Graft {
         // (--patterns-config, or the per-db phi_patterns.toml written by
         // phi-patterns-add). --severity filters like the reference's
         // get_patterns_by_severity.
-        val custom = arg(args, "--patterns-config")
-          .map(graft.transform.PhiPatternRegistry.load)
-          .getOrElse {
-            val dbReg = s"$db/phi_patterns.toml"
-            if (DbFs.exists(dbReg))
-              graft.transform.PhiPatternRegistry.load(dbReg)
-            else Nil
-          }
+        val custom = customPhiPatterns(args, db)
         val all = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
         val wanted = arg(args, "--severity") match {
-          case Some(s) => all.filter(_.severity == s)
+          case Some(s) =>
+            if (!graft.transform.PhiSanitizer.Severities.contains(s))
+              sys.error(s"Invalid severity: $s. Must be one of: " +
+                graft.transform.PhiSanitizer.Severities.mkString(", "))
+            all.filter(_.severity == s)
           case None    => all
         }
         println(s"PHI detection patterns (${wanted.length} total)")
@@ -1904,8 +1922,13 @@ object Graft {
           sys.error("phi-patterns-add needs --severity " +
             "<critical|high|medium|low>"))
         val description = arg(args, "--description").getOrElse("")
-        val cfg = arg(args, "--patterns-config")
-          .getOrElse(s"$db/phi_patterns.toml")
+        val cfg = arg(args, "--patterns-config").getOrElse {
+          if (arg(args, "--db").isEmpty)
+            sys.error("phi-patterns-add needs --db DIR (per-db registry) " +
+              "or --patterns-config FILE — refusing to write into the " +
+              "shared default db implicitly")
+          s"$db/phi_patterns.toml"
+        }
         graft.transform.PhiPatternRegistry.append(
           cfg, name, pattern, severity, description,
           caseInsensitive = has(args, "--ignore-case"))
@@ -1965,8 +1988,8 @@ object Graft {
   private def usage(): Unit = println(
     """graft <verb> [options]
       |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
-      |       [--phi-scan] [--fail-on-phi] [--anonymize] [--anonymize-salt S]
-      |       [--compact] [--target-file-mb N]
+      |       [--phi-scan] [--fail-on-phi] [--patterns-config F] [--anonymize]
+      |       [--anonymize-salt S] [--compact] [--target-file-mb N]
       |  init-db --db DIR [--skip-audit]
       |  validate [BATCH_ID] --db DIR [--rebuild] [--drop-orphans]
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]

@@ -169,21 +169,26 @@ object Audit {
       java.nio.file.Paths.get(
         new org.apache.hadoop.fs.Path(dir).toUri.getPath, name)
     else {
+      // key on the Path-NORMALIZED form (trailing slashes, '//', '/./'
+      // collapse), so two spellings of one remote db share a lock file
+      // — the same property getCanonicalPath gives the local arm
+      val normalized = new org.apache.hadoop.fs.Path(dir).toString
       val key = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+        .digest(normalized.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
       java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"), s".graft-$key$name")
     }
 
   /** Canonical same-JVM monitor key for a db path: resolved local path
     * when local (two spellings of one directory must share a monitor),
-    * the URI string otherwise. */
+    * the Path-normalized URI string otherwise. */
   private def monitorKey(dir: String): String =
     if (graft.sinks.DbFs.isLocal(dir))
       try new java.io.File(
         new org.apache.hadoop.fs.Path(dir).toUri.getPath).getCanonicalPath
       catch { case scala.util.control.NonFatal(_) => dir }
-    else dir
+    else new org.apache.hadoop.fs.Path(dir).toString
 
   /** Whole-db single-writer lock for mutating CLI verbs. The reference's
     * loads serialize at Postgres — every mutation runs inside a

@@ -42,15 +42,19 @@ object DbFs {
 
   def deleteRecursive(path: String): Unit = {
     val p = new Path(path)
-    val fs = fsFor(p)
-    if (fs.exists(p)) fs.delete(p, true); ()
+    // no exists pre-check: delete on an absent path answers false on
+    // every Hadoop FS — one RPC instead of two on object stores
+    fsFor(p).delete(p, true); ()
   }
 
-  /** Immediate children, empty when the directory is absent. */
+  /** Immediate children, empty when the directory is absent. One RPC:
+    * the absent case is the catch arm, not an exists pre-check (which
+    * would double the metadata round-trips on the object stores this
+    * face exists to support, and open a TOCTOU throw between calls). */
   def children(dir: String): Seq[FileStatus] = {
     val p = new Path(dir)
-    val fs = fsFor(p)
-    if (!fs.exists(p)) Nil else fs.listStatus(p).toSeq
+    try fsFor(p).listStatus(p).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
   }
 
   /** Names of immediate child DIRECTORIES (hive partition dirs). */
@@ -75,12 +79,12 @@ object DbFs {
   /** Does any `.parquet` file exist anywhere under `dir`? */
   def hasParquetRecursive(dir: String): Boolean = {
     val p = new Path(dir)
-    val fs = fsFor(p)
-    if (!fs.exists(p)) return false
-    val it = fs.listFiles(p, true)
-    while (it.hasNext)
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
-    false
+    try {
+      val it = fsFor(p).listFiles(p, true)
+      while (it.hasNext)
+        if (it.next().getPath.getName.endsWith(".parquet")) return true
+      false
+    } catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** Basename of a path in any scheme. */
@@ -89,18 +93,16 @@ object DbFs {
   /** Read a small text file (sidecars, TOML registries); None if absent. */
   def readString(path: String): Option[String] = {
     val p = new Path(path)
-    val fs = fsFor(p)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val out = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
+    val in =
+      try fsFor(p).open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
   }
 
   /** Write a small text file atomically: temp sibling + rename, so a
@@ -116,14 +118,15 @@ object DbFs {
     finally out.close()
     // rename first (atomic when dst is absent, and POSIX rename also
     // overwrites); only on a store that refuses to clobber (HDFS) delete
-    // the old file and retry — the narrow window leaves the new content
-    // recoverable at the temp name
+    // the old file and retry. If the retry ALSO fails, the temp file is
+    // the only surviving copy — keep it and say where it is; deleting it
+    // here would destroy both the old content (already removed) and the
+    // new.
     if (!fs.rename(tmp, p)) {
       if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p)) {
-        fs.delete(tmp, false)
-        sys.error(s"writeStringAtomic: cannot land $path")
-      }
+      if (!fs.rename(tmp, p))
+        sys.error(s"writeStringAtomic: cannot land $path — " +
+          s"new content preserved at $tmp")
     }
   }
 

@@ -36,27 +36,46 @@ object PhiPatternRegistry {
     PhiPattern(name, compiled, severity, description)
   }
 
-  private def unquote(v: String): String = {
+  /** Parse one value: a quoted string (escapes honored; anything after
+    * the closing quote must be whitespace or a `#` comment), or a bare
+    * token with any trailing comment stripped. Scanning to the CLOSING
+    * quote — rather than requiring the raw value to end with one — is
+    * what makes a hand-edited `pattern = "x" # note` parse as `x`
+    * instead of silently compiling a regex that includes the quotes and
+    * comment and matches nothing; an unterminated string or trailing
+    * garbage errors loudly, the same contract as the reference's
+    * from_dict validation. */
+  private def parseValue(v: String, line: String): String = {
     val t = v.trim
-    if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\"")) {
-      val body = t.substring(1, t.length - 1)
+    if (t.startsWith("\"")) {
       val out = new StringBuilder
-      var i = 0
-      while (i < body.length) {
-        val c = body.charAt(i)
-        if (c == '\\' && i + 1 < body.length) {
-          body.charAt(i + 1) match {
-            case '\\' => out += '\\'; i += 2
-            case '"'  => out += '"'; i += 2
-            case 't'  => out += '\t'; i += 2
-            case 'n'  => out += '\n'; i += 2
-            case 'r'  => out += '\r'; i += 2
-            case o    => out += '\\'; out += o; i += 2
+      var i = 1
+      var closed = false
+      while (i < t.length && !closed) {
+        val c = t.charAt(i)
+        if (c == '\\' && i + 1 < t.length) {
+          t.charAt(i + 1) match {
+            case '\\' => out += '\\'
+            case '"'  => out += '"'
+            case 't'  => out += '\t'
+            case 'n'  => out += '\n'
+            case 'r'  => out += '\r'
+            case o    => out += '\\'; out += o
           }
-        } else { out += c; i += 1 }
+          i += 2
+        } else if (c == '"') { closed = true; i += 1 }
+        else { out += c; i += 1 }
       }
+      if (!closed)
+        sys.error(s"Unterminated string in pattern config line: $line")
+      val rest = t.substring(i).trim
+      if (rest.nonEmpty && !rest.startsWith("#"))
+        sys.error(s"Trailing content after string in pattern config line: $line")
       out.toString
-    } else t
+    } else {
+      val hash = t.indexOf('#')
+      (if (hash >= 0) t.substring(0, hash) else t).trim
+    }
   }
 
   private def quote(v: String): String =
@@ -86,16 +105,15 @@ object PhiPatternRegistry {
       cur = null
     }
     lines.foreach { raw =>
-      // a '#' inside a quoted value is content, not a comment — only strip
-      // comments on structural lines
+      // a '#' inside a QUOTED value is content, not a comment —
+      // parseValue decides per value instead of line-level stripping
       val t = raw.trim
       if (t == "[[patterns]]") { flush(); cur = scala.collection.mutable.Map() }
       else if (cur != null && t.nonEmpty && !t.startsWith("#")) {
         val i = t.indexOf('=')
         if (i > 0) {
           val key = t.substring(0, i).trim
-          val v = t.substring(i + 1).trim
-          cur(key) = if (v == "true" || v == "false") v else unquote(v)
+          cur(key) = parseValue(t.substring(i + 1), t)
         }
       }
     }

@@ -1898,6 +1898,33 @@ class GraftCliSpec extends SparkSpec {
       .filter($"status" === "completed").head().getAs[String]("note")
     assert(note2 == "phi_scan: clean",
       s"without the config the builtin scan must stay clean: $note2")
+    // load accepts the phi verbs' flag spelling too — the common spelling
+    // silently no-opping would be a PHI-gate bypass (fresh db: a skip-by-
+    // hash return would bypass the scan before the flag could matter)
+    val e3 = intercept[RuntimeException] {
+      Graft.run(spark, Array("load", vcf, "--db",
+        dir.resolve("db3").toString, "--fail-on-phi",
+        "--patterns-config", s"$db/phi_patterns.toml"))
+    }
+    assert(e3.getMessage.contains("PHI detected"), e3.getMessage)
+    // changing the detection configuration is db state: it runs under
+    // the writer lock and lands a chained audit row like other mutations
+    val audit = spark.read.parquet(s"$db/audit_log")
+    assert(audit.filter($"event_type" === "phi-patterns-add").count() >= 1,
+      "phi-patterns-add must be audit-logged")
+    // without --db and without --patterns-config there is no explicit
+    // destination — refuse rather than write into the shared default db
+    val e4 = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-patterns-add", "--name", "x",
+        "--pattern", "y", "--severity", "high"))
+    }
+    assert(e4.getMessage.contains("refusing"), e4.getMessage)
+    // a severity typo on list errors instead of printing '0 total'
+    val e5 = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-patterns-list", "--db", db,
+        "--severity", "hi"))
+    }
+    assert(e5.getMessage.contains("Invalid severity"), e5.getMessage)
   }
 
   test("phi-scan honors --sample-rate and --max-records") {

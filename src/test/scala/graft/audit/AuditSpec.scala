@@ -844,6 +844,41 @@ class PhiSanitizerSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e2.getMessage.contains("Invalid severity"), e2.getMessage)
   }
 
+  test("registry parses hand-edited TOML: inline comments honored, malformed lines loud") {
+    // a trailing comment after a quoted value is a comment, not content
+    // (naively keeping the raw value would compile a regex that includes
+    // the quotes and comment and silently matches nothing)
+    val dir = java.nio.file.Files.createTempDirectory("phitomlhand")
+    val cfg = dir.resolve("reg.toml")
+    java.nio.file.Files.writeString(cfg,
+      """[[patterns]]
+        |name = "edited"   # added by hand
+        |pattern = "X-\d+" # catches export tokens
+        |severity = "high"
+        |description = "value with # inside stays intact"
+        |case_insensitive = true # yes
+        |""".stripMargin)
+    val back = graft.transform.PhiPatternRegistry.load(cfg.toString)
+    assert(back.length == 1)
+    assert(back.head.name == "edited")
+    assert(back.head.regex.pattern.pattern == "(?i)X-\\d+",
+      back.head.regex.pattern.pattern)
+    assert(back.head.description == "value with # inside stays intact")
+    assert(back.head.regex.findFirstIn("sample X-123 here").isDefined)
+    // unterminated string and trailing garbage error loudly, as the
+    // reference's from_dict validation would
+    java.nio.file.Files.writeString(cfg,
+      "[[patterns]]\nname = \"broken\npattern = \"x\"\nseverity = \"high\"\n")
+    val e1 = intercept[RuntimeException](
+      graft.transform.PhiPatternRegistry.load(cfg.toString))
+    assert(e1.getMessage.contains("Unterminated"), e1.getMessage)
+    java.nio.file.Files.writeString(cfg,
+      "[[patterns]]\nname = \"x\" junk\npattern = \"x\"\nseverity = \"high\"\n")
+    val e2 = intercept[RuntimeException](
+      graft.transform.PhiPatternRegistry.load(cfg.toString))
+    assert(e2.getMessage.contains("Trailing content"), e2.getMessage)
+  }
+
   test("full builtin registry: all 18 reference patterns present and firing") {
     // one positive probe per pattern added for phi/patterns.py parity
     // (the registry carries every reference builtin, each with its
