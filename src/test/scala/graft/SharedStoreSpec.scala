@@ -60,6 +60,30 @@ class SharedStoreSpec extends SparkSpec {
     assert(v2.count() == total)
     assert(v2.select("load_batch_id").distinct().count() == 2)
 
+    // import path through the scheme: matching join, key-stamped append,
+    // registry upsert, and the per-key SURGICAL replace on re-import
+    val mv = spark.read.parquet(s"$db/variants")
+      .filter($"rs_id".isNotNull && $"ref".isin("A", "C", "G", "T") &&
+        $"alt".isin("A", "C", "G", "T"))
+      .select("chrom", "pos", "ref", "alt", "rs_id").head()
+    val tsv = vcfDir.resolve("stats.tsv")
+    java.nio.file.Files.write(tsv, java.util.Arrays.asList(
+      "CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tSNP",
+      s"${mv.getString(0).stripPrefix("chr")}\t${mv.getLong(1)}\t" +
+        s"${mv.getString(3)}\t${mv.getString(2)}\t1e-8\t0.05\t0.01\t0.25\t" +
+        mv.getString(4)))
+    Graft.run(spark, Array("import-gwas", tsv.toString, "--db", db,
+      "--study-accession", "GCST01"))
+    val imported = spark.read.parquet(s"$db/gwas_stats")
+      .filter($"study_accession" === "GCST01").count()
+    assert(imported >= 1, "import-gwas landed no rows through the scheme")
+    Graft.run(spark, Array("import-gwas", tsv.toString, "--db", db,
+      "--study-accession", "GCST01"))
+    assert(spark.read.parquet(s"$db/gwas_stats")
+      .filter($"study_accession" === "GCST01").count() == imported,
+      "re-import must replace the study's rows, not duplicate them")
+    assert(spark.read.parquet(s"$db/studies").count() == 1)
+
     // per-chrom incremental compact lists partition dirs via the scheme
     Graft.run(spark, Array("compact", "--db", db, "--tables", "variants",
       "--per-chrom", "--max-files", "1"))
