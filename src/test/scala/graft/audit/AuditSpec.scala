@@ -574,6 +574,31 @@ class WritersSpec extends SparkSpec {
     assert(residue.isEmpty, s"residue: ${residue.mkString(",")}")
   }
 
+  test("writeStringAtomic: a failed landing preserves the new content at the temp name") {
+    // the clobber-retry path (no-clobber store + rename fault): the old
+    // file is already removed, so the temp MUST survive as the only
+    // copy — deleting it too would destroy a PHI registry outright
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faultfs.impl", classOf[FaultFs].getName)
+    val base = Files.createTempDirectory("wsa").toString
+    val path = s"faultfs://$base/reg.toml"
+    graft.sinks.DbFs.writeStringAtomic(path, "v1")
+    assert(graft.sinks.DbFs.readString(path).contains("v1"))
+    try {
+      FaultFs.failWhen = (_, dst) => dst.getName == "reg.toml"
+      val e = intercept[RuntimeException](
+        graft.sinks.DbFs.writeStringAtomic(path, "v2"))
+      assert(e.getMessage.contains("preserved at"), e.getMessage)
+    } finally FaultFs.reset()
+    val tmp = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith(".reg.toml.tmp-"))
+    assert(tmp.nonEmpty, "surviving temp copy missing")
+    assert(java.nio.file.Files.readString(tmp.head.toPath) == "v2")
+    // healthy renames: the write lands and replaces
+    graft.sinks.DbFs.writeStringAtomic(path, "v3")
+    assert(graft.sinks.DbFs.readString(path).contains("v3"))
+  }
+
   test("compactPartitionDir: rename faults never lose the partition") {
     // per-partition compaction is the 100 TB compact path; a failed
     // rename must not leave the partition stranded at <root>.<dir>.old-*
