@@ -113,6 +113,15 @@ class SharedStoreSpec extends SparkSpec {
     assert(graft.query.PointLookup.byPosition(
       spark, s"$db/variants", "chr1", site).nonEmpty)
 
+    // matview refresh writes its (presence-gated) views via the scheme
+    val rOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(rOut)) {
+      Graft.run(spark, Array("refresh-views", "--db", db))
+    }
+    assert(rOut.toString.contains("variant_qc_summary refreshed"),
+      rOut.toString)
+    assert(spark.read.parquet(s"$db/views/variant_qc_summary").count() > 0)
+
     // the PHI pattern registry string-IO round-trips through the scheme
     Graft.run(spark, Array("phi-patterns-add", "--db", db,
       "--name", "t_probe", "--pattern", "PROBE-\\d+",
