@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
-  /** T15 — chunked SHA-256 of a file (reload identity key). */
+  /** T15 — chunked SHA-256 of a file (reload identity key). Streams
+    * through the Hadoop FileSystem API so the input VCF may live on any
+    * scheme (the parse side reads it via Spark already; the hash was
+    * the one load-path input read that required a local file). Local
+    * paths resolve to RawLocal streaming — same cost as FileInputStream. */
   def fileSha256(path: String): String = {
     val md = MessageDigest.getInstance("SHA-256")
-    val in = new java.io.FileInputStream(path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(graft.sinks.DbFs.hadoopConf).open(p)
     try {
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)

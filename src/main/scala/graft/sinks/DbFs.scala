@@ -20,13 +20,16 @@ import org.apache.spark.sql.SparkSession
   */
 object DbFs {
 
-  private def conf =
+  /** The session's Hadoop conf when one exists; a vanilla conf
+    * otherwise — driver-side utilities (PHI registry IO, file hashing,
+    * lock-path probes) must work without a session too. Vanilla serves
+    * every built-in scheme; session-registered schemes need the session. */
+  def hadoopConf: org.apache.hadoop.conf.Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
-      // driver-side utilities (PHI registry IO, lock-path probes) must
-      // work without a session too — a vanilla Hadoop conf serves every
-      // built-in scheme; session-registered schemes need the session
       .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def conf = hadoopConf
 
   private def fsFor(p: Path) = p.getFileSystem(conf)
 

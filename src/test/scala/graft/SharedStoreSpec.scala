@@ -60,6 +60,17 @@ class SharedStoreSpec extends SparkSpec {
     assert(v2.count() == total)
     assert(v2.select("load_batch_id").distinct().count() == 2)
 
+    // the input VCF itself addressed through the scheme: hash, header
+    // and parse all stream via Hadoop IO — no local-path assumption on
+    // the load's read side
+    val vcf3 = vcfDir.resolve("c.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf3, 120, seed = 44L)
+    Graft.run(spark, Array("load", s"faultfs://$vcf3", "--db", db))
+    assert(spark.read.parquet(s"$db/variants")
+      .select("load_batch_id").distinct().count() == 3,
+      "a scheme-addressed input VCF must load like a local one")
+    val total3 = spark.read.parquet(s"$db/variants").count()
+
     // import path through the scheme: matching join, key-stamped append,
     // registry upsert, and the per-key SURGICAL replace on re-import
     val mv = spark.read.parquet(s"$db/variants")
@@ -87,7 +98,7 @@ class SharedStoreSpec extends SparkSpec {
     // per-chrom incremental compact lists partition dirs via the scheme
     Graft.run(spark, Array("compact", "--db", db, "--tables", "variants",
       "--per-chrom", "--max-files", "1"))
-    assert(spark.read.parquet(s"$db/variants").count() == total)
+    assert(spark.read.parquet(s"$db/variants").count() == total3)
 
     // validate: ledger reconcile + projection fingerprints, all scheme-side
     val out = new java.io.ByteArrayOutputStream()
