@@ -580,13 +580,53 @@ object Bench {
           f"to 10M docs (gate $ScaleGateFactor%.1fx) — superlinear behavior")
     }
 
+    // ---- VCF-side scale decade, gated like the pipeline rows:
+    // end-to-end LOAD at 1M variants (the GIAB-scale BASELINE row is a
+    // 4M-variant load at 20-50K var/s) and parse at 10M. Single-run;
+    // per-variant cost must not grow past the 100k/1M points — the load
+    // amortizes its ~2s fixed job overhead, so its ratio should land
+    // well under 1 and the gate is a loud regression tripwire, not a
+    // tight bound.
+    val vcf10m = "/tmp/graft_bench_10m.vcf"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(vcf10m)))
+      graft.vcf.SyntheticVcf.write(vcf10m, 10000000, seed = 9L)
+    preTouch(vcf10m)
+    record("vcf_parse_10m_norm", time {
+      materialize(graft.vcf.VcfReader.variants(spark, vcf10m,
+        graft.vcf.VcfReader.Options(normalize = true)))
+    })
+    results("vcf_parse_10m_norm") = raw("vcf_parse_10m_norm").head
+    val parseDecadeRatio = (results("vcf_parse_10m_norm") / 1e7) /
+      (results("vcf_parse_1m_norm") / 1e6)
+    results("vcf_parse_decade_ratio") = parseDecadeRatio
+    assert(parseDecadeRatio <= ScaleGateFactor,
+      f"SCALE REGRESSION: per-variant parse grew $parseDecadeRatio%.2fx " +
+        f"from 1M to 10M variants (gate $ScaleGateFactor%.1fx)")
+    rmrf(new java.io.File("/tmp/graft_bench_loaddb1m"))
+    record("vcf_load_1m", time {
+      Graft.run(spark, Array("load", vcf1m, "--db",
+        "/tmp/graft_bench_loaddb1m"))
+    })
+    results("vcf_load_1m") = raw("vcf_load_1m").head
+
     // throughput forms of the parse metrics (what BASELINE.md quotes)
     if (results("vcf_parse_100k") > 0)
       results("vcf_parse_100k_var_s") = 100000.0 / results("vcf_parse_100k")
     if (results("vcf_parse_1m_norm") > 0)
       results("vcf_parse_1m_var_s") = 1000000.0 / results("vcf_parse_1m_norm")
+    if (results("vcf_parse_10m_norm") > 0)
+      results("vcf_parse_10m_var_s") = 10000000.0 / results("vcf_parse_10m_norm")
     if (results("vcf_load_100k") > 0)
       results("vcf_load_100k_var_s") = 100000.0 / results("vcf_load_100k")
+    if (results("vcf_load_1m") > 0) {
+      results("vcf_load_1m_var_s") = 1000000.0 / results("vcf_load_1m")
+      val loadDecadeRatio = (results("vcf_load_1m") / 1e6) /
+        (results("vcf_load_100k") / 1e5)
+      results("vcf_load_decade_ratio") = loadDecadeRatio
+      assert(loadDecadeRatio <= 1.0,
+        f"SCALE REGRESSION: per-variant LOAD grew $loadDecadeRatio%.2fx " +
+          "from 100k to 1M — the fixed overhead should amortize, not grow")
+    }
     if (results.getOrElse("vcf_load_cohort_append", -1.0) > 0)
       results("vcf_load_cohort_append_var_s") =
         100000.0 / results("vcf_load_cohort_append")
@@ -604,7 +644,7 @@ object Bench {
     // of total
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_var_s") &&
-        !k.endsWith("_per_doc_ratio") => v
+        !k.endsWith("_ratio") => v
     }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"clean":$cleanJson,"sf":"$sfDir"}""")
     spark.stop()
