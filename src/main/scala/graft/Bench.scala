@@ -481,6 +481,26 @@ object Bench {
     parseMetrics.foreach { case (name, _) =>
       results(name) = medianClean(name, parseMask)
     }
+    // O(batch) cohort-append GATE: each round appended one 100k-variant
+    // VCF into the SAME growing db, so the raw array's tail (store holds
+    // ~7-9 batches) vs head (1-3 batches) is the flatness evidence. A
+    // store-sized read sneaking into the load path (a lost append guard,
+    // an accidental full rewrite) makes the tail grow with the store and
+    // trips this instead of shipping as a quietly rising row.
+    locally {
+      val ts = raw("vcf_load_cohort_append")
+      if (ts.length >= 4) {
+        val k = ts.length / 2
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+        val headM = med(ts.take(k).toSeq)
+        val tailM = med(ts.takeRight(k).toSeq)
+        val growth = tailM / headM
+        results("vcf_load_cohort_append_growth_ratio") = growth
+        assert(growth <= 1.5,
+          f"SCALE REGRESSION: cohort append grew $growth%.2fx while the " +
+            "store grew severalfold — the append path is reading the store")
+      }
+    }
 
     // ---- pipeline scale-stress: the 100 TB dedup/ANN claims, measured —
     // bucketed joins, the skew cap, and bounded driver state exercised
