@@ -488,7 +488,15 @@ object Bench {
     // an accidental full rewrite) makes the tail grow with the store and
     // trips this instead of shipping as a quietly rising row.
     locally {
-      val ts = raw("vcf_load_cohort_append")
+      // only CLEAN rounds feed the gate: -1.0 failure sentinels would
+      // poison a median (a negative head makes any growth pass
+      // trivially), and host-load stalls are exactly what the clean
+      // mask exists to exclude — an unclean tail must not fail the
+      // bench as a fake regression. Round order is preserved, so the
+      // head still reflects the small store and the tail the grown one.
+      val ts = raw("vcf_load_cohort_append").zipWithIndex.collect {
+        case (t, i) if t > 0 && parseMask.lift(i).getOrElse(false) => t
+      }
       if (ts.length >= 4) {
         val k = ts.length / 2
         def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)

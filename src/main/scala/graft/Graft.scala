@@ -26,22 +26,30 @@ object Graft {
   }
   private def has(args: Array[String], flag: String): Boolean = args.contains(flag)
 
-  /** Custom PHI patterns for a scan: an explicit config flag (either
-    * spelling — `--patterns-config` like the phi verbs, or
-    * `--phi-patterns-config` matching load's phi-prefixed flags), else
-    * the per-db registry written by phi-patterns-add — consulted ONLY
-    * when the caller named a `--db` explicitly. The world-shared
-    * default db must not let a leftover registry alter scan results
-    * invisibly (the reference's scanner likewise only consults a
-    * config it was explicitly fed — `cli.py:5651+`). */
-  private def customPhiPatterns(args: Array[String], db: String)
-      : Seq[graft.transform.PhiSanitizer.PhiPattern] =
+  /** Both accepted spellings of the pattern-config flag:
+    * `--patterns-config` (the phi verbs) and `--phi-patterns-config`
+    * (matching load's phi-prefixed flags) — read AND write sides accept
+    * either, so neither spelling can silently no-op. */
+  private def patternsConfigArg(args: Array[String]): Option[String] =
     Seq("--patterns-config", "--phi-patterns-config")
       .flatMap(f => arg(args, f)).headOption
+
+  /** Custom PHI patterns for a scan: an explicit config flag, else the
+    * per-db registry written by phi-patterns-add. `consultDbRegistry`
+    * decides whether the registry of an IMPLICIT (default) db counts:
+    * the load verb always consults it — the implicit db is the db being
+    * WRITTEN, so its own detection configuration governs — while the
+    * standalone scan/list faces require an explicit `--db`, so a
+    * leftover registry in the world-shared default db cannot alter an
+    * unrelated file's scan invisibly. */
+  private def customPhiPatterns(args: Array[String], db: String,
+      consultDbRegistry: Boolean)
+      : Seq[graft.transform.PhiSanitizer.PhiPattern] =
+    patternsConfigArg(args)
       .map(graft.transform.PhiPatternRegistry.load)
       .getOrElse {
         val dbReg = s"$db/phi_patterns.toml"
-        if (arg(args, "--db").isDefined && DbFs.exists(dbReg))
+        if (consultDbRegistry && DbFs.exists(dbReg))
           graft.transform.PhiPatternRegistry.load(dbReg)
         else Nil
       }
@@ -230,10 +238,13 @@ object Graft {
   private def runInner(spark: SparkSession, args: Array[String]): Unit = {
     val verb = args.head
     val mutates = (MutatingVerbs.contains(verb) &&
-      // phi-patterns-add with an explicit --patterns-config and no --db
-      // writes a standalone file, not db state — a file utility like
-      // phi-sanitize, with nothing to lock or audit
-      !(verb == "phi-patterns-add" && arg(args, "--db").isEmpty)) ||
+      // phi-patterns-add mutates DB state only when the per-db registry
+      // is its destination; with an explicit patterns-config file (even
+      // alongside a --db) it is a standalone file utility — locking the
+      // db or appending a db audit row would claim a configuration
+      // change that never touched the db
+      !(verb == "phi-patterns-add" &&
+        (arg(args, "--db").isEmpty || patternsConfigArg(args).isDefined))) ||
       (verb == "validate" &&
         (has(args, "--rebuild") || has(args, "--drop-orphans")))
     if (!mutates) runVerb(spark, args)
@@ -295,7 +306,7 @@ object Graft {
           // custom patterns from the per-db registry (phi-patterns-add) or
           // an explicit patterns-config flag merge into the builtin scan,
           // the reference's config-fed PHIScanner (`loader.py:275-277`)
-          val custom = customPhiPatterns(args, db)
+          val custom = customPhiPatterns(args, db, consultDbRegistry = true)
           val customPats = custom.map(p => (p.regex, p.name))
           val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
           val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
@@ -1723,7 +1734,8 @@ object Graft {
         // registry phi-patterns-add writes (when a --db was given and the
         // file exists) — the reference persists to a config file the later
         // scan loads (`cli.py:5857+`, `patterns.py:224-240`)
-        val custom = customPhiPatterns(args, db)
+        val custom = customPhiPatterns(args, db,
+          consultDbRegistry = arg(args, "--db").isDefined)
         val registry = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
         val customPats = custom.map(p => (p.regex, p.name))
         val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
@@ -1891,7 +1903,8 @@ object Graft {
         // (--patterns-config, or the per-db phi_patterns.toml written by
         // phi-patterns-add). --severity filters like the reference's
         // get_patterns_by_severity.
-        val custom = customPhiPatterns(args, db)
+        val custom = customPhiPatterns(args, db,
+          consultDbRegistry = arg(args, "--db").isDefined)
         val all = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
         val wanted = arg(args, "--severity") match {
           case Some(s) =>
@@ -1922,7 +1935,7 @@ object Graft {
           sys.error("phi-patterns-add needs --severity " +
             "<critical|high|medium|low>"))
         val description = arg(args, "--description").getOrElse("")
-        val cfg = arg(args, "--patterns-config").getOrElse {
+        val cfg = patternsConfigArg(args).getOrElse {
           if (arg(args, "--db").isEmpty)
             sys.error("phi-patterns-add needs --db DIR (per-db registry) " +
               "or --patterns-config FILE — refusing to write into the " +

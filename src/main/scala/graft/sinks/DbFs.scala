@@ -114,8 +114,11 @@ object DbFs {
   def writeStringAtomic(path: String, content: String): Unit = {
     val p = new Path(path)
     val fs = fsFor(p)
+    // UNIQUE temp name per write: a deterministic (per-thread) name
+    // would let the next write clobber a previous failure's surviving
+    // temp copy — the one copy the error message promised was preserved
     val tmp = new Path(p.getParent,
-      s".${p.getName}.tmp-${Thread.currentThread().getId}")
+      s".${p.getName}.tmp-${Thread.currentThread().getId}-${System.nanoTime()}")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
