@@ -34,6 +34,23 @@ object Graft {
     Seq("--patterns-config", "--phi-patterns-config")
       .flatMap(f => arg(args, f)).headOption
 
+  /** Does `child` resolve to `dir` or inside it? Local paths compare
+    * absolute-normalized (so `db` and `./db/f.toml` agree); remote
+    * schemes compare normalized URIs. Used to decide whether an explicit
+    * --patterns-config still targets the per-db registry. */
+  private def pathResolvesUnder(child: String, dir: String): Boolean = {
+    def norm(s: String): String =
+      if (DbFs.isLocal(s))
+        java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(s).toUri.getPath)
+          .toAbsolutePath.normalize.toString
+      else new org.apache.hadoop.fs.Path(s).toUri.normalize.toString
+    // a local path and a remote one can never nest
+    if (DbFs.isLocal(child) != DbFs.isLocal(dir)) return false
+    val c = norm(child)
+    val d = norm(dir).stripSuffix("/")
+    c == d || c.startsWith(d + "/")
+  }
+
   /** Custom PHI patterns for a scan: an explicit config flag, else the
     * per-db registry written by phi-patterns-add. `consultDbRegistry`
     * decides whether the registry of an IMPLICIT (default) db counts:
@@ -239,12 +256,18 @@ object Graft {
     val verb = args.head
     val mutates = (MutatingVerbs.contains(verb) &&
       // phi-patterns-add mutates DB state only when the per-db registry
-      // is its destination; with an explicit patterns-config file (even
-      // alongside a --db) it is a standalone file utility — locking the
-      // db or appending a db audit row would claim a configuration
-      // change that never touched the db
+      // is its destination; with an explicit patterns-config file
+      // OUTSIDE the db it is a standalone file utility — locking the db
+      // or appending a db audit row would claim a configuration change
+      // that never touched the db. But an explicit --patterns-config
+      // that RESOLVES under --db (e.g. $DB/phi_patterns.toml spelled by
+      // hand) targets the same per-db registry file the implicit path
+      // does, so it takes the writer lock and audit row too — otherwise
+      // a concurrent locked add could lose a pattern to this one's
+      // unserialized read-modify-write
       !(verb == "phi-patterns-add" &&
-        (arg(args, "--db").isEmpty || patternsConfigArg(args).isDefined))) ||
+        (arg(args, "--db").isEmpty || patternsConfigArg(args).exists(cfg =>
+          !pathResolvesUnder(cfg, arg(args, "--db").get))))) ||
       (verb == "validate" &&
         (has(args, "--rebuild") || has(args, "--drop-orphans")))
     if (!mutates) runVerb(spark, args)
@@ -307,11 +330,16 @@ object Graft {
           // an explicit patterns-config flag merge into the builtin scan,
           // the reference's config-fed PHIScanner (`loader.py:275-277`)
           val custom = customPhiPatterns(args, db, consultDbRegistry = true)
+          // name-keyed merge, custom wins (the reference's dict registry):
+          // an overridden builtin must not ALSO run, or counts double and
+          // the severity resolves to the shadowed builtin's
+          val customNames = custom.map(_.name).toSet
           val customPats = custom.map(p => (p.regex, p.name))
-          val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
+          val allPats = graft.transform.PhiSanitizer.mergedRegistry(custom)
+            .map(p => (p.regex, p.name))
           val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
           val meta = graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
-            .redactions.map(r =>
+            .redactions.filterNot(r => customNames(r.category)).map(r =>
               graft.transform.PhiSanitizer.Detection(r.pattern, r.category, "HEADER")) ++
             graft.transform.PhiSanitizer.scanHeaderCustom(headerLines, customPats)
           val sampleIds = headerLines.filter(_.startsWith("#CHROM"))
@@ -1724,7 +1752,10 @@ object Graft {
         // distributed flatMap + groupBy — an unbounded full-file scan must
         // not collect the file to the driver.
         val vcf = args(1)
-        if (!new java.io.File(vcf).exists())
+        // DbFs, not java.io: the load verb accepts scheme-addressed VCFs
+        // through Hadoop IO, so the scan face must accept the same inputs
+        // (a user who loaded hdfs://x.vcf can phi-scan it)
+        if (!DbFs.exists(vcf))
           sys.error(s"VCF file not found: $vcf")
         val sampleRate = arg(args, "--sample-rate").map(_.toDouble).getOrElse(1.0)
         if (sampleRate <= 0.0 || sampleRate > 1.0)
@@ -1736,13 +1767,16 @@ object Graft {
         // scan loads (`cli.py:5857+`, `patterns.py:224-240`)
         val custom = customPhiPatterns(args, db,
           consultDbRegistry = arg(args, "--db").isDefined)
-        val registry = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
+        // name-keyed merge, custom wins — see the load verb's scan
+        val customNames = custom.map(_.name).toSet
+        val registry = graft.transform.PhiSanitizer.mergedRegistry(custom)
         val customPats = custom.map(p => (p.regex, p.name))
-        val allPats = graft.transform.PhiSanitizer.BuiltinPatterns ++ customPats
+        val allPats = registry.map(p => (p.regex, p.name))
         val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
         val headerFindings =
           graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
-            .redactions.map(r => graft.transform.PhiSanitizer.Detection(
+            .redactions.filterNot(r => customNames(r.category))
+            .map(r => graft.transform.PhiSanitizer.Detection(
               r.pattern, r.category, "HEADER")) ++
           graft.transform.PhiSanitizer.scanHeaderCustom(headerLines, customPats) ++
           headerLines.filter(_.startsWith("#CHROM"))
@@ -1807,7 +1841,8 @@ object Graft {
         // same single-node shape as the reference (this is a file
         // utility, not a table operator).
         val vcf = args(1)
-        if (!new java.io.File(vcf).exists())
+        // DbFs, not java.io: same scheme-addressed input contract as load
+        if (!DbFs.exists(vcf))
           sys.error(s"VCF file not found: $vcf")
         val conf = spark.sparkContext.hadoopConfiguration
         val inPath = new org.apache.hadoop.fs.Path(vcf)
@@ -1905,7 +1940,8 @@ object Graft {
         // get_patterns_by_severity.
         val custom = customPhiPatterns(args, db,
           consultDbRegistry = arg(args, "--db").isDefined)
-        val all = graft.transform.PhiSanitizer.BuiltinRegistry ++ custom
+        // name-keyed, custom wins: a listing must show the ACTIVE registry
+        val all = graft.transform.PhiSanitizer.mergedRegistry(custom)
         val wanted = arg(args, "--severity") match {
           case Some(s) =>
             if (!graft.transform.PhiSanitizer.Severities.contains(s))

@@ -123,16 +123,32 @@ object DbFs {
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // rename first (atomic when dst is absent, and POSIX rename also
-    // overwrites); only on a store that refuses to clobber (HDFS) delete
-    // the old file and retry. If the retry ALSO fails, the temp file is
-    // the only surviving copy — keep it and say where it is; deleting it
-    // here would destroy both the old content (already removed) and the
-    // new.
+    // overwrites). On a store that refuses to clobber (HDFS), prefer
+    // FileContext's rename with Options.Rename.OVERWRITE — atomic, so
+    // there is never a window with NO file at the final name (a crash in
+    // a delete-then-rename window would leave e.g. a missing PHI
+    // registry that later scans silently treat as "builtins only").
+    // Only when the scheme has no AbstractFileSystem binding (test
+    // schemes, exotic stores) fall back to delete+retry; if the retry
+    // ALSO fails, the temp file is the only surviving copy — keep it and
+    // say where it is; deleting it here would destroy both the old
+    // content (already removed) and the new.
     if (!fs.rename(tmp, p)) {
-      if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        sys.error(s"writeStringAtomic: cannot land $path — " +
-          s"new content preserved at $tmp")
+      val overwrote =
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri, fs.getConf)
+          fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+        }
+      if (!overwrote) {
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          sys.error(s"writeStringAtomic: cannot land $path — " +
+            s"new content preserved at $tmp")
+      }
     }
   }
 

@@ -28,6 +28,9 @@ object PhiPatternRegistry {
     if (!Severities.contains(severity))
       sys.error(s"Invalid severity: $severity. " +
         s"Must be one of: ${Severities.mkString(", ")}")
+    if (pattern.isEmpty)
+      sys.error("Invalid regex pattern: empty pattern matches at every " +
+        "position")
     val src = if (caseInsensitive) "(?i)" + pattern else pattern
     val compiled =
       try src.r
@@ -130,6 +133,11 @@ object PhiPatternRegistry {
     val lines = text.split("\n", -1).toSeq
     parseRaw(lines).map { r =>
       if (r.name.isEmpty) sys.error(s"Pattern entry missing name in $path")
+      // empty regex compiles fine but zero-width-matches at every char
+      // position, flooding every scan — a hand-edited entry missing its
+      // pattern key must error, mirroring the missing-name check
+      if (r.pattern.isEmpty)
+        sys.error(s"Pattern entry '${r.name}' missing pattern in $path")
       make(r.name, r.pattern, r.severity, r.description, r.caseInsensitive)
     }
   }

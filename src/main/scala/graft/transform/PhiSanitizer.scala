@@ -94,6 +94,17 @@ object PhiSanitizer {
   def severityOf(category: String, registry: Seq[PhiPattern]): String =
     registry.find(_.name == category).map(_.severity).getOrElse("high")
 
+  /** Merge custom patterns over the builtins NAME-KEYED, custom wins —
+    * the reference's registry is a name-keyed dict where add_pattern
+    * last-wins (`phi/patterns.py` PHIPatternRegistry), so a custom
+    * pattern reusing a builtin name REPLACES the builtin: exactly one
+    * regex runs per category and `severityOf` resolves to the custom
+    * severity instead of the shadowed builtin's. */
+  def mergedRegistry(custom: Seq[PhiPattern]): Seq[PhiPattern] = {
+    val names = custom.map(_.name).toSet
+    BuiltinRegistry.filterNot(p => names(p.name)) ++ custom
+  }
+
   /** ID= values whose lines are never redacted (genome provenance, not
     * PHI) — the reference's `preserve_fields`
     * (`phi/header_sanitizer.py:26,166-169`). Every other `##` meta line is

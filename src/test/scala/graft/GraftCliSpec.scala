@@ -1927,6 +1927,94 @@ class GraftCliSpec extends SparkSpec {
     assert(e5.getMessage.contains("Invalid severity"), e5.getMessage)
   }
 
+  test("custom pattern reusing a builtin name REPLACES it, custom wins") {
+    // the reference's registry is a name-keyed dict (add_pattern
+    // last-wins): overriding builtin 'mrn' means the builtin regex no
+    // longer runs (no double counts) and the custom severity labels the
+    // summary (no mislabel from the shadowed builtin)
+    val dir = Files.createTempDirectory("phioverride")
+    val db = dir.resolve("db").toString
+    val vcf = dir.resolve("o.vcf").toString
+    Files.writeString(java.nio.file.Paths.get(vcf),
+      """##fileformat=VCFv4.2
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	MRN:777	A	G	50	PASS	DP=10
+        |chr1	200	XMRNX-42	A	G	50	PASS	DP=10
+        |""".stripMargin)
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    Graft.run(spark, Array("phi-patterns-add", "--db", db,
+      "--name", "mrn", "--pattern", """XMRNX-\d+""",
+      "--severity", "low", "--description", "site-local mrn shape"))
+    // exactly one mrn pattern listed, the custom one
+    val listed = captured(Array("phi-patterns-list", "--db", db))
+    val mrnRows = listed.linesIterator.filter(_.contains("\tmrn\t")).toSeq
+    assert(mrnRows.length == 1, listed)
+    assert(mrnRows.head.startsWith("low") &&
+      mrnRows.head.contains("XMRNX"), listed)
+    // the scan runs ONLY the custom regex for the category: the
+    // builtin-shaped MRN:777 is NOT detected, XMRNX-42 is, and the
+    // severity summary resolves to the custom 'low'
+    val scan = captured(Array("phi-scan", vcf, "--db", db))
+    assert(scan.contains("PHI detected: 1 finding(s)"), scan)
+    assert(scan.contains("mrn: 1"), scan)
+    assert(scan.contains("low: 1") && !scan.contains("critical: 1"), scan)
+    // without the override the builtin still fires (control)
+    val plain = captured(Array("phi-scan", vcf))
+    assert(plain.contains("mrn: 1") && plain.contains("critical: 1"), plain)
+  }
+
+  test("hand-edited registry entry missing its pattern key errors loudly") {
+    // an absent pattern key would otherwise compile the empty regex,
+    // which zero-width-matches at every character position and floods
+    // the scan with empty detections
+    val dir = Files.createTempDirectory("phibadreg")
+    val cfg = dir.resolve("phi_patterns.toml").toString
+    Files.writeString(java.nio.file.Paths.get(cfg),
+      """[[patterns]]
+        |name = "nopattern"
+        |severity = "high"
+        |description = "edited by hand"
+        |""".stripMargin)
+    val e = intercept[RuntimeException] {
+      graft.transform.PhiPatternRegistry.load(cfg)
+    }
+    assert(e.getMessage.contains("missing pattern"), e.getMessage)
+    // and the add verb refuses an explicitly empty pattern
+    val e2 = intercept[RuntimeException] {
+      Graft.run(spark, Array("phi-patterns-add",
+        "--patterns-config", cfg,
+        "--name", "x", "--pattern", "", "--severity", "high"))
+    }
+    assert(e2.getMessage.contains("Invalid regex pattern"), e2.getMessage)
+  }
+
+  test("phi-patterns-add with an explicit config under --db is mutating") {
+    // --patterns-config $DB/phi_patterns.toml targets the same per-db
+    // registry the implicit path does: it must take the writer lock and
+    // land an audit row, or a concurrent locked add can lose a pattern
+    // to this one's unserialized read-modify-write
+    val dir = Files.createTempDirectory("phimut")
+    val db = dir.resolve("db").toString
+    Graft.run(spark, Array("phi-patterns-add", "--db", db,
+      "--patterns-config", s"$db/phi_patterns.toml",
+      "--name", "t1", "--pattern", "T1-\\d+", "--severity", "high"))
+    val audit = spark.read.parquet(s"$db/audit_log")
+    assert(audit.filter($"event_type" === "phi-patterns-add").count() == 1,
+      "in-db explicit config must be audit-logged like the implicit path")
+    // a config OUTSIDE the db stays a standalone file utility: no new
+    // audit row claims a db configuration change that never happened
+    Graft.run(spark, Array("phi-patterns-add", "--db", db,
+      "--patterns-config", dir.resolve("ext.toml").toString,
+      "--name", "t2", "--pattern", "T2-\\d+", "--severity", "high"))
+    assert(spark.read.parquet(s"$db/audit_log")
+      .filter($"event_type" === "phi-patterns-add").count() == 1,
+      "outside-db config must not audit-log against the db")
+  }
+
   test("phi-scan honors --sample-rate and --max-records") {
     val dir = Files.createTempDirectory("phisample")
     val vcf = dir.resolve("s.vcf").toString

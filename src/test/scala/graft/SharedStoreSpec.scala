@@ -142,6 +142,15 @@ class SharedStoreSpec extends SparkSpec {
       Graft.run(spark, Array("phi-patterns-list", "--db", db))
     }
     assert(pOut.toString.contains("t_probe"), pOut.toString)
+
+    // phi-scan accepts the same scheme-addressed inputs the load verb
+    // does — a java.io existence probe would reject an hdfs://-style
+    // path the store just loaded
+    val sOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(sOut)) {
+      Graft.run(spark, Array("phi-scan", s"faultfs://$vcf3"))
+    }
+    assert(sOut.toString.contains("Records scanned"), sOut.toString)
   }
 
   test("chaos soak: one-shot rename faults never corrupt the store or its ledger") {
