@@ -1761,6 +1761,11 @@ object Graft {
         if (sampleRate <= 0.0 || sampleRate > 1.0)
           sys.error(s"--sample-rate must be in (0.0, 1.0]: $sampleRate")
         val maxRecords = arg(args, "--max-records").map(_.toInt)
+        // output + coverage knobs matching phi detect (`cli.py:5659-5663`):
+        // --json emits the reference's report shape; --scan-headers is the
+        // default, --no-scan-headers restricts the scan to data records
+        val jsonOut = has(args, "--json")
+        val scanHeaders = !has(args, "--no-scan-headers")
         // custom registry: explicit --patterns-config, else the per-db
         // registry phi-patterns-add writes (when a --db was given and the
         // file exists) — the reference persists to a config file the later
@@ -1768,66 +1773,114 @@ object Graft {
         val custom = customPhiPatterns(args, db,
           consultDbRegistry = arg(args, "--db").isDefined)
         // name-keyed merge, custom wins — see the load verb's scan
-        val customNames = custom.map(_.name).toSet
         val registry = graft.transform.PhiSanitizer.mergedRegistry(custom)
-        val customPats = custom.map(p => (p.regex, p.name))
         val allPats = registry.map(p => (p.regex, p.name))
+        // detector-parity envelope (`detector.py:99-125,160-214`): every
+        // detection carries its 1-based file line, ±20-char context and a
+        // masked value — both the text face and --json render from it
         val headerLines = graft.vcf.VcfHeader.readHeaderLines(spark, vcf)
-        val headerFindings =
-          graft.transform.PhiSanitizer.sanitizeHeader(headerLines)
-            .redactions.filterNot(r => customNames(r.category))
-            .map(r => graft.transform.PhiSanitizer.Detection(
-              r.pattern, r.category, "HEADER")) ++
-          graft.transform.PhiSanitizer.scanHeaderCustom(headerLines, customPats) ++
-          headerLines.filter(_.startsWith("#CHROM"))
-            .flatMap(l => graft.transform.PhiSanitizer.scanChromLine(l, allPats))
+        val headerFindings: Seq[graft.transform.PhiSanitizer.DetectionAt] =
+          if (!scanHeaders) Nil
+          else headerLines.zipWithIndex.flatMap { case (l, i) =>
+            graft.transform.PhiSanitizer.scanHeaderLineAt(l, i + 1L, allPats)
+          }
+        val nHeader = headerLines.length
         val data = spark.read.textFile(vcf).filter(!$"value".startsWith("#"))
         val recordsTotal = data.count()
+        // data rows carry their file line number (headers all precede
+        // data in a VCF, so header count + 0-based data index + 1 is the
+        // 1-based file line) — zipWithIndex is one extra cheap pass over
+        // the text, still fully distributed
+        val dataAt = spark.createDataset(data.rdd.zipWithIndex.map {
+          case (v, i) => (v, nHeader + i + 1) })
         // rate draw first, then the scanned-count cap — mirrors the
         // reference's per-record order; seed fixed so reruns see the same
         // sample (documented deviation from random.random())
         val drawn =
-          if (sampleRate < 1.0) data.sample(withReplacement = false, sampleRate, 42L)
-          else data
+          if (sampleRate < 1.0) dataAt.sample(withReplacement = false, sampleRate, 42L)
+          else dataAt
         // DETECTIONS are cached, not the sampled text: the regex sweep is
         // the dominant cost on a full-file scan and three consumers
         // follow (count, category summary, first-findings) — without the
         // cache each would re-read the file and re-run every pattern
         val sampled = maxRecords.map(drawn.limit).getOrElse(drawn)
-        val detections = sampled.flatMap(l =>
-          graft.transform.PhiSanitizer.scanDataLine(l, allPats))
+        val detections = sampled.flatMap { case (l, ln) =>
+          graft.transform.PhiSanitizer.scanDataLineAt(l, ln, allPats) }
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
         val recordsScanned = sampled.count()
         val dataSummary = detections.groupBy($"category").count()
           .as[(String, Long)].collect().toMap
-        val dataFirst = detections.take(10).toSeq
+        // the per-detection list is driver-bounded: the text face prints
+        // 10, the JSON face carries up to 1000 (a detections array beyond
+        // that adds no triage value; summary/severity stay exact). The
+        // reference collects everything — it is single-node anyway.
+        val dataFirst = detections.take(if (jsonOut) 1000 else 10).toSeq
         val summary = (headerFindings.groupBy(_.category)
           .map { case (c, fs) => c -> fs.length.toLong } ++
           dataSummary.map { case (c, n) =>
             c -> (headerFindings.count(_.category == c).toLong + n) }).toMap
         val nFindings = summary.values.sum
-        if (nFindings == 0) {
+        val sevCounts = summary.toSeq
+          .groupBy { case (c, _) =>
+            graft.transform.PhiSanitizer.severityOf(c, registry) }
+          .map { case (s, xs) => s -> xs.map(_._2).sum }
+        // the reference's risk_level (`detector.py:67-77`): worst
+        // severity present, 'none' on a clean scan
+        val risk =
+          if (nFindings == 0) "none"
+          else Seq("critical", "high", "medium", "low")
+            .find(sevCounts.contains).getOrElse("low")
+        if (jsonOut) {
+          // phi detect --json report shape (`cli.py:5685-5712`); our
+          // registry carries no false-positive hints, so the key is an
+          // empty list for shape compatibility
+          def q(s: String) = "\"" + s.flatMap {
+            case '"'  => "\\\""
+            case '\\' => "\\\\"
+            case '\n' => "\\n"
+            case '\r' => "\\r"
+            case '\t' => "\\t"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c    => c.toString
+          } + "\""
+          val detJson = (headerFindings ++ dataFirst).take(1000).map { d =>
+            s"""{"pattern":${q(d.category)},""" +
+              s""""severity":${q(graft.transform.PhiSanitizer
+                .severityOf(d.category, registry))},""" +
+              s""""location":${q(d.location)},"line":${d.line},""" +
+              s""""masked_value":${q(graft.transform.PhiSanitizer
+                .maskValue(d.value))},""" +
+              s""""context":${q(d.context.take(100))},""" +
+              s""""false_positive_hints":[]}"""
+          }.mkString("[", ",", "]")
+          val sumJson = summary.toSeq.sortBy(_._1)
+            .map { case (c, n) => s"${q(c)}:$n" }.mkString("{", ",", "}")
+          val sevJson = sevCounts.toSeq.sortBy(_._1)
+            .map { case (s, n) => s"${q(s)}:$n" }.mkString("{", ",", "}")
+          println(s"""{"has_phi":${nFindings > 0},"risk_level":${q(risk)},""" +
+            s""""records_scanned":$recordsScanned,""" +
+            s""""records_total":$recordsTotal,"sample_rate":$sampleRate,""" +
+            s""""summary":$sumJson,"severity_summary":$sevJson,""" +
+            s""""detections":$detJson}""")
+        } else if (nFindings == 0) {
           println("No PHI detected")
           println(s"Records scanned: $recordsScanned / $recordsTotal")
         } else {
-          println(s"PHI detected: $nFindings finding(s)")
+          println(s"PHI detected: $nFindings finding(s) (risk level: $risk)")
           println(s"Records scanned: $recordsScanned / $recordsTotal")
           println("Summary:")
           summary.toSeq.sortBy(_._1).foreach {
             case (cat, n) => println(s"  $cat: $n")
           }
           println("Summary by severity:")
-          summary.toSeq
-            .groupBy { case (c, _) =>
-              graft.transform.PhiSanitizer.severityOf(c, registry) }
-            .map { case (s, xs) => s -> xs.map(_._2).sum }
-            .toSeq.sortBy(_._1).foreach {
-              case (sev, n) => println(s"  $sev: $n")
-            }
+          sevCounts.toSeq.sortBy(_._1).foreach {
+            case (sev, n) => println(s"  $sev: $n")
+          }
           println("Findings:")
           (headerFindings ++ dataFirst).take(10).foreach(f =>
-            println(s"  [${f.category}] ${f.context}"))
+            println(s"  [${f.category}] ${f.location} (line ${f.line}): " +
+              graft.transform.PhiSanitizer.maskValue(f.value)))
           if (nFindings > 10)
             println(s"  ... and ${nFindings - 10} more")
         }
@@ -2066,6 +2119,7 @@ object Graft {
       |  audit-export <out.json> --db DIR [--start YYYY-MM-DD] [--end YYYY-MM-DD]
       |  audit-verify-backup <backup.json>
       |  phi-scan <vcf> [--sample-rate R] [--max-records N] [--patterns-config F]
+      |           [--json] [--no-scan-headers]
       |  phi-sanitize <vcf> (--output out.vcf[.gz] | --preview)
       |  phi-report <batch-id> --db DIR
       |  phi-stats --db DIR

@@ -223,6 +223,76 @@ object PhiSanitizer {
     }
   }
 
+  /** Detection with the reference detector's full envelope
+    * (`phi/detector.py:99-125` scan_value): the 1-based source line
+    * number and a ±20-char context window with ellipses. The scan faces
+    * that report per-detection locations (phi-scan text + --json) run on
+    * this; the load gate keeps the lighter [[Detection]]. */
+  final case class DetectionAt(value: String, category: String,
+      location: String, line: Long, context: String)
+
+  /** The reference's masked_value (`detector.py:31-37`): values of <=4
+    * chars mask wholesale; longer keep first/last 2 chars. */
+  def maskValue(v: String): String =
+    if (v.length <= 4) "***"
+    else v.take(2) + "*" * (v.length - 4) + v.takeRight(2)
+
+  def scanValueAt(value: String, location: String, lineNo: Long,
+      patterns: Seq[(Regex, String)]): Seq[DetectionAt] =
+    patterns.flatMap { case (re, cat) =>
+      re.findAllMatchIn(value).toSeq
+        .filterNot(m => PreservedTokenRe.findFirstIn(m.matched).isDefined)
+        .map { m =>
+          val s = math.max(0, m.start - 20)
+          val e = math.min(value.length, m.end + 20)
+          DetectionAt(m.matched, cat, location, lineNo,
+            (if (s > 0) "..." else "") + value.substring(s, e) +
+              (if (e < value.length) "..." else ""))
+        }
+    }
+
+  /** Line-numbered detector-parity header scan (`detector.py:168-186`):
+    * ## meta lines run the full merged pattern set (preserve-field lines
+    * skipped, as in sanitizeLine); the #CHROM line's sample names scan
+    * individually as SAMPLE_ID[i]. Unlike the SANITIZER's header pass
+    * there is no wholesale-CommandLine category — the reference's
+    * detector scans header lines with patterns only, and the sanitize
+    * verb still redacts CommandLine wholesale. */
+  def scanHeaderLineAt(line: String, lineNo: Long,
+      patterns: Seq[(Regex, String)]): Seq[DetectionAt] =
+    if (line.startsWith("##")) {
+      if (PreserveIdRe.findFirstIn(line).isDefined) Nil
+      else scanValueAt(line, "HEADER", lineNo, patterns)
+    } else if (line.startsWith("#CHROM")) {
+      val parts = line.split("\t", -1)
+      if (parts.length <= 9) Nil
+      else parts.drop(9).toSeq.zipWithIndex.flatMap { case (s, i) =>
+        scanValueAt(s, s"SAMPLE_ID[$i]", lineNo, patterns)
+      }
+    } else Nil
+
+  /** scanDataLine with the full envelope: ID, INFO, FORMAT and sample
+    * columns (`detector.py:196-214`). */
+  def scanDataLineAt(line: String, lineNo: Long,
+      patterns: Seq[(Regex, String)]): Seq[DetectionAt] = {
+    val p = line.split("\t", -1)
+    if (line.startsWith("#") || p.length < 8) Nil
+    else {
+      val id =
+        if (p(2) != ".") scanValueAt(p(2), "ID", lineNo, patterns) else Nil
+      val info =
+        if (p(7) != ".") scanValueAt(p(7), "INFO", lineNo, patterns) else Nil
+      val fmt =
+        if (p.length > 8) scanValueAt(p(8), "FORMAT", lineNo, patterns)
+        else Nil
+      val samples =
+        if (p.length > 9) p.drop(9).toSeq.zipWithIndex.flatMap { case (s, i) =>
+          scanValueAt(s, s"SAMPLE[$i]", lineNo, patterns)
+        } else Nil
+      id ++ info ++ fmt ++ samples
+    }
+  }
+
   /** Scan ## meta header lines with EXTRA (custom) patterns only — the
     * builtin header coverage is sanitizeHeader's redaction scan; this adds
     * the custom-registry sweep the reference gets for free by feeding one

@@ -2015,6 +2015,59 @@ class GraftCliSpec extends SparkSpec {
       "outside-db config must not audit-log against the db")
   }
 
+  test("phi-scan --json emits the reference report shape; --no-scan-headers skips headers") {
+    val dir = Files.createTempDirectory("phijson")
+    val vcf = dir.resolve("j.vcf").toString
+    Files.writeString(java.nio.file.Paths.get(vcf),
+      """##fileformat=VCFv4.2
+        |##source=pipeline run by jsmith@hospital.org
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	MRN:445566	A	G	50	PASS	DP=10
+        |""".stripMargin)
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    val js = captured(Array("phi-scan", vcf, "--json")).trim
+    // the reference's phi detect --json keys (`cli.py:5685-5712`)
+    assert(js.startsWith("{") && js.endsWith("}"), js)
+    for (k <- Seq("\"has_phi\":true", "\"risk_level\":\"critical\"",
+        "\"records_scanned\":1", "\"records_total\":1",
+        "\"sample_rate\":1.0", "\"summary\":", "\"severity_summary\":",
+        "\"detections\":"))
+      assert(js.contains(k), s"missing $k in: $js")
+    // per-detection envelope: pattern/severity/location/line/masked_value
+    assert(js.contains("\"pattern\":\"mrn\""), js)
+    assert(js.contains("\"location\":\"ID\""), js)
+    assert(js.contains("\"line\":4"), js) // data row is file line 4
+    // masked_value keeps first/last 2 chars (`detector.py:31-37`)
+    assert(js.contains("\"masked_value\":\"MR******66\""), js)
+    assert(js.contains("\"pattern\":\"email\""), js)
+    assert(js.contains("\"location\":\"HEADER\""), js)
+    assert(js.contains("\"line\":2"), js) // header email is file line 2
+    // it parses as JSON (python oracle-side scripting reads this)
+    // minimal structural check: balanced quotes via the summary ints
+    assert(js.contains("\"mrn\":1") && js.contains("\"email\":1"), js)
+    assert(js.contains("\"critical\":1") && js.contains("\"high\":1"), js)
+    // --no-scan-headers drops the header findings but keeps data rows
+    val noHdr = captured(Array("phi-scan", vcf, "--json", "--no-scan-headers")).trim
+    assert(noHdr.contains("\"pattern\":\"mrn\""), noHdr)
+    assert(!noHdr.contains("\"location\":\"HEADER\""), noHdr)
+    assert(!noHdr.contains("email"), noHdr)
+    // text face: clean scan stays the reference's clean report
+    val cleanVcf = dir.resolve("c.vcf").toString
+    Files.writeString(java.nio.file.Paths.get(cleanVcf),
+      """##fileformat=VCFv4.2
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO
+        |chr1	100	.	A	G	50	PASS	DP=10
+        |""".stripMargin)
+    val cleanJs = captured(Array("phi-scan", cleanVcf, "--json")).trim
+    assert(cleanJs.contains("\"has_phi\":false") &&
+      cleanJs.contains("\"risk_level\":\"none\"") &&
+      cleanJs.contains("\"detections\":[]"), cleanJs)
+  }
+
   test("phi-scan honors --sample-rate and --max-records") {
     val dir = Files.createTempDirectory("phisample")
     val vcf = dir.resolve("s.vcf").toString
