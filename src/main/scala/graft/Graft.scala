@@ -99,14 +99,24 @@ object Graft {
   /** Upsert one registry row — the analogue of the reference's ON
     * CONFLICT registry upserts (K3 semantics, via Writers.upsert).
     * Registries are small metadata tables. */
+  /** Current physical dir of a logical db table: versioned dbs resolve
+    * the `<table>.current` pointer, the plain layout is identity (see
+    * `DbFs.resolvePath`). READS and APPENDS go through here; swap
+    * DESTINATIONS stay logical so `Writers` can commit by pointer flip. */
+  private def tbl(db: String, name: String): String =
+    DbFs.resolveTable(db, name)
+
   private def upsertRegistry(spark: SparkSession, dir: String,
                              row: DataFrame, key: String): Unit = {
-    if (DbFs.exists(dir))
+    // read the current physical dir (versioned dbs resolve the pointer);
+    // the swap destination stays LOGICAL so the commit is a pointer flip
+    val phys = DbFs.resolvePath(dir)
+    if (DbFs.exists(phys))
       graft.sinks.Writers.replaceInPlace(
-        graft.sinks.Writers.upsert(spark.read.parquet(dir), row, Seq(key),
+        graft.sinks.Writers.upsert(spark.read.parquet(phys), row, Seq(key),
           allowMissingColumns = true),
         dir)((d, p) => d.write.parquet(p))
-    else row.write.parquet(dir)
+    else row.write.parquet(phys)
   }
 
   /** Rewrite `$db/variants` together with BOTH covering projections in
@@ -166,8 +176,12 @@ object Graft {
   private[graft] def replaceByKeys(spark: SparkSession, dir: String,
                             incoming: DataFrame,
                             keys: Seq[(String, String)]): Unit = {
-    lazy val existing = spark.read.parquet(dir)
-    if (DbFs.exists(dir) &&
+    // reads, the surgical drop and the append all target the CURRENT
+    // physical dir; only the schema-drift rewrite arm swaps, and it
+    // passes the LOGICAL dir so a versioned db commits by pointer flip
+    val phys = DbFs.resolvePath(dir)
+    lazy val existing = spark.read.parquet(phys)
+    if (DbFs.exists(phys) &&
         keys.forall(k => existing.columns.contains(k._1))) {
       val storeSchema = existing.schema
       val storeTypes = storeSchema.map(f => f.name -> f.dataType).toMap
@@ -187,7 +201,7 @@ object Graft {
         try {
           vc.count()
           graft.sinks.Writers.dropKeyFiles(spark, dir, keys)
-          vc.write.mode("append").parquet(dir)
+          vc.write.mode("append").parquet(phys)
         } finally vc.unpersist()
       } else {
         val keep = existing.filter(
@@ -200,11 +214,11 @@ object Graft {
       // an existing table WITHOUT the key column(s) predates per-key
       // coexistence — replacing it drops every prior import's rows, so
       // say so instead of doing it silently
-      if (DbFs.exists(dir))
+      if (DbFs.exists(phys))
         println(s"WARNING: existing $dir predates the " +
           s"'${keys.map(_._1).mkString(",")}' column(s); " +
           "replacing the WHOLE table (prior imports' rows are dropped)")
-      incoming.write.mode("overwrite").parquet(dir)
+      incoming.write.mode("overwrite").parquet(phys)
     }
   }
 
@@ -296,7 +310,7 @@ object Graft {
     import spark.implicits._
     val verb = args.head
     val db = arg(args, "--db").getOrElse("/tmp/graft_db")
-    def variants = spark.read.parquet(s"$db/variants")
+    def variants = spark.read.parquet(tbl(db, "variants"))
 
     verb match {
       case "load" =>
@@ -453,11 +467,12 @@ object Graft {
                 // append there would mix layouts into an unreadable
                 // table, so such stores keep appending flat until a
                 // `compact` migrates them.
-                val legacyFlat = DbFs.hasFlatParquet(s"$db/genotypes")
+                val gDir = tbl(db, "genotypes")
+                val legacyFlat = DbFs.hasFlatParquet(gDir)
                 progress.stage("write_genotypes") {
                   val w = gw.write.mode("append")
                   (if (legacyFlat) w else w.partitionBy("chrom"))
-                    .parquet(s"$db/genotypes")
+                    .parquet(gDir)
                 }
                 // an append can land within the directory-mtime tick of
                 // a cached probe listing; drop same-JVM cached listings
@@ -500,11 +515,11 @@ object Graft {
                 // null-filled join). Cached + counted so the table
                 // writes reuse the aggregated rows instead of re-running
                 // the aggregation per write.
-                val gHasFiles = DbFs.hasData(s"$db/genotypes")
+                val gHasFiles = DbFs.hasData(gDir)
                 val qc = progress.stage("genotype_qc") {
                   val q = (if (gHasFiles)
                       graft.qc.VariantQc.fromGenotypes(
-                        spark.read.parquet(s"$db/genotypes")
+                        spark.read.parquet(gDir)
                           .withColumn("chrom", $"chrom".cast("string"))
                           .filter($"load_batch_id" === batchId))
                     else graft.qc.VariantQc.fromGenotypes(gw))
@@ -575,7 +590,7 @@ object Graft {
             // samples: its old genotype rows still must go — the same
             // surgical O(batch) drop as the genotyped arm, run only now
             // that the replacement file parsed cleanly
-            if (DbFs.exists(s"$db/genotypes")) {
+            if (DbFs.exists(tbl(db, "genotypes"))) {
               progress.stage("drop_prev_genotypes") {
                 graft.sinks.Writers.dropBatchFiles(spark, s"$db/genotypes", b)
               }
@@ -623,8 +638,8 @@ object Graft {
             vcJoined = Some(vc)
             progress.stage("join_qc")(vc.count())
           }
-          val storeExists = DbFs.exists(s"$db/variants")
-          lazy val storeSchema = spark.read.parquet(s"$db/variants").schema
+          val storeExists = DbFs.exists(tbl(db, "variants"))
+          lazy val storeSchema = spark.read.parquet(tbl(db, "variants")).schema
           def alignTo(df: DataFrame,
                       target: org.apache.spark.sql.types.StructType) =
             df.select(target.fields.toSeq.map(f =>
@@ -638,8 +653,8 @@ object Graft {
                 Some(spark.read.parquet(dir).schema)
               else None
             } catch { case scala.util.control.NonFatal(_) => None }
-          lazy val rsidSchema = projSchema(s"$db/rsid_idx")
-          lazy val geneSchema = projSchema(s"$db/gene_idx")
+          lazy val rsidSchema = projSchema(tbl(db, "rsid_idx"))
+          lazy val geneSchema = projSchema(tbl(db, "gene_idx"))
           // lazy: forced inside the schema_check stage below, so the
           // guard's footer/schema reads are attributed to it
           lazy val appendReady = storeExists && {
@@ -725,11 +740,12 @@ object Graft {
             progress.stage("write_tables") {
               graft.sinks.Writers.runConcurrently(Seq(
                 () => graft.sinks.Writers.writeVariants(
-                  aligned, s"$db/variants", mode = "append"),
+                  aligned, tbl(db, "variants"), mode = "append"),
                 () => graft.sinks.Writers.writeRsidIndex(
-                  alignTo(vc, rsidSchema.get), s"$db/rsid_idx", mode = "append"),
+                  alignTo(vc, rsidSchema.get), tbl(db, "rsid_idx"),
+                  mode = "append"),
                 () => graft.sinks.Writers.writeGeneIndex(
-                  aligned, s"$db/gene_idx", mode = "append")))
+                  aligned, tbl(db, "gene_idx"), mode = "append")))
             }
             // appends can land within the directory-mtime tick of a
             // cached probe listing (same-JVM); swaps don't need this
@@ -824,12 +840,13 @@ object Graft {
               // per-chrom incremental on the store (content unchanged, so
               // the projections stay FRESH — they only need their own
               // file-count fold-back, a plain clustered rewrite each)
-              DbFs.subdirNames(s"$db/variants")
+              val vDir = tbl(db, "variants")
+              DbFs.subdirNames(vDir)
                 .filter(_.startsWith("chrom="))
                 .foreach { d =>
-                  if (DbFs.parquetFileCount(s"$db/variants/$d") > 1)
+                  if (DbFs.parquetFileCount(s"$vDir/$d") > 1)
                     graft.sinks.Writers.compactPartitionDir(spark,
-                      s"$db/variants", d, targetMb,
+                      vDir, d, targetMb,
                       sortCols = Seq("pos"))
                 }
               graft.sinks.Writers.compactPlain(spark, s"$db/rsid_idx",
@@ -844,7 +861,7 @@ object Graft {
           // defensive only (batchN is always set on the paths above).
           val n =
             if (batchN >= 0) batchN
-            else graft.sinks.Writers.parquetRowCount(s"$db/variants")
+            else graft.sinks.Writers.parquetRowCount(tbl(db, "variants"))
           if (n == 0) {
             // a zero-variant batch (e.g. a VCF with headers but no
             // records) must not leave schema-less marker directories: a
@@ -855,9 +872,11 @@ object Graft {
             // The reference has no such failure mode — its tables exist
             // in the schema regardless of row count (`schema.py`).
             def rmIfNoParquet(t: String): Unit = {
-              val d = s"$db/$t"
-              if (DbFs.exists(d) && !DbFs.hasParquetRecursive(d))
+              val d = tbl(db, t)
+              if (DbFs.exists(d) && !DbFs.hasParquetRecursive(d)) {
                 DbFs.deleteRecursive(d)
+                DbFs.deleteRecursive(DbFs.pointerPath(s"$db/$t"))
+              }
             }
             // unconditional: also covers a force-reload to an empty file
             // whose surgical drop removed the store's only batch (a no-op
@@ -903,10 +922,10 @@ object Graft {
             // orphan data with no audit trace is the reference's explicit
             // no-no (`loader.py:547-623`)
             try {
-              if (appendedG && DbFs.exists(s"$db/genotypes"))
+              if (appendedG && DbFs.exists(tbl(db, "genotypes")))
                 graft.sinks.Writers.replaceInPlace(
                   graft.audit.Audit.dropBatch(
-                    spark.read.parquet(s"$db/genotypes"), batchId),
+                    spark.read.parquet(tbl(db, "genotypes")), batchId),
                   s"$db/genotypes")((d, p) =>
                   d.write.partitionBy("chrom").parquet(p))
             } catch { case _: Throwable => () }
@@ -916,7 +935,7 @@ object Graft {
               // pays the O(store) rewrite the happy path no longer does
               if (appendedV)
                 replaceVariantsStaged(spark, db, graft.audit.Audit.dropBatch(
-                  spark.read.parquet(s"$db/variants"), batchId))
+                  spark.read.parquet(tbl(db, "variants")), batchId))
             } catch { case _: Throwable => () }
             ledger.append(graft.audit.Audit.LedgerEntry(batchId, vcf, hash,
               "failed", 0L, now(), s"error: ${e.getMessage}"))
@@ -937,7 +956,7 @@ object Graft {
           .getOrElse(Seq("variants", "genotypes"))
         tables.foreach {
           case "variants" if has(args, "--per-chrom") &&
-              DbFs.exists(s"$db/variants") =>
+              DbFs.exists(tbl(db, "variants")) =>
             // incremental form: rewrite ONLY partition directories whose
             // file count exceeds --max-files — cost O(fragmented data),
             // the compaction shape a 100 TB store needs (the full-table
@@ -945,23 +964,24 @@ object Graft {
             // unchanged, so the covering projections stay fresh without
             // a rebuild (validate's fingerprint check proves it).
             val maxFiles = arg(args, "--max-files").getOrElse("8").toInt
-            val dirs = DbFs.subdirNames(s"$db/variants")
+            val vDir = tbl(db, "variants")
+            val dirs = DbFs.subdirNames(vDir)
               .filter(_.startsWith("chrom="))
             var doneN = 0
             dirs.foreach { d =>
-              val nf = DbFs.parquetFileCount(s"$db/variants/$d")
+              val nf = DbFs.parquetFileCount(s"$vDir/$d")
               if (nf > maxFiles) {
                 graft.sinks.Writers.compactPartitionDir(spark,
-                  s"$db/variants", d, targetMb, sortCols = Seq("pos"))
+                  vDir, d, targetMb, sortCols = Seq("pos"))
                 doneN += 1
               }
             }
             println(s"compacted $doneN/${dirs.length} chrom partition(s) " +
               "(content unchanged; projections stay fresh)")
-          case "variants" if DbFs.exists(s"$db/variants") =>
+          case "variants" if DbFs.exists(tbl(db, "variants")) =>
             replaceVariantsStaged(spark, db, variants)
             println("compacted variants (rsid_idx and gene_idx rebuilt)")
-          case t if DbFs.exists(s"$db/$t") =>
+          case t if DbFs.exists(tbl(db, t)) =>
             // genotypes compact CLUSTERED on the variant site key AND
             // hive-partitioned by chrom (migrating any pre-hive flat
             // store), so the genotype probe lists one directory and
@@ -986,7 +1006,7 @@ object Graft {
             }
             // a legacy table predating one of the cluster columns still
             // compacts — on whatever key prefix it carries
-            val present = spark.read.parquet(s"$db/$t").columns.toSet
+            val present = spark.read.parquet(tbl(db, t)).columns.toSet
             val usable = sortCols.filter(present.contains)
             val n = graft.sinks.Writers.compactPlain(
               spark, s"$db/$t", targetMb, usable,
@@ -1097,7 +1117,7 @@ object Graft {
               .join(completedIds, Seq("load_batch_id"), "left_anti")
               .collect().map(_.getString(0)).toSeq // batch-count-sized
           val orphanV = orphansOf(variants)
-          val gDir = s"$db/genotypes"
+          val gDir = tbl(db, "genotypes")
           val orphanG =
             if (DbFs.exists(gDir) &&
                 spark.read.parquet(gDir).columns.contains("load_batch_id"))
@@ -1117,7 +1137,7 @@ object Graft {
               // no store-sized rebuild to drop batch-sized residue
               val allOrphans = (orphanV ++ orphanG).distinct
               val tables = Seq("variants", "rsid_idx", "gene_idx",
-                "genotypes").filter(t => DbFs.exists(s"$db/$t"))
+                "genotypes").filter(t => DbFs.exists(tbl(db, t)))
               allOrphans.foreach { b =>
                 tables.foreach(t =>
                   graft.sinks.Writers.dropBatchFiles(spark, s"$db/$t", b))
@@ -1141,8 +1161,8 @@ object Graft {
         Seq(("rsid_idx", variants.filter($"rs_id".isNotNull)),
             ("gene_idx", variants.filter($"gene".isNotNull)))
           .foreach { case (idx, expectDf) =>
-            if (DbFs.exists(s"$db/$idx")) {
-              val idxDf = spark.read.parquet(s"$db/$idx")
+            if (DbFs.exists(tbl(db, idx))) {
+              val idxDf = spark.read.parquet(tbl(db, idx))
               // shared columns in a fixed order — the projection may be a
               // column subset (gene_idx) or predate a since-added column
               val cols = idxDf.columns.toSeq.filter(expectDf.columns.contains).sorted
@@ -1219,7 +1239,7 @@ object Graft {
         // answers in fractions of a second driver-side)
         def genotypesFor(hits: Seq[Map[String, String]]): Seq[Map[String, String]] =
           if (has(args, "--genotypes") &&
-              DbFs.exists(s"$db/genotypes"))
+              DbFs.exists(tbl(db, "genotypes")))
             hits.map(h => (h("chrom"), h("pos").toLong)).distinct
               .flatMap { case (c, p) =>
                 graft.query.PointLookup.genotypesAt(
@@ -1258,7 +1278,7 @@ object Graft {
               // (chrom,pos)-clustered genotypes table
               val gRows =
                 if (has(args, "--genotypes") &&
-                    DbFs.exists(s"$db/genotypes")) {
+                    DbFs.exists(tbl(db, "genotypes"))) {
                   val g = graft.query.PointLookup.genotypesAt(
                     spark, s"$db/genotypes", chrom, lo, hi)
                   if (g.nonEmpty || chrom.startsWith("chr")) g
@@ -1283,6 +1303,17 @@ object Graft {
         // af_from_dosages, n_eff, ...) are session-registered in main.
         DbFs.mkdirs(db)
         DbFs.mkdirs(s"$db/views")
+        // opt-in versioned-table layout: table swaps stage the next
+        // version directory and commit by flipping a `<table>.current`
+        // pointer sidecar — one atomic small-file write on every store,
+        // where S3A's directory rename is a non-atomic O(bytes)
+        // copy+delete (see DbFs.resolvePath / DEPLOY.md). Readers of a
+        // versioned db resolve pointers; the default layout stays plain
+        // parquet readable by anything.
+        if (has(args, "--versioned-tables")) {
+          DbFs.writeStringAtomic(DbFs.versionMarker(db), "1\n")
+          println("ok: versioned-table layout enabled (pointer-swap commits)")
+        }
         println(s"ok: database layout initialized at $db")
         if (!has(args, "--skip-audit")) {
           if (!DbFs.exists(s"$db/ledger"))
@@ -1321,7 +1352,7 @@ object Graft {
           harmonized.withColumn("study_accession", lit(accession)),
           "study_accession", accession)
         val n = stats.count()
-        val m = spark.read.parquet(s"$db/gwas_stats")
+        val m = spark.read.parquet(tbl(db, "gwas_stats"))
           .filter($"study_accession" === accession).count()
         upsertRegistry(spark, s"$db/studies", Seq(StudyEntry(
           accession, arg(args, "--trait"), arg(args, "--efo"),
@@ -1344,7 +1375,7 @@ object Graft {
         // counts from the raw body scan and the written parquet — don't
         // re-run the matching join
         val wc = weights.count()
-        val mc = spark.read.parquet(s"$db/prs_weights")
+        val mc = spark.read.parquet(tbl(db, "prs_weights"))
           .filter($"pgs_id" === meta.pgsId).count()
         upsertRegistry(spark, s"$db/pgs_scores", Seq(PgsEntry(
           meta.pgsId, meta.traitName, meta.traitOntologyId,
@@ -1372,17 +1403,18 @@ object Graft {
         val freqDir = s"$db/population_frequencies"
         replaceByKeys(spark, freqDir, long,
           Seq("source" -> source, "subset" -> subset))
-        val nFreq = spark.read.parquet(freqDir)
+        val nFreq = spark.read.parquet(DbFs.resolvePath(freqDir))
           .filter($"source" === source && $"subset" === subset).count()
         if (!has(args, "--no-update-popmax") &&
-            DbFs.exists(s"$db/variants")) {
+            DbFs.exists(tbl(db, "variants"))) {
           // popmax from the just-imported source's rows, as the reference
           // computes it from the imported record's own frequencies — and,
           // like its per-record UPDATE, only the variants this import
           // covers change; a variant annotated only by a previously loaded
           // source keeps its popmax
           val pm = graft.transform.PopulationFreq.popmax(
-              spark.read.parquet(freqDir).filter($"source" === source))
+              spark.read.parquet(DbFs.resolvePath(freqDir))
+                .filter($"source" === source))
             .withColumnRenamed("popmax_af", "_new_af")
             .withColumnRenamed("popmax_population", "_new_pop")
           val withCols =
@@ -1410,7 +1442,8 @@ object Graft {
         // boundary-sampling pass over the child, so a CollectMetrics
         // accumulator below the exchange fires twice and doubles the count
         // (verified empirically).
-        println("flagged in_hapmap3=" + spark.read.parquet(s"$db/variants")
+        println("flagged in_hapmap3=" +
+          spark.read.parquet(tbl(db, "variants"))
           .filter($"in_hapmap3").count())
 
       case "annotate-ld-blocks" =>
@@ -1427,24 +1460,24 @@ object Graft {
       case "compute-sample-qc" =>
         // a sample-less db has no genotypes table at all — answer with
         // the verb's contract, not a path-not-found AnalysisException
-        if (!DbFs.exists(s"$db/genotypes"))
+        if (!DbFs.exists(tbl(db, "genotypes")))
           sys.error("no genotypes table: load a VCF with sample columns first")
-        val g = spark.read.parquet(s"$db/genotypes")
+        val g = spark.read.parquet(tbl(db, "genotypes"))
         val sqc = graft.qc.SampleQc.compute(g, graft.qc.VariantQc.fromGenotypes(g))
-        sqc.write.mode("overwrite").parquet(s"$db/sample_qc")
+        sqc.write.mode("overwrite").parquet(tbl(db, "sample_qc"))
         // summarize from the written parquet — don't re-run the QC aggs
         graft.qc.SampleQc.batchSummary(
-          spark.read.parquet(s"$db/sample_qc")).show()
+          spark.read.parquet(tbl(db, "sample_qc"))).show()
 
       case "list-failing-samples" =>
         // qc/schema.py:142-163 — the qc-failed sample listing, worst
         // call_rate first; a read-only serving face over the persisted
         // sample_qc table (our schema's failure drivers stand in for the
         // reference's contamination/sex-concordance columns)
-        if (!DbFs.exists(s"$db/sample_qc"))
+        if (!DbFs.exists(tbl(db, "sample_qc")))
           println("no sample_qc table: run compute-sample-qc first")
         else {
-          val failing = spark.read.parquet(s"$db/sample_qc")
+          val failing = spark.read.parquet(tbl(db, "sample_qc"))
             .filter(!$"qc_pass")
             .select($"sample_id", $"call_rate", $"sex_inferred",
               $"het_hom_ratio")
@@ -1482,8 +1515,8 @@ object Graft {
             graft.views.PrsViews.variantQcSummary(vFull),
           "chromosome_variant_counts" ->
             graft.views.PrsViews.chromosomeVariantCounts(vFull))
-        val freqDir = s"$db/population_frequencies"
-        val gwasDir = s"$db/gwas_stats"
+        val freqDir = tbl(db, "population_frequencies")
+        val gwasDir = tbl(db, "gwas_stats")
         if (DbFs.exists(freqDir) &&
             DbFs.exists(gwasDir))
           views += ("prs_candidate_variants" ->
@@ -1494,9 +1527,9 @@ object Graft {
         else
           println("skip prs_candidate_variants: needs population_frequencies" +
             " (import-frequencies) and gwas_stats (import-gwas)")
-        if (DbFs.exists(s"$db/sample_qc"))
+        if (DbFs.exists(tbl(db, "sample_qc")))
           views += ("sample_qc_summary" -> graft.qc.SampleQc.batchSummary(
-            spark.read.parquet(s"$db/sample_qc")))
+            spark.read.parquet(tbl(db, "sample_qc"))))
         else
           println("skip sample_qc_summary: run compute-sample-qc first")
         val timings = graft.views.PrsViews.refresh(s"$db/views", views.toMap)
@@ -1512,8 +1545,8 @@ object Graft {
           case None    => sys.error("load-annotation needs --config <json>")
         }
         val src = graft.ingest.AnnotationLoader.load(spark, args(1), config)
-        src.write.mode("overwrite").parquet(s"$db/anno_$name")
-        val nSites = spark.read.parquet(s"$db/anno_$name").count()
+        src.write.mode("overwrite").parquet(tbl(db, s"anno_$name"))
+        val nSites = spark.read.parquet(tbl(db, s"anno_$name")).count()
         // registry row for list-annotations (`annotation_schema.py:
         // 130-253` register_source/update_variant_count/list_sources)
         upsertRegistry(spark, s"$db/annotation_sources", Seq(AnnotationEntry(
@@ -1528,9 +1561,9 @@ object Graft {
         // `cli.py:851-900,997-1058,1139-1192`: registry listings with a
         // --json face. Registries are small metadata tables; collect OK.
         val (dir, key) = verb match {
-          case "list-annotations" => (s"$db/annotation_sources", "name")
-          case "list-studies"     => (s"$db/studies", "study_accession")
-          case _                  => (s"$db/pgs_scores", "pgs_id")
+          case "list-annotations" => (tbl(db, "annotation_sources"), "name")
+          case "list-studies"     => (tbl(db, "studies"), "study_accession")
+          case _                  => (tbl(db, "pgs_scores"), "pgs_id")
         }
         if (!DbFs.exists(dir)) {
           if (has(args, "--json")) println("[]")
@@ -1560,10 +1593,10 @@ object Graft {
         val srcDfs = sources.map { name =>
           // name the miss: an unregistered source is a user typo, not a
           // path-not-found AnalysisException
-          if (!DbFs.exists(s"$db/anno_$name"))
+          if (!DbFs.exists(tbl(db, s"anno_$name")))
             sys.error(s"unknown annotation source '$name': " +
               "load it with load-annotation, or see list-annotations")
-          val df0 = spark.read.parquet(s"$db/anno_$name")
+          val df0 = spark.read.parquet(tbl(db, s"anno_$name"))
           val payload = df0.columns.toSeq
             .filterNot(graft.query.Annotator.JoinKey.contains)
           val renames = payload.map { c =>
@@ -1599,20 +1632,23 @@ object Graft {
         // source must not fail on an unknown table.
         val annoSources = DbFs.subdirNames(db)
           .filter(_.startsWith("anno_"))
+          // a versioned db's root also holds <table>.v-<token> dirs —
+          // those are physical versions, not logical tables
+          .filterNot(DbFs.isVersionArtifact)
           .map(n => graft.query.Annotator.Source(
             n.stripPrefix("anno_"),
-            spark.read.parquet(s"$db/$n"), Nil))
+            spark.read.parquet(tbl(db, n)), Nil))
         // registration is presence-gated: an ad-hoc query right after
         // init-db (no variants loaded yet) must still see the registries
-        if (DbFs.exists(s"$db/variants"))
+        if (DbFs.exists(tbl(db, "variants")))
           graft.query.Annotator.registerViews(variants, annoSources)
         else annoSources.foreach(s =>
           s.df.createOrReplaceTempView(s"anno_${s.name}"))
         Seq("genotypes", "gwas_stats", "prs_weights", "sample_qc",
             "population_frequencies", "ledger", "studies", "pgs_scores",
             "annotation_sources").foreach { t =>
-          if (DbFs.exists(s"$db/$t"))
-            spark.read.parquet(s"$db/$t").createOrReplaceTempView(t)
+          if (DbFs.exists(tbl(db, t)))
+            spark.read.parquet(tbl(db, t)).createOrReplaceTempView(t)
         }
         DbFs.subdirNames(s"$db/views").foreach { n =>
           spark.read.parquet(s"$db/views/$n").createOrReplaceTempView(n)
@@ -1628,9 +1664,9 @@ object Graft {
       case "export-plink" | "export-prscs" | "export-ldpred2" | "export-prsice" =>
         // --study scopes the export to one study's stats (the reference's
         // exports are study-id-scoped, `cli.py:7249-7270`)
-        if (!DbFs.exists(s"$db/gwas_stats"))
+        if (!DbFs.exists(tbl(db, "gwas_stats")))
           sys.error("no gwas_stats table: run import-gwas first")
-        val statsAll = spark.read.parquet(s"$db/gwas_stats")
+        val statsAll = spark.read.parquet(tbl(db, "gwas_stats"))
         val statsScoped = arg(args, "--study") match {
           case Some(s) if statsAll.columns.contains("study_accession") =>
             statsAll.filter($"study_accession" === s)
@@ -2092,7 +2128,7 @@ object Graft {
       |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
       |       [--phi-scan] [--fail-on-phi] [--patterns-config F] [--anonymize]
       |       [--anonymize-salt S] [--compact] [--target-file-mb N]
-      |  init-db --db DIR [--skip-audit]
+      |  init-db --db DIR [--skip-audit] [--versioned-tables]
       |  validate [BATCH_ID] --db DIR [--rebuild] [--drop-orphans]
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
       |       [--per-chrom] [--max-files N]

@@ -195,6 +195,94 @@ object Audit {
       catch { case scala.util.control.NonFatal(_) => dir }
     else new org.apache.hadoop.fs.Path(dir).toString
 
+  // ---- cross-host writer lease (remote dbs) ----
+  // The JVM monitor + OS file lock above serialize same-host writers
+  // only: java.nio file locks don't travel to a second driver HOST
+  // mutating the same HDFS/S3A db. The reference had Postgres to
+  // serialize cross-host writers; a shared filesystem has no server, so
+  // this is an advisory TTL lease — a `.writer.lease` file holding
+  // holder-id + expiry, written atomically, RE-READ after writing to
+  // detect last-writer-wins races, stolen only past expiry. A second
+  // host's mutating verb fails fast with the holder's name instead of
+  // silently interleaving swaps. Advisory: a store without atomic
+  // small-file semantics can in principle admit both racers through the
+  // confirm window — the staged-swap/rollback discipline still bounds
+  // the damage to cross-table skew, exactly the pre-lease exposure.
+
+  private[graft] def leasePath(db: String): String = s"$db/.writer.lease"
+
+  private[graft] def leaseTtlMs: Long =
+    sys.props.get("graft.writer.lease.ttl.ms").map(_.toLong)
+      .getOrElse(30L * 60 * 1000)
+
+  private def parseLease(s: String): Option[(String, Long)] = {
+    val ls = s.split("\n", -1)
+    if (ls.length >= 2)
+      scala.util.Try((ls(0).trim, ls(1).trim.toLong)).toOption
+    else None
+  }
+
+  /** A held lease; renewal keeps a long verb's expiry ahead of the TTL. */
+  final class WriterLease private[Audit] (db: String, holderId: String) {
+    @volatile private var released = false
+    private def mine(): Boolean =
+      graft.sinks.DbFs.readString(leasePath(db))
+        .flatMap(parseLease).exists(_._1 == holderId)
+    private[Audit] def write(): Unit =
+      graft.sinks.DbFs.writeStringAtomic(leasePath(db),
+        s"$holderId\n${System.currentTimeMillis() + leaseTtlMs}\n")
+    private val renewer = new Thread(() => {
+      try while (!released) {
+        Thread.sleep(math.max(1000L, leaseTtlMs / 3))
+        if (!released && mine()) write()
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-renewer")
+    renewer.setDaemon(true)
+    renewer.start()
+    def release(): Unit = {
+      released = true
+      renewer.interrupt()
+      // delete only OUR lease — a stolen/raced-away lease belongs to the
+      // winner now
+      try if (mine()) graft.sinks.DbFs.deleteRecursive(leasePath(db))
+      catch { case _: Throwable => () }
+    }
+  }
+
+  /** Acquire the cross-host lease or fail fast naming the holder. */
+  private def acquireLease(db: String): WriterLease = {
+    val me = java.net.InetAddress.getLocalHost.getHostName +
+      s"#pid${ProcessHandle.current().pid()}" +
+      s"#${java.util.UUID.randomUUID().toString.take(8)}"
+    val now = System.currentTimeMillis()
+    graft.sinks.DbFs.readString(leasePath(db)).flatMap(parseLease).foreach {
+      case (holder, expiry) =>
+        if (expiry > now)
+          sys.error(s"db writer lease held by $holder until " +
+            s"${java.time.Instant.ofEpochMilli(expiry)} — a mutating verb " +
+            "is running from another host. Stale leases expire after " +
+            s"${leaseTtlMs / 1000}s; delete ${leasePath(db)} to force-release.")
+      // expired: crash residue — steal by writing over it
+    }
+    val lease = new WriterLease(db, me)
+    lease.write()
+    def stillMine(): Boolean =
+      graft.sinks.DbFs.readString(leasePath(db))
+        .flatMap(parseLease).exists(_._1 == me)
+    def lost(): Nothing = {
+      lease.release()
+      sys.error(s"db writer lease lost to a concurrent acquirer on $db — " +
+        "another host grabbed the lease in the same instant; retry")
+    }
+    // re-read after write (a concurrent acquirer's overwrite shows up
+    // here), then a jittered confirm read so two racers that both passed
+    // the first check interleave on the window instead of both entering
+    if (!stillMine()) lost()
+    Thread.sleep(50L + scala.util.Random.nextInt(100))
+    if (!stillMine()) lost()
+    lease
+  }
+
   /** Whole-db single-writer lock for mutating CLI verbs. The reference's
     * loads serialize at Postgres — every mutation runs inside a
     * transaction and row/table locks queue concurrent writers
@@ -234,8 +322,16 @@ object Audit {
             catch { case scala.util.control.NonFatal(_) => null }
         }
       }
+      // cross-host lease, remote dbs only: same-host writers are already
+      // serialized above, so lease contention means a second DRIVER HOST
+      // — fail fast with the holder's name (local dbs have no cross-host
+      // question: the disk is the host's)
+      val lease =
+        if (graft.sinks.DbFs.isLocal(db)) None
+        else Some(acquireLease(db))
       try body
       finally {
+        lease.foreach(_.release())
         if (lock != null)
           try lock.release() catch { case _: Throwable => () }
         if (ch != null)

@@ -80,8 +80,12 @@ object PointLookup {
     * pos within a chrom directory (`Graft` load's O(batch) cohort path),
     * so cross-file order is restored by a driver-side sort of the
     * region-sized result, not assumed from file layout. */
-  def byRegion(spark: SparkSession, store: String, chrom: String,
-               lo: Long, hi: Long): Seq[Map[String, String]] =
+  def byRegion(spark: SparkSession, store0: String, chrom: String,
+               lo: Long, hi: Long): Seq[Map[String, String]] = {
+    // versioned dbs serve from the pointer's current dir (identity on
+    // the plain layout); a swap lands a NEW physical path, so the
+    // listing caches never serve a swapped-away version
+    val store = graft.sinks.DbFs.resolvePath(store0)
     read(spark, new Path(s"$store/chrom=$chrom"),
       FilterApi.and(
         FilterApi.gtEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(lo)),
@@ -90,6 +94,7 @@ object PointLookup {
       .map(_ + ("chrom" -> chrom)) // the partition column isn't in the files
       .sortBy(r => (r("pos").toLong, r.getOrElse("ref", ""),
         r.getOrElse("alt", ""), r.getOrElse("load_batch_id", "")))
+  }
 
   /** rsID probe. The index is a covering sorted projection
     * (`Writers.writeRsidIndex`), so the full row is served from ONE probe
@@ -97,8 +102,9 @@ object PointLookup {
     * reference's HASH probe pays inside Postgres). A pre-covering slim
     * index (older stores carry only the 6 join-back columns) is detected
     * from the hit shape and served the two-probe way. */
-  def byRsid(spark: SparkSession, rsidIndex: String, store: String,
+  def byRsid(spark: SparkSession, rsidIndex0: String, store: String,
              rsId: String): Seq[Map[String, String]] = {
+    val rsidIndex = graft.sinks.DbFs.resolvePath(rsidIndex0)
     val rsBin = Binary.fromString(rsId)
     val hits = read(spark, new Path(rsidIndex),
       FilterApi.eq(FilterApi.binaryColumn("rs_id"), rsBin),
@@ -124,8 +130,9 @@ object PointLookup {
     * (`Writers.writeGeneIndex`) — no second probe into the main store,
     * exactly like the reference's covering-index gene query
     * (`schema.py:264-269`, `test_query_latency.py:142-153`). */
-  def byGene(spark: SparkSession, geneIndex: String,
+  def byGene(spark: SparkSession, geneIndex0: String,
              gene: String): Seq[Map[String, String]] = {
+    val geneIndex = graft.sinks.DbFs.resolvePath(geneIndex0)
     val gBin = Binary.fromString(gene)
     read(spark, new Path(geneIndex),
       FilterApi.eq(FilterApi.binaryColumn("gene"), gBin),
@@ -148,8 +155,9 @@ object PointLookup {
     * Results are sorted (pos, sample_id) driver-side: cross-file order is
     * not meaningful here because a site's sample rows may straddle a file
     * boundary (appends are unsorted until compaction). */
-  def genotypesAt(spark: SparkSession, genotypes: String, chrom: String,
+  def genotypesAt(spark: SparkSession, genotypes0: String, chrom: String,
                   lo: Long, hi: Long): Seq[Map[String, String]] = {
+    val genotypes = graft.sinks.DbFs.resolvePath(genotypes0)
     val root = new Path(genotypes)
     val hiveDir = new Path(root, s"chrom=$chrom")
     val fs = root.getFileSystem(hadoopConf(spark))
@@ -246,7 +254,7 @@ object PointLookup {
     * listing. Swap writers don't need this: a swap replaces the directory
     * (new mtime, and dead files escalate into the relist-once retry). */
   def invalidateListings(dir: String): Unit = {
-    val prefix = new Path(dir).toString
+    val prefix = new Path(graft.sinks.DbFs.resolvePath(dir)).toString
     Seq(listingCache, pendingListing).foreach { cache =>
       cache.synchronized {
         val it = cache.keySet().iterator()

@@ -152,6 +152,47 @@ object DbFs {
     }
   }
 
+  // ---- versioned-table layout (init-db --versioned-tables) ----
+  // A table's data lives under `<table>.v-<token>/`, named by a small
+  // `<table>.current` pointer file; swapping the table = rewriting the
+  // pointer via writeStringAtomic — ONE small-file rename on every
+  // store. Motivation: S3A's directory rename is a client-side
+  // copy+delete, non-atomic and O(bytes), so the default rename-based
+  // staged swap both costs a full table copy and exposes a torn window
+  // on S3 proper. The pointer flip is O(1) and atomic everywhere.
+  // Non-versioned dbs (the default, plain-parquet layout) have no
+  // pointer files: resolution is one cheap negative lookup and the
+  // plain path serves as its own physical dir.
+
+  /** db-root marker that switches new swaps to the versioned layout. */
+  def versionMarker(db: String): String = s"$db/.versioned_tables"
+
+  def pointerPath(table: String): String = s"$table.current"
+
+  /** Logical table path → current physical directory: the pointer's
+    * target when a `<table>.current` sidecar exists, the plain path
+    * otherwise. Readers and appenders go through here; SWAP destinations
+    * stay logical (Writers resolves versioning itself at commit). */
+  def resolvePath(table: String): String =
+    readString(pointerPath(table)) match {
+      case Some(tok) if tok.trim.nonEmpty =>
+        val v = s"$table.v-${tok.trim}"
+        // dangling pointer (crash residue, or a table deleted out from
+        // under its sidecar): fall back to the plain path so the store
+        // self-heals instead of serving a missing directory
+        if (exists(v)) v else table
+      case _ => table
+    }
+
+  def resolveTable(db: String, name: String): String =
+    resolvePath(s"$db/$name")
+
+  /** True for a db-child name that is versioning plumbing (a version
+    * directory or pointer sidecar), not a logical table — listings that
+    * enumerate tables by name must skip these. */
+  def isVersionArtifact(name: String): Boolean =
+    name.contains(".v-") || name.endsWith(".current")
+
   /** True for paths the local-filesystem driver-side faces can serve
     * directly (no scheme, or file:). */
   def isLocal(path: String): Boolean = {

@@ -183,6 +183,35 @@ object Writers {
     * the staged variants temp, so they parallelize against each other
     * without changing what any of them reads. The swap phase is
     * unchanged: all-or-nothing across every entry of every group. */
+  /** Per-destination commit strategy for the staged swap. RENAME is the
+    * plain-parquet default: stage the old dir aside, rename the temp in
+    * (O(1) metadata on local/HDFS/GCS). POINTER is the versioned-table
+    * layout (`DbFs.resolvePath`): the new data is staged directly as the
+    * next version directory and commit = one atomic writeStringAtomic of
+    * the `<table>.current` sidecar — O(1) AND atomic on every store
+    * including S3A, where a directory rename is a non-atomic O(bytes)
+    * copy+delete. Entries of both kinds may share one swap. */
+  private sealed trait SwapEntry {
+    def dst: String
+    /** Commit; on failure (error/throw) THIS entry's previous data must
+      * still be live under its logical path. */
+    def commit(): Unit
+    /** Best-effort undo of a committed or in-flight entry; true when the
+      * previous data is verifiably back under the logical path. */
+    def rollback(): Boolean
+    /** Drop staged new data (failed run; only called once rollback
+      * reported true, or for never-committed entries). */
+    def dropStaged(): Unit
+    /** Drop previous data after EVERY entry committed. */
+    def cleanupOld(): Unit
+    /** Residue sweep after a VERIFIED rollback (previous data live under
+      * the logical path again) — must never touch that live data. */
+    def cleanupAfterRollback(): Unit
+    /** Where a failed rollback parked things, for the manual-restore
+      * message. */
+    def parkedNote: String
+  }
+
   def replaceInPlaceAllStagedGrouped(
       groups: Seq[Seq[(String, Map[String, String] => Unit)]]): Unit = {
     val writes = groups.flatten
@@ -191,83 +220,165 @@ object Writers {
       .sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(writes.head._1).getFileSystem(conf)
     val suffix = java.util.UUID.randomUUID().toString.take(8)
-    val tmps = writes.map { case (path, _) => path -> s"$path.tmp-$suffix" }.toMap
-    val staged = scala.collection.mutable.ArrayBuffer[
-      (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]()
+    // versioned destination = an existing pointer sidecar, or a db-root
+    // .versioned_tables marker beside the table (or one level up, for
+    // tables nested like views/<name>)
+    def versioned(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      fs.exists(new org.apache.hadoop.fs.Path(DbFs.pointerPath(path))) || {
+        val parent = p.getParent
+        parent != null && (
+          fs.exists(new org.apache.hadoop.fs.Path(parent, ".versioned_tables")) ||
+          (parent.getParent != null && fs.exists(
+            new org.apache.hadoop.fs.Path(parent.getParent, ".versioned_tables"))))
+      }
+    }
+    final class RenameEntry(val dst: String) extends SwapEntry {
+      private val dstP = new org.apache.hadoop.fs.Path(dst)
+      val tmp = s"$dst.tmp-$suffix"
+      private val tmpP = new org.apache.hadoop.fs.Path(tmp)
+      private val oldP = new org.apache.hadoop.fs.Path(s"$dst.old-$suffix")
+      private var hadPrevious = false
+      private var committed = false
+      def commit(): Unit = {
+        hadPrevious = fs.exists(dstP)
+        if (hadPrevious && !fs.rename(dstP, oldP))
+          sys.error(s"replaceInPlace: could not stage $dst aside")
+        if (!fs.rename(tmpP, dstP)) {
+          // restore this table before failing — never leave the path empty
+          if (fs.exists(oldP)) fs.rename(oldP, dstP)
+          sys.error(s"replaceInPlace: could not move new data into $dst")
+        }
+        committed = true
+      }
+      def rollback(): Boolean =
+        if (committed) {
+          // put the new data aside and the previous data back
+          if (hadPrevious) fs.rename(dstP, tmpP) && fs.rename(oldP, dstP)
+          else fs.rename(dstP, tmpP) // revert a creation
+        } else {
+          // in-flight: commit() can THROW after dst was staged aside —
+          // put its previous data back (the guard compactPartitionDir
+          // uses)
+          !(fs.exists(oldP) && !fs.exists(dstP) && !fs.rename(oldP, dstP))
+        }
+      def dropStaged(): Unit = if (fs.exists(tmpP)) fs.delete(tmpP, true)
+      def cleanupOld(): Unit = if (fs.exists(oldP)) fs.delete(oldP, true)
+      def cleanupAfterRollback(): Unit = cleanupOld()
+      def parkedNote: String =
+        s"previous data parked at $dst.old-$suffix, staged at $dst.tmp-$suffix"
+    }
+    final class PointerEntry(val dst: String) extends SwapEntry {
+      val tmp = s"$dst.v-$suffix" // staged AS the next version directory
+      private val pointer = DbFs.pointerPath(dst)
+      // captured before commit: what to restore on rollback and what to
+      // GC on success (the previous physical dir — the plain path when
+      // this is the table's first versioned swap)
+      private val prevPointer: Option[String] =
+        DbFs.readString(pointer).map(_.trim).filter(_.nonEmpty)
+      private val prevPhysical: String = DbFs.resolvePath(dst)
+      def commit(): Unit = DbFs.writeStringAtomic(pointer, suffix)
+      def rollback(): Boolean =
+        try {
+          prevPointer match {
+            case Some(tok) => DbFs.writeStringAtomic(pointer, tok); true
+            case None      =>
+              fs.delete(new org.apache.hadoop.fs.Path(pointer), false); true
+          }
+        } catch { case _: Throwable => false }
+      def dropStaged(): Unit = {
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      def cleanupOld(): Unit = {
+        // previous physical dir, plus any stale .v-* left by a crashed
+        // earlier swap — everything version-shaped that is not the new
+        // current. Readers that resolved the old pointer before the flip
+        // may fail mid-scan here; the same exposure as the rename swap's
+        // old-dir delete, but there is never a moment with NO live table
+        // under the pointer.
+        val dstP = new org.apache.hadoop.fs.Path(dst)
+        val name = dstP.getName
+        if (prevPhysical != tmp)
+          fs.delete(new org.apache.hadoop.fs.Path(prevPhysical), true)
+        val parent = dstP.getParent
+        if (parent != null) {
+          val stale =
+            try fs.listStatus(parent).toSeq.map(_.getPath.getName)
+              .filter(n => n.startsWith(s"$name.v-") && n != s"$name.v-$suffix")
+            catch { case _: java.io.FileNotFoundException => Nil }
+          stale.foreach(n =>
+            fs.delete(new org.apache.hadoop.fs.Path(parent, n), true))
+        }
+      }
+      // nothing to sweep: prevPhysical is the LIVE table again (and the
+      // staged version dir was dropStaged'd); deleting it here would
+      // destroy the data the rollback just restored
+      def cleanupAfterRollback(): Unit = ()
+      def parkedNote: String =
+        s"pointer at ${DbFs.pointerPath(dst)} may name the aborted " +
+          s"version $suffix; previous data intact at $prevPhysical"
+    }
+    val entries: Map[String, SwapEntry] = writes.map { case (path, _) =>
+      path -> (if (versioned(path)) new PointerEntry(path)
+               else new RenameEntry(path))
+    }.toMap
+    val tmps = entries.map { case (path, e) =>
+      path -> (e match {
+        case r: RenameEntry  => r.tmp
+        case p: PointerEntry => p.tmp
+      })
+    }
+    val staged = scala.collection.mutable.ArrayBuffer[SwapEntry]()
     try {
       groups.foreach { group =>
         // plans may scan the live destination paths; untouched until swap
         runConcurrently(group.map { case (_, write) => () => { write(tmps); () } })
-        group.foreach { case (path, _) =>
-          staged += ((new org.apache.hadoop.fs.Path(path),
-            new org.apache.hadoop.fs.Path(tmps(path)),
-            new org.apache.hadoop.fs.Path(s"$path.old-$suffix")))
-        }
+        group.foreach { case (path, _) => staged += entries(path) }
       }
     } catch {
       case e: Throwable =>
         // failed mid-stage: destinations are untouched; drop EVERY temp
         // (a failing concurrent group can leave part-written siblings) —
         // best-effort, never masking the original failure
-        try writes.foreach { case (path, _) =>
-          fs.delete(new org.apache.hadoop.fs.Path(tmps(path)), true)
-        } catch { case _: Throwable => () }
+        try entries.values.foreach(_.dropStaged())
+        catch { case _: Throwable => () }
         throw e
     }
-    // swap phase: on a rename failure, reverse the tables already swapped
-    val hadPrevious = Array.fill(staged.length)(false)
+    // swap phase: on a commit failure, reverse the tables already swapped
     var swapped = 0
     try {
-      staged.foreach { case (dst, tmp, old) =>
-        hadPrevious(swapped) = fs.exists(dst)
-        if (hadPrevious(swapped) && !fs.rename(dst, old))
-          sys.error(s"replaceInPlace: could not stage $dst aside")
-        if (!fs.rename(tmp, dst)) {
-          // restore this table before failing — never leave the path empty
-          if (fs.exists(old)) fs.rename(old, dst)
-          sys.error(s"replaceInPlace: could not move new data into $dst")
-        }
-        swapped += 1
-      }
+      staged.foreach { e => e.commit(); swapped += 1 }
     } catch {
       case e: Throwable =>
         try {
-          // track per-entry rollback success: a backup may only be
+          // track per-entry rollback success: staged data may only be
           // deleted once its table is verifiably back in place — an
           // unconditional sweep would destroy the ONLY copy of a table
-          // whose restore rename silently failed (split commit with the
-          // backup gone)
+          // whose restore silently failed (split commit with the backup
+          // gone)
           val rolledBack = Array.fill(staged.length)(true)
-          // the IN-FLIGHT entry (index `swapped`): rename(tmp, dst) can
-          // THROW after dst was staged aside, which the (0 until swapped)
-          // loop below does not cover — put its previous data back first
-          // (the guard compactPartitionDir uses)
-          if (swapped < staged.length) {
-            val (dst, _, old) = staged(swapped)
-            if (fs.exists(old) && !fs.exists(dst) && !fs.rename(old, dst))
-              rolledBack(swapped) = false
-          }
+          // the IN-FLIGHT entry (index `swapped`) first, then committed
+          // entries in reverse
+          if (swapped < staged.length)
+            rolledBack(swapped) = staged(swapped).rollback()
           (0 until swapped).reverse.foreach { j =>
-            val (dst, tmp, old) = staged(j)
-            if (hadPrevious(j)) {
-              // put the new data aside and the previous data back
-              rolledBack(j) = fs.rename(dst, tmp) && fs.rename(old, dst)
-            } else rolledBack(j) = fs.rename(dst, tmp) // revert a creation
+            rolledBack(j) = staged(j).rollback()
           }
-          staged.zipWithIndex.foreach { case ((_, tmp, _), j) =>
-            if (rolledBack(j) && fs.exists(tmp)) fs.delete(tmp, true) }
-          staged.zipWithIndex.foreach { case ((_, _, old), j) =>
-            if (rolledBack(j) && fs.exists(old)) fs.delete(old, true) }
+          staged.zipWithIndex.foreach { case (en, j) =>
+            if (rolledBack(j)) en.dropStaged() }
+          staged.zipWithIndex.foreach { case (en, j) =>
+            if (rolledBack(j)) en.cleanupAfterRollback() }
           val stuck = staged.zipWithIndex.collect {
-            case ((dst, _, _), j) if !rolledBack(j) => dst.toString }
+            case (en, j) if !rolledBack(j) => en }
           if (stuck.nonEmpty)
             System.err.println("replaceInPlace rollback incomplete for " +
-              s"${stuck.mkString(", ")} — previous data parked at " +
-              s"*.old-$suffix, staged data at *.tmp-$suffix; restore manually")
+              stuck.map(_.dst).mkString(", ") + " — " +
+              stuck.map(_.parkedNote).mkString("; ") + "; restore manually")
         } catch { case _: Throwable => () }
         throw e
     }
-    staged.foreach { case (_, _, old) => if (fs.exists(old)) fs.delete(old, true) }
+    staged.foreach(_.cleanupOld())
   }
 
   /** Compact an unpartitioned table directory into ~targetMb parquet
@@ -289,12 +400,16 @@ object Writers {
   def compactPlain(spark: SparkSession, dir: String, targetMb: Long,
                    sortCols: Seq[String] = Nil,
                    partitionCol: Option[String] = None): Int = {
-    val p = new org.apache.hadoop.fs.Path(dir)
+    // read + size the CURRENT physical dir (versioned dbs resolve the
+    // pointer; identity on the plain layout); the swap destination stays
+    // the LOGICAL path so a versioned db commits by pointer flip
+    val phys = DbFs.resolvePath(dir)
+    val p = new org.apache.hadoop.fs.Path(phys)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val targetBytes = targetMb * 1024L * 1024L
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(phys)
     val shaped =
       if (sortCols.isEmpty) df.repartition(n)
       else df.repartitionByRange(n, sortCols.map(col): _*)
@@ -339,9 +454,11 @@ object Writers {
     * bogus partition value to any concurrent partition discovery; outside
     * the root, readers never see intermediate state beyond the same O(1)
     * rename window every swap here has. Returns the target file count. */
-  def compactPartitionDir(spark: SparkSession, tableRoot: String,
+  def compactPartitionDir(spark: SparkSession, tableRoot0: String,
                           dirName: String, targetMb: Long,
                           sortCols: Seq[String]): Int = {
+    // partition surgery happens INSIDE the current version dir
+    val tableRoot = DbFs.resolvePath(tableRoot0)
     val dst = new org.apache.hadoop.fs.Path(s"$tableRoot/$dirName")
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(dst).getLength
@@ -431,7 +548,8 @@ object Writers {
                    keys: Seq[(String, String)]): (Int, Int) = {
     require(keys.nonEmpty, "dropKeyFiles: at least one key required")
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(dir)
+    // file surgery within the current version dir (identity on plain)
+    val root = new org.apache.hadoop.fs.Path(DbFs.resolvePath(dir))
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return (0, 0)
     val pure = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()

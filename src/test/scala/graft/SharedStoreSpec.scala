@@ -153,7 +153,186 @@ class SharedStoreSpec extends SparkSpec {
     assert(sOut.toString.contains("Records scanned"), sOut.toString)
   }
 
+  test("versioned db: swaps commit by pointer flip, never by table-dir rename") {
+    val db = schemeDb("verdb")
+    Graft.run(spark, Array("init-db", "--db", db, "--versioned-tables"))
+    val vcfDir = Files.createTempDirectory("vervcf")
+    val vcf1 = vcfDir.resolve("a.vcf").toString
+    val vcf2 = vcfDir.resolve("b.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf1, 300, seed = 71L)
+    graft.vcf.SyntheticVcf.write(vcf2, 300, seed = 72L)
+
+    // fresh-db load commits via pointer: variants resolves to a v-dir
+    Graft.run(spark, Array("load", vcf1, "--db", db))
+    val vPhys1 = graft.sinks.DbFs.resolveTable(db, "variants")
+    assert(vPhys1.contains(".v-"), s"expected a version dir, got $vPhys1")
+    assert(spark.read.parquet(vPhys1).count() > 0)
+
+    // appends land in the CURRENT version dir — no new version per load
+    Graft.run(spark, Array("load", vcf2, "--db", db))
+    assert(graft.sinks.DbFs.resolveTable(db, "variants") == vPhys1,
+      "an append must not mint a new version")
+    val total2 = spark.read.parquet(vPhys1).count()
+    assert(spark.read.parquet(vPhys1)
+      .select("load_batch_id").distinct().count() == 2)
+
+    // the commit discipline, OBSERVED: during the 3-table compact swap
+    // no rename targets a logical table path or a top-level version dir
+    // — on S3 proper a directory rename is a non-atomic O(bytes)
+    // copy+delete, so the only commit-path rename allowed is the small
+    // pointer-file write. (Committer renames INSIDE a staged version
+    // dir are invisible to readers and fine.)
+    FaultFs.reset()
+    FaultFs.recordRenames = true
+    try Graft.run(spark, Array("compact", "--db", db, "--tables", "variants"))
+    finally FaultFs.recordRenames = false
+    val tables = Seq("variants", "rsid_idx", "gene_idx")
+    import scala.jdk.CollectionConverters._
+    val offenders = FaultFs.renames.asScala.toSeq.filter { case (_, dst, _) =>
+      val p = new org.apache.hadoop.fs.Path(dst)
+      val name = p.getName
+      val parentIsDb = Option(p.getParent).exists(_.toString.endsWith("/db"))
+      parentIsDb && tables.exists(t =>
+        name == t || name.matches(java.util.regex.Pattern.quote(t) + "\\.v-.*"))
+    }
+    assert(offenders.isEmpty,
+      s"commit must be pointer-only; table-path renames seen: $offenders")
+    val vPhys2 = graft.sinks.DbFs.resolveTable(db, "variants")
+    assert(vPhys2 != vPhys1 && vPhys2.contains(".v-"),
+      "compact must have flipped the pointer to a new version")
+    assert(spark.read.parquet(vPhys2).count() == total2)
+    // GC: the swapped-away version is gone; exactly one version dir per
+    // table remains and the plain path never reappeared
+    tables.foreach { t =>
+      val vdirs = graft.sinks.DbFs.children(db)
+        .map(_.getPath.getName).filter(_.startsWith(s"$t.v-"))
+      assert(vdirs.length == 1, s"$t version dirs after GC: $vdirs")
+      assert(!graft.sinks.DbFs.exists(s"$db/$t"),
+        s"plain $t dir must not coexist with a pointer")
+    }
+    // point serving resolves the pointer
+    val site = spark.read.parquet(vPhys2)
+      .filter($"chrom" === "chr1").agg(min($"pos")).head().getLong(0)
+    assert(graft.query.PointLookup.byPosition(
+      spark, s"$db/variants", "chr1", site).nonEmpty)
+
+    // FAULT ARM: the third pointer commit (gene_idx) fails twice — the
+    // initial rename AND writeStringAtomic's delete+retry — so the swap
+    // errors mid-commit; rollback must restore ALL three pointers (the
+    // two flipped ones and the in-flight one) and sweep the staged
+    // version dirs
+    val before = tables.map(t =>
+      graft.sinks.DbFs.readString(s"$db/$t.current").get.trim)
+    val geneFaults = new java.util.concurrent.atomic.AtomicInteger(0)
+    FaultFs.failWhen = (_, dst) =>
+      dst.toString.endsWith("gene_idx.current") &&
+        geneFaults.incrementAndGet() <= 2
+    val e = intercept[Throwable] {
+      try Graft.run(spark, Array("compact", "--db", db, "--tables", "variants"))
+      finally FaultFs.reset()
+    }
+    assert(e.getMessage != null, e.toString)
+    val after = tables.map(t =>
+      graft.sinks.DbFs.readString(s"$db/$t.current").get.trim)
+    assert(after == before,
+      s"rollback must restore every pointer: $before -> $after")
+    tables.foreach { t =>
+      val phys = graft.sinks.DbFs.resolveTable(db, t)
+      assert(graft.sinks.DbFs.exists(phys), s"$t resolves to missing $phys")
+      val vdirs = graft.sinks.DbFs.children(db)
+        .map(_.getPath.getName).filter(n =>
+          n.startsWith(s"$t.v-") && !n.contains(".tmp-"))
+      assert(vdirs.length == 1,
+        s"staged versions must be swept after rollback: $t has $vdirs")
+    }
+    assert(spark.read.parquet(
+      graft.sinks.DbFs.resolveTable(db, "variants")).count() == total2)
+    // and the store still takes a clean swap afterwards
+    Graft.run(spark, Array("compact", "--db", db, "--tables", "variants"))
+    assert(spark.read.parquet(
+      graft.sinks.DbFs.resolveTable(db, "variants")).count() == total2)
+  }
+
+  test("cross-host writer lease: foreign holder blocks, race loses cleanly, expiry steals") {
+    val db = schemeDb("leasedb")
+    val vcfDir = Files.createTempDirectory("leasevcf")
+    val vcf = vcfDir.resolve("a.vcf").toString
+    graft.vcf.SyntheticVcf.write(vcf, 80, seed = 91L)
+    val leasePath = s"$db/.writer.lease"
+    graft.sinks.DbFs.mkdirs(db)
+
+    // (1) a DISTINCT simulated holder with a live lease: the same-host
+    // monitor + file lock pass (they can't see another host), so the
+    // lease is what fails the verb — fast, naming the holder
+    graft.sinks.DbFs.writeStringAtomic(leasePath,
+      s"other-host#pid1#aaaa\n${System.currentTimeMillis() + 3600000L}\n")
+    val e1 = intercept[RuntimeException] {
+      Graft.run(spark, Array("load", vcf, "--db", db))
+    }
+    assert(e1.getMessage.contains("other-host"), e1.getMessage)
+    assert(e1.getMessage.contains("lease"), e1.getMessage)
+    assert(!graft.sinks.DbFs.exists(
+      graft.sinks.DbFs.resolveTable(db, "variants")),
+      "a lease-blocked verb must not have touched the store")
+    // the loser must not have destroyed the holder's lease
+    assert(graft.sinks.DbFs.readString(leasePath).get.startsWith("other-host"))
+
+    // (2) a racer overwriting inside the confirm window: the verb's
+    // re-read-after-write detects the loss and errors cleanly, leaving
+    // the racer's lease in place
+    graft.sinks.DbFs.deleteRecursive(leasePath)
+    val stopRacer = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racer = new Thread(() => {
+      while (!stopRacer.get) {
+        graft.sinks.DbFs.readString(leasePath) match {
+          case Some(c) if !c.startsWith("racer-host") =>
+            graft.sinks.DbFs.writeStringAtomic(leasePath,
+              s"racer-host#pid2#bbbb\n${System.currentTimeMillis() + 3600000L}\n")
+          case _ => ()
+        }
+        Thread.sleep(5)
+      }
+    })
+    racer.setDaemon(true)
+    racer.start()
+    try {
+      val e2 = intercept[RuntimeException] {
+        Graft.run(spark, Array("load", vcf, "--db", db))
+      }
+      assert(e2.getMessage.contains("lease"), e2.getMessage)
+    } finally {
+      stopRacer.set(true)
+      racer.join(2000)
+    }
+    assert(graft.sinks.DbFs.readString(leasePath).get.startsWith("racer-host"),
+      "the race winner's lease must survive the loser's cleanup")
+
+    // (3) an EXPIRED lease is crash residue: stolen, the verb runs, and
+    // the lease is released afterwards
+    graft.sinks.DbFs.writeStringAtomic(leasePath,
+      s"other-host#pid1#aaaa\n${System.currentTimeMillis() - 1000L}\n")
+    Graft.run(spark, Array("load", vcf, "--db", db))
+    assert(spark.read.parquet(
+      graft.sinks.DbFs.resolveTable(db, "variants")).count() > 0)
+    assert(!graft.sinks.DbFs.exists(leasePath),
+      "the lease must be released after the verb")
+  }
+
   test("chaos soak: one-shot rename faults never corrupt the store or its ledger") {
+    chaosSoak(schemeDb("chaosdb"), versioned = false)
+  }
+
+  test("chaos soak on a VERSIONED db: pointer commits + GC survive faults") {
+    // same contract, versioned layout: the injected faults now also hit
+    // the writeStringAtomic pointer commits (their temps carry .tmp-)
+    // and the post-commit version GC — a lost pointer or a GC'd live
+    // version would fail (a) immediately
+    val db = schemeDb("chaosvdb")
+    Graft.run(spark, Array("init-db", "--db", db, "--versioned-tables"))
+    chaosSoak(db, versioned = true)
+  }
+
+  private def chaosSoak(db: String, versioned: Boolean): Unit = {
     // the crash-consistency CONTRACT under repeated injected faults:
     // after ANY mutating verb — succeeded or killed by a rename fault
     // at a random point in its file surgery — the store must satisfy
@@ -166,7 +345,6 @@ class SharedStoreSpec extends SparkSpec {
     // .tip sidecar moves) — each the object-store failure mode at a
     // different point in a mutation.
     val rnd = new scala.util.Random(424242L)
-    val db = schemeDb("chaosdb")
     val vcfDir = Files.createTempDirectory("chaosvcf")
     val vcfs = (0 until 3).map { i =>
       val p = vcfDir.resolve(s"c$i.vcf").toString
@@ -209,8 +387,9 @@ class SharedStoreSpec extends SparkSpec {
       try runOp(op) finally FaultFs.reset()
       // (a) every table reads back
       Seq("variants", "rsid_idx", "gene_idx", "genotypes", "ledger").foreach { t =>
-        if (graft.sinks.DbFs.exists(s"$db/$t"))
-          assert(spark.read.parquet(s"$db/$t").count() >= 0,
+        val phys = graft.sinks.DbFs.resolveTable(db, t)
+        if (graft.sinks.DbFs.exists(phys))
+          assert(spark.read.parquet(phys).count() >= 0,
             s"round $round: $t unreadable after ${op.mkString(" ")}")
       }
       // (b) validate clean, or orphans repaired to clean
@@ -237,9 +416,16 @@ class SharedStoreSpec extends SparkSpec {
     assert(faultsFired.get() >= 2,
       s"only ${faultsFired.get()} fault(s) fired across the soak")
     // the store still takes a clean full load afterwards
-    val before = spark.read.parquet(s"$db/variants")
+    val before = spark.read.parquet(graft.sinks.DbFs.resolveTable(db, "variants"))
       .select("load_batch_id").distinct().count()
     assert(before >= 1)
+    // versioned invariant: after the dust settles, each pointered table
+    // has its pointer naming a live dir (the resolver never dangles)
+    if (versioned)
+      Seq("variants", "rsid_idx", "gene_idx").foreach { t =>
+        val phys = graft.sinks.DbFs.resolveTable(db, t)
+        assert(graft.sinks.DbFs.exists(phys), s"$t resolves to missing $phys")
+      }
   }
 
   test("a mutating verb queues behind another process's writer lock") {

@@ -16,8 +16,15 @@ import org.apache.hadoop.fs.permission.FsPermission
 class FaultFs extends RawLocalFileSystem {
   override def getUri: URI = FaultFs.SchemeUri
 
-  override def rename(src: Path, dst: Path): Boolean =
+  override def rename(src: Path, dst: Path): Boolean = {
+    // record every rename so specs can assert what a commit path DOES
+    // (e.g. the versioned pointer swap must never rename a table
+    // directory — on S3 proper that is a non-atomic O(bytes) copy)
+    if (FaultFs.recordRenames) FaultFs.renames.add((src.toString,
+      dst.toString, try getFileStatus(src).isDirectory
+                    catch { case _: java.io.IOException => false }))
     if (FaultFs.failWhen(src, dst)) false else super.rename(src, dst)
+  }
 
   // RawLocalFileSystem's DeprecatedRawLocalFileStatus loads permissions
   // LAZILY via `new java.io.File(path.toUri)`, which rejects any scheme
@@ -39,5 +46,14 @@ object FaultFs {
 
   @volatile var failWhen: (Path, Path) => Boolean = (_, _) => false
 
-  def reset(): Unit = failWhen = (_, _) => false
+  /** When set, every rename is recorded as (src, dst, srcIsDirectory). */
+  @volatile var recordRenames: Boolean = false
+  val renames = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, String, Boolean)]()
+
+  def reset(): Unit = {
+    failWhen = (_, _) => false
+    recordRenames = false
+    renames.clear()
+  }
 }
