@@ -610,6 +610,14 @@ object Bench {
           spark.read.parquet(pairsDir)).count() > 0)
       }
       rmrf(new java.io.File(pairsDir))
+      // r10's 10M spread (128-238 s across retries) was OURS, not the
+      // host's: the corpus assignment ranked via a row_number window
+      // over corpus×nCentroids scored rows — a 640M-row shuffle+sort
+      // whose spill behavior moved run to run — then rebuilt the
+      // inverted lists with a corpus-sized self-join. Replacing both
+      // with a map-side argmax aggregate (Similarity.ivfTopK) measured
+      // 78.0/91.3/69.8 s over three consecutive 10M runs (1.31x spread,
+      // ~2.2x faster; graft.tools.IvfProbe reproduces the measurement).
       timeScaleRow(s"p_scale_ivf_topk_$label", n.toDouble,
           smaller("p_scale_ivf_topk")) {
         val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)

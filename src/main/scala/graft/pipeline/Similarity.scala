@@ -195,26 +195,43 @@ object Similarity {
     // self-dot-products inside every (row, centroid) pair of the
     // full-corpus assignment pass); ties break toward the smaller
     // centroid id
+    def scoredAgainstCentroids(df: DataFrame, vec: String): DataFrame = df
+      .withColumn("_row_norm", sqrt(dotCol(col(vec), col(vec))))
+      .crossJoin(broadcast(cent))
+      .withColumn("_cd",
+        when(col("_row_norm") > 0 && col("_cent_norm") > 0,
+          dotCol(col(vec), col("cent_vec")) /
+            (col("_row_norm") * col("_cent_norm"))))
+
     def nearestCentroids(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = df
-        .withColumn("_row_norm", sqrt(dotCol(col(vec), col(vec))))
-        .crossJoin(broadcast(cent))
-        .withColumn("_cd",
-          when(col("_row_norm") > 0 && col("_cent_norm") > 0,
-            dotCol(col(vec), col("cent_vec")) /
-              (col("_row_norm") * col("_cent_norm"))))
       val w = Window.partitionBy(col(id))
         .orderBy(round(col("_cd"), 5).desc, col("cent_id"))
-      scored.withColumn("_cr", row_number().over(w))
+      scoredAgainstCentroids(df, vec).withColumn("_cr", row_number().over(w))
         .filter(col("_cr") <= n)
         .select(col(id), col("cent_id"))
     }
 
-    val assigned = nearestCentroids(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      "neighbor_id", "c_vec", 1)
-    val lists = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .join(assigned, "neighbor_id")
+    // CORPUS assignment is argmax (n=1), and the difference matters at
+    // scale: a row_number window would shuffle AND SORT corpus×nCentroids
+    // scored rows (10M docs × 64 centroids = 640M rows — the dominant,
+    // spill-heavy stage of the whole operator), where a groupBy max
+    // collapses each partition's nCentroids candidates per id map-side
+    // and shuffles ~corpus-many compact structs. Carrying the vector
+    // through the aggregate (constant per id, so first() is
+    // deterministic) also removes the corpus-sized self-join the
+    // assignment-only shape would need to rebuild the inverted lists.
+    // Tie semantics match the window exactly: max(struct(score desc ≡
+    // max, -cent_id ≡ smaller id wins)), scores rounded to 5 decimals
+    // the same way.
+    val lists = scoredAgainstCentroids(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+        "c_vec")
+      .groupBy(col("neighbor_id"))
+      .agg(
+        max(struct(round(col("_cd"), 5).as("_s"), (-col("cent_id")).as("_nid")))
+          .as("_b"),
+        first(col("c_vec")).as("c_vec"))
+      .select(col("neighbor_id"), (-col("_b._nid")).as("cent_id"), col("c_vec"))
       .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
 
     val probes = nearestCentroids(
