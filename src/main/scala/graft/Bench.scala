@@ -646,6 +646,87 @@ object Bench {
           f"to 10M docs (gate $ScaleGateFactor%.1fx) — superlinear behavior")
     }
 
+    // ---- relational scale decade (VERDICT r10 next-round #5): the
+    // §2.5-2.7 shapes run at sf-dir scale only (sub-second at sf0.1,
+    // noise-dominated), so the two worst shuffle-bearing shapes — q05's
+    // groups-semijoin (two lineitem shuffles on l_orderkey) and q14's
+    // multi-join-enrich (fact SMJ + two dim joins + agg) — get a 10x
+    // point gated on per-row growth like the p_scale rows. 10x = the
+    // FACT tables replicated into disjoint order-key spaces (group
+    // count scales 10x, per-group size constant); the dims stay fixed,
+    // the realistic fact-grows shape and exactly what must keep the
+    // dim joins broadcast at scale.
+    {
+      val t = Tables(spark, sfDir)
+      // keyed by sf-dir name: a bench run at another SF must not pair
+      // its 1x tables with a cached 10x replica of a different size
+      val relDir =
+        s"/tmp/graft_bench_scale_rel_${new java.io.File(sfDir).getName}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(relDir))) {
+        val maxOrder = t.lineitem.agg(max(col("l_orderkey"))).head().getLong(0) + 1L
+        val rep = broadcast(spark.range(10).toDF("_rep"))
+        t.lineitem.crossJoin(rep)
+          .withColumn("l_orderkey", col("l_orderkey") + col("_rep") * maxOrder)
+          .drop("_rep").write.parquet(s"$relDir/lineitem")
+        t.orders.crossJoin(rep)
+          .withColumn("o_orderkey", col("o_orderkey") + col("_rep") * maxOrder)
+          .drop("_rep").write.parquet(s"$relDir/orders")
+      }
+      val li10 = spark.read.parquet(s"$relDir/lineitem")
+      val ord10 = spark.read.parquet(s"$relDir/orders")
+      val liRows = t.lineitem.count().toDouble
+      timeScaleRow("rel_scale_q05_1x", liRows, None) {
+        materialize(graft.queries.Relational.q05Shape(t.lineitem))
+      }
+      timeScaleRow("rel_scale_q05_10x", liRows * 10,
+          Some(("rel_scale_q05_1x", liRows))) {
+        materialize(graft.queries.Relational.q05Shape(li10))
+      }
+      timeScaleRow("rel_scale_q14_1x", liRows, None) {
+        materialize(graft.queries.Relational.q14Shape(
+          t.lineitem, t.orders, t.part, t.supplier))
+      }
+      timeScaleRow("rel_scale_q14_10x", liRows * 10,
+          Some(("rel_scale_q14_1x", liRows))) {
+        materialize(graft.queries.Relational.q14Shape(
+          li10, ord10, t.part, t.supplier))
+      }
+      // plan asserts at the BIG size (post-execution = AQE-final): the
+      // fixed dims must still join broadcast — a flip to SMJ re-shuffles
+      // the 10x fact twice more — and neither shape may degrade to a
+      // nested-loop/cartesian
+      val p14 = {
+        val df = graft.queries.Relational.q14Shape(
+          li10, ord10, t.part, t.supplier)
+        materialize(df)
+        df.queryExecution.executedPlan.toString
+      }
+      assert("BroadcastHashJoin".r.findAllIn(p14).size >= 2,
+        s"q14 dim joins not broadcast at 10x:\n$p14")
+      assert(!p14.contains("BroadcastNestedLoop") &&
+        !p14.contains("CartesianProduct"), s"q14 degenerate join at 10x:\n$p14")
+      val p05 = {
+        val df = graft.queries.Relational.q05Shape(li10)
+        materialize(df)
+        df.queryExecution.executedPlan.toString
+      }
+      assert(p05.contains("LeftSemi"), s"q05 lost its semijoin:\n$p05")
+      assert(!p05.contains("BroadcastNestedLoop") &&
+        !p05.contains("CartesianProduct"), s"q05 degenerate join at 10x:\n$p05")
+      // growth gate, same statistic as the p_scale rows (min over
+      // stall-retried samples; per-row cost at 10x vs 1x)
+      Seq("rel_scale_q05", "rel_scale_q14").foreach { m =>
+        results(s"${m}_1x") = raw(s"${m}_1x").min
+        results(s"${m}_10x") = raw(s"${m}_10x").min
+        val ratio = (results(s"${m}_10x") / (liRows * 10)) /
+          (results(s"${m}_1x") / liRows)
+        results(s"${m}_per_row_ratio") = ratio
+        assert(ratio <= ScaleGateFactor,
+          f"SCALE REGRESSION: $m per-row wall-time grew $ratio%.2fx from " +
+            f"1x to 10x rows (gate $ScaleGateFactor%.1fx)")
+      }
+    }
+
     // ---- VCF-side scale decade, gated like the pipeline rows:
     // end-to-end LOAD at 1M variants (the GIAB-scale BASELINE row is a
     // 4M-variant load at 20-50K var/s) and parse at 10M. Single-run;

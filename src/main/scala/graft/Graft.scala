@@ -1218,6 +1218,29 @@ object Graft {
           })
           println(s"rebuilt ${staleIdx.mkString(", ")} from the live store")
         }
+        // versioned-layout invariants (init-db --versioned-tables): each
+        // pointer must name a live dir, and leftover non-current version
+        // dirs are crash residue (the next swap of that table sweeps
+        // them; reported here, not auto-deleted — one may be an
+        // in-flight reader's resolved scan)
+        if (DbFs.exists(DbFs.versionMarker(db))) {
+          val childNames = DbFs.children(db).map(_.getPath.getName)
+          Seq("variants", "rsid_idx", "gene_idx", "genotypes", "gwas_stats",
+              "prs_weights", "population_frequencies", "studies",
+              "pgs_scores", "annotation_sources").foreach { t =>
+            DbFs.readString(s"$db/$t.current").map(_.trim)
+              .filter(_.nonEmpty).foreach { tok =>
+              if (!DbFs.exists(s"$db/$t.v-$tok"))
+                println(s"$t: DANGLING pointer ($t.current -> $t.v-$tok " +
+                  "missing; reads fall back to the plain path)")
+              val orphans = childNames.filter(n =>
+                n.startsWith(s"$t.v-") && n != s"$t.v-$tok")
+              if (orphans.nonEmpty)
+                println(s"$t: ${orphans.length} stale version dir(s) " +
+                  s"(${orphans.mkString(",")}) — swept by the next swap")
+            }
+          }
+        }
 
       case "lookup" =>
         // the reference's indexed point SELECT face

@@ -32,6 +32,35 @@ object Relational {
     sum(price.cast(DecimalType(18, 4)) *
       (lit(1.0) - discount).cast(DecimalType(18, 4))).cast("double")
 
+  /** q05's shape on an arbitrary lineitem — shared by the oracle-checked
+    * query and the bench's 10x scale point so the gated plan IS the
+    * product plan. */
+  def q05Shape(lineitem: DataFrame): DataFrame = {
+    val qualifying = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        max(col("l_extendedprice")).as("max_price"))
+      .filter(col("n_parts") >= 2 && col("max_price") > 90000.0)
+      .select(col("l_orderkey"))
+    lineitem.join(qualifying, Seq("l_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q14's shape on arbitrary fact/dim tables — see q05Shape. */
+  def q14Shape(lineitem: DataFrame, orders: DataFrame,
+               part: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"), "left")
+      .join(supplier, col("l_suppkey") === col("s_suppkey"), "left")
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("p_brand"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("p_brand"), col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A4/A5-shape grouped aggregation (TPC-H Q1 pricing summary).
     "q01_pricing_summary" -> { (s, dir) =>
@@ -91,17 +120,7 @@ object Relational {
     // J10 compound-het shape: groups qualifying by HAVING, then semi-join
     // the member rows back.
     "q05_groups_semijoin" -> { (s, dir) =>
-      import s.implicits._
-      val t = Tables(s, dir)
-      val qualifying = t.lineitem
-        .groupBy($"l_orderkey")
-        .agg(countDistinct($"l_partkey").as("n_parts"),
-          max($"l_extendedprice").as("max_price"))
-        .filter($"n_parts" >= 2 && $"max_price" > 90000.0)
-        .select($"l_orderkey")
-      t.lineitem.join(qualifying, Seq("l_orderkey"), "left_semi")
-        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_extendedprice")
-        .orderBy($"l_orderkey", $"l_linenumber")
+      q05Shape(Tables(s, dir).lineitem)
     },
 
     // §2.10 audit-hash-chain shape: lag() over an ordered per-key window.
@@ -211,17 +230,8 @@ object Relational {
 
     // J1 annotation-fold shape: fact LEFT JOIN several sources, filtered.
     "q14_multi_join_enrich" -> { (s, dir) =>
-      import s.implicits._
       val t = Tables(s, dir)
-      t.lineitem
-        .join(t.orders, $"l_orderkey" === $"o_orderkey")
-        .join(t.part, $"l_partkey" === $"p_partkey", "left")
-        .join(t.supplier, $"l_suppkey" === $"s_suppkey", "left")
-        .filter($"o_orderstatus" === "F")
-        .groupBy($"p_brand", $"o_orderpriority")
-        .agg(count(lit(1)).as("n_lines"),
-          revenue($"l_extendedprice", $"l_discount").as("revenue"))
-        .orderBy($"p_brand", $"o_orderpriority")
+      q14Shape(t.lineitem, t.orders, t.part, t.supplier)
     },
 
     // A7 per-chromosome-counts shape: two broadcast dims + rollup.

@@ -225,6 +225,10 @@ object Writers {
     // tables nested like views/<name>)
     def versioned(path: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(path)
+      // a destination that IS a version dir (a resolved physical path
+      // leaking into a swap) must never nest another version inside
+      // itself — fall back to the rename swap, which is correct there
+      if (p.getName.contains(".v-")) return false
       fs.exists(new org.apache.hadoop.fs.Path(DbFs.pointerPath(path))) || {
         val parent = p.getParent
         parent != null && (
