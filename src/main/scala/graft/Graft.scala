@@ -2142,7 +2142,11 @@ object Graft {
         Bench.main(Array.empty)
 
       case other =>
-        println(s"unknown verb: $other"); usage(); sys.exit(1)
+        // error, not sys.exit: run() is also the library-embedding entry
+        // (tests, notebooks) — an exit(1) here silently kills the HOST
+        // JVM; main's caller still gets a nonzero exit from the throw
+        println(s"unknown verb: $other"); usage()
+        sys.error(s"unknown verb: $other")
     }
   }
 

@@ -251,6 +251,65 @@ class SharedStoreSpec extends SparkSpec {
     Graft.run(spark, Array("compact", "--db", db, "--tables", "variants"))
     assert(spark.read.parquet(
       graft.sinks.DbFs.resolveTable(db, "variants")).count() == total2)
+
+    // import path on the versioned layout: matching reads resolve, the
+    // registry upsert mints a pointer for the registry table, and the
+    // per-key surgical replace operates INSIDE the fact table's current
+    // version (no new version per import)
+    val mv = spark.read.parquet(graft.sinks.DbFs.resolveTable(db, "variants"))
+      .filter($"rs_id".isNotNull && $"ref".isin("A", "C", "G", "T") &&
+        $"alt".isin("A", "C", "G", "T"))
+      .select("chrom", "pos", "ref", "alt", "rs_id").head()
+    val tsv = vcfDir.resolve("stats.tsv")
+    java.nio.file.Files.write(tsv, java.util.Arrays.asList(
+      "CHR\tPOS\tEA\tOA\tPVAL\tBETA\tSE\tEAF\tSNP",
+      s"${mv.getString(0).stripPrefix("chr")}\t${mv.getLong(1)}\t" +
+        s"${mv.getString(3)}\t${mv.getString(2)}\t1e-8\t0.05\t0.01\t0.25\t" +
+        mv.getString(4)))
+    Graft.run(spark, Array("import-gwas", tsv.toString, "--db", db,
+      "--study-accession", "GCST11"))
+    val gwasPhys1 = graft.sinks.DbFs.resolveTable(db, "gwas_stats")
+    val n1 = spark.read.parquet(gwasPhys1)
+      .filter($"study_accession" === "GCST11").count()
+    assert(n1 >= 1, "import-gwas landed no rows on the versioned layout")
+    // second import of the same study: surgical replace within the
+    // current fact version (pointer unchanged), registry re-upsert
+    // swaps the REGISTRY to a new version via its pointer
+    Graft.run(spark, Array("import-gwas", tsv.toString, "--db", db,
+      "--study-accession", "GCST11"))
+    assert(graft.sinks.DbFs.resolveTable(db, "gwas_stats") == gwasPhys1,
+      "per-key replace must not mint a fact-table version")
+    assert(spark.read.parquet(gwasPhys1)
+      .filter($"study_accession" === "GCST11").count() == n1,
+      "re-import must replace, not duplicate")
+    assert(graft.sinks.DbFs.resolveTable(db, "studies").contains(".v-"),
+      "the registry upsert should commit via pointer on a versioned db")
+    assert(spark.read.parquet(
+      graft.sinks.DbFs.resolveTable(db, "studies")).count() == 1)
+    val lOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(lOut)) {
+      Graft.run(spark, Array("list-studies", "--db", db))
+    }
+    assert(lOut.toString.contains("GCST11"), lOut.toString)
+
+    // the sql verb's db-root listing must not read version dirs or
+    // pointer sidecars as tables
+    val qOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(qOut)) {
+      Graft.run(spark, Array("annotation-query",
+        "SELECT count(*) AS n FROM variants", "--db", db))
+    }
+    assert(qOut.toString.contains(total2.toString), qOut.toString)
+
+    // validate answers clean on the versioned layout (ledger reconcile
+    // reads resolved tables; no dangling-pointer or stale-version lines)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
+    assert(!vOut.toString.contains("DANGLING"), vOut.toString)
+    assert(!vOut.toString.contains("stale version"), vOut.toString)
   }
 
   test("cross-host writer lease: foreign holder blocks, race loses cleanly, expiry steals") {
