@@ -662,7 +662,12 @@ object Bench {
       // its 1x tables with a cached 10x replica of a different size
       val relDir =
         s"/tmp/graft_bench_scale_rel_${new java.io.File(sfDir).getName}"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(relDir))) {
+      // guard on a DONE marker, not the parent dir: a crash between the
+      // two table writes would otherwise poison the cache permanently
+      // (dir exists, orders missing, every later run fails the read)
+      val relDone = java.nio.file.Paths.get(relDir, ".done")
+      if (!java.nio.file.Files.exists(relDone)) {
+        rmrf(new java.io.File(relDir))
         val maxOrder = t.lineitem.agg(max(col("l_orderkey"))).head().getLong(0) + 1L
         val rep = broadcast(spark.range(10).toDF("_rep"))
         t.lineitem.crossJoin(rep)
@@ -671,16 +676,25 @@ object Bench {
         t.orders.crossJoin(rep)
           .withColumn("o_orderkey", col("o_orderkey") + col("_rep") * maxOrder)
           .drop("_rep").write.parquet(s"$relDir/orders")
+        java.nio.file.Files.createFile(relDone)
       }
       val li10 = spark.read.parquet(s"$relDir/lineitem")
       val ord10 = spark.read.parquet(s"$relDir/orders")
       val liRows = t.lineitem.count().toDouble
+      // one DataFrame per 10x shape, reused by the timed row AND the
+      // plan assert below: after the last timed materialization,
+      // queryExecution.executedPlan is the AQE-FINAL plan — reading it
+      // costs nothing, where rebuilding the df and re-materializing
+      // would run the most expensive rows a whole extra time
+      val df05big = graft.queries.Relational.q05Shape(li10)
+      val df14big = graft.queries.Relational.q14Shape(
+        li10, ord10, t.part, t.supplier)
       timeScaleRow("rel_scale_q05_1x", liRows, None) {
         materialize(graft.queries.Relational.q05Shape(t.lineitem))
       }
       timeScaleRow("rel_scale_q05_10x", liRows * 10,
           Some(("rel_scale_q05_1x", liRows))) {
-        materialize(graft.queries.Relational.q05Shape(li10))
+        materialize(df05big)
       }
       timeScaleRow("rel_scale_q14_1x", liRows, None) {
         materialize(graft.queries.Relational.q14Shape(
@@ -688,28 +702,18 @@ object Bench {
       }
       timeScaleRow("rel_scale_q14_10x", liRows * 10,
           Some(("rel_scale_q14_1x", liRows))) {
-        materialize(graft.queries.Relational.q14Shape(
-          li10, ord10, t.part, t.supplier))
+        materialize(df14big)
       }
       // plan asserts at the BIG size (post-execution = AQE-final): the
       // fixed dims must still join broadcast — a flip to SMJ re-shuffles
       // the 10x fact twice more — and neither shape may degrade to a
       // nested-loop/cartesian
-      val p14 = {
-        val df = graft.queries.Relational.q14Shape(
-          li10, ord10, t.part, t.supplier)
-        materialize(df)
-        df.queryExecution.executedPlan.toString
-      }
+      val p14 = df14big.queryExecution.executedPlan.toString
       assert("BroadcastHashJoin".r.findAllIn(p14).size >= 2,
         s"q14 dim joins not broadcast at 10x:\n$p14")
       assert(!p14.contains("BroadcastNestedLoop") &&
         !p14.contains("CartesianProduct"), s"q14 degenerate join at 10x:\n$p14")
-      val p05 = {
-        val df = graft.queries.Relational.q05Shape(li10)
-        materialize(df)
-        df.queryExecution.executedPlan.toString
-      }
+      val p05 = df05big.queryExecution.executedPlan.toString
       assert(p05.contains("LeftSemi"), s"q05 lost its semijoin:\n$p05")
       assert(!p05.contains("BroadcastNestedLoop") &&
         !p05.contains("CartesianProduct"), s"q05 degenerate join at 10x:\n$p05")

@@ -325,12 +325,17 @@ object Audit {
       // cross-host lease, remote dbs only: same-host writers are already
       // serialized above, so lease contention means a second DRIVER HOST
       // — fail fast with the holder's name (local dbs have no cross-host
-      // question: the disk is the host's)
-      val lease =
-        if (graft.sinks.DbFs.isLocal(db)) None
-        else Some(acquireLease(db))
-      try body
-      finally {
+      // question: the disk is the host's). Acquired INSIDE the
+      // try/finally: a lease fail-fast that escaped before the finally
+      // would leak the held OS file lock + channel, and in a long-lived
+      // embedding JVM every later attempt would hit
+      // OverlappingFileLockException (swallowed → UNLOCKED verb) while
+      // other processes block on the dead lock forever
+      var lease: Option[WriterLease] = None
+      try {
+        if (!graft.sinks.DbFs.isLocal(db)) lease = Some(acquireLease(db))
+        body
+      } finally {
         lease.foreach(_.release())
         if (lock != null)
           try lock.release() catch { case _: Throwable => () }

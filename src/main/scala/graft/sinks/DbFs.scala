@@ -167,6 +167,11 @@ object DbFs {
   /** db-root marker that switches new swaps to the versioned layout. */
   def versionMarker(db: String): String = s"$db/.versioned_tables"
 
+  /** Append-only audit tables, read/appended via plain paths by design —
+    * never pointer-committed, even on a versioned db (see
+    * Writers.replaceInPlaceAllStagedGrouped). */
+  val AppendOnlyTables: Set[String] = Set("ledger", "audit_log")
+
   def pointerPath(table: String): String = s"$table.current"
 
   /** Logical table path → current physical directory: the pointer's

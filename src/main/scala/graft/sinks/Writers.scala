@@ -229,12 +229,19 @@ object Writers {
       // leaking into a swap) must never nest another version inside
       // itself — fall back to the rename swap, which is correct there
       if (p.getName.contains(".v-")) return false
+      // append-only audit tables (ledger, audit_log) are deliberately
+      // read and appended via their PLAIN paths everywhere (Audit.Ledger,
+      // appendRowDriverSide, the tip sidecar) — pointer-committing one
+      // (e.g. `compact --tables ledger` on a versioned db) would hide
+      // the history behind a pointer those paths never resolve, then
+      // split appends from reads. They keep the rename swap on every
+      // layout; they are driver-appended small tables, so the S3A copy
+      // cost the pointer commit exists to avoid is immaterial here.
+      if (DbFs.AppendOnlyTables.contains(p.getName)) return false
       fs.exists(new org.apache.hadoop.fs.Path(DbFs.pointerPath(path))) || {
         val parent = p.getParent
-        parent != null && (
-          fs.exists(new org.apache.hadoop.fs.Path(parent, ".versioned_tables")) ||
-          (parent.getParent != null && fs.exists(
-            new org.apache.hadoop.fs.Path(parent.getParent, ".versioned_tables"))))
+        parent != null &&
+          fs.exists(new org.apache.hadoop.fs.Path(parent, ".versioned_tables"))
       }
     }
     final class RenameEntry(val dst: String) extends SwapEntry {

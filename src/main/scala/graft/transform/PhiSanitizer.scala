@@ -188,11 +188,10 @@ object PhiSanitizer {
     * feeding the detector). */
   def scanValue(value: String, context: String,
       patterns: Seq[(Regex, String)] = BuiltinPatterns): Seq[Detection] =
-    patterns.flatMap { case (re, cat) =>
-      re.findAllIn(value).toSeq
-        .filterNot(m => PreservedTokenRe.findFirstIn(m).isDefined)
-        .map(m => Detection(m, cat, context))
-    }
+    // one matching rule set: the envelope form is the single source of
+    // truth; this lighter face just drops the line/context envelope
+    scanValueAt(value, context, 0L, patterns)
+      .map(d => Detection(d.value, d.category, d.location))
 
   /** Scan the #CHROM column-header line's sample names
     * (`detector.py:180-186`). */
@@ -206,22 +205,12 @@ object PhiSanitizer {
   }
 
   /** Scan one data row's PHI-bearing fields: ID, INFO, FORMAT, sample
-    * columns (`detector.py:196-214`). */
+    * columns (`detector.py:196-214`). Delegates to the envelope form so
+    * the column rules exist exactly once. */
   def scanDataLine(line: String,
-      patterns: Seq[(Regex, String)] = BuiltinPatterns): Seq[Detection] = {
-    val p = line.split("\t", -1)
-    if (line.startsWith("#") || p.length < 8) Nil
-    else {
-      val id = if (p(2) != ".") scanValue(p(2), "ID", patterns) else Nil
-      val info = if (p(7) != ".") scanValue(p(7), "INFO", patterns) else Nil
-      val fmt = if (p.length > 8) scanValue(p(8), "FORMAT", patterns) else Nil
-      val samples =
-        if (p.length > 9) p.drop(9).toSeq.zipWithIndex.flatMap { case (s, i) =>
-          scanValue(s, s"SAMPLE[$i]", patterns)
-        } else Nil
-      id ++ info ++ fmt ++ samples
-    }
-  }
+      patterns: Seq[(Regex, String)] = BuiltinPatterns): Seq[Detection] =
+    scanDataLineAt(line, 0L, patterns)
+      .map(d => Detection(d.value, d.category, d.location))
 
   /** Detection with the reference detector's full envelope
     * (`phi/detector.py:99-125` scan_value): the 1-based source line

@@ -310,6 +310,23 @@ class SharedStoreSpec extends SparkSpec {
     assert(!vOut.toString.contains("MISMATCH"), vOut.toString)
     assert(!vOut.toString.contains("DANGLING"), vOut.toString)
     assert(!vOut.toString.contains("stale version"), vOut.toString)
+
+    // append-only audit tables NEVER pointer-commit, even here: their
+    // readers and appenders use plain paths by design, so a pointered
+    // ledger would hide the load history (skip-by-hash answers "never
+    // loaded" → silent duplicate loads) and split appends from reads
+    val ledgerBefore = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").count()
+    Graft.run(spark, Array("compact", "--db", db, "--tables", "ledger"))
+    assert(!graft.sinks.DbFs.exists(s"$db/ledger.current"),
+      "ledger must compact by rename, not pointer, on a versioned db")
+    assert(spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").count() == ledgerBefore)
+    // and the history still gates reloads: the same file skips
+    Graft.run(spark, Array("load", vcf2, "--db", db))
+    assert(spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").count() == ledgerBefore,
+      "a compacted ledger must still answer skip-by-hash")
   }
 
   test("cross-host writer lease: foreign holder blocks, race loses cleanly, expiry steals") {
