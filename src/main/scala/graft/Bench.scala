@@ -591,13 +591,31 @@ object Bench {
       // memory through the gated IVF measurement; deleting a directory
       // frees deterministically
       val pairsDir = s"/tmp/graft_bench_scale_pairs_$label"
+      val sigsDir = s"/tmp/graft_bench_scale_sigs_$label"
       def smaller(metric: String): Option[(String, Double)] =
         if (label == "10m") Some((s"${metric}_1m", 1e6)) else None
       timeScaleRow(s"p_scale_minhash_pairs_$label", n.toDouble,
           smaller("p_scale_minhash_pairs")) {
         rmrf(new java.io.File(pairsDir))
-        graft.pipeline.Dedup.minhashCandidatePairs(
-          docs, maxBucketSize = Some(500)).write.parquet(pairsDir)
+        rmrf(new java.io.File(sigsDir))
+        // staged, as production would run it: signatures (the expensive
+        // text-hashing stage, ~0.5 KB/doc) materialize once to parquet
+        // and the banding/pairs/verify plan re-reads the columnar
+        // relation instead of re-executing the signature subtree on all
+        // SIX of its branches (plan-verified: the lazy executed plan
+        // carries 6 corpus FileScans, 0 ReusedExchanges —
+        // graft.tools.MinhashProbe "plan"; interleaved same-JVM A/B at
+        // 1M: staged 24.6 s vs lazy 26.5 s min-of-3, and staged is the
+        // shape that scales — at 100 TB nobody re-hashes the corpus 6
+        // times). Both stages timed inside the row — same deliverable,
+        // honest total.
+        graft.pipeline.Dedup.writeSignatures(
+          graft.pipeline.Dedup.minhashSignatures(docs, "text", "doc_id", 3, 64),
+          sigsDir)
+        graft.pipeline.Dedup.minhashCandidatePairsFromSignatures(
+          spark.read.parquet(sigsDir), maxBucketSize = Some(500))
+          .write.parquet(pairsDir)
+        rmrf(new java.io.File(sigsDir))
         val nP = spark.read.parquet(pairsDir).count()
         // the hot bucket must have been capped: 2000 identical docs
         // would alone contribute ~2M pairs; genuine near-dup pairs are

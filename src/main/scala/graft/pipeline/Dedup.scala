@@ -92,25 +92,79 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, textCol: String = "text",
                             idCol: String = "doc_id", shingleK: Int = 3,
                             numHashes: Int = 64, bands: Int = 16,
-                            maxBucketSize: Option[Int] = None): DataFrame = {
+                            maxBucketSize: Option[Int] = None): DataFrame =
+    minhashCandidatePairsFromSignatures(
+      minhashSignatures(docs, textCol, idCol, shingleK, numHashes),
+      idCol, "_sig", numHashes, bands, maxBucketSize)
+
+  /** Materialize a signature relation to parquet with BOUNDED row
+    * groups (32 MB vs the 128 MB default). A signature file is dense
+    * fixed-width arrays — ~0.5 KB/doc that barely compresses — so at
+    * 10M docs the default layout is ~130 MB single-row-group files,
+    * and a wide scan buffers one whole row-group column chunk per
+    * task: 32 concurrent local threads × ~130 MB compressed + its
+    * decompressed vectors exceeds an 8 GB driver heap (measured: the
+    * staged 10M pairs run OOMs in the sig scan with default blocks,
+    * passes with 32 MB). Smaller row groups also give split-based
+    * parallelism real granularity on object stores. */
+  def writeSignatures(sigs: DataFrame, path: String): Unit =
+    sigs.write.option("parquet.block.size", (32 * 1024 * 1024).toString)
+      .parquet(path)
+
+  /** Candidate pairs from an ALREADY-COMPUTED signature relation — the
+    * scale path. The lazy composition above embeds the signature
+    * pipeline (shingle explode + 64-slot min-agg over the full text) as
+    * a subtree of every plan branch that needs it — the bucket
+    * grouping plus the two est-Jaccard verification joins, SIX corpus
+    * FileScans with zero ReusedExchanges in the executed plan
+    * (`graft.tools.MinhashProbe plan`). Signatures are `numHashes`
+    * longs per doc — ~0.5 KB against multi-KB text — so at scale the
+    * right shape is: materialize `minhashSignatures` once (via
+    * [[writeSignatures]] — row-group size matters, see there), then
+    * derive pairs from the stored relation, where every branch
+    * re-reads a columnar file instead of re-hashing the corpus.
+    * Interleaved same-JVM A/B at 1M docs: staged 24.6 s vs lazy
+    * 26.5 s (min of 3); at 10M the staged grouped pipeline runs
+    * 268 s end-to-end vs 594 s for the former lazy self-join shape. */
+  def minhashCandidatePairsFromSignatures(
+      sigs: DataFrame, idCol: String = "doc_id", sigCol: String = "_sig",
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = minhashSignatures(docs, textCol, idCol, shingleK, numHashes)
+    val withSig =
+      if (sigCol == "_sig") sigs else sigs.withColumnRenamed(sigCol, "_sig")
 
-    val bandsAll = lshBands(withSig, "_sig", bands, rowsPerBand, idCol)
-    val bandsDf = maxBucketSize match {
-      case None => bandsAll
-      case Some(cap) =>
-        val ok = bandsAll.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("_n")).filter(col("_n") <= cap)
-          .select("band_idx", "band_hash")
-        bandsAll.join(ok, Seq("band_idx", "band_hash"), "left_semi")
+    // Bucket-grouped pair generation — ONE shuffle of the band rows,
+    // versus the naive band self-join's three (bucket-size count, the
+    // cap semi-join on each self-join side, then the 160M-row
+    // sort-merge self-join at 10M docs). Each bucket's member list is
+    // collected once (sorted, so id_a < id_b falls out of i < j) and
+    // the i<j pairs are generated inside the row with codegen'd
+    // higher-order functions; the cap becomes a plain size() filter
+    // instead of a count+semi-join plan branch. Per-group state is
+    // O(bucket) — bounded by the cap for the degenerate buckets that
+    // matter (and the scale story for byte-identical floods remains
+    // exact dedup FIRST, which removes them before LSH runs; an
+    // uncapped run is a correctness-oracle path, not the scale path).
+    // null drop for parity with an equi-join shape: a null id or null
+    // signature (possible in a user-supplied sigs relation; never
+    // produced by minhashSignatures) would otherwise form a null-keyed
+    // bucket under groupBy where a join key would have dropped it
+    val bandsAll = lshBands(
+      withSig.filter(col(idCol).isNotNull && col("_sig").isNotNull),
+      "_sig", bands, rowsPerBand, idCol)
+    val buckets = bandsAll.groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+    val sized = maxBucketSize match {
+      case None      => buckets.filter(size(col("_ids")) >= 2)
+      case Some(cap) => buckets.filter(size(col("_ids")).between(2, cap))
     }
-    val left = bandsDf.select(col(idCol).as("id_a"), col("band_idx"), col("band_hash"))
-    val right = bandsDf.select(col(idCol).as("id_b"), col("band_idx"), col("band_hash"))
-
-    val pairs = left.join(right, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val n = size(col("_ids"))
+    val pairs = sized
+      .select(explode(flatten(transform(col("_ids"), (a, i) =>
+        transform(slice(col("_ids"), i + lit(2), n - i - lit(1)),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b")).distinct()
 
     val sigA = withSig.select(col(idCol).as("id_a"), col("_sig").as("sig_a"))
     val sigB = withSig.select(col(idCol).as("id_b"), col("_sig").as("sig_b"))
@@ -256,18 +310,30 @@ object Dedup {
       struct(lit(c).as("chunk_idx"),
         shiftrightunsigned(col("_sig"), start).bitwiseAND(lit(mask)).as("chunk"))
     }
-    val banded = withSig.select(col(idCol), col("_sig"), explode(array(chunks: _*)).as("c"))
+    // explicit null drop for parity with the former equi-self-join shape
+    // (null join keys never matched, so null-sig/null-id docs silently
+    // fell out; groupBy would instead form a null-keyed bucket)
+    val banded = withSig
+      .filter(col(idCol).isNotNull && col("_sig").isNotNull)
+      .select(col(idCol), col("_sig"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("_sig"), col("c.chunk_idx"), col("c.chunk"))
 
-    val left = banded.select(col(idCol).as("id_a"), col("_sig").as("sig_a"),
-      col("chunk_idx"), col("chunk"))
-    val right = banded.select(col(idCol).as("id_b"), col("_sig").as("sig_b"),
-      col("chunk_idx"), col("chunk"))
-
-    left.join(right, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    // bucket-grouped pair generation (same single-shuffle shape as the
+    // minhash path): members collect once per chunk bucket, sorted so
+    // id_a < id_b falls out of i < j, hamming computed inline from the
+    // carried signatures — no self-join and no verification join at all
+    val buckets = banded.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("_sig").as("sig")))).as("_m"))
+      .filter(size(col("_m")) >= 2)
+    val n = size(col("_m"))
+    buckets
+      .select(explode(flatten(transform(col("_m"), (a, i) =>
+        transform(slice(col("_m"), i + lit(2), n - i - lit(1)), b =>
+          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
+              .as("hamming")))))).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"), col("_p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

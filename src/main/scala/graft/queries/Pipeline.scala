@@ -85,6 +85,28 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // The STAGED minhash path (signatures materialized to parquet once,
+    // pairs derived from the stored relation — the scale shape the bench
+    // decade runs) must produce bit-identical pairs to the lazy
+    // composition; same oracle as p07.
+    "p17_minhash_pairs_staged" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.filter($"doc_id" < 200)
+      val mutated = d.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" appended tail token")).as("text"))
+      val corpus = d.select($"doc_id", $"text").union(mutated)
+      val sigDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_p17_sigs").getPath
+      Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 64)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (32 * 1024 * 1024).toString)
+        .parquet(sigDir)
+      Dedup.minhashCandidatePairsFromSignatures(s.read.parquet(sigDir))
+        .filter($"est_jaccard" >= 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Near-dup CLUSTER formation: connected components over the LSH
     // candidate pairs (transitive near-dups fold into one cluster, so
     // exactly one representative survives canonical-keep) — the step a

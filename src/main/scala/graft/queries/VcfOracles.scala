@@ -38,7 +38,8 @@ object VcfOracles {
     "vcf_gene_index", "vcf_rsid_index",
     "p09_lang_id", "p07_minhash_pairs", "p08_simhash_pairs",
     "p10_doc_fingerprint", "p11_media_features", "p12_embedding_neardup",
-    "p13_lsh_topk", "p14_ivf_topk", "p15_dedup_clusters", "p16_dedup_keep")
+    "p13_lsh_topk", "p14_ivf_topk", "p15_dedup_clusters", "p16_dedup_keep",
+    "p17_minhash_pairs_staged")
 
   private def readResource(path: String): String = {
     val in = getClass.getResourceAsStream(path)

@@ -94,6 +94,30 @@ class DedupSpec extends SparkSpec {
       pairs.filter(p => p._2 == 4L).forall(_._3 < 0.3)) // unrelated low sim
   }
 
+  test("staged pairs (signatures via parquet) equal the lazy composition") {
+    // the scale path the bench decade runs: signatures materialize once,
+    // pairs derive from the stored relation — must be bit-identical to
+    // minhashCandidatePairs (same hashes, banding, cap, est_jaccard)
+    val dir = java.nio.file.Files.createTempDirectory("mh_staged").toFile
+    try {
+      val sigDir = new java.io.File(dir, "sigs").getPath
+      Dedup.minhashSignatures(docs, "text", "doc_id", 3, 64)
+        .write.parquet(sigDir)
+      val staged = Dedup.minhashCandidatePairsFromSignatures(
+        spark.read.parquet(sigDir), maxBucketSize = Some(5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val lazily = Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      assert(staged.toSeq == lazily.toSeq)
+      assert(staged.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("minhash bucket cap drops pathological all-identical buckets") {
     // 30 byte-identical docs: uncapped → C(30,2)+... pairs; cap 5 → none
     val clones = (1L to 30L).map(i => (i, "same same same text body here"))

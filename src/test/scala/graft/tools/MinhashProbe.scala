@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-off measurement harness for the 10M-doc minhash pairs row
+  * (not a test): times the pipeline stages independently against the
+  * bench corpus so re-execution overhead is visible. Run via
+  * `sbt "Test/runMain graft.tools.MinhashProbe [staged|full]"`.
+  */
+object MinhashProbe {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("staged")
+    // mirror Bench's session exactly (4 MB splits, AQE, 32 shuffle
+    // partitions) so the measurement predicts the gated bench row
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors}]")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors.toString)
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/tmp/graft_bench_scale_10m")
+      .select("doc_id", "text")
+    def t[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"[mh] $label ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    def rm(p: String): Unit = {
+      val d = new java.io.File(p)
+      if (d.exists) { d.listFiles.foreach(_.delete()); d.delete() }
+    }
+    mode match {
+      case "plan" =>
+        val small = spark.read.parquet("/tmp/graft_bench_scale_100k")
+          .select("doc_id", "text")
+        val df = graft.pipeline.Dedup.minhashCandidatePairs(
+          small, maxBucketSize = Some(500))
+        df.agg(count(lit(1))).head()
+        val ex = df.queryExecution.executedPlan.toString
+        val reused = "ReusedExchange".r.findAllIn(ex).length
+        val scans = "Scan parquet".r.findAllIn(ex).length
+        val aggs = "HashAggregate".r.findAllIn(ex).length
+        println(s"[mh] plan reusedExchange=$reused parquetScans=$scans hashAggs=$aggs")
+        println(ex.linesIterator.filter(l =>
+          l.contains("Exchange") || l.contains("Scan parquet") ||
+          l.contains("Join")).mkString("\n"))
+      case "ab" =>
+        // interleaved lazy-vs-staged at 1M in ONE JVM: the host has
+        // multi-minute stall windows, so only adjacent same-process
+        // samples are comparable
+        val d1m = spark.read.parquet("/tmp/graft_bench_scale_1m")
+          .select("doc_id", "text")
+        val sigDir = "/tmp/graft_probe_ab_sigs"
+        val pairDir = "/tmp/graft_probe_ab_pairs"
+        (1 to 3).foreach { rep =>
+          rm(pairDir)
+          t(s"lazy_$rep") {
+            graft.pipeline.Dedup.minhashCandidatePairs(
+              d1m, maxBucketSize = Some(500)).write.parquet(pairDir)
+          }
+          rm(sigDir); rm(pairDir)
+          t(s"staged_$rep") {
+            graft.pipeline.Dedup.writeSignatures(
+              graft.pipeline.Dedup.minhashSignatures(d1m, "text", "doc_id", 3, 64),
+              sigDir)
+            graft.pipeline.Dedup.minhashCandidatePairsFromSignatures(
+              spark.read.parquet(sigDir), maxBucketSize = Some(500))
+              .write.parquet(pairDir)
+          }
+          rm(sigDir); rm(pairDir)
+        }
+      case "full" =>
+        t("pairs_full") {
+          graft.pipeline.Dedup.minhashCandidatePairs(docs,
+            maxBucketSize = Some(500)).agg(count(lit(1))).head()
+        }
+      case _ =>
+        val sigDir = "/tmp/graft_probe_sigs"
+        val pairDir = "/tmp/graft_probe_pairs"
+        rm(sigDir); rm(pairDir)
+        t("staged_total") {
+          t("sig_write") {
+            graft.pipeline.Dedup.writeSignatures(
+              graft.pipeline.Dedup.minhashSignatures(docs, "text", "doc_id", 3, 64),
+              sigDir)
+          }
+          t("pairs_write") {
+            graft.pipeline.Dedup.minhashCandidatePairsFromSignatures(
+              spark.read.parquet(sigDir), maxBucketSize = Some(500))
+              .write.parquet(pairDir)
+          }
+        }
+        println(s"[mh] pairs_n ${spark.read.parquet(pairDir).count()}")
+        rm(sigDir); rm(pairDir)
+    }
+    spark.stop()
+  }
+}
