@@ -118,6 +118,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pair generation is bucket-grouped, not a self-join (plan tripwire)") {
+    // the grouped shape's whole point: ONE shuffle of the band rows and
+    // no join in pair generation. minhash keeps exactly its two
+    // est-Jaccard verification joins; simhash (hamming inline from the
+    // carried sigs) has ZERO joins. A third/first join appearing here
+    // means someone reintroduced the banded self-join (three shuffles,
+    // and a 160M-row sort-merge join at 10M docs).
+    def joins(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // finalize AQE
+      // AdaptiveSparkPlan's toString appends "== Initial Plan ==" —
+      // count join nodes in the FINAL plan only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      "Join".r.findAllIn(plan).length
+    }
+    assert(joins(Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(5))) == 2)
+    assert(joins(Dedup.simhashPairs(docs)) == 0)
+  }
+
   test("minhash bucket cap drops pathological all-identical buckets") {
     // 30 byte-identical docs: uncapped → C(30,2)+... pairs; cap 5 → none
     val clones = (1L to 30L).map(i => (i, "same same same text body here"))
