@@ -137,6 +137,56 @@ class DedupSpec extends SparkSpec {
     assert(joins(Dedup.simhashPairs(docs)) == 0)
   }
 
+  test("grouped pair-gen matches an in-memory twin on random corpora") {
+    // independent oracle for the bucket/cap/pair logic (signatures have
+    // their own DuckDB oracle): collect the signatures, re-derive the
+    // banding in literal Scala (md5 of the comma-joined 4-slot slice,
+    // first 15 hex chars — the twin of TextAnalysis.md5Bits over
+    // lshBands' concat_ws), group, cap, emit i<j pairs, estimate
+    // jaccard — and the distributed grouped pipeline must agree exactly
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (seed <- 1 to 4; cap <- Seq(None, Some(3), Some(8))) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1L to 60L).map { id =>
+        val base = Vector.fill(8 + rnd.nextInt(6))(words(rnd.nextInt(words.size)))
+        val toks = if (id % 3 == 0) // near-dup family: tail mutation
+          base.updated(base.size - 1, words(rnd.nextInt(words.size)))
+        else base
+        (id, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+
+      val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 64)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+      def bandHash(slice: Seq[Long]): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(slice.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      val expectedPairs = scala.collection.mutable.Set[(Long, Long)]()
+      for (b <- 0 until 16) {
+        val groups = sigs.toSeq
+          .groupBy { case (_, s) => bandHash(s.slice(b * 4, b * 4 + 4)) }
+        for ((_, ms) <- groups) {
+          val ids = ms.map(_._1).sorted
+          if (ids.size >= 2 && cap.forall(ids.size <= _))
+            for (i <- ids.indices; j <- (i + 1) until ids.size)
+              expectedPairs += ((ids(i), ids(j)))
+        }
+      }
+      val expected = expectedPairs.toSet[(Long, Long)].map { case (a, c) =>
+        val est = sigs(a).zip(sigs(c)).count { case (x, y) => x == y } / 64.0
+        (a, c, est)
+      }
+
+      val got = Dedup.minhashCandidatePairs(corpus, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"seed=$seed cap=$cap")
+    }
+  }
+
   test("minhash bucket cap drops pathological all-identical buckets") {
     // 30 byte-identical docs: uncapped → C(30,2)+... pairs; cap 5 → none
     val clones = (1L to 30L).map(i => (i, "same same same text body here"))
