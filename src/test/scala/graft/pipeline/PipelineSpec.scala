@@ -139,11 +139,11 @@ class DedupSpec extends SparkSpec {
 
   test("grouped pair-gen matches an in-memory twin on random corpora") {
     // independent oracle for the bucket/cap/pair logic (signatures have
-    // their own DuckDB oracle): collect the signatures, re-derive the
-    // banding in literal Scala (md5 of the comma-joined 4-slot slice,
-    // first 15 hex chars — the twin of TextAnalysis.md5Bits over
-    // lshBands' concat_ws), group, cap, emit i<j pairs, estimate
-    // jaccard — and the distributed grouped pipeline must agree exactly
+    // their own DuckDB oracle): collect the signatures, group by the
+    // RAW 4-slot band slice — the semantic bucket key, robust to
+    // whatever hash the engine banding uses — cap, emit i<j pairs,
+    // estimate jaccard, and the distributed grouped pipeline must
+    // agree exactly
     val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu")
     for (seed <- 1 to 4; cap <- Seq(None, Some(3), Some(8))) {
@@ -159,16 +159,10 @@ class DedupSpec extends SparkSpec {
       val sigs = Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 64)
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
 
-      def bandHash(slice: Seq[Long]): Long = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(slice.mkString(",").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(15)
-        java.lang.Long.parseLong(hex, 16)
-      }
       val expectedPairs = scala.collection.mutable.Set[(Long, Long)]()
       for (b <- 0 until 16) {
         val groups = sigs.toSeq
-          .groupBy { case (_, s) => bandHash(s.slice(b * 4, b * 4 + 4)) }
+          .groupBy { case (_, s) => s.slice(b * 4, b * 4 + 4).toList }
         for ((_, ms) <- groups) {
           val ids = ms.map(_._1).sorted
           if (ids.size >= 2 && cap.forall(ids.size <= _))

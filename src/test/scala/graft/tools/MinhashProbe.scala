@@ -74,6 +74,42 @@ object MinhashProbe {
           }
           rm(sigDir); rm(pairDir)
         }
+      case "stages" =>
+        // stage-level split of the staged 10M pairs path: bucket
+        // grouping+pair-gen vs distinct vs est-jaccard verification
+        val sigDir = "/tmp/graft_probe_sigs"
+        rm(sigDir)
+        t("sig_write") {
+          graft.pipeline.Dedup.writeSignatures(
+            graft.pipeline.Dedup.minhashSignatures(docs, "text", "doc_id", 3, 64),
+            sigDir)
+        }
+        val sigs = spark.read.parquet(sigDir)
+        val bandsAll = graft.pipeline.Dedup.lshBands(sigs, "_sig", 16, 4)
+        val buckets = bandsAll.groupBy(col("band_hash"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
+          .filter(size(col("_ids")).between(2, 500))
+        val nn = size(col("_ids"))
+        val rawPairs = buckets
+          .select(explode(flatten(transform(col("_ids"), (a, i) =>
+            transform(slice(col("_ids"), i + lit(2), nn - i - lit(1)),
+              b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
+          .select(col("_p.id_a"), col("_p.id_b"))
+        t("bucket_pairgen") { println(s"[mh] raw_pairs ${rawPairs.count()}") }
+        val pairDir = "/tmp/graft_probe_pairs"
+        rm(pairDir)
+        t("distinct_write") { rawPairs.distinct().write.parquet(pairDir) }
+        val pairs = spark.read.parquet(pairDir)
+        val sigA = sigs.select(col("doc_id").as("id_a"), col("_sig").as("sig_a"))
+        val sigB = sigs.select(col("doc_id").as("id_b"), col("_sig").as("sig_b"))
+        t("verify_join") {
+          pairs.join(sigA, "id_a").join(sigB, "id_b")
+            .withColumn("est_jaccard",
+              size(filter(zip_with(col("sig_a"), col("sig_b"),
+                (a, b) => a === b), x => x)).cast("double") / size(col("sig_a")))
+            .agg(count(lit(1))).head()
+        }
+        rm(sigDir); rm(pairDir)
       case "full" =>
         t("pairs_full") {
           graft.pipeline.Dedup.minhashCandidatePairs(docs,
