@@ -601,13 +601,15 @@ object Bench {
         // staged, as production would run it: signatures (the expensive
         // text-hashing stage, ~0.5 KB/doc) materialize once to parquet
         // and the banding/pairs/verify plan re-reads the columnar
-        // relation instead of re-executing the signature subtree on all
-        // SIX of its branches (plan-verified: the lazy executed plan
-        // carries 6 corpus FileScans, 0 ReusedExchanges —
-        // graft.tools.MinhashProbe "plan"; interleaved same-JVM A/B at
-        // 1M: staged 24.6 s vs lazy 26.5 s min-of-3, and staged is the
-        // shape that scales — at 100 TB nobody re-hashes the corpus 6
-        // times). Both stages timed inside the row — same deliverable,
+        // relation instead of re-executing the signature subtree on its
+        // THREE branches (plan-verified: the lazy executed plan carries
+        // 3 corpus FileScans, 0 ReusedExchanges —
+        // graft.tools.MinhashProbe "plan"). On local NVMe the two run
+        // within noise (10M: staged 132.6 s vs lazy 129.1 s), but the
+        // redundant re-hash scales with text volume and storage
+        // round-trips while the staged re-read scales with the small
+        // signature relation — at 100 TB nobody re-hashes the corpus 3
+        // times. Both stages timed inside the row — same deliverable,
         // honest total.
         graft.pipeline.Dedup.writeSignatures(
           graft.pipeline.Dedup.minhashSignatures(docs, "text", "doc_id", 3, 64),

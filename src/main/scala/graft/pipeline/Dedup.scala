@@ -127,17 +127,24 @@ object Dedup {
     * scale path. The lazy composition above embeds the signature
     * pipeline (shingle explode + 64-slot min-agg over the full text) as
     * a subtree of every plan branch that needs it — the bucket
-    * grouping plus the two est-Jaccard verification joins, SIX corpus
+    * grouping plus the two est-Jaccard verification joins, THREE corpus
     * FileScans with zero ReusedExchanges in the executed plan
-    * (`graft.tools.MinhashProbe plan`). Signatures are `numHashes`
-    * longs per doc — ~0.5 KB against multi-KB text — so at scale the
-    * right shape is: materialize `minhashSignatures` once (via
-    * [[writeSignatures]] — row-group size matters, see there), then
-    * derive pairs from the stored relation, where every branch
-    * re-reads a columnar file instead of re-hashing the corpus.
-    * Interleaved same-JVM A/B at 1M docs: staged 24.6 s vs lazy
-    * 26.5 s (min of 3); at 10M the staged grouped pipeline runs
-    * 268 s end-to-end vs 594 s for the former lazy self-join shape. */
+    * (`graft.tools.MinhashProbe plan`; the former banded SELF-join
+    * shape carried six). Signatures are `numHashes` longs per doc —
+    * ~0.5 KB against multi-KB text — so at scale the right shape is:
+    * materialize `minhashSignatures` once (via [[writeSignatures]] —
+    * row-group size matters, see there), then derive pairs from the
+    * stored relation, where every branch re-reads a columnar file
+    * instead of re-hashing the corpus. On local NVMe the two are
+    * within noise of each other (10M docs: staged 132.6 s end-to-end
+    * vs lazy 129.1 s; 1M interleaved A/B: 8.1 vs 7.3 s min-of-3 —
+    * the parquet round-trip costs about what the 3× re-hash costs
+    * here), but the redundant branches scale with TEXT volume and
+    * storage round-trips while the staged re-read scales with the
+    * 0.5 KB/doc signature relation — on object storage, or whenever
+    * signatures feed more than one downstream, staging wins. The
+    * former self-join shape measured 594 s at 10M against 268 s
+    * staged under the old md5 banding. */
   def minhashCandidatePairsFromSignatures(
       sigs: DataFrame, idCol: String = "doc_id", sigCol: String = "_sig",
       numHashes: Int = 64, bands: Int = 16,
