@@ -700,6 +700,15 @@ object Bench {
       }
       val li10 = spark.read.parquet(s"$relDir/lineitem")
       val ord10 = spark.read.parquet(s"$relDir/orders")
+      // untimed warm read of the 10x replicas (same treatment the VCF
+      // rows get from their untimed warm-up load): the 1x tables are
+      // page-cache-warm from every earlier bench row, so a cold first
+      // touch of the 10x files would charge ~5s of IO-cache state to
+      // the growth ratio, which gates COMPUTE scaling. A noop-sink
+      // write, not count(1) — count prunes to parquet metadata and
+      // warms nothing
+      li10.write.format("noop").mode("overwrite").save()
+      ord10.write.format("noop").mode("overwrite").save()
       val liRows = t.lineitem.count().toDouble
       // one DataFrame per 10x shape, reused by the timed row AND the
       // plan assert below: after the last timed materialization,
