@@ -321,7 +321,8 @@ object Dedup {
     * from the native codegen'd SimHash64 expression (the UDF above
     * remains as its differential twin for tests). */
   def simhashPairs(docs: DataFrame, textCol: String = "text",
-                   idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+                   idCol: String = "doc_id", maxHamming: Int = 3,
+                   maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming: $maxHamming")
     val withSig = docs
       .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
@@ -348,10 +349,18 @@ object Dedup {
     // minhash path): members collect once per chunk bucket, sorted so
     // id_a < id_b falls out of i < j, hamming computed inline from the
     // carried signatures — no self-join and no verification join at all
-    val buckets = banded.groupBy(col("chunk_idx"), col("chunk"))
+    // same skew guard as the minhash path: a flood of byte-identical
+    // documents shares ALL maxHamming+1 chunk buckets, so each would
+    // generate the quadratic pair set maxHamming+1 times over. Buckets
+    // past the cap drop entirely — identical docs are exact-dedup
+    // territory; run that first
+    val grouped = banded.groupBy(col("chunk_idx"), col("chunk"))
       .agg(sort_array(collect_list(
         struct(col(idCol).as("id"), col("_sig").as("sig")))).as("_m"))
-      .filter(size(col("_m")) >= 2)
+    val buckets = maxBucketSize match {
+      case None      => grouped.filter(size(col("_m")) >= 2)
+      case Some(cap) => grouped.filter(size(col("_m")).between(2, cap))
+    }
     val n = size(col("_m"))
     buckets
       .select(explode(flatten(transform(col("_m"), (a, i) =>
@@ -382,19 +391,49 @@ object Dedup {
     * `dim` is the embedding dimensionality — it sizes the bucket bit
     * strides, and an overstated dim silently degrades bucketing (planes
     * past the real length read null → constant bits → fewer effective
-    * buckets → the self-join trends quadratic). No distinct() needed:
-    * each vector has exactly ONE bucket, so the equi-join emits each
-    * pair at most once. */
+    * buckets → bucket contents trend quadratic). No distinct() needed:
+    * each vector has exactly ONE bucket, so each pair is generated at
+    * most once.
+    *
+    * Same bucket-grouped single-shuffle shape as the minhash/simhash
+    * paths (members collect once per bucket, i<j pairs + cosine inline
+    * via codegen'd higher-order functions — no self-join), and the same
+    * `maxBucketSize` skew guard: a flood of identical/collinear vectors
+    * lands in one bucket and generates its pair set quadratically;
+    * buckets past the cap drop entirely (identical payloads are exact-
+    * dedup territory — run that first). SIZE `planes` WITH THE CORPUS:
+    * expected bucket membership is n / 2^planes, and within-bucket pair
+    * work is quadratic in membership, so per-doc cost at fixed planes
+    * grows linearly with n — planes ≈ log2(n / targetBucketSize) keeps
+    * the candidate volume per doc constant as the corpus scales. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       planes: Int = 12, dim: Int = 64): DataFrame = {
+                       planes: Int = 12, dim: Int = 64,
+                       maxBucketSize: Option[Int] = None): DataFrame = {
+    // null id / null vector rows fell out of the former equi-join shape
+    // (null never compared under id_a < id_b; a null vector's cosine is
+    // null) — drop them explicitly so the groupBy can't form pairs the
+    // join shape never emitted
     val bucketed = Similarity.withLshBucket(embeddings, vecCol, planes, dim)
-    val left = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("lsh_bucket"))
-    val right = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("lsh_bucket"))
-    left.join(right, Seq("lsh_bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("lsh_bucket"))
+    val grouped = bucketed.groupBy(col("lsh_bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("_m"))
+    val sized = maxBucketSize match {
+      case None      => grouped.filter(size(col("_m")) >= 2)
+      case Some(cap) => grouped.filter(size(col("_m")).between(2, cap))
+    }
+    val n = size(col("_m"))
+    sized
+      .select(explode(flatten(transform(col("_m"), (a, i) =>
+        transform(slice(col("_m"), i + lit(2), n - i - lit(1)), b =>
+          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            Similarity.cosine(a.getField("vec"), b.getField("vec"))
+              .as("cosine")))))).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"), col("_p.cosine"))
+      // strict < (not just the sorted i<j): duplicate ids tie in the
+      // sorted member list and would pair with themselves here, where
+      // the join shape's id_a < id_b dropped them
+      .filter(col("id_a") < col("id_b") && col("cosine") >= threshold)
   }
 }

@@ -135,6 +135,11 @@ class DedupSpec extends SparkSpec {
     }
     assert(joins(Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(5))) == 2)
     assert(joins(Dedup.simhashPairs(docs)) == 0)
+    // embedding near-dup carries vectors through the bucket groupBy and
+    // computes cosine inline — also ZERO joins
+    assert(joins(Dedup.embeddingNearDup(
+      graft.Tables(spark, sfDir).embeddings.limit(50), 0.5,
+      maxBucketSize = Some(50))) == 0)
   }
 
   test("grouped pair-gen matches an in-memory twin on random corpora") {
@@ -261,6 +266,76 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingNearDup(e.select($"vec_id", $"embedding").union(copies), 0.999)
     // every copied vector pairs with its source at cosine 1
     assert(pairs.filter($"id_b" >= 1000L && $"cosine" > 0.9999).count() == 5)
+  }
+
+  test("simhash bucket cap drops pathological all-identical buckets") {
+    // identical docs share ALL maxHamming+1 chunk buckets — the worst
+    // quadratic flood the cap exists for. An identical pair (1,2) from
+    // the small fixture must survive: it shares all 11 chunks, and a
+    // chunk bucket only drops if ≥4 clones collide into it, which
+    // cannot happen on every chunk unless the signatures are equal.
+    val clones = (1000L to 1029L).map(i => (i, "same same same text body here"))
+    val corpus = clones.toDF("doc_id", "text").union(docs)
+    val uncapped = Dedup.simhashPairs(corpus, maxHamming = 10).count()
+    assert(uncapped >= 30L * 29 / 2)
+    val capped = Dedup.simhashPairs(corpus, maxHamming = 10,
+      maxBucketSize = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flood is gone; the small legitimate buckets survive
+    assert(!capped.exists(p => p._1 >= 1000L && p._2 >= 1000L))
+    assert(capped.contains((1L, 2L)))
+  }
+
+  test("embedding bucket cap drops pathological all-identical buckets") {
+    val e = graft.Tables(spark, sfDir).embeddings.limit(60)
+    val flood = e.filter($"vec_id" === 3)
+      .crossJoin(spark.range(30).toDF("_r"))
+      .select(($"vec_id" * 1000 + $"_r").as("vec_id"), $"embedding")
+    val corpus = e.select($"vec_id", $"embedding").union(flood)
+    val capped = Dedup.embeddingNearDup(corpus, 0.999, maxBucketSize = Some(10))
+    // the 31-member identical-vector bucket (source + 30 clones) drops
+    assert(capped.filter($"id_a" >= 1000L || $"id_b" >= 1000L).count() == 0)
+  }
+
+  test("embedding grouped pair-gen matches an in-memory twin") {
+    // independent oracle for the bucket/cap/pair/cosine logic: collect
+    // the vectors, re-derive sign buckets + left-to-right double-fold
+    // cosine in literal Scala (the twin of withLshBucket + VectorDot),
+    // group, cap, emit i<j pairs — the distributed grouped pipeline
+    // must agree on pairs and match cosines to double precision
+    val rows = graft.Tables(spark, sfDir).embeddings.limit(120)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na > 0 && nb > 0) dot(a, b) / (na * nb) else Double.NaN
+    }
+    for (cap <- Seq(None, Some(4)); planes <- Seq(6, 12)) {
+      val stride = math.max(1, 64 / planes)
+      def bucket(v: Seq[Float]): Long =
+        (0 until planes).map(i => if (v(i * stride) >= 0) 1L << i else 0L).sum
+      val threshold = -2.0 // keep every generated pair visible
+      val expected = rows.groupBy { case (_, v) => bucket(v) }.toSeq
+        .flatMap { case (_, ms) =>
+          if (ms.length >= 2 && cap.forall(ms.length <= _)) {
+            val sorted = ms.sortBy(_._1)
+            for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+              yield (sorted(i)._1, sorted(j)._1,
+                cos(sorted(i)._2, sorted(j)._2))
+          } else Nil
+        }.map { case (a, b, c) => (a, b, math.round(c * 1e9)) }.toSet
+      val got = Dedup.embeddingNearDup(
+        graft.Tables(spark, sfDir).embeddings.limit(120), threshold,
+        planes = planes, maxBucketSize = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      assert(got == expected, s"cap=$cap planes=$planes")
+    }
   }
 }
 
