@@ -198,6 +198,24 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Capped embedding near-dup: an identical-vector flood shares one
+    // sign bucket; the maxBucketSize skew guard must drop exactly the
+    // oversized buckets and nothing else — pinned against the DuckDB
+    // oracle deriving the same buckets, sizes and cap. Threshold -1 so
+    // the whole surviving candidate set is compared, not just the
+    // high-cosine tail.
+    "p18_embedding_neardup_capped" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings.select($"vec_id", $"embedding")
+      val flood = e.filter($"vec_id" === 3)
+        .crossJoin(s.range(30).toDF("_r"))
+        .select((lit(2000000L) + $"_r").as("vec_id"), $"embedding")
+      Dedup.embeddingNearDup(e.union(flood), threshold = -1.0,
+          maxBucketSize = Some(10))
+        .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // LSH-bucketed ANN (scale path of p06).
     "p13_lsh_topk" -> { (s, dir) =>
       import s.implicits._
