@@ -1,0 +1,51 @@
+-- Capped simhash near-dup: 30 byte-identical clones of doc 3 share
+-- every 16-bit chunk bucket; maxBucketSize = 10 must drop exactly the
+-- buckets whose membership exceeds the cap (all four flooded ones,
+-- plus any organically oversized bucket) and nothing else. Same
+-- signature/banding derivation as p08_simhash_pairs.
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 2000000 + r.range AS doc_id,
+    (SELECT text FROM documents WHERE doc_id = 3) AS text
+  FROM range(30) r
+),
+toks AS (
+  SELECT doc_id, unnest(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS t
+  FROM corpus
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc_id, i,
+    SUM(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th, (SELECT unnest(range(64)) AS i)
+  GROUP BY doc_id, i
+),
+sigs AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, c, (sig >> (c * 16)) & 65535 AS chunk
+  FROM sigs, (SELECT unnest(range(4)) AS c)
+),
+bsz AS (
+  SELECT c, chunk, count(*) AS n FROM chunks GROUP BY 1, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    bit_count(xor(a.sig, b.sig)) AS hamming
+  FROM chunks a
+  JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
+  JOIN bsz s ON s.c = a.c AND s.chunk = a.chunk
+  WHERE a.doc_id < b.doc_id AND s.n <= 10
+)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b

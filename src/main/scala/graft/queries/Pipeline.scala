@@ -157,6 +157,24 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Capped simhash: 30 byte-identical clones flood every chunk bucket;
+    // maxBucketSize must drop exactly the oversized buckets — pinned
+    // against the DuckDB oracle deriving the same signatures, chunk
+    // buckets, sizes and cap.
+    "p19_simhash_pairs_capped" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.filter($"doc_id" < 200)
+      val mutated = d.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" x")).as("text"))
+      val flood = d.filter($"doc_id" === 3).select($"text")
+        .crossJoin(s.range(30).toDF("_r"))
+        .select((lit(2000000L) + $"_r").as("doc_id"), $"text")
+      val corpus = d.select($"doc_id", $"text").union(mutated).union(flood)
+      Dedup.simhashPairs(corpus, maxHamming = 3, maxBucketSize = Some(10))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Language ID heuristic vs the table's labeled lang.
     "p09_lang_id" -> { (s, dir) =>
       import s.implicits._
