@@ -85,6 +85,24 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Capped minhash: 30 byte-identical clones flood every band bucket;
+    // maxBucketSize must drop exactly the oversized buckets — oracle
+    // derives the same signatures/buckets/sizes/cap. No est_jaccard
+    // threshold: the whole surviving candidate set is compared.
+    "p20_minhash_pairs_capped" -> { (s, dir) =>
+      import s.implicits._
+      val d = Tables(s, dir).documents.filter($"doc_id" < 200)
+      val mutated = d.filter($"doc_id" < 20)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          concat($"text", lit(" appended tail token")).as("text"))
+      val flood = d.filter($"doc_id" === 3).select($"text")
+        .crossJoin(s.range(30).toDF("_r"))
+        .select((lit(2000000L) + $"_r").as("doc_id"), $"text")
+      val corpus = d.select($"doc_id", $"text").union(mutated).union(flood)
+      Dedup.minhashCandidatePairs(corpus, maxBucketSize = Some(10))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // The STAGED minhash path (signatures materialized to parquet once,
     // pairs derived from the stored relation — the scale shape the bench
     // decade runs) must produce bit-identical pairs to the lazy
