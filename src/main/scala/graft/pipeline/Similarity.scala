@@ -260,7 +260,11 @@ object Similarity {
   /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket.
     * Same output schema as bruteForceTopK (rank within found candidates);
     * recall < 1 by construction — the scale path when the corpus no
-    * longer fits a broadcast cross-join. */
+    * longer fits a broadcast cross-join. Size `planes` with the corpus:
+    * candidates per query ≈ n / 2^planes, so fixed planes means per-
+    * query cost grows linearly with n — planes ≈ log2(n / targetBucket)
+    * holds it constant. For large corpora prefer [[ivfTopK]], whose
+    * nProbe/nCentroids dial controls recall independently of n. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               planes: Int = 8): DataFrame = {
