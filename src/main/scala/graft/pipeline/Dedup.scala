@@ -172,14 +172,17 @@ object Dedup {
     val bandsAll = lshBands(
       withSig.filter(col(idCol).isNotNull && col("_sig").isNotNull),
       "_sig", bands, rowsPerBand, idCol)
-    // group on band_hash ALONE: the band index is already mixed into
-    // the hash seed, so the key is one long (leaner shuffle rows,
-    // single-word sort comparisons across the 160M-row aggregate at
-    // 10M docs). A cross-band 64-bit collision would merely merge two
-    // buckets and emit extra low-est_jaccard candidates — ~1e-3 odds
-    // of ONE such collision across 150M buckets, filtered by any real
-    // threshold downstream.
-    val buckets = bandsAll.groupBy(col("band_hash"))
+    // group on (band_idx, band_hash), mirroring the oracle's per-band
+    // buckets: grouping on the hash alone would let a cross-band 64-bit
+    // collision MERGE two legitimate buckets (~1e-3 odds across 150M
+    // buckets at 10M docs), and with a cap set the merged bucket can
+    // exceed it and silently drop every true pair from both sides —
+    // lost recall, not just extra candidates. Within-band collisions
+    // are ~2.7e-6/band at 10M — the same exposure the md5 oracle
+    // carries. The perf win was never the key width; it is the native
+    // single xxhash64 vs four allocating md5/hex/conv expressions per
+    // band row.
+    val buckets = bandsAll.groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
     val sized = maxBucketSize match {
       case None      => buckets.filter(size(col("_ids")) >= 2)
@@ -414,11 +417,21 @@ object Dedup {
     // (null never compared under id_a < id_b; a null vector's cosine is
     // null) — drop them explicitly so the groupBy can't form pairs the
     // join shape never emitted
+    // norms computed ONCE per member before the groupBy (the same
+    // norms-once discipline bruteForceTopK/ivfTopK apply): the naive
+    // cosine() per pair re-folds both self-dot-products, 3 vecDots per
+    // pair instead of 1 + one per member — ~3x the arithmetic of a
+    // 500-cap bucket. Identical doubles: sqrt(dot(v,v)) here is the
+    // exact expression cosine() would have evaluated per pair.
+    def dotC(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.vecDot(x, y)
     val bucketed = Similarity.withLshBucket(embeddings, vecCol, planes, dim)
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("vec"), col("lsh_bucket"))
+      .withColumn("nrm", sqrt(dotC(col("vec"), col("vec"))))
     val grouped = bucketed.groupBy(col("lsh_bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("_m"))
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("vec"), col("nrm")))).as("_m"))
     val sized = maxBucketSize match {
       case None      => grouped.filter(size(col("_m")) >= 2)
       case Some(cap) => grouped.filter(size(col("_m")).between(2, cap))
@@ -428,7 +441,9 @@ object Dedup {
       .select(explode(flatten(transform(col("_m"), (a, i) =>
         transform(slice(col("_m"), i + lit(2), n - i - lit(1)), b =>
           struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-            Similarity.cosine(a.getField("vec"), b.getField("vec"))
+            when(a.getField("nrm") > 0 && b.getField("nrm") > 0,
+              dotC(a.getField("vec"), b.getField("vec")) /
+                (a.getField("nrm") * b.getField("nrm")))
               .as("cosine")))))).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.cosine"))
       // strict < (not just the sorted i<j): duplicate ids tie in the

@@ -42,13 +42,17 @@ object Relational {
     // first shuffle (RewriteDistinctAggregates), whereas aggregating on
     // (orderkey, partkey) first gets full map-side partial aggregation
     // on the raw scan and the second phase runs on the already-shrunk
-    // distinct pairs. Same results, measured 17.4 -> 11.9 s cold /
-    // 11.0 -> 10.1 s warm on the 6M-row 10x bench fact.
+    // distinct pairs. count(l_partkey), not count(1): each phase-2 row
+    // is one (orderkey, partkey) group INCLUDING a possible null-partkey
+    // group, and countDistinct excludes nulls — counting the non-null
+    // key keeps that semantics (max_price is unaffected: the null group
+    // still carries its rows' max). Same results, measured
+    // 17.4 -> 11.9 s cold / 11.0 -> 10.1 s warm on the 6M-row 10x fact.
     val qualifying = lineitem
       .groupBy(col("l_orderkey"), col("l_partkey"))
       .agg(max(col("l_extendedprice")).as("_mp"))
       .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_parts"), max(col("_mp")).as("max_price"))
+      .agg(count(col("l_partkey")).as("n_parts"), max(col("_mp")).as("max_price"))
       .filter(col("n_parts") >= 2 && col("max_price") > 90000.0)
       .select(col("l_orderkey"))
     lineitem.join(qualifying, Seq("l_orderkey"), "left_semi")

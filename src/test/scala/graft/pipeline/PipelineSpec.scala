@@ -287,7 +287,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embedding bucket cap drops pathological all-identical buckets") {
-    val e = graft.Tables(spark, sfDir).embeddings.limit(60)
+    // filter, not limit: the corpus appears on two plan branches and a
+    // bare limit has no cross-execution determinism guarantee
+    val e = graft.Tables(spark, sfDir).embeddings.filter($"vec_id" < 60)
     val flood = e.filter($"vec_id" === 3)
       .crossJoin(spark.range(30).toDF("_r"))
       .select(($"vec_id" * 1000 + $"_r").as("vec_id"), $"embedding")
@@ -303,7 +305,9 @@ class DedupSpec extends SparkSpec {
     // cosine in literal Scala (the twin of withLshBucket + VectorDot),
     // group, cap, emit i<j pairs — the distributed grouped pipeline
     // must agree on pairs and match cosines to double precision
-    val rows = graft.Tables(spark, sfDir).embeddings.limit(120)
+    // filter, not limit: the twin collects one execution and the engine
+    // runs another — a bare limit could hand them different subsets
+    val rows = graft.Tables(spark, sfDir).embeddings.filter($"vec_id" < 120)
       .select($"vec_id", $"embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1))
     def dot(a: Seq[Float], b: Seq[Float]): Double = {
@@ -327,10 +331,14 @@ class DedupSpec extends SparkSpec {
               yield (sorted(i)._1, sorted(j)._1,
                 cos(sorted(i)._2, sorted(j)._2))
           } else Nil
-        }.map { case (a, b, c) => (a, b, math.round(c * 1e9)) }.toSet
+        }
+        // a zero-norm vector's cosine is NULL in the engine (dropped by
+        // the threshold filter); the twin's NaN must drop the same way
+        .filter { case (_, _, c) => !c.isNaN }
+        .map { case (a, b, c) => (a, b, math.round(c * 1e9)) }.toSet
       val got = Dedup.embeddingNearDup(
-        graft.Tables(spark, sfDir).embeddings.limit(120), threshold,
-        planes = planes, maxBucketSize = cap)
+        graft.Tables(spark, sfDir).embeddings.filter($"vec_id" < 120),
+        threshold, planes = planes, maxBucketSize = cap)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1),
           math.round(r.getDouble(2) * 1e9))).toSet

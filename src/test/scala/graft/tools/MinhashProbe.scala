@@ -86,7 +86,7 @@ object MinhashProbe {
         }
         val sigs = spark.read.parquet(sigDir)
         val bandsAll = graft.pipeline.Dedup.lshBands(sigs, "_sig", 16, 4)
-        val buckets = bandsAll.groupBy(col("band_hash"))
+        val buckets = bandsAll.groupBy(col("band_idx"), col("band_hash"))
           .agg(sort_array(collect_list(col("doc_id"))).as("_ids"))
           .filter(size(col("_ids")).between(2, 500))
         val nn = size(col("_ids"))
@@ -95,10 +95,22 @@ object MinhashProbe {
             transform(slice(col("_ids"), i + lit(2), nn - i - lit(1)),
               b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
           .select(col("_p.id_a"), col("_p.id_b"))
-        t("bucket_pairgen") { println(s"[mh] raw_pairs ${rawPairs.count()}") }
+        // materialize the raw pairs so distinct_write times ONLY
+        // distinct+write — a lazy rawPairs would re-execute the whole
+        // bucket/pair-gen upstream inside the next timer and
+        // double-charge it
+        val rawDir = "/tmp/graft_probe_rawpairs"
+        rm(rawDir)
+        t("bucket_pairgen") {
+          rawPairs.write.parquet(rawDir)
+          println(s"[mh] raw_pairs ${spark.read.parquet(rawDir).count()}")
+        }
         val pairDir = "/tmp/graft_probe_pairs"
         rm(pairDir)
-        t("distinct_write") { rawPairs.distinct().write.parquet(pairDir) }
+        t("distinct_write") {
+          spark.read.parquet(rawDir).distinct().write.parquet(pairDir)
+        }
+        rm(rawDir)
         val pairs = spark.read.parquet(pairDir)
         val sigA = sigs.select(col("doc_id").as("id_a"), col("_sig").as("sig_a"))
         val sigB = sigs.select(col("doc_id").as("id_b"), col("_sig").as("sig_b"))
