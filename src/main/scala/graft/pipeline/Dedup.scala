@@ -28,14 +28,23 @@ object Dedup {
       .filter(col("n_copies") > 1)
   }
 
-  /** Keep the first (min id) representative of each exact-dup cluster. */
+  /** Keep the first (min id) representative of each exact-dup cluster.
+    *
+    * min_by aggregate, not a row_number window: the window shuffles
+    * every row by fingerprint and SORTS each partition, where the
+    * aggregate collapses same-partition duplicates map-side and needs
+    * no sort at all — at corpus scale that is the difference between a
+    * hash aggregate and a full sort of the table. Identical keep
+    * semantics for unique ids (min id wins; both shapes are arbitrary
+    * under duplicate ids). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val cols = docs.columns
+    docs
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.$c")): _*)
   }
 
   // ---- MinHash + LSH ----
