@@ -315,6 +315,56 @@ object Graft {
     verb match {
       case "load" =>
         val vcf = args(1)
+        // `--report` (`cli.py:282-283,458-497`): a machine-readable JSON
+        // load report for scripting — status/variants_loaded/
+        // variants_skipped/load_batch_id/file_hash plus elapsed_seconds,
+        // vcf_file, an UTC timestamp, sample_id and the target namespace.
+        // `--sample-id` feeds ONLY this report (`cli.py:491` — the
+        // reference CLI uses it nowhere else; default = the file stem,
+        // Python Path.stem = last suffix stripped). "schema" maps to the
+        // db directory — the closest analogue of the reference's Postgres
+        // schema namespace.
+        val reportPath = arg(args, "--report")
+        val loadT0 = System.nanoTime()
+        def writeReport(head: Seq[(String, String)]): Unit =
+          reportPath.foreach { rp =>
+            def q(s: String) = "\"" + s.flatMap {
+              case '"'  => "\\\""
+              case '\\' => "\\\\"
+              case '\n' => "\\n"
+              case '\r' => "\\r"
+              case '\t' => "\\t"
+              case c if c < ' ' => f"\\u${c.toInt}%04x"
+              case c    => c.toString
+            } + "\""
+            val base = new org.apache.hadoop.fs.Path(vcf).getName
+            val stem =
+              if (base.contains('.')) base.substring(0, base.lastIndexOf('.'))
+              else base
+            val ts = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+              .withZone(java.time.ZoneOffset.UTC)
+              .format(java.time.Instant.now())
+            val entries = head ++ Seq(
+              "elapsed_seconds" -> f"${(System.nanoTime() - loadT0) / 1e9}%.3f",
+              "vcf_file" -> q(vcf),
+              "timestamp" -> q(ts),
+              "sample_id" -> q(arg(args, "--sample-id").getOrElse(stem)),
+              "schema" -> q(db))
+            DbFs.writeStringAtomic(rp, entries
+              .map { case (k, v) => s"${q(k)}: $v" }
+              .mkString("{\n  ", ",\n  ", "\n}\n"))
+            println(s"  Report: $rp")
+          }
+        def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\""
+        // flag-vocabulary validation up front, BEFORE any ledger write —
+        // a typo'd flag must not leave in_progress/failed ledger residue
+        arg(args, "--imputation-source").foreach { s =>
+          if (!Set("minimac4", "beagle", "impute2", "auto")(s))
+            sys.error(s"--imputation-source must be one of minimac4, " +
+              s"beagle, impute2, auto: $s")
+        }
         val ledger = new graft.audit.Audit.Ledger(spark, s"$db/ledger")
         val progress = new graft.audit.LoadProgress(spark)
         // the listener's lifetime spans EVERY exit from here on — the
@@ -326,6 +376,13 @@ object Graft {
         val existing = ledger.checkExisting(hash)
         if (existing.isDefined && !has(args, "--force-reload")) {
           println(s"skip: file already loaded (batch ${existing.get})")
+          // skipped-report shape (`cli.py:458-463`): load_batch_id carries
+          // the PREVIOUS load's batch so scripts can still key on it
+          writeReport(Seq(
+            "status" -> jstr("skipped"),
+            "variants_loaded" -> "0",
+            "load_batch_id" -> jstr(existing.get),
+            "file_hash" -> jstr(hash)))
           return
         }
         val batchId = java.util.UUID.randomUUID().toString
@@ -401,14 +458,59 @@ object Graft {
           genoPending = None
         }
         try {
+          // `--imputation-source` (`cli.py:317-323`, `loader.py:292-296`):
+          // pin the imputation-metric extraction to one tool's INFO
+          // vocabulary instead of the header auto-detection; the
+          // reference's Enum vocabulary (`parsers/imputation.py:22-28`),
+          // validated before the ledger_begin row above
+          // normalize DEFAULTS ON like the reference's load
+          // (`cli.py:269`, --normalize/--no-normalize with default True);
+          // --normalize stays accepted as the explicit spelling. vt
+          // normalization is a codegen'd native expression (T5), so the
+          // default costs no UDF barrier on the parse.
           val opts = graft.vcf.VcfReader.Options(
-            normalize = has(args, "--normalize"),
+            normalize = !has(args, "--no-normalize"),
             humanGenome = !has(args, "--no-human-genome"),
+            imputationSource =
+              arg(args, "--imputation-source").getOrElse("auto"),
             minInfoScore = arg(args, "--min-info-score").map(_.toDouble))
           val v = graft.vcf.VcfReader.variants(spark, vcf, opts)
             .withColumn("load_batch_id", lit(batchId))
           val header = progress.stage("read_header")(
             graft.vcf.VcfHeader.read(spark, vcf))
+          // HIPAA master toggle (`cli.py:303-310,352-359`): compliance
+          // features default ON; --no-hipaa-mode turns anonymization AND
+          // header sanitization off in one flag (the reference also drops
+          // its TLS requirement — transport infra with no analogue here);
+          // the individual --no-anonymize / --no-sanitize-headers still
+          // apply on top. --anonymize stays accepted (it IS the default).
+          val hipaaOff = has(args, "--no-hipaa-mode")
+          val anonymize = !hipaaOff && !has(args, "--no-anonymize")
+          // `--sanitize-headers` default-ON (`cli.py:295-298`,
+          // `loader.py:308-326`): every load scans the header for PHI and
+          // records the outcome — the reference's header_sanitization
+          // audit event; here a printed summary + a ledger-note clause the
+          // phi-report/phi-stats verbs serve. Builtin patterns only, like
+          // the reference's default sanitizer config; the data-row scan
+          // stays the explicit --phi-scan face.
+          if (!hipaaOff && !has(args, "--no-scan-headers") &&
+              !has(args, "--no-sanitize-headers")) {
+            val rep = graft.transform.PhiSanitizer.sanitizeHeader(header.lines)
+            if (rep.redactions.nonEmpty) {
+              val sev = rep.redactions.map(r =>
+                graft.transform.PhiSanitizer.severityOf(r.category,
+                  graft.transform.PhiSanitizer.mergedRegistry(Nil)))
+              val risk = Seq("critical", "high", "medium", "low")
+                .find(sev.contains).getOrElse("low")
+              println(s"header sanitization: detected " +
+                s"${rep.redactions.length} PHI items (risk: $risk)")
+              val clause =
+                s"header_sanitization: ${rep.redactions.length} items " +
+                  s"(risk: $risk)"
+              ledgerNote =
+                if (ledgerNote.isEmpty) clause else s"$ledgerNote; $clause"
+            }
+          }
           // Sample anonymization (`loader.py:326+`, phi/anonymizer):
           // deterministic ANON_<sha256(salt||id)[:12]> ids. The mapping is
           // ONE-WAY by design (deviation from the reference's encrypted
@@ -432,15 +534,54 @@ object Graft {
           // (cached + counted there); read on the main thread only after
           // the join-point Await — future completion publishes the write
           var qcCache: Option[DataFrame] = None
-          if (header.samples.nonEmpty) {
+          // the anonymization MAPPING derives from the header's sample
+          // list and lands in the vault whether or not genotypes are
+          // stored — the reference anonymizes parser.samples up front
+          // (`loader.py:328-345`), independent of store_genotypes
+          if (anonymize && header.samples.nonEmpty)
+            anonIds = Some(header.samples.toDF("sample_id")
+              .select(anonId($"sample_id").as("anon_id")))
+          // per-sample genotype storage is OPT-IN like the reference
+          // (`cli.py:324-326` --store-genotypes default False,
+          // `loader.py:398-402`): a plain load of a cohort VCF must not
+          // silently commit to per-sample×variant storage — at scale that
+          // multiplies the store by sample count. Without the flag the
+          // variants' QC columns stay typed-null (the reference loader
+          // never fills them either — `models.py:54-61` default None).
+          val storeGenotypes =
+            has(args, "--store-genotypes") && header.samples.nonEmpty
+          if (storeGenotypes) {
             var g = graft.vcf.VcfReader.genotypes(spark, vcf,
                 opts.humanGenome, opts.skipMalformed)
               .withColumn("load_batch_id", lit(batchId))
-            if (has(args, "--anonymize")) {
-              anonIds = Some(g.select($"sample_id").distinct()
-                .select(anonId($"sample_id").as("anon_id")))
+            if (anonymize)
               g = g.withColumn("sample_id", anonId($"sample_id"))
-            }
+            // `--adj-filter` (`cli.py:327-331`): store only genotype rows
+            // passing gnomAD ADJ — the load-time row DROP the reference
+            // applies per call (`genotype_loader.py:279-282`), reusing the
+            // passes_adj column (F3; same missing-passes semantics, with
+            // the documented multi-allelic-het deviation). Runs BEFORE
+            // --dosage-only, like the reference (the filter reads the
+            // real GQ/DP/AB the nulling would erase).
+            if (has(args, "--adj-filter"))
+              g = g.filter($"passes_adj")
+            // `--dosage-only` (`cli.py:332-334`): space-saving storage —
+            // hard-call fields null out (gt '.', phased false, allele
+            // ints, GQ/DP/AD, allele balance), dosage + its GP/DS sources
+            // survive (`genotype_loader.py:288-293`). passes_adj keeps the
+            // ORIGINAL call's ADJ verdict (our column, no reference
+            // analogue — nulling it would claim the verdict was never
+            // computed).
+            if (has(args, "--dosage-only"))
+              g = g
+                .withColumn("gt", lit("."))
+                .withColumn("phased", lit(false))
+                .withColumn("a1", lit(null).cast("int"))
+                .withColumn("a2", lit(null).cast("int"))
+                .withColumn("gq", lit(null).cast("int"))
+                .withColumn("dp", lit(null).cast("int"))
+                .withColumn("ad", lit(null).cast("array<int>"))
+                .withColumn("allele_balance", lit(null).cast("double"))
             // flag BEFORE the write: a failure mid-append may have
             // committed some files, and the rollback must cover them
             appendedG = true
@@ -585,9 +726,10 @@ object Graft {
           genoPending.foreach(f => scala.concurrent.Await.result(
             f, scala.concurrent.duration.Duration.Inf))
           genoPending = None
-          if (header.samples.isEmpty) prevBatch.foreach { b =>
-            // sample-free reload of a file whose previous batch had
-            // samples: its old genotype rows still must go — the same
+          if (!storeGenotypes) prevBatch.foreach { b =>
+            // reload WITHOUT genotype storage (sample-free file, or
+            // --store-genotypes dropped since) of a file whose previous
+            // batch stored genotype rows: those still must go — the same
             // surgical O(batch) drop as the genotyped arm, run only now
             // that the replacement file parsed cleanly
             if (DbFs.exists(tbl(db, "genotypes"))) {
@@ -911,6 +1053,22 @@ object Graft {
           }
           progress.print()
           println(s"loaded $n variants (batch $batchId)")
+          // success-report shape (`cli.py:476-482`). variants_skipped is
+          // the reference's info-score drop count (`loader.py:292-296`);
+          // counting it needs the unfiltered parse cardinality, an extra
+          // O(batch) pass paid only when BOTH --report and
+          // --min-info-score were given (the count is 0 without a filter)
+          val skippedN =
+            if (reportPath.isDefined && opts.minInfoScore.isDefined)
+              math.max(0L, graft.vcf.VcfReader.variants(spark, vcf,
+                opts.copy(minInfoScore = None)).count() - n)
+            else 0L
+          writeReport(Seq(
+            "status" -> jstr("success"),
+            "variants_loaded" -> n.toString,
+            "variants_skipped" -> skippedN.toString,
+            "load_batch_id" -> jstr(batchId),
+            "file_hash" -> jstr(hash)))
         } catch {
           case e: Throwable if !committed =>
             // any in-flight genotype append must finish landing (or
@@ -2022,8 +2180,11 @@ object Graft {
           .orderBy($"completed_at".desc).limit(1).collect().headOption
           .getOrElse(sys.error(s"Load batch not found: $batchId"))
         val note = Option(row.getAs[String]("note")).getOrElse("")
+        // a note carries the --phi-scan outcome and/or the default
+        // header-sanitization clause; either is PHI-relevant here
         println(s"batch $batchId (${row.getAs[String]("file_path")}): " +
-          (if (note.startsWith("phi_scan")) note
+          (if (note.startsWith("phi_scan") ||
+               note.contains("header_sanitization")) note
            else "no PHI scan recorded (load ran without --phi-scan)"))
 
       case "phi-stats" =>
@@ -2152,9 +2313,13 @@ object Graft {
 
   private def usage(): Unit = println(
     """graft <verb> [options]
-      |  load <vcf> --db DIR [--normalize] [--force-reload] [--min-info-score X]
-      |       [--phi-scan] [--fail-on-phi] [--patterns-config F] [--anonymize]
-      |       [--anonymize-salt S] [--compact] [--target-file-mb N]
+      |  load <vcf> --db DIR [--no-normalize] [--force-reload] [--min-info-score X]
+      |       [--imputation-source minimac4|beagle|impute2|auto]
+      |       [--store-genotypes] [--adj-filter] [--dosage-only]
+      |       [--phi-scan] [--fail-on-phi] [--patterns-config F]
+      |       [--no-anonymize] [--anonymize-salt S] [--no-sanitize-headers]
+      |       [--no-hipaa-mode] [--compact] [--target-file-mb N]
+      |       [--report out.json] [--sample-id ID]
       |  init-db --db DIR [--skip-audit] [--versioned-tables]
       |  validate [BATCH_ID] --db DIR [--rebuild] [--drop-orphans]
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]

@@ -195,8 +195,8 @@ class GraftCliSpec extends SparkSpec {
     val vcfB = vcfDir.resolve("b.vcf").toString
     graft.vcf.SyntheticVcf.write(vcfA, 500, seed = 23L)
     graft.vcf.SyntheticVcf.write(vcfB, 500, seed = 29L)
-    Graft.run(spark, Array("load", vcfA, "--db", db))
-    Graft.run(spark, Array("load", vcfB, "--db", db))
+    Graft.run(spark, Array("load", vcfA, "--db", db, "--store-genotypes"))
+    Graft.run(spark, Array("load", vcfB, "--db", db, "--store-genotypes"))
     val g0 = spark.read.parquet(s"$db/genotypes").count()
     val v0 = spark.read.parquet(s"$db/variants").count()
     // genotypes are hive-partitioned by chrom from the first append (the
@@ -234,7 +234,7 @@ class GraftCliSpec extends SparkSpec {
     // --compact on load folds the genotype rewrite into the load itself
     val vcfC = vcfDir.resolve("c.vcf").toString
     graft.vcf.SyntheticVcf.write(vcfC, 500, seed = 31L)
-    Graft.run(spark, Array("load", vcfC, "--db", db, "--compact"))
+    Graft.run(spark, Array("load", vcfC, "--db", db, "--compact", "--store-genotypes"))
     assert(genoFiles().values.forall(_ == 1), s"not folded: ${genoFiles()}")
     assert(spark.read.parquet(s"$db/genotypes").count() > g0)
   }
@@ -358,9 +358,9 @@ class GraftCliSpec extends SparkSpec {
     val db = Files.createTempDirectory("graftdb").toString
     val vcfA = fixture("multiallelic.vcf")      // 8 decomposed variants
     val vcfB = fixture("with_annotations.vcf")  // 4 variants
-    Graft.run(spark, Array("load", vcfA, "--db", db))
+    Graft.run(spark, Array("load", vcfA, "--db", db, "--store-genotypes"))
     val nA = spark.read.parquet(s"$db/variants").count()
-    Graft.run(spark, Array("load", vcfB, "--db", db))
+    Graft.run(spark, Array("load", vcfB, "--db", db, "--store-genotypes"))
     val v = spark.read.parquet(s"$db/variants")
     val nAll = v.count()
     assert(nAll > nA, s"second load must grow the store ($nA -> $nAll)")
@@ -386,7 +386,7 @@ class GraftCliSpec extends SparkSpec {
     // actually present while the ledger says so
     val sOut = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(sOut)) {
-      Graft.run(spark, Array("load", vcfA, "--db", db))
+      Graft.run(spark, Array("load", vcfA, "--db", db, "--store-genotypes"))
     }
     assert(sOut.toString.contains("skip: file already loaded"), sOut.toString)
     assert(spark.read.parquet(s"$db/variants").count() == nAll)
@@ -410,7 +410,7 @@ class GraftCliSpec extends SparkSpec {
     // rows survive, total count is unchanged, A gets a fresh batch id
     val batchesBefore = v.select($"load_batch_id").distinct()
       .collect().map(_.getString(0)).toSet
-    Graft.run(spark, Array("load", vcfA, "--db", db, "--force-reload"))
+    Graft.run(spark, Array("load", vcfA, "--db", db, "--force-reload", "--store-genotypes"))
     val v2 = spark.read.parquet(s"$db/variants")
     assert(v2.count() == nAll)
     val batchesAfter = v2.select($"load_batch_id").distinct()
@@ -534,17 +534,20 @@ class GraftCliSpec extends SparkSpec {
         .map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
     }
     val inv0 = inventory()
-    Graft.run(spark, Array("load", withSamples, "--db", db))
+    Graft.run(spark, Array("load", withSamples, "--db", db, "--store-genotypes"))
     val inv1 = inventory()
     inv0.foreach { case (path, id) =>
       assert(inv1.get(path).contains(id),
         s"genotyped load into a sample-less store rewrote $path")
     }
-    Graft.run(spark, Array("load", normed, "--db", db, "--normalize"))
+    // normalize now defaults ON (reference `cli.py:269`), so the mixed
+    // setting worth pinning is a --no-normalize load into a normalized
+    // store staying on the append path
+    Graft.run(spark, Array("load", normed, "--db", db, "--no-normalize"))
     val inv2 = inventory()
     inv1.foreach { case (path, id) =>
       assert(inv2.get(path).contains(id),
-        s"--normalize load into a mixed store rewrote $path")
+        s"--no-normalize load into a mixed store rewrote $path")
     }
     // all three batches serve: per-batch counts and a cross-batch lookup
     val v = spark.read.parquet(s"$db/variants")
@@ -655,7 +658,7 @@ class GraftCliSpec extends SparkSpec {
     val db = Files.createTempDirectory("graftdb").toString
     val vcfA = Files.createTempDirectory("orphvcf").resolve("a.vcf").toString
     graft.vcf.SyntheticVcf.write(vcfA, 300, seed = 51L, annFrac = 0.5)
-    Graft.run(spark, Array("load", vcfA, "--db", db))
+    Graft.run(spark, Array("load", vcfA, "--db", db, "--store-genotypes"))
     val v0 = spark.read.parquet(s"$db/variants")
     val nV = v0.count()
     val nG = spark.read.parquet(s"$db/genotypes").count()
@@ -792,7 +795,7 @@ class GraftCliSpec extends SparkSpec {
 
   test("legacy flat genotype stores keep appending flat until compact migrates them") {
     val db = Files.createTempDirectory("graftdb").toString
-    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db, "--store-genotypes"))
     // simulate a pre-hive db: flatten the genotypes table in place
     val root = new java.io.File(s"$db/genotypes")
     val flat = spark.read.parquet(s"$db/genotypes").localCheckpoint()
@@ -804,7 +807,7 @@ class GraftCliSpec extends SparkSpec {
     flat.write.parquet(s"$db/genotypes")
     assert(root.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")))
     // a further load must NOT mix a hive append into the flat layout
-    Graft.run(spark, Array("load", fixture("with_annotations.vcf"), "--db", db))
+    Graft.run(spark, Array("load", fixture("with_annotations.vcf"), "--db", db, "--store-genotypes"))
     assert(!root.listFiles().exists(_.getName.startsWith("chrom=")),
       "hive append mixed into a flat legacy store")
     val g = spark.read.parquet(s"$db/genotypes") // still readable
@@ -829,7 +832,7 @@ class GraftCliSpec extends SparkSpec {
     // frequencies → gwas → sample QC → refresh (views/prs_views.py:133-159)
     val vcfS = Files.createTempDirectory("viewsvcf").resolve("s.vcf").toString
     graft.vcf.SyntheticVcf.write(vcfS, 200, seed = 47L, annFrac = 0.5)
-    Graft.run(spark, Array("load", vcfS, "--db", db))
+    Graft.run(spark, Array("load", vcfS, "--db", db, "--store-genotypes"))
     // with only the variants store, the gated views are skipped LOUDLY
     val out0 = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out0)) {
@@ -865,7 +868,7 @@ class GraftCliSpec extends SparkSpec {
   test("list-failing-samples lists qc-failed samples worst call_rate first") {
     val db = Files.createTempDirectory("graftdb").toString
     // multiallelic.vcf's three samples are all ./. — call_rate 0, all fail
-    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db, "--store-genotypes"))
     val out0 = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out0)) {
       Graft.run(spark, Array("list-failing-samples", "--db", db))
@@ -1065,7 +1068,7 @@ class GraftCliSpec extends SparkSpec {
   test("lookup --genotypes serves per-sample rows driver-side with Spark parity") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = fixture("multiallelic.vcf") // sample-bearing fixture
-    Graft.run(spark, Array("load", vcf, "--db", db))
+    Graft.run(spark, Array("load", vcf, "--db", db, "--store-genotypes"))
     val site = spark.read.parquet(s"$db/genotypes")
       .select($"chrom", $"pos").orderBy($"chrom", $"pos").head()
     val (chrom, pos) = (site.getString(0), site.getLong(1))
@@ -1105,7 +1108,7 @@ class GraftCliSpec extends SparkSpec {
     val db2 = Files.createTempDirectory("graftdb2").toString
     val vcfS = Files.createTempDirectory("synthvcf").resolve("s.vcf").toString
     graft.vcf.SyntheticVcf.write(vcfS, 300, seed = 43L, annFrac = 0.5)
-    Graft.run(spark, Array("load", vcfS, "--db", db2))
+    Graft.run(spark, Array("load", vcfS, "--db", db2, "--store-genotypes"))
     val rsId = spark.read.parquet(s"$db2/variants")
       .filter($"rs_id".isNotNull).select($"rs_id").head().getString(0)
     val hits = graft.query.PointLookup.byRsid(
@@ -1154,10 +1157,10 @@ class GraftCliSpec extends SparkSpec {
   test("force-reload keeps genotype counts stable and drops the old batch's rows") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = fixture("multiallelic.vcf") // sample-bearing fixture
-    Graft.run(spark, Array("load", vcf, "--db", db))
+    Graft.run(spark, Array("load", vcf, "--db", db, "--store-genotypes"))
     val n0 = spark.read.parquet(s"$db/genotypes").count()
     assert(n0 > 0)
-    Graft.run(spark, Array("load", vcf, "--db", db, "--force-reload"))
+    Graft.run(spark, Array("load", vcf, "--db", db, "--force-reload", "--store-genotypes"))
     val g = spark.read.parquet(s"$db/genotypes")
     assert(g.count() == n0) // append-only would double it
     assert(g.select($"load_batch_id").distinct().count() == 1)
@@ -1177,7 +1180,7 @@ class GraftCliSpec extends SparkSpec {
       graft.vcf.SyntheticVcf.write(p, 600, seed = 91L + i)
       p
     }
-    vcfs.foreach(f => Graft.run(spark, Array("load", f, "--db", db)))
+    vcfs.foreach(f => Graft.run(spark, Array("load", f, "--db", db, "--store-genotypes")))
     val ledger = spark.read.parquet(s"$db/ledger")
       .filter($"status" === "completed")
       .orderBy($"completed_at").collect()
@@ -1194,7 +1197,7 @@ class GraftCliSpec extends SparkSpec {
     val before = tables.map(t => t -> inventory(t)).toMap
     val totalBefore = spark.read.parquet(s"$db/variants").count()
     val genoBefore = spark.read.parquet(s"$db/genotypes").count()
-    Graft.run(spark, Array("load", vcfs(1), "--db", db, "--force-reload"))
+    Graft.run(spark, Array("load", vcfs(1), "--db", db, "--force-reload", "--store-genotypes"))
     val after = tables.map(t => t -> inventory(t)).toMap
     // every surviving pre-reload file either belonged to the reloaded
     // batch (now gone) or is byte-identical; at least one file per table
@@ -1302,7 +1305,7 @@ class GraftCliSpec extends SparkSpec {
     Files.write(java.nio.file.Paths.get(s"$db/genotypes/legacy.parquet"),
       "not parquet at all".getBytes)
     intercept[Throwable] {
-      Graft.run(spark, Array("load", vcf, "--db", db))
+      Graft.run(spark, Array("load", vcf, "--db", db, "--store-genotypes"))
     }
     assert(!new java.io.File(s"$db/variants").exists(),
       "variants table must not exist after a genotype-side failure")
@@ -1316,7 +1319,7 @@ class GraftCliSpec extends SparkSpec {
     // `validate --drop-orphans` reconciles; the new batch is complete)
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$db/genotypes/legacy.parquet"))
-    Graft.run(spark, Array("load", vcf, "--db", db))
+    Graft.run(spark, Array("load", vcf, "--db", db, "--store-genotypes"))
     assert(spark.read.parquet(s"$db/variants").count() >= 200)
     assert(spark.read.parquet(s"$db/genotypes").count() > 0)
     assert(spark.read.parquet(s"$db/ledger")
@@ -1360,7 +1363,7 @@ class GraftCliSpec extends SparkSpec {
   test("anonymize: one-way salted vault, deduped across reloads") {
     val db = Files.createTempDirectory("graftdb").toString
     val vcf = fixture("multiallelic.vcf")
-    Graft.run(spark, Array("load", vcf, "--db", db,
+    Graft.run(spark, Array("load", vcf, "--db", db, "--store-genotypes",
       "--anonymize", "--anonymize-salt", "pepper"))
     val vault = spark.read.parquet(s"$db/phi_vault/sample_id_mapping")
     // one-way mapping: anon id + provenance only, no recoverable original
@@ -1372,12 +1375,12 @@ class GraftCliSpec extends SparkSpec {
     // same samples reloaded → no duplicate vault rows (reference upserts
     // ON CONFLICT, phi/anonymizer get_or_create_anonymous_id)
     Graft.run(spark, Array("load", vcf, "--db", db, "--force-reload",
-      "--anonymize", "--anonymize-salt", "pepper"))
+      "--store-genotypes", "--anonymize", "--anonymize-salt", "pepper"))
     assert(spark.read.parquet(s"$db/phi_vault/sample_id_mapping").count() == n0)
     // the salt keys the hash: the same samples under a different salt get
     // different anon ids (low-entropy ids can't be table-look-up'd)
     val db2 = Files.createTempDirectory("graftdb2").toString
-    Graft.run(spark, Array("load", vcf, "--db", db2,
+    Graft.run(spark, Array("load", vcf, "--db", db2, "--store-genotypes",
       "--anonymize", "--anonymize-salt", "other"))
     val ids1 = vault.select($"anon_id").collect().map(_.getString(0)).toSet
     val ids2 = spark.read.parquet(s"$db2/phi_vault/sample_id_mapping")
@@ -1422,7 +1425,7 @@ class GraftCliSpec extends SparkSpec {
 
   test("annotation-query registers anno_<src> and core tables (cli.py:1454-1501)") {
     val db = Files.createTempDirectory("graftdb").toString
-    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db))
+    Graft.run(spark, Array("load", fixture("multiallelic.vcf"), "--db", db, "--store-genotypes"))
     // a tiny annotation source over the same sites
     val cfgPath = Files.createTempDirectory("annocfg").resolve("cfg.json")
     Files.write(cfgPath, java.util.Arrays.asList(
@@ -1724,10 +1727,10 @@ class GraftCliSpec extends SparkSpec {
     val vcf = Files.createTempDirectory("qcarm").resolve("a.vcf").toString
     graft.vcf.SyntheticVcf.write(vcf, 300, seed = 7700L)
     val dbB = Files.createTempDirectory("graftdb").toString
-    Graft.run(spark, Array("load", vcf, "--db", dbB))
+    Graft.run(spark, Array("load", vcf, "--db", dbB, "--store-genotypes"))
     val dbS = Files.createTempDirectory("graftdb").toString
     System.setProperty("graft.qc.broadcast.max.rows", "0")
-    try Graft.run(spark, Array("load", vcf, "--db", dbS))
+    try Graft.run(spark, Array("load", vcf, "--db", dbS, "--store-genotypes"))
     finally System.clearProperty("graft.qc.broadcast.max.rows")
     val cols = spark.read.parquet(s"$dbB/variants").columns
       .filterNot(_ == "load_batch_id").sorted.toSeq
@@ -2170,5 +2173,150 @@ class GraftCliSpec extends SparkSpec {
     assert(areg.head().getAs[String]("version") == "v1")
     assert(areg.head().getAs[Long]("variant_count") > 0)
     Graft.run(spark, Array("list-annotations", "--db", db))
+  }
+
+  test("load --adj-filter / --dosage-only / --imputation-source / --report") {
+    val dir = Files.createTempDirectory("loadflags")
+    def writeVcf(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      Files.writeString(p,
+        """##fileformat=VCFv4.2
+          |##INFO=<ID=DR2,Number=A,Type=Float,Description="dosage r2">
+          |##INFO=<ID=IMP,Number=0,Type=Flag,Description="imputed">
+          |##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">
+          |##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="gq">
+          |##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">
+          |##FORMAT=<ID=AD,Number=R,Type=Integer,Description="ad">
+          |##FORMAT=<ID=DS,Number=A,Type=Float,Description="ds">
+          |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1	S2
+          |""".stripMargin + body)
+      p.toString
+    }
+    // ADJ truth per call (`genotype_loader.py:140-172`): S1@100 het
+    // passes (GQ30 DP20 AB .5); S2@100 fails GQ<20; S1@200 hom fails
+    // DP<10; S2@200 hom-ref passes (AB irrelevant for homs)
+    val vcf = writeVcf("adj.vcf",
+      "chr1\t100\t.\tA\tG\t50\tPASS\tDR2=0.95;IMP\tGT:GQ:DP:AD:DS\t" +
+        "0/1:30:20:10,10:1.0\t0/1:10:20:10,10:0.9\n" +
+      "chr1\t200\t.\tC\tT\t50\tPASS\tDR2=0.2\tGT:GQ:DP:AD:DS\t" +
+        "1/1:30:5:0,10:2.0\t0/0:99:30:30,0:0.1\n")
+
+    val dbAdj = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", vcf, "--db", dbAdj, "--adj-filter",
+      "--store-genotypes", "--no-anonymize"))
+    val gAdj = spark.read.parquet(s"$dbAdj/genotypes")
+    assert(gAdj.count() == 2, gAdj.collect().mkString("\n"))
+    assert(gAdj.filter($"passes_adj").count() == 2)
+    assert(gAdj.filter($"pos" === 100 && $"sample_id" === "S2").isEmpty)
+    assert(gAdj.filter($"pos" === 200 && $"sample_id" === "S1").isEmpty)
+
+    // dosage-only: hard-call fields nulled, dosage + GP/DS sources kept
+    // (`genotype_loader.py:288-293`); variants unaffected
+    val dbDos = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", vcf, "--db", dbDos, "--dosage-only",
+      "--store-genotypes", "--no-anonymize"))
+    val gDos = spark.read.parquet(s"$dbDos/genotypes")
+    assert(gDos.count() == 4)
+    assert(gDos.filter($"gt" =!= "." || $"phased" ||
+      $"gq".isNotNull || $"dp".isNotNull || $"ad".isNotNull ||
+      $"a1".isNotNull || $"allele_balance".isNotNull).isEmpty)
+    assert(gDos.filter($"dosage".isNull).isEmpty)
+    assert(gDos.filter($"pos" === 100 && $"sample_id" === "S1")
+      .head().getAs[Double]("dosage") == 1.0)
+
+    // auto-detection sniffs the ##INFO=<ID=DR2 line as beagle
+    // (`parsers/imputation.py:106-107`) and fills the metrics...
+    val vAuto = spark.read.parquet(s"$dbDos/variants")
+    assert(vAuto.filter($"imputation_source" === "beagle").count() == 2)
+    assert(vAuto.filter($"pos" === 100).head()
+      .getAs[Double]("info_score") == 0.95)
+    assert(vAuto.filter($"pos" === 100).head().getAs[Boolean]("is_imputed"))
+    // ...and --imputation-source OVERRIDES the sniff with another tool's
+    // vocabulary (impute2 reads INFO/INFO, absent here → null scores)
+    val dbImp = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", vcf, "--db", dbImp,
+      "--imputation-source", "impute2"))
+    val vImp = spark.read.parquet(s"$dbImp/variants")
+    assert(vImp.filter($"imputation_source" === "impute2").count() == 2)
+    assert(vImp.filter($"info_score".isNotNull).count() == 0)
+    // vocabulary is validated like the reference's Enum
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("load", vcf, "--db", dbImp,
+        "--imputation-source", "dragen", "--force-reload"))
+    }
+
+    // --report: the reference's JSON shapes for success and skip
+    // (`cli.py:458-497`), --sample-id feeding only the report
+    val dbRep = Files.createTempDirectory("graftdb").toString
+    val rep1 = dir.resolve("r1.json").toString
+    Graft.run(spark, Array("load", vcf, "--db", dbRep,
+      "--imputation-source", "beagle", "--min-info-score", "0.5",
+      "--report", rep1, "--sample-id", "COHORT_A"))
+    val r1 = Files.readString(java.nio.file.Paths.get(rep1))
+    assert(r1.contains("\"status\": \"success\""), r1)
+    assert(r1.contains("\"variants_loaded\": 1"), r1) // DR2=0.2 row dropped
+    assert(r1.contains("\"variants_skipped\": 1"), r1)
+    assert(r1.contains("\"file_hash\": \""), r1)
+    assert(r1.contains("\"sample_id\": \"COHORT_A\""), r1)
+    assert(r1.contains("\"elapsed_seconds\": "), r1)
+    assert(r1.contains("\"vcf_file\": "), r1)
+    // anonymization defaults ON (`cli.py:299-302`): even without genotype
+    // storage, the header-derived sample mapping lands in the vault
+    val vaultRep = spark.read.parquet(s"$dbRep/phi_vault/sample_id_mapping")
+    assert(vaultRep.count() == 2)
+    assert(vaultRep.filter(!$"anon_id".startsWith("ANON_")).isEmpty)
+    val batchId = spark.read.parquet(s"$dbRep/ledger")
+      .filter($"status" === "completed").head()
+      .getAs[String]("load_batch_id")
+    assert(r1.contains(s""""load_batch_id": "$batchId""""), r1)
+    // skip shape carries the PREVIOUS batch id
+    val rep2 = dir.resolve("r2.json").toString
+    Graft.run(spark, Array("load", vcf, "--db", dbRep,
+      "--imputation-source", "beagle", "--min-info-score", "0.5",
+      "--report", rep2))
+    val r2 = Files.readString(java.nio.file.Paths.get(rep2))
+    assert(r2.contains("\"status\": \"skipped\""), r2)
+    assert(r2.contains("\"variants_loaded\": 0"), r2)
+    assert(r2.contains(s""""load_batch_id": "$batchId""""), r2)
+    // default sample_id = file stem (Path.stem: last suffix stripped)
+    assert(r2.contains("\"sample_id\": \"adj\""), r2)
+  }
+
+  test("load sanitize-headers defaults on; --no-hipaa-mode turns compliance off") {
+    val dir = Files.createTempDirectory("sanhdr")
+    val vcf = dir.resolve("h.vcf").toString
+    Files.writeString(java.nio.file.Paths.get(vcf),
+      """##fileformat=VCFv4.2
+        |##source=run by jsmith@hospital.org
+        |#CHROM	POS	ID	REF	ALT	QUAL	FILTER	INFO	FORMAT	S1
+        |chr1	100	.	A	G	50	PASS	DP=10	GT	0/1
+        |""".stripMargin)
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    // default: the load reports header PHI (`loader.py:308-326`) and the
+    // ledger note carries the header_sanitization clause phi-report serves
+    val db = Files.createTempDirectory("graftdb").toString
+    val out = captured(Array("load", vcf, "--db", db))
+    assert(out.contains("header sanitization: detected"), out)
+    val batch = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed").head().getAs[String]("load_batch_id")
+    val rep = captured(Array("phi-report", batch, "--db", db))
+    assert(rep.contains("header_sanitization"), rep)
+    // anonymize default wrote the vault for this sample-bearing file
+    assert(spark.read.parquet(s"$db/phi_vault/sample_id_mapping").count() == 1)
+    // --no-sanitize-headers drops the header scan only
+    val db2 = Files.createTempDirectory("graftdb").toString
+    val out2 = captured(Array("load", vcf, "--db", db2, "--no-sanitize-headers"))
+    assert(!out2.contains("header sanitization"), out2)
+    assert(new java.io.File(s"$db2/phi_vault").exists()) // anonymize still on
+    // --no-hipaa-mode is the master off switch (`cli.py:352-359`):
+    // no header scan AND no anonymization vault
+    val db3 = Files.createTempDirectory("graftdb").toString
+    val out3 = captured(Array("load", vcf, "--db", db3, "--no-hipaa-mode"))
+    assert(!out3.contains("header sanitization"), out3)
+    assert(!new java.io.File(s"$db3/phi_vault").exists())
   }
 }

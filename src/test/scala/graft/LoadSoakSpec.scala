@@ -74,7 +74,11 @@ class LoadSoakSpec extends SparkSpec {
       val f = files(rng.nextInt(files.length))
       val flags = scala.collection.mutable.ArrayBuffer[String]()
       if (loaded.contains(f)) flags += "--force-reload"
-      if (rng.nextBoolean()) flags += "--normalize"
+      if (rng.nextBoolean()) flags += "--no-normalize"
+      // mixed genotype storage across batches (and across force-reloads
+      // of the SAME file — the drop-without-restore arm) is the
+      // realistic cohort shape now that storage is opt-in
+      if (rng.nextBoolean()) flags += "--store-genotypes"
       Graft.run(spark, Array("load", f, "--db", db) ++ flags)
       loaded += f
       // matview refreshes interleave with loads in real operation; a
@@ -113,7 +117,7 @@ class LoadSoakSpec extends SparkSpec {
     val dir = Files.createTempDirectory("probevcf")
     val base = dir.resolve("base.vcf").toString
     graft.vcf.SyntheticVcf.write(base, 800, seed = 900L)
-    Graft.run(spark, Array("load", base, "--db", db))
+    Graft.run(spark, Array("load", base, "--db", db, "--store-genotypes"))
 
     val probeRows = spark.read.parquet(s"$db/variants")
       .filter($"chrom" === "chr1")
@@ -148,7 +152,7 @@ class LoadSoakSpec extends SparkSpec {
       (0 until 3).foreach { i =>
         val p = dir.resolve(s"c$i.vcf").toString
         graft.vcf.SyntheticVcf.write(p, 600, seed = 910L + i)
-        Graft.run(spark, Array("load", p, "--db", db))
+        Graft.run(spark, Array("load", p, "--db", db, "--store-genotypes"))
       }
       // a force-reload of a NON-probed file exercises the drop path
       // (surgical file unlinks) under the reader's nose

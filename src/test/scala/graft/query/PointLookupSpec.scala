@@ -121,7 +121,7 @@ class PointLookupSpec extends SparkSpec {
       val vcf = s"${Files.createTempDirectory("bulkvcf")}/c$i.vcf"
       graft.vcf.SyntheticVcf.write(vcf, 3000, seed = 100L + i,
         samples = Seq("S1", "S2", "S3"))
-      graft.Graft.run(spark, Array("load", vcf, "--db", db))
+      graft.Graft.run(spark, Array("load", vcf, "--db", db, "--store-genotypes"))
     }
     val v = spark.read.parquet(s"$db/variants").cache()
     assert(v.select($"load_batch_id").distinct().count() == 3)
