@@ -1642,13 +1642,55 @@ object Graft {
         // a sample-less db has no genotypes table at all — answer with
         // the verb's contract, not a path-not-found AnalysisException
         if (!DbFs.exists(tbl(db, "genotypes")))
-          sys.error("no genotypes table: load a VCF with sample columns first")
-        val g = spark.read.parquet(tbl(db, "genotypes"))
-        val sqc = graft.qc.SampleQc.compute(g, graft.qc.VariantQc.fromGenotypes(g))
-        sqc.write.mode("overwrite").parquet(tbl(db, "sample_qc"))
-        // summarize from the written parquet — don't re-run the QC aggs
-        graft.qc.SampleQc.batchSummary(
-          spark.read.parquet(tbl(db, "sample_qc"))).show()
+          sys.error("no genotypes table: load a VCF with sample columns " +
+            "and --store-genotypes first")
+        // `--batch-id` / `--sample-id` scoping + `--json`
+        // (`cli.py:2234-2263`; batch ids are our load batch UUIDs where
+        // the reference uses Postgres audit ints). The reference REQUIRES
+        // one of the two; unscoped here computes ALL samples — a
+        // documented superset, and what refresh-views' sample_qc_summary
+        // wants. A batch scope computes from that batch's rows alone (a
+        // batch is one cohort file, its own population context — the
+        // reference's compute-for-batch); a sample scope keeps the
+        // full-store context and filters the RESULT.
+        val batchScope = arg(args, "--batch-id")
+        val sampleScope = arg(args, "--sample-id")
+        val g0 = spark.read.parquet(tbl(db, "genotypes"))
+        val g = batchScope
+          .map(b => g0.filter($"load_batch_id" === b)).getOrElse(g0)
+        var sqc = graft.qc.SampleQc.compute(
+          g, graft.qc.VariantQc.fromGenotypes(g))
+        sampleScope.foreach(sid => sqc = sqc.filter($"sample_id" === sid))
+        // scoped runs UPSERT their samples' rows into sample_qc (other
+        // samples' rows survive — the reference persists per-sample rows
+        // independently); unscoped keeps the whole-table rewrite.
+        // replaceInPlace, not a bare overwrite: the merge reads the
+        // destination it replaces.
+        val sqcDest = tbl(db, "sample_qc")
+        val sqcOut =
+          if ((batchScope.isDefined || sampleScope.isDefined) &&
+              DbFs.exists(sqcDest)) {
+            spark.read.parquet(sqcDest)
+              .join(sqc.select($"sample_id"), Seq("sample_id"), "left_anti")
+              .unionByName(sqc)
+          } else sqc
+        graft.sinks.Writers.replaceInPlace(sqcOut, sqcDest)(
+          (d, p) => d.write.parquet(p))
+        val written = spark.read.parquet(sqcDest)
+        if (has(args, "--json")) {
+          // per-sample metric rows for the SCOPE as a JSON array
+          // (sample-count bounded), the reference's --json face
+          val scoped = (batchScope, sampleScope) match {
+            case (_, Some(sid)) => written.filter($"sample_id" === sid)
+            case (Some(_), _)   => written.join(
+              sqc.select($"sample_id"), Seq("sample_id"), "left_semi")
+            case _              => written
+          }
+          println(scoped.orderBy($"sample_id").toJSON.collect()
+            .mkString("[", ",", "]"))
+        } else
+          // summarize from the written parquet — don't re-run the QC aggs
+          graft.qc.SampleQc.batchSummary(written).show()
 
       case "list-failing-samples" =>
         // qc/schema.py:142-163 — the qc-failed sample listing, worst
@@ -1888,16 +1930,86 @@ object Graft {
         // lock-file creation and the first parquet append leaves a
         // directory holding only the .append.lock dotfile, which a bare
         // read fails to infer a schema from
+        // `--start-date`/`--end-date` window the REPORT on event dates
+        // (`cli.py:2424-2426`; optional here where the reference requires
+        // them — unwindowed = whole log, a documented superset). The
+        // chain is verified WHOLE and the verdicts then windowed: each
+        // in-window entry's verdict matches the reference's
+        // seeded-subchain walk (`integrity.py:157-244` seeds from the
+        // entry before the window), and whole-log verification is
+        // strictly stronger. `--json` emits the IntegrityReport dict
+        // shape (`integrity.py:52-73`).
+        val vStart = arg(args, "--start-date")
+        val vEnd = arg(args, "--end-date")
+        (vStart.toSeq ++ vEnd).foreach { d =>
+          if (!d.matches("""\d{4}-\d{2}-\d{2}"""))
+            sys.error(s"--start-date/--end-date must be YYYY-MM-DD: $d")
+        }
+        val vJson = has(args, "--json")
+        def jq(s: String) = "\"" + s.replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\""
         val auditDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
-        if (auditDf.isEmpty) println("no audit log")
+        if (auditDf.isEmpty) {
+          if (vJson)
+            println(s"""{"start_date":${vStart.map(jq).getOrElse("null")},""" +
+              s""""end_date":${vEnd.map(jq).getOrElse("null")},""" +
+              """"total_entries":0,"verified_entries":0,"is_valid":true,""" +
+              """"coverage_percent":100.0,"violation_count":0,""" +
+              """"violations":[],"first_entry_hash":null,""" +
+              s""""last_entry_hash":null,"verification_time":${jq(
+                java.time.Instant.now().toString)}}""")
+          else println("no audit log")
+        }
         else {
-          val checked = graft.audit.Audit.verifyChain(auditDf)
+          val all = graft.audit.Audit.verifyChain(auditDf)
             .select($"audit_id", $"event_type", $"event_time", $"chain_valid",
-              $"duplicate_id")
+              $"duplicate_id", $"entry_hash")
+            .orderBy($"audit_id")
             .collect()
+          // event_time is an ISO-8601 instant: first 10 chars = UTC date
+          def inWindow(t: String): Boolean = {
+            val d = t.take(10)
+            vStart.forall(d >= _) && vEnd.forall(d <= _)
+          }
+          val checked = all.filter(r => inWindow(r.getString(2)))
           val bad = checked.filterNot(_.getAs[Boolean]("chain_valid"))
-          if (bad.isEmpty) println(s"audit chain ok (${checked.length} entries)")
-          else {
+          if (vJson) {
+            // violation vocabulary per `integrity.py:14-18`: a forked id
+            // (concurrent appenders) is a chain_broken, an edited entry a
+            // hash_mismatch; capped at 100 like to_dict
+            val viol = bad.take(100).map { r =>
+              val dup = r.getAs[Boolean]("duplicate_id")
+              s"""{"audit_id":${r.getLong(0)},"event_time":${jq(r.getString(2))},""" +
+                s""""status":${jq(if (dup) "chain_broken" else "hash_mismatch")},""" +
+                s""""message":${jq(if (dup) "duplicate audit_id (concurrent append fork)"
+                  else "entry hash does not verify against content and predecessor")}}"""
+            }.mkString("[", ",", "]")
+            println(s"""{"start_date":${vStart.orElse(checked.headOption.map(
+                _.getString(2).take(10))).map(jq).getOrElse("null")},""" +
+              s""""end_date":${vEnd.orElse(checked.lastOption.map(
+                _.getString(2).take(10))).map(jq).getOrElse("null")},""" +
+              s""""total_entries":${checked.length},""" +
+              s""""verified_entries":${checked.length - bad.length},""" +
+              s""""is_valid":${bad.isEmpty},""" +
+              s""""coverage_percent":${if (checked.isEmpty) 100.0
+                else math.round((checked.length - bad.length) * 10000.0 /
+                  checked.length) / 100.0},""" +
+              s""""violation_count":${bad.length},"violations":$viol,""" +
+              s""""first_entry_hash":${checked.headOption.map(r =>
+                jq(r.getString(5))).getOrElse("null")},""" +
+              s""""last_entry_hash":${checked.lastOption.map(r =>
+                jq(r.getString(5))).getOrElse("null")},""" +
+              s""""verification_time":${jq(java.time.Instant.now().toString)}}""")
+            if (bad.nonEmpty)
+              sys.error(s"audit chain verification FAILED: " +
+                s"${bad.length} bad entries")
+          }
+          else if (bad.isEmpty) {
+            val windowNote =
+              if (vStart.isEmpty && vEnd.isEmpty) ""
+              else s" in window ${vStart.getOrElse("…")}..${vEnd.getOrElse("…")}"
+            println(s"audit chain ok (${checked.length} entries$windowNote)")
+          } else {
             // a forked chain (duplicate ids from concurrent appenders) is
             // named distinctly — it is an operational race, not an edit
             bad.foreach { r =>
@@ -2334,7 +2446,7 @@ object Graft {
       |  list-annotations|list-studies|list-pgs --db DIR [--json]
       |  load-reference <hapmap3-tsv> --db DIR
       |  annotate-ld-blocks <bed> --db DIR [--population EUR] [--build grch37]
-      |  compute-sample-qc --db DIR
+      |  compute-sample-qc --db DIR [--batch-id B | --sample-id S] [--json]
       |  list-failing-samples --db DIR
       |  refresh-views --db DIR [--source gnomAD_v3]
       |  load-annotation <vcf> --name NAME --config cfg.json --db DIR
@@ -2342,7 +2454,7 @@ object Graft {
       |  annotate --db DIR [--anno a,b] [--batch ID] [--filter EXPR] [--limit N]
       |       [--output PATH] [--format tsv|json]
       |  annotation-query "<sql>" --db DIR [--output PATH] [--format tsv|json]
-      |  audit-verify --db DIR
+      |  audit-verify --db DIR [--start-date D] [--end-date D] [--json]
       |  audit-stats --db DIR
       |  audit-export <out.json> --db DIR [--start YYYY-MM-DD] [--end YYYY-MM-DD]
       |  audit-verify-backup <backup.json>

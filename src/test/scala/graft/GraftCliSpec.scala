@@ -2319,4 +2319,98 @@ class GraftCliSpec extends SparkSpec {
     assert(!out3.contains("header sanitization"), out3)
     assert(!new java.io.File(s"$db3/phi_vault").exists())
   }
+
+  test("audit-verify --json emits the IntegrityReport shape; dates window the report") {
+    val db = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db))
+    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db))
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // whole-log report (`integrity.py:52-73` dict shape)
+    val rep = om.readTree(captured(Array("audit-verify", "--db", db, "--json")))
+    assert(rep.get("is_valid").asBoolean())
+    assert(rep.get("total_entries").asInt() == 2)
+    assert(rep.get("verified_entries").asInt() == 2)
+    assert(rep.get("violation_count").asInt() == 0)
+    assert(rep.get("coverage_percent").asDouble() == 100.0)
+    assert(rep.get("first_entry_hash").asText().length == 64)
+    assert(rep.get("last_entry_hash").asText().length == 64)
+    // a window before any event reports zero entries, still valid
+    val repW = om.readTree(captured(Array("audit-verify", "--db", db,
+      "--json", "--start-date", "1970-01-01", "--end-date", "1970-01-02")))
+    assert(repW.get("total_entries").asInt() == 0)
+    assert(repW.get("is_valid").asBoolean())
+    assert(repW.get("start_date").asText() == "1970-01-01")
+    // text face names the window
+    val txt = captured(Array("audit-verify", "--db", db,
+      "--start-date", "1970-01-01", "--end-date", "1970-01-02"))
+    assert(txt.contains("audit chain ok (0 entries in window 1970-01-01..1970-01-02)"), txt)
+    // tampering: the JSON face still reports (is_valid false, the
+    // reference's hash_mismatch vocabulary) and exits nonzero
+    val tampered = spark.read.parquet(s"$db/audit_log")
+      .withColumn("action", org.apache.spark.sql.functions.when(
+        $"audit_id" === 1L, org.apache.spark.sql.functions.lit("doctored"))
+        .otherwise($"action"))
+    graft.sinks.Writers.replaceInPlace(tampered, s"$db/audit_log")(
+      (d, p) => d.write.parquet(p))
+    val out = new java.io.ByteArrayOutputStream()
+    val e = intercept[RuntimeException] {
+      Console.withOut(new java.io.PrintStream(out)) {
+        Graft.run(spark, Array("audit-verify", "--db", db, "--json"))
+      }
+    }
+    assert(e.getMessage.contains("FAILED"), e.getMessage)
+    val repBad = om.readTree(out.toString)
+    assert(!repBad.get("is_valid").asBoolean())
+    assert(repBad.get("violation_count").asInt() >= 1)
+    assert(repBad.get("violations").get(0).get("status").asText() == "hash_mismatch")
+  }
+
+  test("compute-sample-qc scopes by --batch-id / --sample-id and upserts; --json rows") {
+    val db = Files.createTempDirectory("graftdb").toString
+    val dir = Files.createTempDirectory("sqcscope")
+    val vA = dir.resolve("a.vcf").toString
+    val vB = dir.resolve("b.vcf").toString
+    graft.vcf.SyntheticVcf.write(vA, 300, samples = Seq("A1", "A2"), seed = 31L)
+    graft.vcf.SyntheticVcf.write(vB, 300, samples = Seq("B1"), seed = 32L)
+    Graft.run(spark, Array("load", vA, "--db", db,
+      "--store-genotypes", "--no-anonymize"))
+    Graft.run(spark, Array("load", vB, "--db", db,
+      "--store-genotypes", "--no-anonymize"))
+    val batches = spark.read.parquet(s"$db/ledger")
+      .filter($"status" === "completed")
+      .select($"file_path", $"load_batch_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // batch scope: only that batch's samples land in sample_qc
+    Graft.run(spark, Array("compute-sample-qc", "--db", db,
+      "--batch-id", batches(vA)))
+    val afterA = spark.read.parquet(s"$db/sample_qc")
+    assert(afterA.select($"sample_id").collect().map(_.getString(0)).toSet ==
+      Set("A1", "A2"))
+    // sample scope UPSERTS: B1's row joins, A rows survive
+    Graft.run(spark, Array("compute-sample-qc", "--db", db,
+      "--sample-id", "B1"))
+    val afterB = spark.read.parquet(s"$db/sample_qc")
+    assert(afterB.select($"sample_id").collect().map(_.getString(0)).toSet ==
+      Set("A1", "A2", "B1"))
+    // re-running a scope replaces, never duplicates
+    Graft.run(spark, Array("compute-sample-qc", "--db", db,
+      "--sample-id", "B1"))
+    assert(spark.read.parquet(s"$db/sample_qc").count() == 3)
+    // --json: per-sample rows for the scope as a parseable array
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Graft.run(spark, Array("compute-sample-qc", "--db", db,
+        "--sample-id", "B1", "--json"))
+    }
+    val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(out.toString.linesIterator.find(_.startsWith("[")).get)
+    assert(arr.size() == 1)
+    assert(arr.get(0).get("sample_id").asText() == "B1")
+    assert(arr.get(0).has("call_rate") && arr.get(0).has("qc_pass"))
+  }
 }
