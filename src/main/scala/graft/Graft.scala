@@ -2251,15 +2251,24 @@ object Graft {
             println(s"Items to sanitize: $n")
           } finally r.close()
         } else {
-          val outPath = arg(args, "--output").getOrElse(
-            sys.error("phi-sanitize needs --output <path> (or --preview)"))
-          val oPath = new org.apache.hadoop.fs.Path(outPath)
-          val rawOut = oPath.getFileSystem(conf).create(oPath, true)
-          val out = Option(codecs.getCodec(oPath))
-            .map(_.createOutputStream(rawOut): java.io.OutputStream)
-            .getOrElse(rawOut)
-          val w = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(out, "UTF-8"))
+          // no --output = sanitized content to STDOUT, the reference's
+          // default face (`cli.py:5570-5572`)
+          val outPath = arg(args, "--output")
+          val w = outPath match {
+            case Some(p) =>
+              val oPath = new org.apache.hadoop.fs.Path(p)
+              val rawOut = oPath.getFileSystem(conf).create(oPath, true)
+              val out = Option(codecs.getCodec(oPath))
+                .map(_.createOutputStream(rawOut): java.io.OutputStream)
+                .getOrElse(rawOut)
+              new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(out, "UTF-8"))
+            case None =>
+              // Console.out, not System.out: test capture and the
+              // reference's stdout semantics both want the VERB's stdout
+              new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(Console.out, "UTF-8"))
+          }
           val r = reader()
           var removed = 0
           try {
@@ -2275,9 +2284,15 @@ object Graft {
               w.write(toWrite); w.newLine()
               line = r.readLine()
             }
-          } finally { r.close(); w.close() }
-          println(s"Sanitized VCF written to $outPath")
-          println(s"Removed $removed PHI item(s)")
+          } finally {
+            r.close()
+            // stdout stays open for the session — flush, never close it
+            if (outPath.isDefined) w.close() else w.flush()
+          }
+          outPath.foreach { p =>
+            println(s"Sanitized VCF written to $p")
+            println(s"Removed $removed PHI item(s)")
+          }
         }
 
       case "phi-report" =>
@@ -2412,7 +2427,72 @@ object Graft {
           .show(100, truncate = false)
 
       case "benchmark" =>
-        Bench.main(Array.empty)
+        // the reference's quick benchmark face (`cli.py:666-762`):
+        // --vcf F or --synthetic N generate/parse and report parse (and
+        // with --db, end-to-end load) throughput; --json emits the
+        // to_dict shape (`benchmark.py:75-94`). With NEITHER input flag
+        // this delegates to the full bench harness (graft.Bench) — a
+        // documented superset the driver runs per round.
+        val synth = arg(args, "--synthetic").map(_.toInt)
+        val vcfIn = arg(args, "--vcf")
+        if (synth.isEmpty && vcfIn.isEmpty) Bench.main(Array.empty)
+        else {
+          vcfIn.foreach(p =>
+            if (!DbFs.exists(p)) sys.error(s"VCF file not found: $p"))
+          // --realistic adds annotation/complex-variant load;
+          // --giab maps to the same data shape (the reference's GIAB
+          // platform/callset header metadata carries no parse cost)
+          val annFrac =
+            if (has(args, "--realistic") || has(args, "--giab")) 0.4 else 0.0
+          val path = vcfIn.getOrElse {
+            val p = java.nio.file.Files.createTempDirectory("graft_benchmark")
+              .resolve("synthetic.vcf").toString
+            graft.vcf.SyntheticVcf.write(p, synth.get, annFrac = annFrac)
+            p
+          }
+          val normalize = !has(args, "--no-normalize")
+          val opts = graft.vcf.VcfReader.Options(
+            normalize = normalize,
+            humanGenome = !has(args, "--no-human-genome"))
+          val t0 = System.nanoTime()
+          val n = graft.vcf.VcfReader.variants(spark, path, opts).count()
+          val parseSec = (System.nanoTime() - t0) / 1e9
+          // --db: the end-to-end load benchmark (the reference loads into
+          // the given database; --force-reload so re-runs measure a load,
+          // not the skip check)
+          val loadSec = arg(args, "--db").map { d =>
+            val t1 = System.nanoTime()
+            Graft.run(spark, Array("load", path, "--db", d,
+              "--force-reload") ++
+              (if (normalize) Array.empty[String]
+               else Array("--no-normalize")) ++
+              (if (has(args, "--no-human-genome"))
+                 Array("--no-human-genome") else Array.empty[String]))
+            (System.nanoTime() - t1) / 1e9
+          }
+          // the reference's batch_size is a COPY framing knob with no
+          // Spark analogue (input splits replace it); echoed for shape
+          val batchSize = arg(args, "--batch").getOrElse("50000").toLong
+          if (has(args, "--json")) {
+            def jq(s: String) = "\"" + s.replace("\\", "\\\\")
+              .replace("\"", "\\\"") + "\""
+            val loading = loadSec.map(ls =>
+              s""","loading":{"time_seconds":${math.round(ls * 1000) / 1000.0},""" +
+                s""""rate_per_second":${math.round(n / ls)}.0}""").getOrElse("")
+            println(s"""{"vcf_path":${jq(path)},"variant_count":$n,""" +
+              s""""parsing":{"time_seconds":${math.round(parseSec * 1000) / 1000.0},""" +
+              s""""rate_per_second":${math.round(n / parseSec)}.0},""" +
+              s""""settings":{"batch_size":$batchSize,""" +
+              s""""normalized":$normalize,"synthetic":${vcfIn.isEmpty}}""" +
+              loading + "}")
+          } else {
+            println(f"Parsing: $n%,d variants in $parseSec%.2fs " +
+              f"(${n / parseSec}%,.0f/sec)")
+            loadSec.foreach(ls =>
+              println(f"Loading: $n%,d variants in $ls%.2fs " +
+                f"(${n / ls}%,.0f/sec)"))
+          }
+        }
 
       case other =>
         // error, not sys.exit: run() is also the library-embedding entry
@@ -2460,7 +2540,7 @@ object Graft {
       |  audit-verify-backup <backup.json>
       |  phi-scan <vcf> [--sample-rate R] [--max-records N] [--patterns-config F]
       |           [--json] [--no-scan-headers]
-      |  phi-sanitize <vcf> (--output out.vcf[.gz] | --preview)
+      |  phi-sanitize <vcf> [--output out.vcf[.gz]] [--preview]  (default: stdout)
       |  phi-report <batch-id> --db DIR
       |  phi-stats --db DIR
       |  phi-patterns-list [--severity S] [--patterns-config F]
@@ -2469,5 +2549,7 @@ object Graft {
       |  phi-patterns-test --pattern RE --input TEXT [--ignore-case]
       |  export-plink|export-prscs|export-ldpred2|export-prsice <out> --db DIR
       |       [--study ACCESSION] [--hapmap3-only] [--min-info X] [--min-maf X]
-      |  benchmark""".stripMargin)
+      |  benchmark [--synthetic N | --vcf F] [--db DIR] [--json]
+      |       [--no-normalize] [--no-human-genome] [--realistic] [--giab]
+      |       (no flags: full harness)""".stripMargin)
 }

@@ -1773,6 +1773,16 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(spark, Array("phi-sanitize", vcf, "--preview"))
     }
     assert(out2.toString.contains("Items to sanitize"), out2.toString)
+    // no --output and no --preview: sanitized content goes to STDOUT,
+    // the reference's default face (`cli.py:5570-5572`)
+    val outStd = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outStd)) {
+      Graft.run(spark, Array("phi-sanitize", vcf))
+    }
+    val stdS = outStd.toString
+    assert(stdS.contains("[REDACTED]") && !stdS.contains("jsmith@hospital.org"),
+      stdS)
+    assert(stdS.contains("MRN:445566"), "data lines pass through to stdout")
     // a clean file scans clean
     val cleanScan = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(cleanScan)) {
@@ -2412,5 +2422,41 @@ class GraftCliSpec extends SparkSpec {
     assert(arr.size() == 1)
     assert(arr.get(0).get("sample_id").asText() == "B1")
     assert(arr.get(0).has("call_rate") && arr.get(0).has("qc_pass"))
+  }
+
+  test("benchmark --synthetic/--vcf quick face; --db adds loading; --json shape") {
+    def captured(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jsonLine(s: String) =
+      om.readTree(s.linesIterator.find(_.startsWith("{\"vcf_path\"")).get)
+    // parse-only (`benchmark.py:75-88` shape; no loading key without --db)
+    val n1 = jsonLine(captured(Array(
+      "benchmark", "--synthetic", "400", "--json")))
+    assert(n1.get("variant_count").asLong() >= 400) // decomposition adds rows
+    assert(n1.get("parsing").get("rate_per_second").asDouble() > 0)
+    assert(n1.get("settings").get("synthetic").asBoolean())
+    assert(n1.get("settings").get("normalized").asBoolean())
+    assert(!n1.has("loading"))
+    // --db: end-to-end load benchmark, loading key present and the data
+    // actually landed
+    val db = Files.createTempDirectory("benchdb").toString
+    val n2 = jsonLine(captured(Array(
+      "benchmark", "--synthetic", "400", "--db", db, "--json")))
+    assert(n2.has("loading"), n2.toString)
+    assert(n2.get("loading").get("rate_per_second").asDouble() > 0)
+    assert(spark.read.parquet(s"$db/variants").count() ==
+      n2.get("variant_count").asLong())
+    // --vcf face over a real fixture; text face prints the two lines
+    val txt = captured(Array(
+      "benchmark", "--vcf", fixture("hapmap3_overlap.vcf")))
+    assert(txt.contains("Parsing:") && !txt.contains("Loading:"), txt)
+    // a missing --vcf input errors like the reference
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("benchmark", "--vcf", "/no/such.vcf"))
+    }
   }
 }
