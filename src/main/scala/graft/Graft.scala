@@ -26,6 +26,19 @@ object Graft {
   }
   private def has(args: Array[String], flag: String): Boolean = args.contains(flag)
 
+  /** JSON string escape shared by every CLI `--json`/report face —
+    * backslash, quote, and ALL control chars (a newline or tab in a file
+    * path or error message must not emit invalid JSON). */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c    => c.toString
+  } + "\""
+
   /** Both accepted spellings of the pattern-config flag:
     * `--patterns-config` (the phi verbs) and `--phi-patterns-config`
     * (matching load's phi-prefixed flags) — read AND write sides accept
@@ -328,15 +341,7 @@ object Graft {
         val loadT0 = System.nanoTime()
         def writeReport(head: Seq[(String, String)]): Unit =
           reportPath.foreach { rp =>
-            def q(s: String) = "\"" + s.flatMap {
-              case '"'  => "\\\""
-              case '\\' => "\\\\"
-              case '\n' => "\\n"
-              case '\r' => "\\r"
-              case '\t' => "\\t"
-              case c if c < ' ' => f"\\u${c.toInt}%04x"
-              case c    => c.toString
-            } + "\""
+            def q(s: String) = jsonStr(s)
             val base = new org.apache.hadoop.fs.Path(vcf).getName
             val stem =
               if (base.contains('.')) base.substring(0, base.lastIndexOf('.'))
@@ -346,7 +351,10 @@ object Graft {
               .withZone(java.time.ZoneOffset.UTC)
               .format(java.time.Instant.now())
             val entries = head ++ Seq(
-              "elapsed_seconds" -> f"${(System.nanoTime() - loadT0) / 1e9}%.3f",
+              // Locale.ROOT: the f-interpolator renders a comma decimal
+              // separator on de/fr-locale JVMs, which is invalid JSON
+              "elapsed_seconds" -> String.format(java.util.Locale.ROOT,
+                "%.3f", Double.box((System.nanoTime() - loadT0) / 1e9)),
               "vcf_file" -> q(vcf),
               "timestamp" -> q(ts),
               "sample_id" -> q(arg(args, "--sample-id").getOrElse(stem)),
@@ -356,8 +364,7 @@ object Graft {
               .mkString("{\n  ", ",\n  ", "\n}\n"))
             println(s"  Report: $rp")
           }
-        def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
-          .replace("\"", "\\\"") + "\""
+        def jstr(s: String) = jsonStr(s)
         // flag-vocabulary validation up front, BEFORE any ledger write —
         // a typo'd flag must not leave in_progress/failed ledger residue
         arg(args, "--imputation-source").foreach { s =>
@@ -550,6 +557,16 @@ object Graft {
           // never fills them either — `models.py:54-61` default None).
           val storeGenotypes =
             has(args, "--store-genotypes") && header.samples.nonEmpty
+          val dosageOnly = has(args, "--dosage-only")
+          // an explicitly-passed genotype-storage flag that cannot take
+          // effect must not vanish silently (the reference's CLI is
+          // silent here; a printed warning keeps its exit contract while
+          // telling the user storage is opt-in now)
+          if (!storeGenotypes && (dosageOnly || has(args, "--adj-filter")))
+            println("WARNING: --adj-filter/--dosage-only apply to genotype " +
+              "storage, which needs --store-genotypes" +
+              (if (header.samples.isEmpty) " and a sample-bearing VCF"
+               else "") + " — no genotype rows will be stored")
           if (storeGenotypes) {
             var g = graft.vcf.VcfReader.genotypes(spark, vcf,
                 opts.humanGenome, opts.skipMalformed)
@@ -572,7 +589,7 @@ object Graft {
             // ORIGINAL call's ADJ verdict (our column, no reference
             // analogue — nulling it would claim the verdict was never
             // computed).
-            if (has(args, "--dosage-only"))
+            if (dosageOnly)
               g = g
                 .withColumn("gt", lit("."))
                 .withColumn("phased", lit(false))
@@ -656,6 +673,13 @@ object Graft {
                 // null-filled join). Cached + counted so the table
                 // writes reuse the aggregated rows instead of re-running
                 // the aggregation per write.
+                // a dosage-only store holds NO hard calls by design —
+                // aggregating variant QC from the nulled rows would
+                // PERSIST a claim (call_rate 0, every call missing) the
+                // source data contradicts. Skip the QC join: the
+                // variants' QC columns stay typed-null, exactly the
+                // reference's unfilled defaults (`models.py:54-61`).
+                if (!dosageOnly) {
                 val gHasFiles = DbFs.hasData(gDir)
                 val qc = progress.stage("genotype_qc") {
                   val q = (if (gHasFiles)
@@ -675,6 +699,7 @@ object Graft {
                   q
                 }
                 qcCache = Some(qc)
+                }
             }(scala.concurrent.ExecutionContext.global))
           }
           // (a sample-free reload's genotype drop is deferred past
@@ -1058,10 +1083,20 @@ object Graft {
           // counting it needs the unfiltered parse cardinality, an extra
           // O(batch) pass paid only when BOTH --report and
           // --min-info-score were given (the count is 0 without a filter)
+          // best-effort: the load is COMMITTED at this point, so a
+          // recount failure (file moved since, transient FS error) must
+          // not turn a successful load into a nonzero exit with no
+          // report — fall back to the reference's own absent-key default
+          // of 0 (`cli.py:479` result.get("variants_skipped", 0))
           val skippedN =
             if (reportPath.isDefined && opts.minInfoScore.isDefined)
-              math.max(0L, graft.vcf.VcfReader.variants(spark, vcf,
-                opts.copy(minInfoScore = None)).count() - n)
+              scala.util.Try(math.max(0L, graft.vcf.VcfReader.variants(
+                spark, vcf, opts.copy(minInfoScore = None)).count() - n))
+                .recover { case e =>
+                  println("WARNING: variants_skipped recount failed " +
+                    s"(${e.getMessage}); reporting 0")
+                  0L
+                }.get
             else 0L
           writeReport(Seq(
             "status" -> jstr("success"),
@@ -1661,6 +1696,12 @@ object Graft {
         var sqc = graft.qc.SampleQc.compute(
           g, graft.qc.VariantQc.fromGenotypes(g))
         sampleScope.foreach(sid => sqc = sqc.filter($"sample_id" === sid))
+        // materialize the (sample-sized) QC output ONCE: uncached, the
+        // genotype-sized aggregation would re-run for the upsert's
+        // anti-join side, its union side, and the --json scope join
+        sqc = sqc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+        sqc.count()
         // scoped runs UPSERT their samples' rows into sample_qc (other
         // samples' rows survive — the reference persists per-sample rows
         // independently); unscoped keeps the whole-table rewrite.
@@ -1691,6 +1732,7 @@ object Graft {
         } else
           // summarize from the written parquet — don't re-run the QC aggs
           graft.qc.SampleQc.batchSummary(written).show()
+        } finally sqc.unpersist()
 
       case "list-failing-samples" =>
         // qc/schema.py:142-163 — the qc-failed sample listing, worst
@@ -1946,8 +1988,7 @@ object Graft {
             sys.error(s"--start-date/--end-date must be YYYY-MM-DD: $d")
         }
         val vJson = has(args, "--json")
-        def jq(s: String) = "\"" + s.replace("\\", "\\\\")
-          .replace("\"", "\\\"") + "\""
+        def jq(s: String) = jsonStr(s)
         val auditDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
         if (auditDf.isEmpty) {
           if (vJson)
@@ -1963,7 +2004,7 @@ object Graft {
         else {
           val all = graft.audit.Audit.verifyChain(auditDf)
             .select($"audit_id", $"event_type", $"event_time", $"chain_valid",
-              $"duplicate_id", $"entry_hash")
+              $"duplicate_id", $"entry_hash", $"content_ok")
             .orderBy($"audit_id")
             .collect()
           // event_time is an ISO-8601 instant: first 10 chars = UTC date
@@ -1974,15 +2015,24 @@ object Graft {
           val checked = all.filter(r => inWindow(r.getString(2)))
           val bad = checked.filterNot(_.getAs[Boolean]("chain_valid"))
           if (vJson) {
-            // violation vocabulary per `integrity.py:14-18`: a forked id
-            // (concurrent appenders) is a chain_broken, an edited entry a
-            // hash_mismatch; capped at 100 like to_dict
+            // violation vocabulary per `integrity.py:14-18`: an EDITED
+            // entry (its recomputed hash disagrees with the stored one)
+            // is a hash_mismatch; a fork or a missing predecessor — the
+            // row's own content verifies but its link does not — is a
+            // chain_broken; capped at 100 like to_dict
             val viol = bad.take(100).map { r =>
               val dup = r.getAs[Boolean]("duplicate_id")
+              val edited = !r.getAs[Boolean]("content_ok")
+              val (status, msg) =
+                if (edited) ("hash_mismatch",
+                  "entry hash does not verify against content and predecessor")
+                else if (dup) ("chain_broken",
+                  "duplicate audit_id (concurrent append fork)")
+                else ("chain_broken",
+                  "no predecessor entry carries the claimed previous_hash " +
+                    "(deleted or spliced-out entry)")
               s"""{"audit_id":${r.getLong(0)},"event_time":${jq(r.getString(2))},""" +
-                s""""status":${jq(if (dup) "chain_broken" else "hash_mismatch")},""" +
-                s""""message":${jq(if (dup) "duplicate audit_id (concurrent append fork)"
-                  else "entry hash does not verify against content and predecessor")}}"""
+                s""""status":${jq(status)},"message":${jq(msg)}}"""
             }.mkString("[", ",", "]")
             println(s"""{"start_date":${vStart.orElse(checked.headOption.map(
                 _.getString(2).take(10))).map(jq).getOrElse("null")},""" +
@@ -2010,12 +2060,14 @@ object Graft {
               else s" in window ${vStart.getOrElse("…")}..${vEnd.getOrElse("…")}"
             println(s"audit chain ok (${checked.length} entries$windowNote)")
           } else {
-            // a forked chain (duplicate ids from concurrent appenders) is
-            // named distinctly — it is an operational race, not an edit
+            // failure stories named distinctly: an edited row (TAMPERED),
+            // a concurrent-append fork (operational race, not an edit),
+            // and a deleted/spliced-out predecessor (CHAIN BREAK)
             bad.foreach { r =>
               val label =
-                if (r.getAs[Boolean]("duplicate_id")) "CONCURRENT APPEND"
-                else "TAMPERED"
+                if (!r.getAs[Boolean]("content_ok")) "TAMPERED"
+                else if (r.getAs[Boolean]("duplicate_id")) "CONCURRENT APPEND"
+                else "CHAIN BREAK"
               println(s"$label: audit_id=${r.getLong(0)} " +
                 s"${r.getString(1)} at ${r.getString(2)}")
             }
@@ -2164,15 +2216,7 @@ object Graft {
           // phi detect --json report shape (`cli.py:5685-5712`); our
           // registry carries no false-positive hints, so the key is an
           // empty list for shape compatibility
-          def q(s: String) = "\"" + s.flatMap {
-            case '"'  => "\\\""
-            case '\\' => "\\\\"
-            case '\n' => "\\n"
-            case '\r' => "\\r"
-            case '\t' => "\\t"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c    => c.toString
-          } + "\""
+          def q(s: String) = jsonStr(s)
           val detJson = (headerFindings ++ dataFirst).take(1000).map { d =>
             s"""{"pattern":${q(d.category)},""" +
               s""""severity":${q(graft.transform.PhiSanitizer
@@ -2462,20 +2506,26 @@ object Graft {
           // not the skip check)
           val loadSec = arg(args, "--db").map { d =>
             val t1 = System.nanoTime()
-            Graft.run(spark, Array("load", path, "--db", d,
-              "--force-reload") ++
+            def runLoad(): Unit = Graft.run(spark, Array("load", path,
+              "--db", d, "--force-reload") ++
               (if (normalize) Array.empty[String]
                else Array("--no-normalize")) ++
               (if (has(args, "--no-human-genome"))
                  Array("--no-human-genome") else Array.empty[String]))
+            // --json promises ONE machine-readable line on stdout; the
+            // inner load's progress/summary prints would interleave and
+            // break any piped consumer, so they are suppressed
+            if (has(args, "--json"))
+              Console.withOut(new java.io.PrintStream(
+                java.io.OutputStream.nullOutputStream())) { runLoad() }
+            else runLoad()
             (System.nanoTime() - t1) / 1e9
           }
           // the reference's batch_size is a COPY framing knob with no
           // Spark analogue (input splits replace it); echoed for shape
           val batchSize = arg(args, "--batch").getOrElse("50000").toLong
           if (has(args, "--json")) {
-            def jq(s: String) = "\"" + s.replace("\\", "\\\\")
-              .replace("\"", "\\\"") + "\""
+            def jq(s: String) = jsonStr(s)
             val loading = loadSec.map(ls =>
               s""","loading":{"time_seconds":${math.round(ls * 1000) / 1000.0},""" +
                 s""""rate_per_second":${math.round(n / ls)}.0}""").getOrElse("")

@@ -669,8 +669,14 @@ object Audit {
       .withColumn("recomputed", entryHashUdf(
         $"event_time", $"event_type", $"user_name", $"action", $"success",
         $"previous_hash"))
+      // content_ok separates the two failure stories a consumer needs
+      // to tell apart (`integrity.py:14-18` vocabulary): an edited row
+      // (hash_mismatch — the recomputed hash disagrees) vs a broken
+      // LINK (chain_broken — the claimed predecessor is gone or forked,
+      // the row's own content verifies)
+      .withColumn("content_ok", $"recomputed" === $"entry_hash")
       .withColumn("chain_valid",
-        !$"duplicate_id" && $"link_ok" && $"recomputed" === $"entry_hash")
+        !$"duplicate_id" && $"link_ok" && $"content_ok")
       .drop("link_id", "link_hash", "link_ok", "recomputed")
   }
 }

@@ -2227,6 +2227,12 @@ class GraftCliSpec extends SparkSpec {
       "--store-genotypes", "--no-anonymize"))
     val gDos = spark.read.parquet(s"$dbDos/genotypes")
     assert(gDos.count() == 4)
+    // a dosage-only store holds no hard calls, so the variants' QC
+    // columns must stay NULL (the reference's unfilled defaults) — an
+    // aggregate over the nulled rows would persist call_rate=0 claims
+    // the source data contradicts
+    assert(spark.read.parquet(s"$dbDos/variants")
+      .filter($"n_called".isNotNull || $"call_rate".isNotNull).isEmpty)
     assert(gDos.filter($"gt" =!= "." || $"phased" ||
       $"gq".isNotNull || $"dp".isNotNull || $"ad".isNotNull ||
       $"a1".isNotNull || $"allele_balance".isNotNull).isEmpty)
@@ -2254,6 +2260,18 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(spark, Array("load", vcf, "--db", dbImp,
         "--imputation-source", "dragen", "--force-reload"))
     }
+
+    // an explicit genotype-storage flag without --store-genotypes warns
+    // instead of vanishing silently (storage became opt-in this round)
+    def capturedF(a: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, a) }
+      out.toString
+    }
+    val dbNoG = Files.createTempDirectory("graftdb").toString
+    val warnOut = capturedF(Array("load", vcf, "--db", dbNoG, "--adj-filter"))
+    assert(warnOut.contains("needs --store-genotypes"), warnOut)
+    assert(!new java.io.File(s"$dbNoG/genotypes").exists())
 
     // --report: the reference's JSON shapes for success and skip
     // (`cli.py:458-497`), --sample-id feeding only the report
@@ -2378,6 +2396,29 @@ class GraftCliSpec extends SparkSpec {
     assert(!repBad.get("is_valid").asBoolean())
     assert(repBad.get("violation_count").asInt() >= 1)
     assert(repBad.get("violations").get(0).get("status").asText() == "hash_mismatch")
+    // a DELETED entry is the other failure story: the successor's own
+    // content verifies but its link target is gone — chain_broken, not
+    // hash_mismatch (`integrity.py:14-18` vocabulary)
+    val db2 = Files.createTempDirectory("graftdb").toString
+    Graft.run(spark, Array("load", fixture("hapmap3_overlap.vcf"), "--db", db2))
+    Graft.run(spark, Array("load-reference", fixture("hapmap3_test.tsv"), "--db", db2))
+    Graft.run(spark, Array("refresh-views", "--db", db2))
+    val spliced = spark.read.parquet(s"$db2/audit_log")
+      .filter($"audit_id" =!= 2L)
+    assert(spark.read.parquet(s"$db2/audit_log").count() >= 3)
+    graft.sinks.Writers.replaceInPlace(spliced, s"$db2/audit_log")(
+      (d, p) => d.write.parquet(p))
+    val out2 = new java.io.ByteArrayOutputStream()
+    intercept[RuntimeException] {
+      Console.withOut(new java.io.PrintStream(out2)) {
+        Graft.run(spark, Array("audit-verify", "--db", db2, "--json"))
+      }
+    }
+    val repDel = om.readTree(out2.toString)
+    assert(!repDel.get("is_valid").asBoolean())
+    val vDel = repDel.get("violations").get(0)
+    assert(vDel.get("status").asText() == "chain_broken", vDel.toString)
+    assert(vDel.get("message").asText().contains("deleted"), vDel.toString)
   }
 
   test("compute-sample-qc scopes by --batch-id / --sample-id and upserts; --json rows") {
