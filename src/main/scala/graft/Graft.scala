@@ -1412,10 +1412,13 @@ object Graft {
           println(s"rebuilt ${staleIdx.mkString(", ")} from the live store")
         }
         // versioned-layout invariants (init-db --versioned-tables): each
-        // pointer must name a live dir, and leftover non-current version
-        // dirs are crash residue (the next swap of that table sweeps
-        // them; reported here, not auto-deleted — one may be an
-        // in-flight reader's resolved scan)
+        // pointer must name a live dir. ONE non-current version dir per
+        // table is the read-grace window the GC deliberately keeps (an
+        // in-flight reader's resolved scan — Writers.PointerEntry
+        // cleanupOld); MORE than one is crash residue. --drop-orphans
+        // reclaims ALL non-current versions (grace copy included — the
+        // explicit storage-reclaim lever; only run it when no readers
+        // are mid-scan).
         if (DbFs.exists(DbFs.versionMarker(db))) {
           val childNames = DbFs.children(db).map(_.getPath.getName)
           Seq("variants", "rsid_idx", "gene_idx", "genotypes", "gwas_stats",
@@ -1428,9 +1431,14 @@ object Graft {
                   "missing; reads fall back to the plain path)")
               val orphans = childNames.filter(n =>
                 n.startsWith(s"$t.v-") && n != s"$t.v-$tok")
-              if (orphans.nonEmpty)
-                println(s"$t: ${orphans.length} stale version dir(s) " +
-                  s"(${orphans.mkString(",")}) — swept by the next swap")
+              if (has(args, "--drop-orphans") && orphans.nonEmpty) {
+                orphans.foreach(n => DbFs.deleteRecursive(s"$db/$n"))
+                println(s"$t: reclaimed ${orphans.length} non-current " +
+                  s"version dir(s) (${orphans.mkString(",")})")
+              } else if (orphans.length > 1)
+                println(s"$t: ${orphans.length - 1} stale version dir(s) " +
+                  s"beyond the read-grace copy (${orphans.mkString(",")}) " +
+                  "— swept by the next swap, or validate --drop-orphans")
             }
           }
         }

