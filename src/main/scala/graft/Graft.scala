@@ -296,7 +296,8 @@ object Graft {
         (arg(args, "--db").isEmpty || patternsConfigArg(args).exists(cfg =>
           !pathResolvesUnder(cfg, arg(args, "--db").get))))) ||
       (verb == "validate" &&
-        (has(args, "--rebuild") || has(args, "--drop-orphans")))
+        (has(args, "--rebuild") || has(args, "--drop-orphans") ||
+          has(args, "--reclaim-versions")))
     if (!mutates) runVerb(spark, args)
     else {
       val db = arg(args, "--db").getOrElse("/tmp/graft_db")
@@ -341,7 +342,6 @@ object Graft {
         val loadT0 = System.nanoTime()
         def writeReport(head: Seq[(String, String)]): Unit =
           reportPath.foreach { rp =>
-            def q(s: String) = jsonStr(s)
             val base = new org.apache.hadoop.fs.Path(vcf).getName
             val stem =
               if (base.contains('.')) base.substring(0, base.lastIndexOf('.'))
@@ -355,16 +355,15 @@ object Graft {
               // separator on de/fr-locale JVMs, which is invalid JSON
               "elapsed_seconds" -> String.format(java.util.Locale.ROOT,
                 "%.3f", Double.box((System.nanoTime() - loadT0) / 1e9)),
-              "vcf_file" -> q(vcf),
-              "timestamp" -> q(ts),
-              "sample_id" -> q(arg(args, "--sample-id").getOrElse(stem)),
-              "schema" -> q(db))
+              "vcf_file" -> jsonStr(vcf),
+              "timestamp" -> jsonStr(ts),
+              "sample_id" -> jsonStr(arg(args, "--sample-id").getOrElse(stem)),
+              "schema" -> jsonStr(db))
             DbFs.writeStringAtomic(rp, entries
-              .map { case (k, v) => s"${q(k)}: $v" }
+              .map { case (k, v) => s"${jsonStr(k)}: $v" }
               .mkString("{\n  ", ",\n  ", "\n}\n"))
             println(s"  Report: $rp")
           }
-        def jstr(s: String) = jsonStr(s)
         // flag-vocabulary validation up front, BEFORE any ledger write —
         // a typo'd flag must not leave in_progress/failed ledger residue
         arg(args, "--imputation-source").foreach { s =>
@@ -386,10 +385,10 @@ object Graft {
           // skipped-report shape (`cli.py:458-463`): load_batch_id carries
           // the PREVIOUS load's batch so scripts can still key on it
           writeReport(Seq(
-            "status" -> jstr("skipped"),
+            "status" -> jsonStr("skipped"),
             "variants_loaded" -> "0",
-            "load_batch_id" -> jstr(existing.get),
-            "file_hash" -> jstr(hash)))
+            "load_batch_id" -> jsonStr(existing.get),
+            "file_hash" -> jsonStr(hash)))
           return
         }
         val batchId = java.util.UUID.randomUUID().toString
@@ -1099,11 +1098,11 @@ object Graft {
                 }.get
             else 0L
           writeReport(Seq(
-            "status" -> jstr("success"),
+            "status" -> jsonStr("success"),
             "variants_loaded" -> n.toString,
             "variants_skipped" -> skippedN.toString,
-            "load_batch_id" -> jstr(batchId),
-            "file_hash" -> jstr(hash)))
+            "load_batch_id" -> jsonStr(batchId),
+            "file_hash" -> jsonStr(hash)))
         } catch {
           case e: Throwable if !committed =>
             // any in-flight genotype append must finish landing (or
@@ -1254,6 +1253,61 @@ object Graft {
           else sys.error("Validation failed")
           return
         }
+        // versioned-layout invariants (init-db --versioned-tables): each
+        // pointer must name a live dir. The non-current version the GC
+        // deliberately keeps (the read-grace copy, named by the
+        // `<table>.prev` sidecar — Writers.PointerEntry cleanupOld) is
+        // legitimate; anything else version-shaped is crash residue.
+        // `--reclaim-versions` (a SEPARATE flag from --drop-orphans,
+        // which repairs orphan BATCHES — piggybacking would make the
+        // printed orphan-repair guidance silently yank grace copies from
+        // under in-flight readers) deletes every non-current version of
+        // every pointered table — run it only when no readers are
+        // mid-scan. Tables are DISCOVERED from their pointer sidecars,
+        // not a hard-coded list, so dynamically-named tables (anno_<src>)
+        // and later additions are covered.
+        if (DbFs.exists(DbFs.versionMarker(db))) {
+          val childNames = DbFs.children(db).map(_.getPath.getName)
+          childNames.filter(_.endsWith(".current"))
+            .map(_.stripSuffix(".current")).sorted.foreach { t =>
+            DbFs.readString(s"$db/$t.current").map(_.trim)
+              .filter(_.nonEmpty).foreach { tok =>
+              val dangling = !DbFs.exists(s"$db/$t.v-$tok")
+              if (dangling)
+                println(s"$t: DANGLING pointer ($t.current -> $t.v-$tok " +
+                  "missing; reads fall back to the plain path)")
+              val graceName = DbFs.readString(s"$db/$t.prev").map(_.trim)
+                .filter(_.nonEmpty).map(p => s"$t.v-$p")
+              val orphans = childNames.filter(n =>
+                n.startsWith(s"$t.v-") && n != s"$t.v-$tok")
+              val residue = orphans.filterNot(graceName.contains)
+              if (has(args, "--reclaim-versions")) {
+                if (dangling)
+                  // deleting survivors under a dangling pointer would
+                  // destroy the only intact copies of the table — refuse
+                  println(s"$t: NOT reclaiming ${orphans.length} version " +
+                    "dir(s) under a dangling pointer — repair the pointer " +
+                    "first (point it at a surviving version)")
+                else {
+                  if (orphans.nonEmpty) {
+                    orphans.foreach(n => DbFs.deleteRecursive(s"$db/$n"))
+                    println(s"$t: reclaimed ${orphans.length} non-current " +
+                      s"version dir(s) (${orphans.mkString(",")})")
+                  }
+                  // unconditionally: a .prev left naming the CURRENT
+                  // version (pointer repaired onto the grace copy) is
+                  // stale bookkeeping either way
+                  DbFs.deleteRecursive(s"$db/$t.prev")
+                }
+              } else if (residue.nonEmpty)
+                println(s"$t: ${residue.length} stale version dir(s) " +
+                  s"(${residue.mkString(",")}) — crash residue beyond the " +
+                  "read-grace copy; swept by the next swap, or " +
+                  "validate --reclaim-versions")
+            }
+          }
+        }
+
         // duplicate detection is scoped WITHIN each load batch
         // (`cli.py:552-560` groups under WHERE load_batch_id = $1): a
         // multi-file cohort legitimately carries the same site in two
@@ -1410,37 +1464,6 @@ object Graft {
                 .writeGeneIndex(variants, tmps(s"$db/$idx")))
           })
           println(s"rebuilt ${staleIdx.mkString(", ")} from the live store")
-        }
-        // versioned-layout invariants (init-db --versioned-tables): each
-        // pointer must name a live dir. ONE non-current version dir per
-        // table is the read-grace window the GC deliberately keeps (an
-        // in-flight reader's resolved scan — Writers.PointerEntry
-        // cleanupOld); MORE than one is crash residue. --drop-orphans
-        // reclaims ALL non-current versions (grace copy included — the
-        // explicit storage-reclaim lever; only run it when no readers
-        // are mid-scan).
-        if (DbFs.exists(DbFs.versionMarker(db))) {
-          val childNames = DbFs.children(db).map(_.getPath.getName)
-          Seq("variants", "rsid_idx", "gene_idx", "genotypes", "gwas_stats",
-              "prs_weights", "population_frequencies", "studies",
-              "pgs_scores", "annotation_sources").foreach { t =>
-            DbFs.readString(s"$db/$t.current").map(_.trim)
-              .filter(_.nonEmpty).foreach { tok =>
-              if (!DbFs.exists(s"$db/$t.v-$tok"))
-                println(s"$t: DANGLING pointer ($t.current -> $t.v-$tok " +
-                  "missing; reads fall back to the plain path)")
-              val orphans = childNames.filter(n =>
-                n.startsWith(s"$t.v-") && n != s"$t.v-$tok")
-              if (has(args, "--drop-orphans") && orphans.nonEmpty) {
-                orphans.foreach(n => DbFs.deleteRecursive(s"$db/$n"))
-                println(s"$t: reclaimed ${orphans.length} non-current " +
-                  s"version dir(s) (${orphans.mkString(",")})")
-              } else if (orphans.length > 1)
-                println(s"$t: ${orphans.length - 1} stale version dir(s) " +
-                  s"beyond the read-grace copy (${orphans.mkString(",")}) " +
-                  "— swept by the next swap, or validate --drop-orphans")
-            }
-          }
         }
 
       case "lookup" =>
@@ -1996,16 +2019,15 @@ object Graft {
             sys.error(s"--start-date/--end-date must be YYYY-MM-DD: $d")
         }
         val vJson = has(args, "--json")
-        def jq(s: String) = jsonStr(s)
         val auditDf = new graft.audit.Audit.AuditLog(spark, s"$db/audit_log").read()
         if (auditDf.isEmpty) {
           if (vJson)
-            println(s"""{"start_date":${vStart.map(jq).getOrElse("null")},""" +
-              s""""end_date":${vEnd.map(jq).getOrElse("null")},""" +
+            println(s"""{"start_date":${vStart.map(jsonStr).getOrElse("null")},""" +
+              s""""end_date":${vEnd.map(jsonStr).getOrElse("null")},""" +
               """"total_entries":0,"verified_entries":0,"is_valid":true,""" +
               """"coverage_percent":100.0,"violation_count":0,""" +
               """"violations":[],"first_entry_hash":null,""" +
-              s""""last_entry_hash":null,"verification_time":${jq(
+              s""""last_entry_hash":null,"verification_time":${jsonStr(
                 java.time.Instant.now().toString)}}""")
           else println("no audit log")
         }
@@ -2039,13 +2061,13 @@ object Graft {
                 else ("chain_broken",
                   "no predecessor entry carries the claimed previous_hash " +
                     "(deleted or spliced-out entry)")
-              s"""{"audit_id":${r.getLong(0)},"event_time":${jq(r.getString(2))},""" +
-                s""""status":${jq(status)},"message":${jq(msg)}}"""
+              s"""{"audit_id":${r.getLong(0)},"event_time":${jsonStr(r.getString(2))},""" +
+                s""""status":${jsonStr(status)},"message":${jsonStr(msg)}}"""
             }.mkString("[", ",", "]")
             println(s"""{"start_date":${vStart.orElse(checked.headOption.map(
-                _.getString(2).take(10))).map(jq).getOrElse("null")},""" +
+                _.getString(2).take(10))).map(jsonStr).getOrElse("null")},""" +
               s""""end_date":${vEnd.orElse(checked.lastOption.map(
-                _.getString(2).take(10))).map(jq).getOrElse("null")},""" +
+                _.getString(2).take(10))).map(jsonStr).getOrElse("null")},""" +
               s""""total_entries":${checked.length},""" +
               s""""verified_entries":${checked.length - bad.length},""" +
               s""""is_valid":${bad.isEmpty},""" +
@@ -2054,10 +2076,10 @@ object Graft {
                   checked.length) / 100.0},""" +
               s""""violation_count":${bad.length},"violations":$viol,""" +
               s""""first_entry_hash":${checked.headOption.map(r =>
-                jq(r.getString(5))).getOrElse("null")},""" +
+                jsonStr(r.getString(5))).getOrElse("null")},""" +
               s""""last_entry_hash":${checked.lastOption.map(r =>
-                jq(r.getString(5))).getOrElse("null")},""" +
-              s""""verification_time":${jq(java.time.Instant.now().toString)}}""")
+                jsonStr(r.getString(5))).getOrElse("null")},""" +
+              s""""verification_time":${jsonStr(java.time.Instant.now().toString)}}""")
             if (bad.nonEmpty)
               sys.error(s"audit chain verification FAILED: " +
                 s"${bad.length} bad entries")
@@ -2224,22 +2246,21 @@ object Graft {
           // phi detect --json report shape (`cli.py:5685-5712`); our
           // registry carries no false-positive hints, so the key is an
           // empty list for shape compatibility
-          def q(s: String) = jsonStr(s)
           val detJson = (headerFindings ++ dataFirst).take(1000).map { d =>
-            s"""{"pattern":${q(d.category)},""" +
-              s""""severity":${q(graft.transform.PhiSanitizer
+            s"""{"pattern":${jsonStr(d.category)},""" +
+              s""""severity":${jsonStr(graft.transform.PhiSanitizer
                 .severityOf(d.category, registry))},""" +
-              s""""location":${q(d.location)},"line":${d.line},""" +
-              s""""masked_value":${q(graft.transform.PhiSanitizer
+              s""""location":${jsonStr(d.location)},"line":${d.line},""" +
+              s""""masked_value":${jsonStr(graft.transform.PhiSanitizer
                 .maskValue(d.value))},""" +
-              s""""context":${q(d.context.take(100))},""" +
+              s""""context":${jsonStr(d.context.take(100))},""" +
               s""""false_positive_hints":[]}"""
           }.mkString("[", ",", "]")
           val sumJson = summary.toSeq.sortBy(_._1)
-            .map { case (c, n) => s"${q(c)}:$n" }.mkString("{", ",", "}")
+            .map { case (c, n) => s"${jsonStr(c)}:$n" }.mkString("{", ",", "}")
           val sevJson = sevCounts.toSeq.sortBy(_._1)
-            .map { case (s, n) => s"${q(s)}:$n" }.mkString("{", ",", "}")
-          println(s"""{"has_phi":${nFindings > 0},"risk_level":${q(risk)},""" +
+            .map { case (s, n) => s"${jsonStr(s)}:$n" }.mkString("{", ",", "}")
+          println(s"""{"has_phi":${nFindings > 0},"risk_level":${jsonStr(risk)},""" +
             s""""records_scanned":$recordsScanned,""" +
             s""""records_total":$recordsTotal,"sample_rate":$sampleRate,""" +
             s""""summary":$sumJson,"severity_summary":$sevJson,""" +
@@ -2533,11 +2554,10 @@ object Graft {
           // Spark analogue (input splits replace it); echoed for shape
           val batchSize = arg(args, "--batch").getOrElse("50000").toLong
           if (has(args, "--json")) {
-            def jq(s: String) = jsonStr(s)
             val loading = loadSec.map(ls =>
               s""","loading":{"time_seconds":${math.round(ls * 1000) / 1000.0},""" +
                 s""""rate_per_second":${math.round(n / ls)}.0}""").getOrElse("")
-            println(s"""{"vcf_path":${jq(path)},"variant_count":$n,""" +
+            println(s"""{"vcf_path":${jsonStr(path)},"variant_count":$n,""" +
               s""""parsing":{"time_seconds":${math.round(parseSec * 1000) / 1000.0},""" +
               s""""rate_per_second":${math.round(n / parseSec)}.0},""" +
               s""""settings":{"batch_size":$batchSize,""" +
@@ -2572,6 +2592,7 @@ object Graft {
       |       [--report out.json] [--sample-id ID]
       |  init-db --db DIR [--skip-audit] [--versioned-tables]
       |  validate [BATCH_ID] --db DIR [--rebuild] [--drop-orphans]
+      |       [--reclaim-versions]
       |  compact --db DIR [--tables t1,t2] [--target-file-mb N]
       |       [--per-chrom] [--max-files N]
       |  lookup <chrom:pos | chrom:lo-hi | rsID | gene:NAME> --db DIR [--genotypes]

@@ -196,7 +196,8 @@ object DbFs {
     * directory or pointer sidecar), not a logical table — listings that
     * enumerate tables by name must skip these. */
   def isVersionArtifact(name: String): Boolean =
-    name.contains(".v-") || name.endsWith(".current")
+    name.contains(".v-") || name.endsWith(".current") ||
+      name.endsWith(".prev")
 
   /** True for paths the local-filesystem driver-side faces can serve
     * directly (no scheme, or file:). */

@@ -336,6 +336,16 @@ object Writers {
           stale.foreach(n =>
             fs.delete(new org.apache.hadoop.fs.Path(parent, n), true))
         }
+        // record WHICH survivor is the grace copy in a `<table>.prev`
+        // sidecar: version tokens are random, so without this a later
+        // validate could not tell the deliberate grace copy from crash
+        // residue (and could only report counts, not names)
+        try keepPrev match {
+          case Some(n) =>
+            DbFs.writeStringAtomic(s"$dst.prev", n.stripPrefix(s"$name.v-"))
+          case None =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$dst.prev"), false)
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
       // nothing to sweep: prevPhysical is the LIVE table again (and the
       // staged version dir was dropStaged'd); deleting it here would

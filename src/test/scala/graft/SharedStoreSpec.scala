@@ -666,16 +666,45 @@ class SharedStoreSpec extends SparkSpec {
     info(s"reads=${reads.get()} transient failures=${fails.get()}")
     val v = spark.read.parquet(graft.sinks.DbFs.resolveTable(db, "variants"))
     assert(v.count() == expected)
-    // grace-GC bound: current + one previous, never an unbounded pileup
-    val stale = graft.sinks.DbFs.children(db).map(_.getPath.getName)
-      .filter(_.matches("""variants\.v-.*""")).size
-    assert(stale == 2, s"expected current+grace versions, got $stale")
-    // the explicit storage-reclaim lever drops the grace copy
-    Graft.run(spark, Array("validate", "--db", db, "--drop-orphans"))
-    val afterReclaim = graft.sinks.DbFs.children(db).map(_.getPath.getName)
-      .filter(_.matches("""variants\.v-.*""")).size
-    assert(afterReclaim == 1,
-      s"validate --drop-orphans must reclaim the grace copy: $afterReclaim")
+    // grace-GC bound: current + one previous, never an unbounded pileup;
+    // the .prev sidecar names the grace copy so validate can tell it
+    // from crash residue
+    def vdirs() = graft.sinks.DbFs.children(db).map(_.getPath.getName)
+      .filter(_.matches("""variants\.v-.*"""))
+    assert(vdirs().size == 2, s"expected current+grace versions: ${vdirs()}")
+    val graceTok = graft.sinks.DbFs.readString(s"$db/variants.prev")
+      .map(_.trim).getOrElse(fail("no variants.prev sidecar"))
+    assert(vdirs().contains(s"variants.v-$graceTok"), vdirs().toString)
+    // a clean validate reports NO stale residue (the grace copy is
+    // deliberate, not crash residue)
+    val vOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(vOut)) {
+      Graft.run(spark, Array("validate", "--db", db))
+    }
+    assert(!vOut.toString.contains("stale version"), vOut.toString)
+    // a DANGLING pointer refuses reclaim — the survivors may be the only
+    // intact copies of the table
+    val curTok = graft.sinks.DbFs.readString(s"$db/variants.current").get.trim
+    graft.sinks.DbFs.deleteRecursive(s"$db/variants.v-$curTok")
+    // the version diagnostics print BEFORE reconciliation, so the
+    // refusal is visible even though validate then (rightly) fails
+    // loudly on the broken store
+    val rOut = new java.io.ByteArrayOutputStream()
+    intercept[Throwable] {
+      Console.withOut(new java.io.PrintStream(rOut)) {
+        Graft.run(spark, Array("validate", "--db", db, "--reclaim-versions"))
+      }
+    }
+    assert(rOut.toString.contains("NOT reclaiming"), rOut.toString)
+    assert(rOut.toString.contains("DANGLING"), rOut.toString)
+    assert(vdirs().size == 1, s"survivor deleted under dangling: ${vdirs()}")
+    // repair the pointer at the survivor, then reclaim works (and the
+    // repaired table serves the full row count)
+    graft.sinks.DbFs.writeStringAtomic(s"$db/variants.current", graceTok)
+    Graft.run(spark, Array("validate", "--db", db, "--reclaim-versions"))
+    assert(vdirs().size == 1, vdirs().toString)
+    assert(!graft.sinks.DbFs.exists(s"$db/variants.prev"),
+      "reclaim must also drop the .prev sidecar")
     assert(spark.read.parquet(
       graft.sinks.DbFs.resolveTable(db, "variants")).count() == expected)
   }
