@@ -1219,9 +1219,11 @@ object Graft {
           // the repair flags act on the WHOLE store; silently ignoring
           // them under a batch-scoped run would leave the user believing
           // a repair happened
-          if (has(args, "--rebuild") || has(args, "--drop-orphans"))
-            sys.error("validate <batch-id> does not take --rebuild or " +
-              "--drop-orphans; run them on a bare `validate --db ...`")
+          if (has(args, "--rebuild") || has(args, "--drop-orphans") ||
+              has(args, "--reclaim-versions"))
+            sys.error("validate <batch-id> does not take --rebuild, " +
+              "--drop-orphans or --reclaim-versions; run them on a bare " +
+              "`validate --db ...`")
           // a fresh or pre-ledger store must answer "batch not found",
           // not an opaque path-not-found AnalysisException
           if (!DbFs.exists(s"$db/ledger"))
@@ -1280,7 +1282,19 @@ object Graft {
                 .filter(_.nonEmpty).map(p => s"$t.v-$p")
               val orphans = childNames.filter(n =>
                 n.startsWith(s"$t.v-") && n != s"$t.v-$tok")
-              val residue = orphans.filterNot(graceName.contains)
+              // a SINGLE non-current version with no (or a dangling)
+              // .prev record is PRESUMED the read-grace copy — a swap
+              // predating the sidecar, or a swallowed/crashed sidecar
+              // write — not crash residue: calling it residue would
+              // invite an operator to reclaim the grace window believing
+              // it junk. Two or more untracked versions stay residue
+              // (the GC never deliberately keeps more than one).
+              val graceKnown = graceName.filter(orphans.contains)
+              val residue = graceKnown match {
+                case Some(g) => orphans.filterNot(_ == g)
+                case None if orphans.length == 1 => Nil
+                case None => orphans
+              }
               if (has(args, "--reclaim-versions")) {
                 if (dangling)
                   // deleting survivors under a dangling pointer would

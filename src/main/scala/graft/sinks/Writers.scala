@@ -311,8 +311,8 @@ object Writers {
         // same exposure). Everything ELSE version-shaped — versions from
         // two or more swaps ago, crash residue from aborted swaps — is
         // deleted here, so a table carries at most current + one
-        // previous; `validate --drop-orphans` reclaims the grace copy
-        // when storage matters more than in-flight readers. The FIRST
+        // previous; `validate --reclaim-versions` reclaims the grace
+        // copy when storage matters more than in-flight readers. The FIRST
         // flip of a plain-layout table deletes the plain dir eagerly
         // instead (a plain dir coexisting with a pointer would read as
         // an unversioned table; that one migration swap keeps the
