@@ -173,9 +173,12 @@ object Similarity {
     * `centroids = Some(kmeansCentroids(...))` for the trained quantizer
     * — every downstream step (assign, probe, rank) is identical.
     *
-    * Scale shape: centroids broadcast to both assignment passes (narrow,
-    * no shuffle); the probe join shuffles on centroid_id only; ranking
-    * is a per-query window over ~nProbe/nCentroids of the corpus.
+    * Scale shape: corpus assignment is a per-row codegen'd argmax over
+    * the driver-collected centroids (a bare map — no crossJoin, no
+    * aggregate, no shuffle); the query probes keep the broadcast window
+    * (|queries|×nCentroids rows); the probe join broadcasts the probed
+    * queries so the corpus never shuffles; ranking is a per-query window
+    * over ~nProbe/nCentroids of the corpus.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
@@ -186,8 +189,9 @@ object Similarity {
     // by id" — orderBy + limit, NOT filter(id < n), which assumes dense
     // 0-based ids and silently returns an EMPTY result set for a corpus
     // whose ids start anywhere else
-    val cent = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCentroids)
+    val centDf = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
+    val cent = centDf
       .withColumn("_cent_norm", sqrt(dotCol(col("cent_vec"), col("cent_vec"))))
 
     // cosine with norms computed ONCE per side (each side's norm column
@@ -211,27 +215,29 @@ object Similarity {
         .select(col(id), col("cent_id"))
     }
 
-    // CORPUS assignment is argmax (n=1), and the difference matters at
-    // scale: a row_number window would shuffle AND SORT corpus×nCentroids
-    // scored rows (10M docs × 64 centroids = 640M rows — the dominant,
-    // spill-heavy stage of the whole operator), where a groupBy max
-    // collapses each partition's nCentroids candidates per id map-side
-    // and shuffles ~corpus-many compact structs. Carrying the vector
-    // through the aggregate (constant per id, so first() is
-    // deterministic) also removes the corpus-sized self-join the
-    // assignment-only shape would need to rebuild the inverted lists.
-    // Tie semantics match the window exactly: max(struct(score desc ≡
-    // max, -cent_id ≡ smaller id wins)), scores rounded to 5 decimals
-    // the same way.
-    val lists = scoredAgainstCentroids(
-        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-        "c_vec")
-      .groupBy(col("neighbor_id"))
-      .agg(
-        max(struct(round(col("_cd"), 5).as("_s"), (-col("cent_id")).as("_nid")))
-          .as("_b"),
-        first(col("c_vec")).as("c_vec"))
-      .select(col("neighbor_id"), (-col("_b._nid")).as("cent_id"), col("c_vec"))
+    // CORPUS assignment is argmax (n=1), and the shape matters at scale:
+    // r11's crossJoin + groupBy-max materialized corpus×nCentroids rows
+    // (10M docs × 64 centroids = 640M) and shuffled the WHOLE corpus —
+    // vectors included — through the per-id hash aggregate. The argmax
+    // is now a per-row codegen'd expression over the driver-collected
+    // centroids (NearestCentroid): zero shuffle, zero extra rows, the
+    // same 640M dot products in one tight loop. The collect is bounded
+    // by nCentroids — the budget kmeansCentroids already spends — and
+    // its semantics are pinned bit-for-bit to the old plan (same dot
+    // order, same round-to-5 comparison key, same smaller-id tie-break,
+    // same all-null fallback; IvfSpec carries the differential twin).
+    // One semantic note vs the old groupBy: a corpus with DUPLICATE ids
+    // keeps each row as its own candidate (like bruteForce/lshTopK do)
+    // instead of collapsing to one arbitrary row per id.
+    val centRows = centDf
+      .select(col("cent_id").cast("long"), col("cent_vec")).collect()
+    val cset = graft.functions.CentroidSet.fromRows(
+      centRows.toSeq.map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Any](1))))
+    val lists = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cent_id",
+        graft.functions.VectorExpressions.nearestCentroid(col("c_vec"), cset))
       .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
 
     val probes = nearestCentroids(

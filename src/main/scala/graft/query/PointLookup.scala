@@ -84,8 +84,12 @@ object PointLookup {
                lo: Long, hi: Long): Seq[Map[String, String]] = {
     // versioned dbs serve from the pointer's current dir (identity on
     // the plain layout); a swap lands a NEW physical path, so the
-    // listing caches never serve a swapped-away version
-    val store = graft.sinks.DbFs.resolvePath(store0)
+    // listing caches never serve a swapped-away version. The retry
+    // closes the residual exposure: a probe that spans TWO swaps of the
+    // same table can lose its version dir mid-read (read-grace keeps
+    // exactly one previous) — re-resolving picks up the new current
+    // version and the probe re-runs against it.
+    graft.sinks.DbFs.withReadRetry(store0) { store =>
     read(spark, new Path(s"$store/chrom=$chrom"),
       FilterApi.and(
         FilterApi.gtEq(FilterApi.longColumn("pos"), java.lang.Long.valueOf(lo)),
@@ -94,6 +98,7 @@ object PointLookup {
       .map(_ + ("chrom" -> chrom)) // the partition column isn't in the files
       .sortBy(r => (r("pos").toLong, r.getOrElse("ref", ""),
         r.getOrElse("alt", ""), r.getOrElse("load_batch_id", "")))
+    }
   }
 
   /** rsID probe. The index is a covering sorted projection
@@ -104,11 +109,12 @@ object PointLookup {
     * from the hit shape and served the two-probe way. */
   def byRsid(spark: SparkSession, rsidIndex0: String, store: String,
              rsId: String): Seq[Map[String, String]] = {
-    val rsidIndex = graft.sinks.DbFs.resolvePath(rsidIndex0)
     val rsBin = Binary.fromString(rsId)
-    val hits = read(spark, new Path(rsidIndex),
-      FilterApi.eq(FilterApi.binaryColumn("rs_id"), rsBin),
-      Seq(("rs_id", rsBin, rsBin)))
+    val hits = graft.sinks.DbFs.withReadRetry(rsidIndex0) { rsidIndex =>
+      read(spark, new Path(rsidIndex),
+        FilterApi.eq(FilterApi.binaryColumn("rs_id"), rsBin),
+        Seq(("rs_id", rsBin, rsBin)))
+    }
       // deterministic across batch-append files (which overlap in rs_id)
       .sortBy(r => (r.getOrElse("chrom", ""),
         r.get("pos").map(_.toLong).getOrElse(0L), r.getOrElse("ref", ""),
@@ -132,11 +138,12 @@ object PointLookup {
     * (`schema.py:264-269`, `test_query_latency.py:142-153`). */
   def byGene(spark: SparkSession, geneIndex0: String,
              gene: String): Seq[Map[String, String]] = {
-    val geneIndex = graft.sinks.DbFs.resolvePath(geneIndex0)
     val gBin = Binary.fromString(gene)
-    read(spark, new Path(geneIndex),
-      FilterApi.eq(FilterApi.binaryColumn("gene"), gBin),
-      Seq(("gene", gBin, gBin)))
+    graft.sinks.DbFs.withReadRetry(geneIndex0) { geneIndex =>
+      read(spark, new Path(geneIndex),
+        FilterApi.eq(FilterApi.binaryColumn("gene"), gBin),
+        Seq(("gene", gBin, gBin)))
+    }
       // deterministic across batch-append files (which overlap in gene)
       .sortBy(r => (r.getOrElse("chrom", ""),
         r.get("pos").map(_.toLong).getOrElse(0L), r.getOrElse("ref", ""),
@@ -156,8 +163,8 @@ object PointLookup {
     * not meaningful here because a site's sample rows may straddle a file
     * boundary (appends are unsorted until compaction). */
   def genotypesAt(spark: SparkSession, genotypes0: String, chrom: String,
-                  lo: Long, hi: Long): Seq[Map[String, String]] = {
-    val genotypes = graft.sinks.DbFs.resolvePath(genotypes0)
+                  lo: Long, hi: Long): Seq[Map[String, String]] =
+    graft.sinks.DbFs.withReadRetry(genotypes0) { genotypes =>
     val root = new Path(genotypes)
     val hiveDir = new Path(root, s"chrom=$chrom")
     val fs = root.getFileSystem(hadoopConf(spark))

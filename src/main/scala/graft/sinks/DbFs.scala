@@ -192,6 +192,76 @@ object DbFs {
   def resolveTable(db: String, name: String): String =
     resolvePath(s"$db/$name")
 
+  /** A read failure caused by files or directories vanishing mid-scan —
+    * the versioned-swap residual exposure DEPLOY.md documents: read-grace
+    * GC keeps exactly ONE previous version, so a reader whose scan spans
+    * TWO swaps of the same table can lose its resolved version dir.
+    * Matches a FileNotFoundException anywhere in the cause chain (Spark
+    * wraps task-side ones in SparkException) and the analyzer's
+    * path-not-found, which fires when the dir vanished before the scan
+    * even started. */
+  def isVanishedRead(t: Throwable): Boolean = {
+    var c: Throwable = t
+    var depth = 0
+    while (c != null && depth < 16) {
+      c match {
+        case _: java.io.FileNotFoundException => return true
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              (e.getMessage.contains("PATH_NOT_FOUND") ||
+                e.getMessage.contains("Path does not exist")) => return true
+        case _ =>
+      }
+      c = c.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Run `body` against the CURRENT physical dir of a (possibly
+    * versioned) logical table path, re-resolving the pointer and
+    * retrying when the resolved directory vanishes mid-read
+    * ([[isVanishedRead]]). This turns the residual two-swaps-spanning-
+    * scan window into a retried read: the re-resolve picks up the new
+    * current version, which read-grace then protects for the duration
+    * of the retry. `body` must build its read from the path it is GIVEN
+    * (a fresh `spark.read.parquet(phys)` / fresh footer open), so every
+    * attempt lists fresh files. Non-vanish failures propagate
+    * immediately; after `attempts` consecutive vanishes the last error
+    * propagates — that many back-to-back swaps mid-read means a swap
+    * storm the caller should see. */
+  def withReadRetry[T](table: String, attempts: Int = 4)(body: String => T): T = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      val phys = resolvePath(table)
+      try {
+        val r = body(phys)
+        // a VERSIONED resolve whose dir is gone after the read answered
+        // from a deleted version: the driver-side probe faces answer
+        // "empty" for an absent directory (a missing chrom= partition is
+        // a genuine empty), so the vanish surfaces as a silent empty
+        // result, not an exception — escalate it into the retry. Plain
+        // paths (phys == table) never swap by version; their absence is
+        // a genuinely empty store. One exists() RPC, versioned resolves
+        // only.
+        if (phys != table && !exists(phys))
+          throw new java.io.FileNotFoundException(
+            s"version dir $phys vanished during read of $table")
+        return r
+      } catch {
+        case t: Throwable if isVanishedRead(t) =>
+          last = t
+          // brief, growing backoff: the writer's pointer flip + grace
+          // handoff is milliseconds; the retry only needs to land after
+          // the NEXT resolve observes the new pointer
+          Thread.sleep(25L * (i + 1))
+      }
+      i += 1
+    }
+    throw last
+  }
+
   /** True for a db-child name that is versioning plumbing (a version
     * directory or pointer sidecar), not a logical table — listings that
     * enumerate tables by name must skip these. */

@@ -472,6 +472,160 @@ class IvfSpec extends SparkSpec {
       .orderBy($"cent_id").collect().map(_.getSeq[Float](1)).toSeq
     assert(c1 == c2)
   }
+
+  test("round5 matches Spark's round(_, 5) bit-for-bit, halfway points included") {
+    // the NearestCentroid comparison key must round EXACTLY like the
+    // round(_cd, 5) it replaced — Spark's double Round is string-based
+    // BigDecimal HALF_UP, which disagrees with exact-binary BigDecimal
+    // at decimal halfway points (0.000015 is NOT representable in
+    // binary, so the two constructors see different digits there)
+    val battery: Seq[Double] =
+      Seq(0.000015, -0.000015, 0.000025, -0.000025, 0.123455, 0.9999949999,
+        0.99999, 1.0, -1.0, 0.0, -0.0, 1e-20, -1e-20, 0.5000050001,
+        Double.MinPositiveValue, 0.2857142857142857, -0.714285714285) ++
+        (1 to 500).map { i =>
+          val r = new scala.util.Random(i)
+          r.nextDouble() * 2 - 1
+        } ++
+        // constructed halfway points at the 5th decimal
+        (0 until 200).map(i => (i * 2 + 1) / 200000.0 * (if (i % 2 == 0) 1 else -1))
+    val sparkRounded = battery.toDF("d")
+      .select(round($"d", 5).as("r")).collect().map(_.getDouble(0))
+    battery.zip(sparkRounded).foreach { case (d, expected) =>
+      val got = graft.functions.CentroidSet.round5(d)
+      assert(java.lang.Double.compare(got, expected) == 0 ||
+        (got == 0.0 && expected == 0.0),
+        s"round5($d) = $got, Spark round = $expected")
+    }
+    assert(graft.functions.CentroidSet.round5(Double.NaN).isNaN)
+    assert(graft.functions.CentroidSet.round5(Double.PositiveInfinity)
+      .isPosInfinity)
+  }
+
+  test("NearestCentroid assignment is the old crossJoin+groupBy-max plan, bit-for-bit") {
+    import org.apache.spark.sql.types._
+    // adversarial corpus: exact-duplicate centroid vectors (every row a
+    // tie — smaller cent_id must win), near-identical centroids (scores
+    // split only by the 5th-decimal rounding), a zero vector, a null
+    // vector, null ELEMENTS, and a dimension-mismatched row (null score
+    // against every centroid → smallest cent_id)
+    val rng = new scala.util.Random(421L)
+    def vec(dim: Int): Seq[java.lang.Float] =
+      Seq.fill(dim)(java.lang.Float.valueOf(rng.nextFloat() * 2 - 1))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true),
+        nullable = true)))
+    val base = vec(8)
+    val perturbed = base.zipWithIndex.map { case (x, j) =>
+      java.lang.Float.valueOf(if (j == 0) x + 1e-7f else x.floatValue()) }
+    val rows: Seq[org.apache.spark.sql.Row] =
+      // centroids = first 6 by id: dup pair (0,1), near-dup pair (2,3),
+      // one random (4), one ZERO vector (5, zero norm — never wins)
+      Seq(
+        org.apache.spark.sql.Row(0L, base),
+        org.apache.spark.sql.Row(1L, base),
+        org.apache.spark.sql.Row(2L, vec(8)),
+        org.apache.spark.sql.Row(3L, perturbed),
+        org.apache.spark.sql.Row(4L, vec(8)),
+        org.apache.spark.sql.Row(5L, Seq.fill(8)(java.lang.Float.valueOf(0f)))) ++
+      (6L until 300L).map(i => org.apache.spark.sql.Row(i, vec(8))) ++
+      Seq(
+        org.apache.spark.sql.Row(300L, Seq.fill(8)(java.lang.Float.valueOf(0f))),
+        org.apache.spark.sql.Row(301L, null),
+        org.apache.spark.sql.Row(302L, vec(8).updated(3, null: java.lang.Float)),
+        org.apache.spark.sql.Row(303L, vec(5))) // dim mismatch
+    val corpus = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val centDf = corpus.orderBy($"vec_id").limit(6)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+
+    // the r11 shape, preserved verbatim as the differential twin
+    import org.apache.spark.sql.expressions.Window
+    def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.vecDot(a, b)
+    val cent = centDf.withColumn("_cent_norm",
+      sqrt(dotCol($"cent_vec", $"cent_vec")))
+    val oldLists = corpus
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
+      .withColumn("_row_norm", sqrt(dotCol($"c_vec", $"c_vec")))
+      .crossJoin(broadcast(cent))
+      .withColumn("_cd",
+        when($"_row_norm" > 0 && $"_cent_norm" > 0,
+          dotCol($"c_vec", $"cent_vec") / ($"_row_norm" * $"_cent_norm")))
+      .groupBy($"neighbor_id")
+      .agg(max(struct(round($"_cd", 5).as("_s"), (-$"cent_id").as("_nid")))
+        .as("_b"))
+      .select($"neighbor_id", (-$"_b._nid").as("cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val cset = graft.functions.CentroidSet.fromRows(
+      centDf.collect().toSeq.map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Any](1))))
+    val newDf = corpus.select($"vec_id".as("neighbor_id"),
+      graft.functions.VectorExpressions
+        .nearestCentroid($"embedding", cset).as("cent_id"))
+    val newLists = newDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(newLists.size == rows.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(newLists(id) == oldLists(id),
+        s"assignment diverged for vec_id=$id: new=${newLists(id)} old=${oldLists(id)}")
+    }
+    // the dup-centroid tie and the degenerate rows land where the old
+    // semantics say: smaller cent_id on ties, smallest cent_id on
+    // all-null scores
+    assert(newLists(0L) == 0L)
+    assert(newLists(1L) == 0L)
+    assert(newLists(300L) == 0L) // zero norm → all-null scores
+    assert(newLists(301L) == 0L) // null vector
+    assert(newLists(303L) == 0L) // dim mismatch everywhere
+    // scale shape: the assignment plan over a FILE-backed corpus (a
+    // local relation constant-folds the whole thing away, which also
+    // proves the interpreted eval path above) is a bare codegen'd map —
+    // no exchange, no aggregate, no join anywhere in it
+    val pq = java.nio.file.Files.createTempDirectory("ncplan")
+      .resolve("corpus").toString
+    corpus.write.parquet(pq)
+    val fileDf = spark.read.parquet(pq).select($"vec_id".as("neighbor_id"),
+      graft.functions.VectorExpressions
+        .nearestCentroid($"embedding", cset).as("cent_id"))
+    fileDf.collect()
+    val plan = fileDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate") &&
+      !plan.contains("Join"), s"assignment plan not a bare map:\n$plan")
+    // the "*(n)" prefix is the WholeStageCodegen marker in plan strings
+    assert(plan.contains("*(1) Project"),
+      s"assignment fell off the codegen path:\n$plan")
+    // and the codegen path agrees with the interpreted assignments
+    fileDf.collect().foreach { r =>
+      assert(r.getLong(1) == oldLists(r.getLong(0)),
+        s"codegen assignment diverged for vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("ivfTopK end-to-end output unchanged by the argmax-expression rework") {
+    // the p14 shape at oracle scale, both quantizers: output must be
+    // IDENTICAL to the old plan's (same rows, same cosines to the bit)
+    val e = graft.Tables(spark, sfDir).embeddings
+    val q = e.filter($"vec_id".between(4, 7))
+    val out = Similarity.ivfTopK(e, q, k = 5, nCentroids = 8, nProbe = 2)
+      .orderBy($"query_id", $"rank").collect()
+    assert(out.length == 20)
+    // vs the brute-force scores: every reported cosine must equal the
+    // brute-force cosine for that (query, neighbor) pair exactly (the
+    // final scoring arithmetic is untouched by the assignment rework)
+    val brute = Similarity.bruteForceTopK(e, q, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(java.lang.Double.compare(
+        brute(key), r.getAs[Double]("cosine")) == 0,
+        s"cosine drifted for $key")
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
