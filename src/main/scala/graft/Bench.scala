@@ -563,28 +563,103 @@ object Bench {
       scaleCorpus(n, s"/tmp/graft_bench_scale_$label")
     }
     val ScaleGateFactor = 1.5
-    /** Time a gated single-run scale row. Single-run rows sit fully
-      * exposed to this host's documented multi-minute stall windows
-      * (see the protocol scaladoc) — the interleaved-round clean mask
-      * cannot protect them. When a larger-scale point lands past the
-      * gate relative to `smallerKey` (per-unit), re-run the body up to
-      * twice and keep every sample in `raw`; the gates below read the
-      * MINIMUM — fixed work, so min is the honest statistic under
-      * external capping, and a GENUINE superlinear regression fails all
-      * three runs the same way. */
+    // ---- stall-aware single-run scale protocol (VERDICT r11 #1): the
+    // scale rows sit fully exposed to this host's documented multi-
+    // minute stall windows — the interleaved-round clean mask cannot
+    // protect them, and r11's artifact shipped 1.8-5x-inflated p_scale
+    // rows the gates never noticed (a stalled SMALLER point inflates
+    // the very denominator the gate divides by). Three countermeasures,
+    // all visible in the artifact:
+    //   1. every single-run sample is BRACKETED by the parallel CPU
+    //      probe (raw series "scale_probe_par"), and a per-sample clean
+    //      flag is emitted under "scale_clean";
+    //   2. all derived stats and gates read CLEAN samples (fall back to
+    //      all samples only when none were clean — the probe series then
+    //      proves in-artifact that every sample stalled);
+    //   3. per-unit cost INVERSION across adjacent sizes retries the
+    //      SMALLER point: fixed overhead amortizes, so 1M/doc exceeding
+    //      10M/doc by >10% is impossible on a healthy host — a free,
+    //      unambiguous stall detector for exactly the sample the gate
+    //      denominator depends on.
+    val scaleBodies = scala.collection.mutable.Map[String, () => Unit]()
+    val scaleClean = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[Boolean]]()
+    def runProbed(name: String, body: () => Unit): Unit = {
+      val pre = time(cpuProbePar()); record("scale_probe_par", pre)
+      // body failures PROPAGATE: the scale bodies carry the skew-cap and
+      // row-count asserts — a cap regression must fail the bench loudly,
+      // not ship as a silent -1 sample (the group rounds' -1 sentinel is
+      // for resilience across >=5 samples; scale rows are the gates)
+      record(name, time(body()))
+      val post = time(cpuProbePar()); record("scale_probe_par", post)
+      scaleClean.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer[Boolean]()) +=
+        (pre <= CleanProbeSec && post <= CleanProbeSec)
+    }
+    /** Valid samples of a metric, clean-masked: probe-bracketed rows use
+      * their per-sample flags; group-measured comparators (vcf_load_100k,
+      * vcf_parse_1m_norm) use their round's group mask; all valid samples
+      * only when none were clean. -1.0 failure sentinels always drop. */
+    def cleanSamples(name: String): Seq[Double] = {
+      val ts = raw.getOrElse(name, Nil).toSeq
+      val mask: Seq[Boolean] =
+        scaleClean.get(name).map(_.toSeq)
+          .getOrElse(if (parseMetrics.exists(_._1 == name)) parseMask
+                     else Seq.fill(ts.length)(true))
+      val clean = ts.zipWithIndex.collect {
+        case (t, i) if t > 0 && mask.lift(i).getOrElse(false) => t
+      }
+      if (clean.nonEmpty) clean else ts.filter(_ > 0)
+    }
+    /** Clean-masked min — fixed work, so min is the honest statistic
+      * under external capping; a GENUINE regression fails every sample
+      * the same way. */
+    def scaleMin(name: String): Double = {
+      val ts = cleanSamples(name)
+      if (ts.isEmpty) -1.0 else ts.min
+    }
+    def scaleMedian(name: String): Double = {
+      val ts = cleanSamples(name)
+      if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.length / 2)
+    }
+    /** Time a gated scale row: `samples` probe-bracketed runs, then (a)
+      * retry THIS point while it lands past `gate` per-unit vs the
+      * smaller point, (b) retry the SMALLER point while its per-unit
+      * cost exceeds this point's by >10% (the impossible inversion).
+      * Every sample stays in `raw`. */
     def timeScaleRow(name: String, units: Double,
                      smallerKey: Option[(String, Double)],
-                     gate: Double = ScaleGateFactor)(body: => Unit): Unit = {
-      record(name, time(body))
+                     gate: Double = ScaleGateFactor,
+                     samples: Int = 1)(body: => Unit): Unit = {
+      scaleBodies(name) = () => body
+      (0 until samples).foreach(_ => runProbed(name, () => body))
       smallerKey.foreach { case (smallName, smallUnits) =>
         var tries = 0
-        // filter sentinels: group-measured comparators record -1.0 for
-        // failed rounds, which would make the ratio negative and the
-        // retry (and gate) pass trivially
-        def ratio = (raw(name).min / units) /
-          (raw(smallName).filter(_ > 0).min / smallUnits)
+        def ratio = (scaleMin(name) / units) /
+          (scaleMin(smallName) / smallUnits)
         while (tries < 2 && ratio > gate) {
-          record(name, time(body)); tries += 1
+          runProbed(name, () => body); tries += 1
+        }
+        // inversion: the smaller point's per-unit cost exceeding the
+        // larger's is either a stalled small sample (r11 shipped an
+        // ivf_1m at 4x its real value this way) or STRUCTURAL fixed
+        // overhead (kmeans training + per-job setup amortize with size,
+        // so a fast operator's 1M point can honestly cost more per doc
+        // than its 10M point). Distinguish them by re-running: a stall
+        // retry lands far BELOW the stalled sample; a structural retry
+        // REPRODUCES it (within 15%) and the loop stops at one
+        // confirming sample instead of burning the full retry budget
+        // every round. Only rows whose body is ours to re-run
+        // (group-measured comparators already have >=5 masked samples).
+        var invTries = 0
+        var confirmed = false
+        while (invTries < 2 && !confirmed && scaleBodies.contains(smallName) &&
+               scaleMin(smallName) / smallUnits >
+                 1.1 * (scaleMin(name) / units)) {
+          val before = scaleMin(smallName)
+          runProbed(smallName, scaleBodies(smallName))
+          confirmed = scaleMin(smallName) >= 0.85 * before
+          invTries += 1
         }
       }
     }
@@ -642,15 +717,25 @@ object Bench {
         assert(graft.pipeline.Dedup.clusterPairs(
           spark.read.parquet(pairsDir)).count() > 0)
       }
-      rmrf(new java.io.File(pairsDir))
-      // r10's 10M spread (128-238 s across retries) was OURS, not the
-      // host's: the corpus assignment ranked via a row_number window
-      // over corpus×nCentroids scored rows — a 640M-row shuffle+sort
-      // whose spill behavior moved run to run — then rebuilt the
-      // inverted lists with a corpus-sized self-join. Replacing both
-      // with a map-side argmax aggregate (Similarity.ivfTopK) measured
-      // 78.0/91.3/69.8 s over three consecutive 10M runs (1.31x spread,
-      // ~2.2x faster; graft.tools.IvfProbe reproduces the measurement).
+      // pairs dirs stay until after the WHOLE decade: the 10m row's
+      // inversion retry may need to re-run the 1m cluster body, which
+      // reads its pairs dir. They're small (~n/50 rows) — disk, not
+      // executor memory (the concern the prompt-delete used to serve
+      // applied to localCheckpoint blocks, not parquet files).
+      // IVF assignment history, each step probe-measured at 10M docs
+      // (graft.tools.IvfProbe): r10's row_number window over 640M scored
+      // rows spilled unpredictably (128-238 s spread); r11's map-side
+      // argmax aggregate stabilized it (~120 s, 1.04x spread) but still
+      // materialized the corpus×64 crossJoin AND shuffled the whole
+      // corpus through the per-id groupBy; r12 moved the argmax into a
+      // per-row codegen'd expression over driver-collected centroids
+      // (Similarity.ivfTopK / NearestCentroid) — zero-shuffle
+      // assignment, 44.5-48.5 s — and then replaced the ranking window
+      // (ALL ~62M scored candidates sorted into |queries| partitions)
+      // with the map-side bounded-heap top-k aggregate
+      // (TopKByScoreAgg): measured 23.0-26.6 s over three consecutive
+      // runs, ~5x total vs r11, both reworks pinned bit-for-bit by
+      // differential twins (IvfSpec, TopKAggSpec).
       timeScaleRow(s"p_scale_ivf_topk_$label", n.toDouble,
           smaller("p_scale_ivf_topk")) {
         val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)
@@ -658,6 +743,9 @@ object Bench {
           nCentroids = 64, nProbe = 4, centroids = Some(cents))
           .count() >= queries.count() * 10)
       }
+    }
+    scaleSizes.foreach { case (label, _) =>
+      rmrf(new java.io.File(s"/tmp/graft_bench_scale_pairs_$label"))
     }
     // Scale GATE, not just evidence: per-doc wall-time at 10M must stay
     // within ScaleGateFactor of the 1M point (VERDICT r9 §next-round #1).
@@ -668,7 +756,7 @@ object Bench {
     Seq("p_scale_minhash_pairs", "p_scale_dedup_cluster",
         "p_scale_ivf_topk").foreach { m =>
       scaleSizes.foreach { case (label, _) =>
-        results(s"${m}_$label") = raw(s"${m}_$label").min
+        results(s"${m}_$label") = scaleMin(s"${m}_$label")
       }
       val perDoc1m = results(s"${m}_1m") / 1e6
       val perDoc10m = results(s"${m}_10m") / 1e7
@@ -762,8 +850,8 @@ object Bench {
       // growth gate, same statistic as the p_scale rows (min over
       // stall-retried samples; per-row cost at 10x vs 1x)
       Seq("rel_scale_q05", "rel_scale_q14").foreach { m =>
-        results(s"${m}_1x") = raw(s"${m}_1x").min
-        results(s"${m}_10x") = raw(s"${m}_10x").min
+        results(s"${m}_1x") = scaleMin(s"${m}_1x")
+        results(s"${m}_10x") = scaleMin(s"${m}_10x")
         val ratio = (results(s"${m}_10x") / (liRows * 10)) /
           (results(s"${m}_1x") / liRows)
         results(s"${m}_per_row_ratio") = ratio
@@ -789,20 +877,23 @@ object Bench {
       materialize(graft.vcf.VcfReader.variants(spark, vcf10m,
         graft.vcf.VcfReader.Options(normalize = true)))
     }
-    results("vcf_parse_10m_norm") = raw("vcf_parse_10m_norm").min
+    results("vcf_parse_10m_norm") = scaleMin("vcf_parse_10m_norm")
     val parseDecadeRatio = (results("vcf_parse_10m_norm") / 1e7) /
-      (raw("vcf_parse_1m_norm").filter(_ > 0).min / 1e6)
+      (scaleMin("vcf_parse_1m_norm") / 1e6)
     results("vcf_parse_decade_ratio") = parseDecadeRatio
     assert(parseDecadeRatio <= ScaleGateFactor,
       f"SCALE REGRESSION: per-variant parse grew $parseDecadeRatio%.2fx " +
         f"from 1M to 10M variants (gate $ScaleGateFactor%.1fx)")
+    // three probe-bracketed samples (VERDICT r11 #3: the ~15s row is
+    // cheap enough to sample properly; reported value = clean median,
+    // decade gate = clean min on both sides)
     timeScaleRow("vcf_load_1m", 1e6,
-        Some(("vcf_load_100k", 1e5)), gate = 1.0) {
+        Some(("vcf_load_100k", 1e5)), gate = 1.0, samples = 3) {
       rmrf(new java.io.File("/tmp/graft_bench_loaddb1m"))
       Graft.run(spark, Array("load", vcf1m, "--db",
         "/tmp/graft_bench_loaddb1m"))
     }
-    results("vcf_load_1m") = raw("vcf_load_1m").min
+    results("vcf_load_1m") = scaleMedian("vcf_load_1m")
 
     // throughput forms of the parse metrics (what BASELINE.md quotes)
     if (results("vcf_parse_100k") > 0)
@@ -830,8 +921,8 @@ object Bench {
         100000.0 / results("vcf_load_100k_genotyped")
     if (results("vcf_load_1m") > 0) {
       results("vcf_load_1m_var_s") = 1000000.0 / results("vcf_load_1m")
-      val loadDecadeRatio = (results("vcf_load_1m") / 1e6) /
-        (raw("vcf_load_100k").filter(_ > 0).min / 1e5)
+      val loadDecadeRatio = (scaleMin("vcf_load_1m") / 1e6) /
+        (scaleMin("vcf_load_100k") / 1e5)
       results("vcf_load_decade_ratio") = loadDecadeRatio
       assert(loadDecadeRatio <= 1.0,
         f"SCALE REGRESSION: per-variant LOAD grew $loadDecadeRatio%.2fx " +
@@ -847,8 +938,12 @@ object Bench {
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     def maskJson(mask: Seq[Boolean]) = mask.mkString("[", ",", "]")
+    val scaleCleanJson = scaleClean.map { case (k, flags) =>
+      "\"" + k + "\":" + maskJson(flags.toSeq)
+    }.mkString("{", ",", "}")
     val cleanJson = "{\"headline\":" + maskJson(headlineMask) +
       ",\"parse\":" + maskJson(parseMask) +
+      ",\"scale\":" + scaleCleanJson +
       ",\"probe_clean_threshold_sec\":" + CleanProbeSec + "}"
     // derived throughput/ratio metrics are not seconds — keep them out
     // of total

@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * with B planes the corpus shards into 2^B buckets and only same-bucket
   * pairs are scored (IVF-style recall/cost trade controlled by B).
   *
-  * The dot product is a `zip_with` + `aggregate` fold — a native
-  * expression, evaluated left-to-right exactly like any sequential dot
-  * product (deterministic, codegen'd, no UDF).
+  * The dot product is the native codegen'd VectorDot expression
+  * (left-to-right sum, deterministic, no UDF); ranking is the map-side
+  * bounded-heap top-k aggregate ([[rankTopK]]) rather than a per-query
+  * window, so the shuffle carries k survivors per map partition per
+  * query instead of every scored candidate.
   */
 object Similarity {
 
@@ -33,6 +35,26 @@ object Similarity {
   private def dotCol(x: Column, y: Column): Column =
     graft.functions.VectorExpressions.vecDot(x, y)
 
+  /** Shared ranking tail of the three top-k operators: the k best
+    * candidates per query from a `scored` relation holding (query_id,
+    * neighbor_id, cosine). A map-side bounded-heap aggregate
+    * ([[graft.functions.TopKByScoreAgg]]) replaces the former
+    * `row_number()` window: the window shuffled EVERY scored candidate
+    * into |queries| sort partitions (~60M rows into 100 partitions at
+    * the 10M-doc bench point — a parallelism cap and a skew point at
+    * cluster scale), where the partial aggregate ships only each map
+    * partition's k survivors per query. Ordering is bit-identical to
+    * `round(cosine,5) DESC, neighbor_id ASC` (differential-spec-pinned);
+    * ids surface as bigint. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKExpressions.topKByScore(
+        col("cosine"), col("neighbor_id").cast("long"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_e")))
+      .select(col("query_id"), col("_e.neighbor_id").as("neighbor_id"),
+        col("_e.cosine").as("cosine"),
+        (col("_pos") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (self excluded). Queries side is broadcast; ranking uses a
     * per-query window with deterministic tie-break on id. Norms are
@@ -41,7 +63,6 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
     val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
@@ -51,11 +72,7 @@ object Similarity {
       .withColumn("cosine",
         when(col("q_norm") > 0 && col("c_norm") > 0,
           dotCol(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** Add an `lsh_bucket` column: sign pattern of `planes` strided
@@ -256,11 +273,7 @@ object Similarity {
       .withColumn("cosine",
         when(col("q_norm") > 0 && col("c_norm") > 0,
           dotCol(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket.
@@ -274,7 +287,6 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               planes: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = withLshBucket(corpus, vecCol, planes)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("lsh_bucket"))
       .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
@@ -286,10 +298,6 @@ object Similarity {
       .withColumn("cosine",
         when(col("q_norm") > 0 && col("c_norm") > 0,
           dotCol(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 5).desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rankTopK(scored, k)
   }
 }

@@ -628,6 +628,100 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The window tail the aggregate replaced, preserved as the
+    * differential twin. */
+  private def windowTopK(scored: org.apache.spark.sql.DataFrame, k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"query_id")
+      .orderBy(round($"cosine", 5).desc, $"neighbor_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  private def aggTopK(scored: org.apache.spark.sql.DataFrame, k: Int) =
+    scored.groupBy($"query_id")
+      .agg(graft.functions.TopKExpressions.topKByScore(
+        $"cosine", $"neighbor_id".cast("long"), k).as("_top"))
+      .select($"query_id", posexplode($"_top").as(Seq("_pos", "_e")))
+      .select($"query_id", $"_e.neighbor_id".as("neighbor_id"),
+        $"_e.cosine".as("cosine"), ($"_pos" + 1).cast("int").as("rank"))
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3))
+    }.sortBy(t => (t._1, t._4)).toSeq
+
+  test("top_k_by_score matches the row_number window bit-for-bit under ties and nulls") {
+    // adversarial scored relation: exact ties at the 5th decimal (the
+    // rounding makes 0.123451 and 0.123452 EQUAL sort keys — id breaks
+    // the tie), sub-rounding near-misses, null cosines (desc NullS LAST
+    // — they fill trailing ranks when candidates run short), and a
+    // group smaller than k
+    val rng = new scala.util.Random(7L)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])]()
+    (0L until 20L).foreach { q =>
+      (0L until 300L).foreach { n =>
+        val c =
+          if (n % 37 == 0) None // null cosine
+          else if (n % 5 == 0) Some(0.1234512 + (n % 3) * 1e-7) // rounded ties
+          else if (n % 7 == 0) Some(0.123455) // exact halfway at 5th decimal
+          else Some(rng.nextDouble() * 2 - 1)
+        rows += ((q, n, c))
+      }
+    }
+    rows += ((99L, 1L, Some(0.5))) // group with fewer candidates than k
+    rows += ((99L, 2L, None))
+    val scored = rows.toSeq.toDF("query_id", "neighbor_id", "cosine")
+      .repartition(7) // several partitions → partial buffers really merge
+    Seq(1, 5, 10, 400).foreach { k =>
+      val expected = canon(windowTopK(scored, k))
+      val got = canon(aggTopK(scored, k))
+      assert(got == expected, s"top-k diverged from the window at k=$k")
+    }
+  }
+
+  test("ANN operators end-to-end: aggregate tail equals the window tail") {
+    // duplicate + zero vectors force ties and null cosines through the
+    // REAL operator pipelines (brute force exercises the tail on every
+    // corpus row; ivf through the probed lists)
+    val e = graft.Tables(spark, sfDir).embeddings.limit(150)
+      .select($"vec_id", $"embedding")
+    val dup = e.filter($"vec_id" === 3L)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding")
+    val zero = e.filter($"vec_id" === 4L).select(($"vec_id" + 2000L).as("vec_id"),
+      expr("transform(embedding, x -> cast(0.0 as float))").as("embedding"))
+    val corpus = e.union(dup).union(zero)
+    val q = corpus.filter($"vec_id".isin(3L, 1003L, 2004L, 7L))
+    val brute = Similarity.bruteForceTopK(corpus, q, k = 8)
+    // rebuild the same scored relation and rank it with the window twin
+    val qq = q.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+      .withColumn("q_norm", sqrt(graft.functions.VectorExpressions
+        .vecDot($"q_vec", $"q_vec")))
+    val scored = corpus
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
+      .withColumn("c_norm", sqrt(graft.functions.VectorExpressions
+        .vecDot($"c_vec", $"c_vec")))
+      .crossJoin(broadcast(qq))
+      .filter($"neighbor_id" =!= $"query_id")
+      .withColumn("cosine",
+        when($"q_norm" > 0 && $"c_norm" > 0,
+          graft.functions.VectorExpressions.vecDot($"q_vec", $"c_vec") /
+            ($"q_norm" * $"c_norm")))
+    assert(canon(brute) == canon(windowTopK(scored, 8)))
+    // plan shape: the ranking is a partial/final aggregate pair, not a
+    // window sort over every scored candidate
+    val plan = brute.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ranking still a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"top-k aggregate missing from plan:\n$plan")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
