@@ -49,31 +49,28 @@ object Dedup {
 
   // ---- MinHash + LSH ----
 
-  /** MinHash signatures as a DataFrame (id, _sig): shingles explode to
-    * rows, two base hashes per shingle, and the `numHashes` families are
-    * the standard affine combination h1 + i·h2 — so each signature slot
-    * is a codegen'd `min()` aggregate with map-side partial aggregation.
-    * (The naive formulation — 64 `array_min(transform(...))` expressions
-    * — re-evaluates the shingle array per slot through interpreted HOFs
-    * and is ~100× slower; this shape measured 100s → <2s at sf0.1.)
-    */
+  /** MinHash signatures as a DataFrame (id, _sig): a pure per-row map —
+    * the native codegen'd `MinHashSignature` expression hashes each
+    * shingle once (both base hashes are 48-bit slices of ONE md5,
+    * engine-portable; h1 + 63·h2 < 2^54, no signed overflow, so an
+    * external oracle computes identical signatures) and folds the
+    * `numHashes` affine families h1 + i·h2 into their mins in one pass.
+    *
+    * Shape history, each step differential-pinned to the last: the
+    * naive 64 `array_min(transform(...))` HOF columns were interpreted
+    * and ~100× too slow; the r2-r11 relational form (explode shingles →
+    * md5 per row → 64 codegen'd `min()` aggregates) fixed the CPU but
+    * materialized ~n_shingles rows per document and SHUFFLED every
+    * per-document aggregation buffer (64 longs/doc — multi-GB at 10M
+    * docs) through its groupBy; the expression computes the same
+    * signature without leaving the row. DedupSpec carries the
+    * relational twin and asserts bit-for-bit equality. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        shingleK: Int, numHashes: Int): DataFrame = {
-    // both base hashes are 48-bit slices of ONE md5 (engine-portable and
-    // one hash call per shingle); h1 + 63·h2 < 2^54 — no signed overflow,
-    // so an external oracle computes identical signatures
-    val exploded = docs
-      .select(col(idCol),
-        explode(array_distinct(
-          TextAnalysis.wordShingles(TextAnalysis.tokens(col(textCol)), shingleK))).as("_s"))
-      .select(col(idCol), TextAnalysis.md5Bits(col("_s"), 1, 12).as("_h1"),
-        TextAnalysis.md5Bits(col("_s"), 13, 12).as("_h2"))
-    val aggs = (0 until numHashes).map(i =>
-      min(col("_h1") + lit(i.toLong) * col("_h2")).as(s"_m$i"))
-    exploded.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
-  }
+                        shingleK: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.MinHashExpression.minhashSignature(
+        TextAnalysis.wordShingles(TextAnalysis.tokens(col(textCol)), shingleK),
+        numHashes).as("_sig"))
 
   /** LSH banding: (band_idx, hash(band slice)) rows, one per band.
     *

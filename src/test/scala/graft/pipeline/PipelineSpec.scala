@@ -94,6 +94,60 @@ class DedupSpec extends SparkSpec {
       pairs.filter(p => p._2 == 4L).forall(_._3 < 0.3)) // unrelated low sim
   }
 
+  test("MinHashSignature expression equals the relational explode+min-agg form, bit-for-bit") {
+    // the r2-r11 plan shape, preserved verbatim as the differential twin
+    def relationalSigs(d: org.apache.spark.sql.DataFrame, k: Int,
+                       numHashes: Int): org.apache.spark.sql.DataFrame = {
+      val exploded = d
+        .select($"doc_id",
+          explode(array_distinct(
+            TextAnalysis.wordShingles(TextAnalysis.tokens($"text"), k))).as("_s"))
+        .select($"doc_id",
+          (conv(substring(md5($"_s"), 1, 12), 16, 10)).cast("long").as("_h1"),
+          (conv(substring(md5($"_s"), 13, 12), 16, 10)).cast("long").as("_h2"))
+      val aggs = (0 until numHashes).map(i =>
+        min($"_h1" + lit(i.toLong) * $"_h2").as(s"_m$i"))
+      exploded.groupBy($"doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .select($"doc_id",
+          array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
+    }
+    // adversarial texts: empty (→ [""] shingle), shorter than k, exact
+    // duplicates, duplicate shingles inside one doc (array_distinct on
+    // the twin, duplicate-insensitive min on the expression), unicode,
+    // collapsible whitespace — plus the sf documents table for volume
+    // ids offset past the sf table's id space: a collision would make
+    // the twin's groupBy MERGE two docs while the per-row expression
+    // keeps them separate — a test artifact, not a semantics difference
+    val weird = Seq(
+      (9000100L, ""), (9000101L, "one"), (9000102L, "one two"),
+      (9000103L, "a a a a a a a a"), // every shingle identical
+      (9000104L, "héllo wörld ünïcode tokens again héllo wörld ünïcode"),
+      (9000105L, "  spaced\tout\n\nwhitespace   forms  here  "))
+      .toDF("doc_id", "text")
+    val corpus = graft.Tables(spark, sfDir).documents
+      .select($"doc_id", $"text").union(weird)
+      .union(docs.select(($"doc_id" + 9000200L).as("doc_id"), $"text"))
+    Seq((3, 64), (2, 16), (5, 7)).foreach { case (k, n) =>
+      val expected = relationalSigs(corpus, k, n).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      val got = Dedup.minhashSignatures(corpus, "text", "doc_id", k, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+      assert(got.keySet == expected.keySet, s"doc set diverged at k=$k n=$n")
+      got.foreach { case (id, sig) =>
+        assert(sig == expected(id), s"signature diverged for doc $id at k=$k n=$n")
+      }
+    }
+    // scale shape: signatures are a bare map over the corpus — no
+    // exchange, no aggregate, no generate (explode) in the plan
+    val sigDf = Dedup.minhashSignatures(
+      graft.Tables(spark, sfDir).documents, "text", "doc_id", 3, 64)
+    sigDf.collect()
+    val plan = sigDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate") &&
+      !plan.contains("Generate"), s"signature plan not a bare map:\n$plan")
+  }
+
   test("staged pairs (signatures via parquet) equal the lazy composition") {
     // the scale path the bench decade runs: signatures materialize once,
     // pairs derive from the stored relation — must be bit-identical to
