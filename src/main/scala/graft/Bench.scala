@@ -622,6 +622,17 @@ object Bench {
       val ts = cleanSamples(name)
       if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.length / 2)
     }
+    /** scaleMin for GATE inputs: a comparator with zero valid samples
+      * must fail the gate loudly — the -1.0 reporting sentinel would
+      * otherwise make every ratio negative and the decade asserts pass
+      * with no data behind them (the trivial-pass trap the old
+      * `.filter(_ > 0).min` avoided by throwing on empty). */
+    def gatedMin(name: String): Double = {
+      val v = scaleMin(name)
+      assert(v > 0,
+        s"gate comparator $name has NO valid samples — gate undecidable")
+      v
+    }
     /** Time a gated scale row: `samples` probe-bracketed runs, then (a)
       * retry THIS point while it lands past `gate` per-unit vs the
       * smaller point, (b) retry the SMALLER point while its per-unit
@@ -758,8 +769,8 @@ object Bench {
       scaleSizes.foreach { case (label, _) =>
         results(s"${m}_$label") = scaleMin(s"${m}_$label")
       }
-      val perDoc1m = results(s"${m}_1m") / 1e6
-      val perDoc10m = results(s"${m}_10m") / 1e7
+      val perDoc1m = gatedMin(s"${m}_1m") / 1e6
+      val perDoc10m = gatedMin(s"${m}_10m") / 1e7
       val ratio = perDoc10m / perDoc1m
       results(s"${m}_per_doc_ratio") = ratio // derived, excluded from total
       assert(ratio <= ScaleGateFactor,
@@ -852,8 +863,8 @@ object Bench {
       Seq("rel_scale_q05", "rel_scale_q14").foreach { m =>
         results(s"${m}_1x") = scaleMin(s"${m}_1x")
         results(s"${m}_10x") = scaleMin(s"${m}_10x")
-        val ratio = (results(s"${m}_10x") / (liRows * 10)) /
-          (results(s"${m}_1x") / liRows)
+        val ratio = (gatedMin(s"${m}_10x") / (liRows * 10)) /
+          (gatedMin(s"${m}_1x") / liRows)
         results(s"${m}_per_row_ratio") = ratio
         assert(ratio <= ScaleGateFactor,
           f"SCALE REGRESSION: $m per-row wall-time grew $ratio%.2fx from " +
@@ -878,8 +889,8 @@ object Bench {
         graft.vcf.VcfReader.Options(normalize = true)))
     }
     results("vcf_parse_10m_norm") = scaleMin("vcf_parse_10m_norm")
-    val parseDecadeRatio = (results("vcf_parse_10m_norm") / 1e7) /
-      (scaleMin("vcf_parse_1m_norm") / 1e6)
+    val parseDecadeRatio = (gatedMin("vcf_parse_10m_norm") / 1e7) /
+      (gatedMin("vcf_parse_1m_norm") / 1e6)
     results("vcf_parse_decade_ratio") = parseDecadeRatio
     assert(parseDecadeRatio <= ScaleGateFactor,
       f"SCALE REGRESSION: per-variant parse grew $parseDecadeRatio%.2fx " +
@@ -921,8 +932,8 @@ object Bench {
         100000.0 / results("vcf_load_100k_genotyped")
     if (results("vcf_load_1m") > 0) {
       results("vcf_load_1m_var_s") = 1000000.0 / results("vcf_load_1m")
-      val loadDecadeRatio = (scaleMin("vcf_load_1m") / 1e6) /
-        (scaleMin("vcf_load_100k") / 1e5)
+      val loadDecadeRatio = (gatedMin("vcf_load_1m") / 1e6) /
+        (gatedMin("vcf_load_100k") / 1e5)
       results("vcf_load_decade_ratio") = loadDecadeRatio
       assert(loadDecadeRatio <= 1.0,
         f"SCALE REGRESSION: per-variant LOAD grew $loadDecadeRatio%.2fx " +

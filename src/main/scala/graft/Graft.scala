@@ -242,6 +242,7 @@ object Graft {
     graft.functions.GenomicsFunctions.register(spark)
     graft.functions.VectorExpressions.register(spark)
     graft.functions.SimHashExpression.register(spark)
+    graft.functions.MinHashExpression.register(spark)
     graft.transform.Normalizer.register(spark)
     graft.transform.Annotations.register(spark)
     try run(spark, args) finally spark.stop()

@@ -43,14 +43,9 @@ object TopKByScore {
                     val scoreNull: Boolean, val score: Double,
                     val rounded: Double) extends Serializable
 
-  /** Spark's SQL double ordering: NaN greatest, NaN == NaN. */
+  /** Spark's own double ordering (NaN greatest, NaN == NaN, ±0 equal). */
   private[functions] def cmpDouble(a: Double, b: Double): Int =
-    if (a < b) -1
-    else if (a > b) 1
-    else if (a == b) 0
-    else if (java.lang.Double.isNaN(a)) {
-      if (java.lang.Double.isNaN(b)) 0 else 1
-    } else -1
+    org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(a, b)
 
   /** Total order of the window's ORDER BY: negative when `a` ranks
     * before (better than) `b`. */

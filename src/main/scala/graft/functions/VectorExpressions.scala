@@ -125,14 +125,18 @@ final class CentroidSet private (
   def minId: Long = ids(0)
   def size: Int = ids.length
 
-  /** Spark's SQLOrderingUtil double ordering: NaN greatest, NaN == NaN. */
+  /** Spark's own double ordering (NaN greatest, NaN == NaN, ±0 equal). */
   private def cmp(a: Double, b: Double): Int =
-    if (a < b) -1
-    else if (a > b) 1
-    else if (a == b) 0
-    else if (java.lang.Double.isNaN(a)) {
-      if (java.lang.Double.isNaN(b)) 0 else 1
-    } else -1
+    org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(a, b)
+
+  /** Spark's `d > 0` under SQL comparison semantics: NaN is GREATER
+    * than every double (verified empirically in both the interpreted
+    * and codegen paths — `NaN > 0.0` is true in each), so a NaN norm
+    * PASSES the positivity guard and its NaN score then outranks every
+    * finite score. Java's primitive `>` would silently skip such a
+    * centroid and diverge from the plan this expression replaced. */
+  private def sqlGtZero(d: Double): Boolean =
+    d > 0 || java.lang.Double.isNaN(d)
 
   /** Argmax-cosine centroid id for one row vector (see class doc for the
     * exact parity semantics). Called once per corpus row from generated
@@ -156,7 +160,7 @@ final class CentroidSet private (
       val cv = vecs(c)
       // dim mismatch ⇒ VectorDot returns null ⇒ the centroid's score is
       // null and it is skipped, like a zero-norm side
-      if (cv.length == n && rowNorm > 0 && norms(c) > 0) {
+      if (cv.length == n && sqlGtZero(rowNorm) && sqlGtZero(norms(c))) {
         val mask = masks(c)
         var dot = 0.0
         var j = 0

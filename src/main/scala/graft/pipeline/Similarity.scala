@@ -46,7 +46,13 @@ object Similarity {
     * partition's k survivors per query. Ordering is bit-identical to
     * `round(cosine,5) DESC, neighbor_id ASC` (differential-spec-pinned);
     * ids surface as bigint. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    // ids surface as bigint; a non-integral id column would cast to
+    // all-NULL neighbor ids silently (and collapse the id tie-break) —
+    // fail loudly instead
+    val idType = scored.schema("neighbor_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"top-k ranking requires an integral id column, got $idType")
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKExpressions.topKByScore(
         col("cosine"), col("neighbor_id").cast("long"), k).as("_top"))
@@ -54,12 +60,13 @@ object Similarity {
       .select(col("query_id"), col("_e.neighbor_id").as("neighbor_id"),
         col("_e.cosine").as("cosine"),
         (col("_pos") + 1).cast("int").as("rank"))
+  }
 
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
-    * rows (self excluded). Queries side is broadcast; ranking uses a
-    * per-query window with deterministic tie-break on id. Norms are
-    * precomputed per side so each pair pays ONE dot product (the naive
-    * cosine() per pair costs three interpreted HOF folds). */
+    * rows (self excluded). Queries side is broadcast; ranking is the
+    * map-side top-k aggregate with deterministic tie-break on id. Norms
+    * are precomputed per side so each pair pays ONE dot product (the
+    * naive cosine() per pair costs three interpreted HOF folds). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {

@@ -178,15 +178,23 @@ object DbFs {
     * target when a `<table>.current` sidecar exists, the plain path
     * otherwise. Readers and appenders go through here; SWAP destinations
     * stay logical (Writers resolves versioning itself at commit). */
-  def resolvePath(table: String): String =
+  def resolvePath(table: String): String = resolveWithDangle(table)._1
+
+  /** [[resolvePath]] plus whether the resolution fell back to the plain
+    * path through a DANGLING pointer (pointer present, version dir
+    * absent) — [[withReadRetry]] needs the distinction: a dangle at
+    * resolve time is either permanent crash residue (the plain dir IS
+    * the healed data) or the transient window between a flip and our
+    * exists() check, and only a later re-resolve can tell them apart. */
+  private def resolveWithDangle(table: String): (String, Boolean) =
     readString(pointerPath(table)) match {
       case Some(tok) if tok.trim.nonEmpty =>
         val v = s"$table.v-${tok.trim}"
         // dangling pointer (crash residue, or a table deleted out from
         // under its sidecar): fall back to the plain path so the store
         // self-heals instead of serving a missing directory
-        if (exists(v)) v else table
-      case _ => table
+        if (exists(v)) (v, false) else (table, true)
+      case _ => (table, false)
     }
 
   def resolveTable(db: String, name: String): String =
@@ -234,28 +242,52 @@ object DbFs {
     var last: Throwable = null
     var i = 0
     while (i < attempts) {
-      val phys = resolvePath(table)
+      val (phys, dangled) = resolveWithDangle(table)
       try {
         val r = body(phys)
-        // a VERSIONED resolve whose dir is gone after the read answered
-        // from a deleted version: the driver-side probe faces answer
-        // "empty" for an absent directory (a missing chrom= partition is
-        // a genuine empty), so the vanish surfaces as a silent empty
-        // result, not an exception — escalate it into the retry. Plain
-        // paths (phys == table) never swap by version; their absence is
-        // a genuinely empty store. One exists() RPC, versioned resolves
-        // only.
-        if (phys != table && !exists(phys))
+        if (phys != table) {
+          // a VERSIONED read is trustworthy only if the dir we read is
+          // STILL the current version or the named grace copy. A version
+          // that has left both is being (or has been) grace-GC'd — and
+          // the GC deletes file-by-file, so a listing taken mid-delete
+          // reads a silently PARTIAL subset with no exception and with
+          // the directory itself still present; an exists() check cannot
+          // catch that, membership can. (The driver-side probe faces
+          // also answer "empty" for a fully-deleted dir — a missing
+          // chrom= partition is a genuine empty — so the vanish would
+          // otherwise surface as a silent empty result.)
+          val curNow = resolvePath(table)
+          lazy val graceTok = readString(s"$table.prev").map(_.trim)
+          val physTok = phys.substring(phys.lastIndexOf(".v-") + 3)
+          if (phys != curNow && !graceTok.contains(physTok))
+            throw new java.io.FileNotFoundException(
+              s"version dir $phys left current+grace during read of $table")
+        } else if (dangled && resolvePath(table) != table) {
+          // we read the PLAIN path through the dangling-pointer
+          // self-heal, and the pointer now resolves to a live version:
+          // the dangle was the transient window between a flip and our
+          // exists() probe, and the plain path holds no data on a
+          // versioned db — the empty answer is an artifact, retry. A
+          // PERSISTENT dangle (crash residue where the plain dir is the
+          // healed data) keeps resolving plain and is accepted as-is.
           throw new java.io.FileNotFoundException(
-            s"version dir $phys vanished during read of $table")
+            s"transient dangling pointer during read of $table")
+        }
         return r
       } catch {
         case t: Throwable if isVanishedRead(t) =>
           last = t
-          // brief, growing backoff: the writer's pointer flip + grace
-          // handoff is milliseconds; the retry only needs to land after
-          // the NEXT resolve observes the new pointer
-          Thread.sleep(25L * (i + 1))
+          // a PLAIN path with no pointer in sight cannot heal by
+          // re-resolving — a genuinely missing store propagates
+          // immediately instead of burning retries and backoff on an
+          // error that cannot succeed
+          if (phys == table && !dangled && !exists(pointerPath(table)))
+            throw t
+          // brief, growing backoff (skipped after the final attempt):
+          // the writer's pointer flip + grace handoff is milliseconds;
+          // the retry only needs to land after the NEXT resolve
+          // observes the new pointer
+          if (i < attempts - 1) Thread.sleep(25L * (i + 1))
       }
       i += 1
     }

@@ -148,6 +148,19 @@ class DedupSpec extends SparkSpec {
       !plan.contains("Generate"), s"signature plan not a bare map:\n$plan")
   }
 
+  test("minhash_signature SQL registration serves the same signatures") {
+    graft.functions.MinHashExpression.register(spark)
+    val viaSql = spark.sql(
+      "select minhash_signature(array('a b c', 'b c d'), 4) as s")
+      .head().getSeq[Any](0)
+    val viaCol = Seq(Seq("a b c", "b c d")).toDF("sh")
+      .select(graft.functions.MinHashExpression
+        .minhashSignature($"sh", 4).as("s"))
+      .head().getSeq[Any](0)
+    assert(viaSql == viaCol)
+    assert(viaSql.length == 4)
+  }
+
   test("staged pairs (signatures via parquet) equal the lazy composition") {
     // the scale path the bench decade runs: signatures materialize once,
     // pairs derive from the stored relation — must be bit-identical to
@@ -574,16 +587,21 @@ class IvfSpec extends SparkSpec {
     val perturbed = base.zipWithIndex.map { case (x, j) =>
       java.lang.Float.valueOf(if (j == 0) x + 1e-7f else x.floatValue()) }
     val rows: Seq[org.apache.spark.sql.Row] =
-      // centroids = first 6 by id: dup pair (0,1), near-dup pair (2,3),
-      // one random (4), one ZERO vector (5, zero norm — never wins)
+      // centroids = first 7 by id: dup pair (0,1), near-dup pair (2,3),
+      // one random (4), one ZERO vector (5, zero norm — never wins),
+      // one NaN-element vector (6 — its norm is NaN; the old plan's
+      // `_cent_norm > 0` and NaN score ordering must be reproduced
+      // exactly, whatever Spark's comparison semantics turn out to be)
       Seq(
         org.apache.spark.sql.Row(0L, base),
         org.apache.spark.sql.Row(1L, base),
         org.apache.spark.sql.Row(2L, vec(8)),
         org.apache.spark.sql.Row(3L, perturbed),
         org.apache.spark.sql.Row(4L, vec(8)),
-        org.apache.spark.sql.Row(5L, Seq.fill(8)(java.lang.Float.valueOf(0f)))) ++
-      (6L until 300L).map(i => org.apache.spark.sql.Row(i, vec(8))) ++
+        org.apache.spark.sql.Row(5L, Seq.fill(8)(java.lang.Float.valueOf(0f))),
+        org.apache.spark.sql.Row(6L,
+          vec(8).updated(2, java.lang.Float.valueOf(Float.NaN)))) ++
+      (7L until 300L).map(i => org.apache.spark.sql.Row(i, vec(8))) ++
       Seq(
         org.apache.spark.sql.Row(300L, Seq.fill(8)(java.lang.Float.valueOf(0f))),
         org.apache.spark.sql.Row(301L, null),
@@ -592,50 +610,66 @@ class IvfSpec extends SparkSpec {
     val corpus = spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
-    val centDf = corpus.orderBy($"vec_id").limit(6)
-      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
-
-    // the r11 shape, preserved verbatim as the differential twin
-    import org.apache.spark.sql.expressions.Window
     def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.VectorExpressions.vecDot(a, b)
-    val cent = centDf.withColumn("_cent_norm",
-      sqrt(dotCol($"cent_vec", $"cent_vec")))
-    val oldLists = corpus
-      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
-      .withColumn("_row_norm", sqrt(dotCol($"c_vec", $"c_vec")))
-      .crossJoin(broadcast(cent))
-      .withColumn("_cd",
-        when($"_row_norm" > 0 && $"_cent_norm" > 0,
-          dotCol($"c_vec", $"cent_vec") / ($"_row_norm" * $"_cent_norm")))
-      .groupBy($"neighbor_id")
-      .agg(max(struct(round($"_cd", 5).as("_s"), (-$"cent_id").as("_nid")))
-        .as("_b"))
-      .select($"neighbor_id", (-$"_b._nid").as("cent_id"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-
-    val cset = graft.functions.CentroidSet.fromRows(
-      centDf.collect().toSeq.map(r =>
-        (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Any](1))))
-    val newDf = corpus.select($"vec_id".as("neighbor_id"),
-      graft.functions.VectorExpressions
-        .nearestCentroid($"embedding", cset).as("cent_id"))
-    val newLists = newDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-
-    assert(newLists.size == rows.size)
-    rows.foreach { r =>
-      val id = r.getLong(0)
-      assert(newLists(id) == oldLists(id),
-        s"assignment diverged for vec_id=$id: new=${newLists(id)} old=${oldLists(id)}")
+    // differential harness parameterized by centroid count so the tie
+    // semantics are exercised WITHOUT the NaN centroid (which outranks
+    // every finite score and would otherwise mask them) and the NaN
+    // semantics are exercised with it
+    def compare(nCent: Int): (Map[Long, Long], Map[Long, Long],
+                              graft.functions.CentroidSet) = {
+      val centDf = corpus.orderBy($"vec_id").limit(nCent)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+      // the r11 shape, preserved verbatim as the differential twin
+      val cent = centDf.withColumn("_cent_norm",
+        sqrt(dotCol($"cent_vec", $"cent_vec")))
+      val oldLists = corpus
+        .select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
+        .withColumn("_row_norm", sqrt(dotCol($"c_vec", $"c_vec")))
+        .crossJoin(broadcast(cent))
+        .withColumn("_cd",
+          when($"_row_norm" > 0 && $"_cent_norm" > 0,
+            dotCol($"c_vec", $"cent_vec") / ($"_row_norm" * $"_cent_norm")))
+        .groupBy($"neighbor_id")
+        .agg(max(struct(round($"_cd", 5).as("_s"), (-$"cent_id").as("_nid")))
+          .as("_b"))
+        .select($"neighbor_id", (-$"_b._nid").as("cent_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val cset = graft.functions.CentroidSet.fromRows(
+        centDf.collect().toSeq.map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Any](1))))
+      val newLists = corpus.select($"vec_id".as("neighbor_id"),
+        graft.functions.VectorExpressions
+          .nearestCentroid($"embedding", cset).as("cent_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(newLists.size == rows.size)
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        assert(newLists(id) == oldLists(id),
+          s"assignment diverged for vec_id=$id (nCent=$nCent): " +
+            s"new=${newLists(id)} old=${oldLists(id)}")
+      }
+      (newLists, oldLists, cset)
     }
-    // the dup-centroid tie and the degenerate rows land where the old
-    // semantics say: smaller cent_id on ties, smallest cent_id on
-    // all-null scores
-    assert(newLists(0L) == 0L)
-    assert(newLists(1L) == 0L)
-    assert(newLists(300L) == 0L) // zero norm → all-null scores
-    assert(newLists(301L) == 0L) // null vector
-    assert(newLists(303L) == 0L) // dim mismatch everywhere
+
+    // WITHOUT the NaN centroid: dup-centroid ties and the degenerate
+    // rows land where the old semantics say — smaller cent_id on ties,
+    // smallest cent_id on all-null scores
+    val (lists6, old6, cset6) = compare(6)
+    assert(lists6(0L) == 0L)
+    assert(lists6(1L) == 0L)
+    assert(lists6(300L) == 0L) // zero norm → all-null scores
+    assert(lists6(301L) == 0L) // null vector
+    assert(lists6(303L) == 0L) // dim mismatch everywhere
+    // WITH the NaN centroid (id 6): NaN > 0 is TRUE under Spark's SQL
+    // comparison (both eval modes, verified empirically), its score is
+    // NaN, and NaN outranks every finite score — centroid 6 wins every
+    // full-dimension, nonzero-norm row in BOTH implementations
+    val (lists7, _, _) = compare(7)
+    assert(lists7(0L) == 6L)
+    assert(lists7(42L) == 6L)
+    assert(lists7(300L) == 0L) // zero norm still all-null
+    assert(lists7(303L) == 0L) // dim mismatch still all-null
     // scale shape: the assignment plan over a FILE-backed corpus (a
     // local relation constant-folds the whole thing away, which also
     // proves the interpreted eval path above) is a bare codegen'd map —
@@ -645,7 +679,7 @@ class IvfSpec extends SparkSpec {
     corpus.write.parquet(pq)
     val fileDf = spark.read.parquet(pq).select($"vec_id".as("neighbor_id"),
       graft.functions.VectorExpressions
-        .nearestCentroid($"embedding", cset).as("cent_id"))
+        .nearestCentroid($"embedding", cset6).as("cent_id"))
     fileDf.collect()
     val plan = fileDf.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Aggregate") &&
@@ -655,7 +689,7 @@ class IvfSpec extends SparkSpec {
       s"assignment fell off the codegen path:\n$plan")
     // and the codegen path agrees with the interpreted assignments
     fileDf.collect().foreach { r =>
-      assert(r.getLong(1) == oldLists(r.getLong(0)),
+      assert(r.getLong(1) == old6(r.getLong(0)),
         s"codegen assignment diverged for vec_id=${r.getLong(0)}")
     }
   }
