@@ -741,12 +741,14 @@ object Bench {
       // corpus through the per-id groupBy; r12 moved the argmax into a
       // per-row codegen'd expression over driver-collected centroids
       // (Similarity.ivfTopK / NearestCentroid) — zero-shuffle
-      // assignment, 44.5-48.5 s — and then replaced the ranking window
+      // assignment, 44.5-48.5 s — then replaced the ranking window
       // (ALL ~62M scored candidates sorted into |queries| partitions)
-      // with the map-side bounded-heap top-k aggregate
-      // (TopKByScoreAgg): measured 23.0-26.6 s over three consecutive
-      // runs, ~5x total vs r11, both reworks pinned bit-for-bit by
-      // differential twins (IvfSpec, TopKAggSpec).
+      // with the map-side bounded-heap top-k aggregate (TopKByScoreAgg,
+      // 23.0-26.6 s), then bulk-copied the row vector once per
+      // assignment instead of 64×64 virtual ArrayData accessor calls:
+      // 16.2-19.0 s over three consecutive runs, ~7x total vs r11,
+      // every step pinned bit-for-bit by differential twins (IvfSpec,
+      // TopKAggSpec).
       timeScaleRow(s"p_scale_ivf_topk_$label", n.toDouble,
           smaller("p_scale_ivf_topk")) {
         val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)

@@ -125,6 +125,10 @@ final class CentroidSet private (
   def minId: Long = ids(0)
   def size: Int = ids.length
 
+  /** Per-centroid "every element valid": lets the hot dot loop skip the
+    * mask check entirely for the (universal in practice) dense case. */
+  private val dense: Array[Boolean] = masks.map(m => m.forall(identity))
+
   /** Spark's own double ordering (NaN greatest, NaN == NaN, ±0 equal). */
   private def cmp(a: Double, b: Double): Int =
     org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareDoubles(a, b)
@@ -140,8 +144,71 @@ final class CentroidSet private (
 
   /** Argmax-cosine centroid id for one row vector (see class doc for the
     * exact parity semantics). Called once per corpus row from generated
-    * code — tight JVM loops, no per-pair row materialization. */
+    * code. The hot path bulk-copies the row vector ONCE into a primitive
+    * array — the naive loop pays nCentroids×dim virtual ArrayData
+    * accessor calls per row (4096 at 64×64), the copy pays dim — and
+    * skips the element mask for dense centroids. Arithmetic is
+    * IDENTICAL (same conversions, same left-to-right order); rows with
+    * null elements take the accessor path with the same per-element
+    * null skipping as before. */
   def assign(arr: ArrayData, elemIsFloat: Boolean): Long = {
+    val n = arr.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) {
+      if (arr.isNullAt(i)) hasNull = true
+      i += 1
+    }
+    if (hasNull) return assignWithAccessors(arr, elemIsFloat)
+    val row = new Array[Double](n)
+    var j = 0
+    if (elemIsFloat) while (j < n) { row(j) = arr.getFloat(j).toDouble; j += 1 }
+    else while (j < n) { row(j) = arr.getDouble(j); j += 1 }
+    var self = 0.0
+    j = 0
+    while (j < n) { self += row(j) * row(j); j += 1 }
+    val rowNorm = math.sqrt(self)
+    var bestIdx = -1
+    var bestRounded = 0.0
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      // dim mismatch ⇒ VectorDot returns null ⇒ the centroid's score is
+      // null and it is skipped, like a zero-norm side
+      if (cv.length == n && sqlGtZero(rowNorm) && sqlGtZero(norms(c))) {
+        var dot = 0.0
+        if (dense(c)) {
+          var k = 0
+          while (k < n) { dot += row(k) * cv(k); k += 1 }
+        } else {
+          val mask = masks(c)
+          var k = 0
+          while (k < n) { if (mask(k)) dot += row(k) * cv(k); k += 1 }
+        }
+        val rawScore = dot / (rowNorm * norms(c))
+        // round-before-compare parity with round(_cd, 5), paying the
+        // BigDecimal only when the candidate can actually reach the
+        // incumbent: |round5(x) − x| ≤ 5e-6 (+ulp), so a raw score more
+        // than 6e-6 below the incumbent's ROUNDED value cannot win or
+        // tie. NaN compares false here and falls through to the exact
+        // path (Spark's double ordering ranks NaN above everything).
+        if (bestIdx < 0 || !(rawScore + 6e-6 < bestRounded)) {
+          val rounded = CentroidSet.round5(rawScore)
+          if (bestIdx < 0 || cmp(rounded, bestRounded) > 0) {
+            bestIdx = c
+            bestRounded = rounded
+          }
+        }
+      }
+      c += 1
+    }
+    if (bestIdx < 0) ids(0) else ids(bestIdx)
+  }
+
+  /** Accessor-path twin of [[assign]] for row vectors carrying null
+    * elements (null positions contribute nothing to either dot —
+    * VectorDot semantics). */
+  private def assignWithAccessors(arr: ArrayData, elemIsFloat: Boolean): Long = {
     val n = arr.numElements()
     var self = 0.0
     var i = 0
@@ -158,8 +225,6 @@ final class CentroidSet private (
     var c = 0
     while (c < ids.length) {
       val cv = vecs(c)
-      // dim mismatch ⇒ VectorDot returns null ⇒ the centroid's score is
-      // null and it is skipped, like a zero-norm side
       if (cv.length == n && sqlGtZero(rowNorm) && sqlGtZero(norms(c))) {
         val mask = masks(c)
         var dot = 0.0
@@ -173,12 +238,6 @@ final class CentroidSet private (
           j += 1
         }
         val rawScore = dot / (rowNorm * norms(c))
-        // round-before-compare parity with round(_cd, 5), paying the
-        // BigDecimal only when the candidate can actually reach the
-        // incumbent: |round5(x) − x| ≤ 5e-6 (+ulp), so a raw score more
-        // than 6e-6 below the incumbent's ROUNDED value cannot win or
-        // tie. NaN compares false here and falls through to the exact
-        // path (Spark's double ordering ranks NaN above everything).
         if (bestIdx < 0 || !(rawScore + 6e-6 < bestRounded)) {
           val rounded = CentroidSet.round5(rawScore)
           if (bestIdx < 0 || cmp(rounded, bestRounded) > 0) {
