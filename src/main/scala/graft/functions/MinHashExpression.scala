@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,60 +36,87 @@ object MinHashUtil {
     v
   }
 
-  /** 64-slot (or `numHashes`-slot) MinHash signature over an ArrayData
-    * of UTF8String shingles. Null shingles are skipped (they hashed to
-    * null and fell out of every `min` in the relational form); when NO
-    * valid shingle exists the signature is all-null — the same
-    * [null,…] the old groupBy produced for such a document. */
-  def signature(shingles: ArrayData, numHashes: Int): GenericArrayData = {
-    val n = shingles.numElements()
+  /** The [null,…] signature the relational form produced for a
+    * document with NO hashable shingle (null text → null token array →
+    * the [null] shingle whose md5 is null). */
+  def allNullSignature(numHashes: Int): GenericArrayData =
+    new GenericArrayData(new Array[Any](numHashes))
+
+  /** `numHashes`-slot MinHash signature straight from a document's
+    * TOKEN array: each word k-shingle is hashed by streaming its token
+    * bytes (space-separated, null tokens skipped — `array_join`
+    * semantics) into one md5, WITHOUT materializing the shingle
+    * strings. The shingle set matches `TextAnalysis.wordShingles`
+    * exactly: a sliding window of k tokens when the array has ≥ k
+    * elements, otherwise the single all-tokens joined form (the empty
+    * string for an empty array — hashed, not null, exactly as the
+    * relational form hashed `""`). Motivation: the Spark-side
+    * `transform(sequence…, array_join(slice…))` shingling runs through
+    * INTERPRETED higher-order functions and measured 32 s of the 48 s
+    * signature stage at 10M docs (`tools.SigProfile`); this streams the
+    * same bytes in a tight loop. */
+  def signatureFromTokens(tokens: ArrayData, shingleK: Int,
+                          numHashes: Int): GenericArrayData = {
+    val n = tokens.numElements()
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    var any = false
     val md = md5.get()
-    var s = 0
-    while (s < n) {
-      if (!shingles.isNullAt(s)) {
-        any = true
-        md.reset()
-        val d = md.digest(shingles.getUTF8String(s).getBytes)
-        val h1 = bits48(d, 0)
-        val h2 = bits48(d, 6)
-        var i = 0
-        var v = h1 // h1 + i*h2, accumulated additively
-        while (i < numHashes) {
-          if (v < mins(i)) mins(i) = v
-          v += h2
-          i += 1
+    val space = ' '.toByte
+
+    def hashWindow(start: Int, len: Int): Unit = {
+      md.reset()
+      var first = true
+      var i = start
+      while (i < start + len) {
+        if (!tokens.isNullAt(i)) {
+          if (!first) md.update(space)
+          md.update(tokens.getUTF8String(i).getBytes)
+          first = false
         }
+        i += 1
       }
-      s += 1
+      val d = md.digest()
+      val h1 = bits48(d, 0)
+      val h2 = bits48(d, 6)
+      var j = 0
+      var v = h1 // h1 + j*h2, accumulated additively
+      while (j < numHashes) {
+        if (v < mins(j)) mins(j) = v
+        v += h2
+        j += 1
+      }
     }
-    if (!any)
-      new GenericArrayData(new Array[Any](numHashes)) // all-null slots
-    else
-      new GenericArrayData(mins.map(java.lang.Long.valueOf)
-        .asInstanceOf[Array[Any]])
+
+    if (n >= shingleK) {
+      var i = 0
+      while (i <= n - shingleK) { hashWindow(i, shingleK); i += 1 }
+    } else hashWindow(0, n)
+    new GenericArrayData(mins.map(java.lang.Long.valueOf)
+      .asInstanceOf[Array[Any]])
   }
 }
 
 /** Native codegen'd MinHash signature expression (SURVEY custom-operator
-  * tier (b)). Replaces the explode → md5 per shingle → 64-way min
-  * aggregate plan shape: that computed the same hashes but materialized
-  * ~n_shingles rows per document and SHUFFLED every per-document
-  * aggregation buffer (64 longs/doc — multi-GB at 10M docs) through the
-  * groupBy, where a signature is a pure per-row function of the
-  * document's own shingles. This expression is a bare map: zero explode,
-  * zero shuffle, one md5 per shingle in a tight loop. Differential twin
-  * in DedupSpec pins bit-for-bit equality with the relational form.
+  * tier (b)) over a document's TOKEN array. Replaces two generations of
+  * plan shape: the explode → md5 per shingle → 64-way min aggregate
+  * (which shuffled every per-document aggregation buffer through its
+  * groupBy — multi-GB at 10M docs), and then the interpreted-HOF
+  * shingling that fed it (32 of 48 s at 10M docs). This expression is a
+  * bare map that streams shingle bytes straight into md5: zero explode,
+  * zero shuffle, zero shingle-string materialization. A NULL token
+  * array yields the all-null signature (never a null array), exactly
+  * what the relational form produced for a null-text document.
+  * Differential twin in DedupSpec pins bit-for-bit equality with the
+  * relational form.
   */
-case class MinHashSignature(child: Expression, numHashes: Int)
+case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
     extends UnaryExpression {
 
+  require(shingleK > 0, s"minhash_signature: shingleK must be > 0")
   require(numHashes > 0, s"minhash_signature: numHashes must be > 0")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -97,15 +125,31 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"minhash_signature expects array<string>, got $other")
+          s"minhash_signature expects array<string> tokens, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any =
-    MinHashUtil.signature(input.asInstanceOf[ArrayData], numHashes)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinHashUtil.allNullSignature(numHashes)
+    else MinHashUtil.signatureFromTokens(
+      v.asInstanceOf[ArrayData], shingleK, numHashes)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.MinHashUtil.signature($a, $numHashes);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+          ${childGen.isNull}
+            ? graft.functions.MinHashUtil.allNullSignature($numHashes)
+            : graft.functions.MinHashUtil.signatureFromTokens(
+                ${childGen.value}, $shingleK, $numHashes);
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
@@ -113,15 +157,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
 object MinHashExpression {
 
-  /** Column surface: MinHash signature of a shingle-array column. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** Column surface: MinHash signature of a token-array column. */
+  def minhashSignature(tokens: Column, shingleK: Int,
+                       numHashes: Int): Column =
     ColumnBridge.column(MinHashSignature(
-      ColumnBridge.expression(shingles), numHashes))
+      ColumnBridge.expression(tokens), shingleK, numHashes))
 
-  /** SQL registration: `minhash_signature(shingles, n)` (n must be a
-    * foldable integer). */
+  /** SQL registration: `minhash_signature(tokens, k, n)` (k and n must
+    * be foldable integers). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature", exprs => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
 }

@@ -50,11 +50,12 @@ object Dedup {
   // ---- MinHash + LSH ----
 
   /** MinHash signatures as a DataFrame (id, _sig): a pure per-row map —
-    * the native codegen'd `MinHashSignature` expression hashes each
-    * shingle once (both base hashes are 48-bit slices of ONE md5,
-    * engine-portable; h1 + 63·h2 < 2^54, no signed overflow, so an
-    * external oracle computes identical signatures) and folds the
-    * `numHashes` affine families h1 + i·h2 into their mins in one pass.
+    * the native codegen'd `MinHashSignature` expression streams each
+    * word k-shingle's token bytes into ONE md5 (both base hashes are
+    * 48-bit slices of it, engine-portable; h1 + 63·h2 < 2^54, no signed
+    * overflow, so an external oracle computes identical signatures) and
+    * folds the `numHashes` affine families h1 + i·h2 into their mins in
+    * one pass, without materializing shingle strings.
     *
     * Shape history, each step differential-pinned to the last: the
     * naive 64 `array_min(transform(...))` HOF columns were interpreted
@@ -62,15 +63,17 @@ object Dedup {
     * md5 per row → 64 codegen'd `min()` aggregates) fixed the CPU but
     * materialized ~n_shingles rows per document and SHUFFLED every
     * per-document aggregation buffer (64 longs/doc — multi-GB at 10M
-    * docs) through its groupBy; the expression computes the same
-    * signature without leaving the row. DedupSpec carries the
-    * relational twin and asserts bit-for-bit equality. */
+    * docs) through its groupBy; the first expression form computed the
+    * signature in-row but still built its shingle strings through the
+    * interpreted `wordShingles` HOFs — measured 32 of 48 s at 10M docs
+    * (`tools.SigProfile`); the token-streaming form removes that too.
+    * DedupSpec carries the relational twin and asserts bit-for-bit
+    * equality. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int, numHashes: Int): DataFrame =
     docs.select(col(idCol),
       graft.functions.MinHashExpression.minhashSignature(
-        TextAnalysis.wordShingles(TextAnalysis.tokens(col(textCol)), shingleK),
-        numHashes).as("_sig"))
+        TextAnalysis.tokens(col(textCol)), shingleK, numHashes).as("_sig"))
 
   /** LSH banding: (band_idx, hash(band slice)) rows, one per band.
     *

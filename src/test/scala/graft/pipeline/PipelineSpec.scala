@@ -120,10 +120,16 @@ class DedupSpec extends SparkSpec {
     // the twin's groupBy MERGE two docs while the per-row expression
     // keeps them separate — a test artifact, not a semantics difference
     val weird = Seq(
-      (9000100L, ""), (9000101L, "one"), (9000102L, "one two"),
-      (9000103L, "a a a a a a a a"), // every shingle identical
-      (9000104L, "héllo wörld ünïcode tokens again héllo wörld ünïcode"),
-      (9000105L, "  spaced\tout\n\nwhitespace   forms  here  "))
+      (9000100L, Some("")), (9000101L, Some("one")),
+      (9000102L, Some("one two")),
+      (9000103L, Some("a a a a a a a a")), // every shingle identical
+      (9000104L, Some("héllo wörld ünïcode tokens again héllo wörld ünïcode")),
+      (9000105L, Some("  spaced\tout\n\nwhitespace   forms  here  ")),
+      // null text: the relational twin keeps the doc with an all-null
+      // signature ([null] shingle → null hash → all mins null); the
+      // expression must reproduce that, not drop the row or null the
+      // array itself
+      (9000106L, None: Option[String]))
       .toDF("doc_id", "text")
     val corpus = graft.Tables(spark, sfDir).documents
       .select($"doc_id", $"text").union(weird)
@@ -151,11 +157,11 @@ class DedupSpec extends SparkSpec {
   test("minhash_signature SQL registration serves the same signatures") {
     graft.functions.MinHashExpression.register(spark)
     val viaSql = spark.sql(
-      "select minhash_signature(array('a b c', 'b c d'), 4) as s")
+      "select minhash_signature(array('a', 'b', 'c', 'd'), 3, 4) as s")
       .head().getSeq[Any](0)
-    val viaCol = Seq(Seq("a b c", "b c d")).toDF("sh")
+    val viaCol = Seq(Seq("a", "b", "c", "d")).toDF("t")
       .select(graft.functions.MinHashExpression
-        .minhashSignature($"sh", 4).as("s"))
+        .minhashSignature($"t", 3, 4).as("s"))
       .head().getSeq[Any](0)
     assert(viaSql == viaCol)
     assert(viaSql.length == 4)
