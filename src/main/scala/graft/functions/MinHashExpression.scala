@@ -164,10 +164,27 @@ object MinHashExpression {
       ColumnBridge.expression(tokens), shingleK, numHashes))
 
   /** SQL registration: `minhash_signature(tokens, k, n)` (k and n must
-    * be foldable integers). */
+    * be foldable integers). Arity and foldability are checked here so a
+    * misuse surfaces as an analysis-time message instead of an obscure
+    * IndexOutOfBounds/ClassCast from inside the builder; any integral
+    * literal type (tinyint..bigint) is accepted via Number#intValue. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_signature", exprs => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+      "minhash_signature", { exprs =>
+        require(exprs.length == 3,
+          s"minhash_signature expects 3 arguments (tokens, shingle_k, " +
+            s"num_hashes), got ${exprs.length}")
+        def intArg(i: Int, name: String): Int = {
+          val e = exprs(i)
+          require(e.foldable,
+            s"minhash_signature: $name must be a foldable integer literal")
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_signature: $name must be an integer, got $other")
+          }
+        }
+        MinHashSignature(exprs.head, intArg(1, "shingle_k"),
+          intArg(2, "num_hashes"))
+      }, "built-in")
 }

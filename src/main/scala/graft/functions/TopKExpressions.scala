@@ -76,14 +76,18 @@ object TopKByScore {
       } else {
         val worst = heap.peek()
         // admission guard, same bound as CentroidSet.assign: round5
-        // moves a value by at most 5e-6 (+ulp), so a non-null score
-        // more than 6e-6 below the worst survivor's ROUNDED key can
-        // never displace it — the BigDecimal runs only for genuine
-        // contenders. NaN compares false and falls through (it ranks
-        // above everything). A null score can only displace a null
-        // worst (by smaller id); no rounding involved.
+        // moves a value by at most 5e-6 + ulp(score)/2, so a non-null
+        // score more than 6e-6 + ulp below the worst survivor's ROUNDED
+        // key can never displace it — the BigDecimal runs only for
+        // genuine contenders. The ulp term keeps the bound valid at ANY
+        // magnitude (above ~1e10 the double ulp alone exceeds 6e-6 and
+        // a fixed margin could skip a candidate whose rounded key ties
+        // the worst survivor and wins the id tie-break). NaN/±Inf
+        // arithmetic compares false and falls through to the exact path
+        // (NaN ranks above everything). A null score can only displace
+        // a null worst (by smaller id); no rounding involved.
         if (!scoreNull && !worst.scoreNull &&
-            score + 6e-6 < worst.rounded) return
+            score + 6e-6 + Math.ulp(score) < worst.rounded) return
         val rounded = if (scoreNull) 0.0 else CentroidSet.round5(score)
         val cand = new Entry(idNull, id, scoreNull, score, rounded)
         if (rankCompare(cand, worst) < 0) {

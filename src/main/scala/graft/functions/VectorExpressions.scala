@@ -188,11 +188,14 @@ final class CentroidSet private (
         val rawScore = dot / (rowNorm * norms(c))
         // round-before-compare parity with round(_cd, 5), paying the
         // BigDecimal only when the candidate can actually reach the
-        // incumbent: |round5(x) − x| ≤ 5e-6 (+ulp), so a raw score more
-        // than 6e-6 below the incumbent's ROUNDED value cannot win or
-        // tie. NaN compares false here and falls through to the exact
-        // path (Spark's double ordering ranks NaN above everything).
-        if (bestIdx < 0 || !(rawScore + 6e-6 < bestRounded)) {
+        // incumbent: |round5(x) − x| ≤ 5e-6 + ulp(x)/2, so a raw score
+        // more than 6e-6 + ulp below the incumbent's ROUNDED value
+        // cannot win or tie (the ulp term keeps the bound valid at any
+        // magnitude, not just cosine scale). NaN compares false here
+        // and falls through to the exact path (Spark's double ordering
+        // ranks NaN above everything).
+        if (bestIdx < 0 ||
+            !(rawScore + 6e-6 + Math.ulp(rawScore) < bestRounded)) {
           val rounded = CentroidSet.round5(rawScore)
           if (bestIdx < 0 || cmp(rounded, bestRounded) > 0) {
             bestIdx = c
@@ -238,7 +241,8 @@ final class CentroidSet private (
           j += 1
         }
         val rawScore = dot / (rowNorm * norms(c))
-        if (bestIdx < 0 || !(rawScore + 6e-6 < bestRounded)) {
+        if (bestIdx < 0 ||
+            !(rawScore + 6e-6 + Math.ulp(rawScore) < bestRounded)) {
           val rounded = CentroidSet.round5(rawScore)
           if (bestIdx < 0 || cmp(rounded, bestRounded) > 0) {
             bestIdx = c

@@ -162,18 +162,19 @@ object Dedup {
     val withSig =
       if (sigCol == "_sig") sigs else sigs.withColumnRenamed(sigCol, "_sig")
 
-    // Bucket-grouped pair generation — ONE shuffle of the band rows,
-    // versus the naive band self-join's three (bucket-size count, the
-    // cap semi-join on each self-join side, then the 160M-row
-    // sort-merge self-join at 10M docs). Each bucket's member list is
-    // collected once (sorted, so id_a < id_b falls out of i < j) and
-    // the i<j pairs are generated inside the row with codegen'd
-    // higher-order functions; the cap becomes a plain size() filter
-    // instead of a count+semi-join plan branch. Per-group state is
-    // O(bucket) — bounded by the cap for the degenerate buckets that
-    // matter (and the scale story for byte-identical floods remains
-    // exact dedup FIRST, which removes them before LSH runs; an
-    // uncapped run is a correctness-oracle path, not the scale path).
+    // Pair generation is ONE shuffle of the band rows, versus the naive
+    // band self-join's three (bucket-size count, the cap semi-join on
+    // each self-join side, then the 160M-row sort-merge self-join at
+    // 10M docs). Two equivalent shapes behind that shuffle, chosen by
+    // id type: integral ids stream pairs out of a per-partition SORT of
+    // the band rows ([[pairsFromBandsSorted]] — the scale path, no
+    // aggregation buffers), other id types collect each bucket's member
+    // list in a groupBy ([[pairsFromBandsGrouped]] — also the sorted
+    // path's differential twin). In both, per-bucket state is bounded
+    // by the cap for the degenerate buckets that matter (and the scale
+    // story for byte-identical floods remains exact dedup FIRST, which
+    // removes them before LSH runs; an uncapped run is a
+    // correctness-oracle path, not the scale path).
     // null drop for parity with an equi-join shape: a null id or null
     // signature (possible in a user-supplied sigs relation; never
     // produced by minhashSignatures) would otherwise form a null-keyed
@@ -181,28 +182,12 @@ object Dedup {
     val bandsAll = lshBands(
       withSig.filter(col(idCol).isNotNull && col("_sig").isNotNull),
       "_sig", bands, rowsPerBand, idCol)
-    // group on (band_idx, band_hash), mirroring the oracle's per-band
-    // buckets: grouping on the hash alone would let a cross-band 64-bit
-    // collision MERGE two legitimate buckets (~1e-3 odds across 150M
-    // buckets at 10M docs), and with a cap set the merged bucket can
-    // exceed it and silently drop every true pair from both sides —
-    // lost recall, not just extra candidates. Within-band collisions
-    // are ~2.7e-6/band at 10M — the same exposure the md5 oracle
-    // carries. The perf win was never the key width; it is the native
-    // single xxhash64 vs four allocating md5/hex/conv expressions per
-    // band row.
-    val buckets = bandsAll.groupBy(col("band_idx"), col("band_hash"))
-      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
-    val sized = maxBucketSize match {
-      case None      => buckets.filter(size(col("_ids")) >= 2)
-      case Some(cap) => buckets.filter(size(col("_ids")).between(2, cap))
-    }
-    val n = size(col("_ids"))
-    val pairs = sized
-      .select(explode(flatten(transform(col("_ids"), (a, i) =>
-        transform(slice(col("_ids"), i + lit(2), n - i - lit(1)),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
-      .select(col("_p.id_a"), col("_p.id_b")).distinct()
+    val idType = withSig.schema(idCol).dataType
+    val pairs = (
+      if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+        pairsFromBandsSorted(bandsAll, idCol, idType, maxBucketSize)
+      else pairsFromBandsGrouped(bandsAll, idCol, maxBucketSize)
+    ).distinct()
 
     val sigA = withSig.select(col(idCol).as("id_a"), col("_sig").as("sig_a"))
     val sigB = withSig.select(col(idCol).as("id_b"), col("_sig").as("sig_b"))
@@ -211,6 +196,111 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
           x => x)).cast(DoubleType) / size(col("sig_a")))
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Raw within-bucket i<j pairs from band rows, bucket-grouped: one
+    * shuffle into a (band_idx, band_hash) groupBy whose collect_list
+    * buckets generate pairs with codegen'd higher-order functions.
+    *
+    * Grouping is on (band_idx, band_hash), mirroring the oracle's
+    * per-band buckets: grouping on the hash alone would let a
+    * cross-band 64-bit collision MERGE two legitimate buckets (~1e-3
+    * odds across 150M buckets at 10M docs), and with a cap set the
+    * merged bucket can exceed it and silently drop every true pair from
+    * both sides — lost recall, not just extra candidates. Within-band
+    * collisions are ~2.7e-6/band at 10M — the same exposure the md5
+    * oracle carries.
+    *
+    * This is the generic-id path and [[pairsFromBandsSorted]]'s
+    * differential twin: at 10M docs its groupBy has ~160M mostly-
+    * singleton groups, which pushes ObjectHashAggregate past its
+    * fallback threshold into sort-based aggregation over OBJECT list
+    * buffers on both the partial and the final side — measured 46.9 s
+    * of the 67 s staged pairs stage. Integral-id corpora (every real
+    * one) take the sorted-run path instead. */
+  private[graft] def pairsFromBandsGrouped(bandsAll: DataFrame, idCol: String,
+                                    maxBucketSize: Option[Int]): DataFrame = {
+    val buckets = bandsAll.groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+    val sized = maxBucketSize match {
+      case None      => buckets.filter(size(col("_ids")) >= 2)
+      case Some(cap) => buckets.filter(size(col("_ids")).between(2, cap))
+    }
+    val n = size(col("_ids"))
+    sized
+      .select(explode(flatten(transform(col("_ids"), (a, i) =>
+        transform(slice(col("_ids"), i + lit(2), n - i - lit(1)),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("_p"))
+      .select(col("_p.id_a"), col("_p.id_b"))
+  }
+
+  /** Raw within-bucket i<j pairs from band rows, sorted-run streamed —
+    * the scale path for integral ids, bit-identical pairs to
+    * [[pairsFromBandsGrouped]] (spec-pinned differential twin).
+    *
+    * Shape: ONE hash shuffle on the bucket key, the bucket sort FOLDED
+    * into a Tungsten per-partition sort (unsafe rows, radix-sortable
+    * long prefix), then a streaming scan that detects key runs and
+    * emits each run's i<j pairs — no aggregation at all. The grouped
+    * twin's collect_list over ~160M mostly-singleton groups (10M docs ×
+    * 16 bands) forces ObjectHashAggregate into its sort-based fallback
+    * TWICE (partial and final), sorting object list buffers and
+    * serializing one ArrayData per group across the shuffle; here the
+    * only sort is the unsafe-row sort and the only shuffle payload is
+    * the 20-byte band row itself. Per-run state is bounded by the cap
+    * (an over-cap run discards its buffer and skips to the next key,
+    * so a pathological bucket costs O(cap) memory, not O(bucket));
+    * sorting ids ascending within the run makes id_a < id_b fall out
+    * of emission order exactly as sort_array did. Ids are processed as
+    * longs and cast back, so the output schema matches the grouped
+    * twin for every integral id type; duplicate ids inside a bucket
+    * tie in the sort and emit the same self-pair the sorted-array twin
+    * emits. */
+  private[graft] def pairsFromBandsSorted(bandsAll: DataFrame, idCol: String,
+                                   idType: DataType,
+                                   maxBucketSize: Option[Int]): DataFrame = {
+    val spark = bandsAll.sparkSession
+    import spark.implicits._
+    val cap = maxBucketSize.getOrElse(Int.MaxValue)
+    // sort order: band_hash FIRST — the per-partition sort's 8-byte
+    // prefix then decides nearly every comparison (band_idx has only
+    // `bands` distinct values, so idx-first would send almost every
+    // comparison to the full row comparator). Any total order keeping
+    // (band_idx, band_hash) groups contiguous yields the same runs and
+    // the same pairs; id stays the last key so id_a < id_b falls out.
+    val sorted = bandsAll
+      .select(col("band_idx").cast("int").as("band_idx"), col("band_hash"),
+        col(idCol).cast("long").as("_id"))
+      .repartition(col("band_idx"), col("band_hash"))
+      .sortWithinPartitions(col("band_hash"), col("band_idx"), col("_id"))
+      .as[(Int, Long, Long)]
+    val pairs = sorted.mapPartitions { rows =>
+      val it = rows.buffered
+      // one buffered run at a time: collect ids while the bucket key
+      // repeats, drop the buffer the moment it passes the cap (keep
+      // consuming the run's rows — the iterator must stay aligned)
+      new Iterator[scala.collection.mutable.ArrayBuffer[Long]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): scala.collection.mutable.ArrayBuffer[Long] = {
+          val (bi, bh, first) = it.next()
+          var buf = scala.collection.mutable.ArrayBuffer(first)
+          var dropped = false
+          while (it.hasNext && it.head._1 == bi && it.head._2 == bh) {
+            val id = it.next()._3
+            if (!dropped) {
+              buf += id
+              if (buf.length > cap) { dropped = true; buf = null }
+            }
+          }
+          buf
+        }
+      }.filter(b => b != null && b.length >= 2).flatMap { b =>
+        b.indices.iterator.flatMap(i =>
+          (i + 1 until b.length).iterator.map(j => (b(i), b(j))))
+      }
+    }
+    pairs.toDF("id_a", "id_b")
+      .select(col("id_a").cast(idType), col("id_b").cast(idType))
   }
 
   /** Connected components over near-dup pairs — the cluster-formation

@@ -253,6 +253,14 @@ object Similarity {
     // One semantic note vs the old groupBy: a corpus with DUPLICATE ids
     // keeps each row as its own candidate (like bruteForce/lshTopK do)
     // instead of collapsing to one arbitrary row per id.
+    // same integral-id require as rankTopK, at the point of damage: a
+    // non-integral cent_id would cast("long") to all-NULL and getLong
+    // silently read 0 for every centroid — rankTopK's downstream check
+    // happens to reject it today, but that is incidental coupling
+    val centIdType = centDf.schema("cent_id").dataType
+    require(
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(centIdType),
+      s"ivfTopK requires an integral cent_id column, got $centIdType")
     val centRows = centDf
       .select(col("cent_id").cast("long"), col("cent_vec")).collect()
     val cset = graft.functions.CentroidSet.fromRows(
@@ -300,7 +308,12 @@ object Similarity {
     val q = withLshBucket(queries, vecCol, planes)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("lsh_bucket"))
       .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
-    val scored = c.join(q, Seq("lsh_bucket"))
+    // queries are the small side — PIN the broadcast (same contract as
+    // ivfTopK's probe join): lsh_bucket has only 2^planes distinct
+    // values, so a sort-merge join on it would both shuffle the whole
+    // corpus and skew; AQE usually picks BHJ here, but the scale shape
+    // must not depend on a runtime size estimate
+    val scored = c.join(broadcast(q), Seq("lsh_bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
         when(col("q_norm") > 0 && col("c_norm") > 0,

@@ -218,6 +218,16 @@ object DbFs {
             if e.getMessage != null &&
               (e.getMessage.contains("PATH_NOT_FOUND") ||
                 e.getMessage.contains("Path does not exist")) => return true
+        // cluster mode: an executor-side FNF can surface as a
+        // SparkException whose cause CHAIN was not preserved across the
+        // wire — the original class then appears only in the message
+        // text, and a class-only walk would misclassify the vanish as
+        // fatal exactly in the deployed-at-scale scenario the retry
+        // seam targets (local mode, which the specs exercise, always
+        // preserves the chain)
+        case e: org.apache.spark.SparkException
+            if e.getMessage != null &&
+              e.getMessage.contains("FileNotFoundException") => return true
         case _ =>
       }
       c = c.getCause

@@ -215,6 +215,55 @@ class DedupSpec extends SparkSpec {
       maxBucketSize = Some(50))) == 0)
   }
 
+  test("sorted-run pair-gen is bit-identical to the grouped twin " +
+    "(hot buckets, caps, duplicate ids, integral id widths)") {
+    // the r13 scale path streams pairs out of a per-partition sort
+    // instead of a collect_list groupBy — same bucket key, same i<j
+    // emission, so the PAIR SETS must match exactly, including the
+    // self-pair a duplicated id produces and the whole-bucket drop an
+    // over-cap run triggers
+    val rnd = new scala.util.Random(7L)
+    val words = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (1L to 80L).map { id =>
+      // ids 1-10 identical (one hot bucket); 11-80 random with shared
+      // prefixes so some bands collide
+      val text =
+        if (id <= 10) "hot hot hot hot hot hot"
+        else Vector.fill(6 + rnd.nextInt(4))(words(rnd.nextInt(words.size)))
+          .mkString(" ")
+      (id, text)
+    } :+ ((42L, "duplicate id row duplicate id row")) // dup id 42
+    val docs = corpus.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 2, 16)
+    val bands = Dedup.lshBands(
+      sigs.filter($"doc_id".isNotNull && $"_sig".isNotNull),
+      "_sig", 4, 4, "doc_id")
+    def canonPairs(df: org.apache.spark.sql.DataFrame) =
+      df.distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (cap <- Seq(None, Some(3), Some(8), Some(500))) {
+      val sortedP = canonPairs(Dedup.pairsFromBandsSorted(
+        bands, "doc_id", org.apache.spark.sql.types.LongType, cap))
+      val groupedP = canonPairs(Dedup.pairsFromBandsGrouped(
+        bands, "doc_id", cap))
+      assert(sortedP == groupedP, s"pair sets diverge at cap=$cap")
+      assert(sortedP.forall { case (a, b) => a <= b })
+    }
+    // integral non-long ids take the sorted path and keep their type
+    val intDocs = corpus.map { case (id, t) => (id.toInt, t) }
+      .toDF("doc_id", "text")
+    val intPairs = Dedup.minhashCandidatePairs(intDocs, shingleK = 2,
+      numHashes = 16, bands = 4, maxBucketSize = Some(8))
+    assert(intPairs.schema("id_a").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val longPairs = Dedup.minhashCandidatePairs(docs, shingleK = 2,
+      numHashes = 16, bands = 4, maxBucketSize = Some(8))
+    assert(intPairs.collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getDouble(2))).sorted.toSeq ==
+      longPairs.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getDouble(2))).sorted.toSeq)
+  }
+
   test("grouped pair-gen matches an in-memory twin on random corpora") {
     // independent oracle for the bucket/cap/pair logic (signatures have
     // their own DuckDB oracle): collect the signatures, group by the
@@ -455,6 +504,23 @@ class SimilaritySpec extends SparkSpec {
       val nid = r.getAs[Long]("neighbor_id")
       assert(math.abs(brute(nid) - r.getAs[Double]("cosine")) < 1e-9)
     }
+  }
+
+  test("LSH top-k bucket join broadcasts the query side (plan tripwire)") {
+    // lsh_bucket has only 2^planes distinct values: a sort-merge join on
+    // it would shuffle the WHOLE corpus and skew into few partitions.
+    // The query side is pinned broadcast (same contract as ivfTopK's
+    // probe join) — a flip back to SMJ must fail here, not ship as a
+    // runtime AQE coin-toss.
+    val e = graft.Tables(spark, sfDir).embeddings
+    val df = Similarity.lshTopK(e, e.filter($"vec_id" < 3), 5, planes = 4)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lsh bucket join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled on lsh_bucket:\n$plan")
   }
 }
 
