@@ -6,8 +6,12 @@ import org.apache.spark.sql.types.MapType
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
   * VCF parsing-throughput benchmarks that correspond to BASELINE.md's
-  * published numbers. Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  * published numbers. Prints a raw-series JSON line (all samples, probe
+  * series, clean masks), then the headline metrics JSON as the LAST
+  * stdout line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * — last so the driver's stdout-tail capture always keeps the numbers
+  * the gates and the baseline comparison read.
   *
   * Measurement honesty (the round-2 verdict's gate):
   *
@@ -30,9 +34,11 @@ import org.apache.spark.sql.types.MapType
   *   - Metrics run in INTERLEAVED ROUNDS (A B C, A B C, ...), each round
   *     bracketed by a PARALLEL fixed-work CPU probe (one xorshift64 spin
   *     per core on plain Java threads; ~0.6s clean on this box). A round
-  *     is "clean" iff both bracketing probes finish under
-  *     `CleanProbeSec` (1.25s ≈ 2x clean) — fixed work, so the absolute
-  *     threshold is meaningful.
+  *     is "clean" iff both bracketing probes finish within
+  *     `RelCleanFactor` of the SESSION-BEST probe AND under the
+  *     `CleanProbeSec` absolute backstop — fixed work, so the session
+  *     best is the host's demonstrated capability and sustained
+  *     moderate throttling (not just hard stalls) flags unclean.
   *   - The reported value per metric is the MEDIAN OVER CLEAN ROUNDS;
   *     if no round was clean, the median over all rounds (the raw
   *     probe series then proves in-artifact that every round stalled).
@@ -91,10 +97,24 @@ object Bench {
     if (sink.get() == 42L) println("")
   }
 
-  /** A round is clean iff its bracketing parallel probes both finish under
-    * this (fixed work; 0.59s measured clean on the target box — see
-    * scaladoc). */
+  /** Absolute probe ceiling: a bracketing parallel probe past this is
+    * never clean (fixed work; 0.59s measured clean on the target box —
+    * see scaladoc). Backstop only — the binding check is RELATIVE, see
+    * [[RelCleanFactor]]. */
   val CleanProbeSec = 1.25
+
+  /** Relative cleanliness (r12 verdict #1): the absolute ceiling alone
+    * passed sustained ~2x throttle windows as "clean" (probes at ~1.1s
+    * vs the session's 0.6s best → samples shipped 1.8x inflated with
+    * true flags). A probe is clean iff it is BOTH under the absolute
+    * ceiling AND within this factor of the SESSION-BEST parallel probe
+    * — fixed work, so the session best is the host's demonstrated
+    * capability and anything 1.2x slower is external interference.
+    * All masks, medians and gates are evaluated at REPORT time against
+    * the final session best (mid-run retry decisions use the running
+    * best, which can only be an over-estimate — retries err toward
+    * re-running, never toward accepting a throttled sample). */
+  val RelCleanFactor = 1.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,33 +164,47 @@ object Bench {
         .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     }
 
+    // session-best parallel probe: the denominator of the RELATIVE
+    // clean check. Every parallel probe (group-round and scale-sample)
+    // flows through probePar so the best reflects the whole session.
+    var bestProbePar = Double.MaxValue
+    def probePar(stream: String): Double = {
+      val t = time(cpuProbePar())
+      if (t < bestProbePar) bestProbePar = t
+      record(stream, t)
+      t
+    }
+    def probeClean(t: Double): Boolean =
+      t <= CleanProbeSec && t <= RelCleanFactor * bestProbePar
+    def maskOf(pairs: Seq[(Double, Double)]): Seq[Boolean] =
+      pairs.map { case (pre, post) => probeClean(pre) && probeClean(post) }
+
     /** Run `metrics` in interleaved probe-bracketed rounds; returns the
-      * per-round clean mask. Early-stops at `minClean` clean rounds or
-      * `budgetSec` wall seconds (whichever first), never past
-      * `maxRounds`. */
+      * per-round bracketing probe PAIRS (masks are derived at report
+      * time, against the final session-best probe). Early-stops at
+      * `minClean` rounds clean-so-far or `budgetSec` wall seconds
+      * (whichever first), never past `maxRounds`. */
     def measureGroup(metrics: Seq[(String, () => Unit)], maxRounds: Int,
-                     minClean: Int, budgetSec: Double): Seq[Boolean] = {
-      val cleanMask = scala.collection.mutable.ArrayBuffer[Boolean]()
+                     minClean: Int, budgetSec: Double): Seq[(Double, Double)] = {
+      val pairs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
       val t0 = System.nanoTime()
       def elapsed = (System.nanoTime() - t0) / 1e9
-      var pre = time(cpuProbePar()); record("cpu_probe_par", pre)
-      var clean = 0
+      var pre = probePar("cpu_probe_par")
       var r = 0
-      while (r < maxRounds && clean < minClean && elapsed < budgetSec) {
+      while (r < maxRounds && maskOf(pairs.toSeq).count(identity) < minClean &&
+             elapsed < budgetSec) {
         val gc0 = gcSeconds()
         record("cpu_probe", time { if (cpuProbe() == 0) println("") })
         metrics.foreach { case (name, body) =>
           record(name, try time(body()) catch { case _: Throwable => -1.0 })
         }
         record("gc_sec", gcSeconds() - gc0)
-        val post = time(cpuProbePar()); record("cpu_probe_par", post)
-        val ok = pre <= CleanProbeSec && post <= CleanProbeSec
-        cleanMask += ok
-        if (ok) clean += 1
+        val post = probePar("cpu_probe_par")
+        pairs += ((pre, post))
         pre = post
         r += 1
       }
-      cleanMask.toSeq
+      pairs.toSeq
     }
 
     /** Median over clean rounds; all rounds if none were clean. */
@@ -183,6 +217,14 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // mask-dependent results and gates are DEFERRED to report time so
+    // every reported statistic and every gate reads the same masks the
+    // artifact prints — the ones computed against the FINAL session-
+    // best probe (mid-run the best is still settling; see
+    // RelCleanFactor's scaladoc)
+    val deferred = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    def deferResult(body: => Unit): Unit = deferred += (() => body)
 
     // ---- headline set: sf-scaled relational + pipeline queries ----
     val headlineNames =
@@ -220,10 +262,13 @@ object Bench {
 
     // minClean = 5 (was 3): with 3 samples, ONE intra-round stall that
     // slips between the probe brackets sets the median; 5 absorbs two
-    val headlineMask = measureGroup(headline, maxRounds = 8, minClean = 5,
+    val headlinePairs = measureGroup(headline, maxRounds = 8, minClean = 5,
       budgetSec = 900)
-    headline.foreach { case (name, _) =>
-      results(name) = medianClean(name, headlineMask)
+    def headlineMask = maskOf(headlinePairs)
+    deferResult {
+      headline.foreach { case (name, _) =>
+        results(name) = medianClean(name, headlineMask)
+      }
     }
 
     // ---- VCF parse + latency metrics: interleaved rounds ----
@@ -489,10 +534,13 @@ object Bench {
           col("qual") > 500 && col("variant_type") === "snp" &&
           col("info").getItem("DP").cast("int") > 100))))
 
-    val parseMask = measureGroup(parseMetrics, maxRounds = 9, minClean = 5,
+    val parsePairs = measureGroup(parseMetrics, maxRounds = 9, minClean = 5,
       budgetSec = 1800)
-    parseMetrics.foreach { case (name, _) =>
-      results(name) = medianClean(name, parseMask)
+    def parseMask = maskOf(parsePairs)
+    deferResult {
+      parseMetrics.foreach { case (name, _) =>
+        results(name) = medianClean(name, parseMask)
+      }
     }
     // O(batch) cohort-append GATE: each round appended one 100k-variant
     // VCF into the SAME growing db, so the raw array's tail (store holds
@@ -500,7 +548,7 @@ object Bench {
     // store-sized read sneaking into the load path (a lost append guard,
     // an accidental full rewrite) makes the tail grow with the store and
     // trips this instead of shipping as a quietly rising row.
-    locally {
+    deferResult {
       // only CLEAN rounds feed the gate: -1.0 failure sentinels would
       // poison a median (a negative head makes any growth pass
       // trivially), and host-load stalls are exactly what the clean
@@ -529,7 +577,7 @@ object Bench {
     // 1M→10M per-doc ratio GATED below (wall-times should scale
     // ~linearly in corpus size; a quadratic candidate join or
     // driver-sized collect shows up as a gate failure or an OOM, not a
-    // slow row). Single-run rows: these are minute-scale jobs, and the
+    // slow row). Minute-scale jobs, >=2 samples each (clean min): the
     // claim is asymptotic shape, not microsecond stability.
     def scaleCorpus(n: Long, dir: String): Unit = {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) return
@@ -563,38 +611,43 @@ object Bench {
       scaleCorpus(n, s"/tmp/graft_bench_scale_$label")
     }
     val ScaleGateFactor = 1.5
-    // ---- stall-aware single-run scale protocol (VERDICT r11 #1): the
-    // scale rows sit fully exposed to this host's documented multi-
+    // ---- stall-aware scale protocol (VERDICT r11 #1, tightened r13):
+    // the scale rows sit fully exposed to this host's documented multi-
     // minute stall windows — the interleaved-round clean mask cannot
     // protect them, and r11's artifact shipped 1.8-5x-inflated p_scale
     // rows the gates never noticed (a stalled SMALLER point inflates
-    // the very denominator the gate divides by). Three countermeasures,
-    // all visible in the artifact:
-    //   1. every single-run sample is BRACKETED by the parallel CPU
-    //      probe (raw series "scale_probe_par"), and a per-sample clean
-    //      flag is emitted under "scale_clean";
-    //   2. all derived stats and gates read CLEAN samples (fall back to
+    // the very denominator the gate divides by). Countermeasures, all
+    // visible in the artifact:
+    //   1. every sample is BRACKETED by the parallel CPU probe (raw
+    //      series "scale_probe_par"), and a per-sample clean flag is
+    //      emitted under "scale_clean" — RELATIVE to the session-best
+    //      probe (r12 verdict #1: the absolute ceiling alone passed
+    //      sustained ~2x throttle windows as clean);
+    //   2. every row takes >=2 samples (r12 verdict #1) and reports the
+    //      clean MIN — fixed work, so min is the honest statistic under
+    //      external capping;
+    //   3. all derived stats and gates read CLEAN samples (fall back to
     //      all samples only when none were clean — the probe series then
     //      proves in-artifact that every sample stalled);
-    //   3. per-unit cost INVERSION across adjacent sizes retries the
+    //   4. per-unit cost INVERSION across adjacent sizes retries the
     //      SMALLER point: fixed overhead amortizes, so 1M/doc exceeding
     //      10M/doc by >10% is impossible on a healthy host — a free,
     //      unambiguous stall detector for exactly the sample the gate
     //      denominator depends on.
     val scaleBodies = scala.collection.mutable.Map[String, () => Unit]()
-    val scaleClean = scala.collection.mutable.LinkedHashMap[
-      String, scala.collection.mutable.ArrayBuffer[Boolean]]()
+    val scaleProbes = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[(Double, Double)]]()
     def runProbed(name: String, body: () => Unit): Unit = {
-      val pre = time(cpuProbePar()); record("scale_probe_par", pre)
+      val pre = probePar("scale_probe_par")
       // body failures PROPAGATE: the scale bodies carry the skew-cap and
       // row-count asserts — a cap regression must fail the bench loudly,
       // not ship as a silent -1 sample (the group rounds' -1 sentinel is
       // for resilience across >=5 samples; scale rows are the gates)
       record(name, time(body()))
-      val post = time(cpuProbePar()); record("scale_probe_par", post)
-      scaleClean.getOrElseUpdate(name,
-        scala.collection.mutable.ArrayBuffer[Boolean]()) +=
-        (pre <= CleanProbeSec && post <= CleanProbeSec)
+      val post = probePar("scale_probe_par")
+      scaleProbes.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer[(Double, Double)]()) +=
+        ((pre, post))
     }
     /** Valid samples of a metric, clean-masked: probe-bracketed rows use
       * their per-sample flags; group-measured comparators (vcf_load_100k,
@@ -603,7 +656,7 @@ object Bench {
     def cleanSamples(name: String): Seq[Double] = {
       val ts = raw.getOrElse(name, Nil).toSeq
       val mask: Seq[Boolean] =
-        scaleClean.get(name).map(_.toSeq)
+        scaleProbes.get(name).map(p => maskOf(p.toSeq))
           .getOrElse(if (parseMetrics.exists(_._1 == name)) parseMask
                      else Seq.fill(ts.length)(true))
       val clean = ts.zipWithIndex.collect {
@@ -641,7 +694,7 @@ object Bench {
     def timeScaleRow(name: String, units: Double,
                      smallerKey: Option[(String, Double)],
                      gate: Double = ScaleGateFactor,
-                     samples: Int = 1)(body: => Unit): Unit = {
+                     samples: Int = 2)(body: => Unit): Unit = {
       scaleBodies(name) = () => body
       (0 until samples).foreach(_ => runProbed(name, () => body))
       smallerKey.foreach { case (smallName, smallUnits) =>
@@ -766,18 +819,20 @@ object Bench {
     // turns superlinear here and FAILS the bench loudly instead of
     // shipping as a slow row (min over the stall-retried samples — every
     // sample stays visible in "raw").
-    Seq("p_scale_minhash_pairs", "p_scale_dedup_cluster",
-        "p_scale_ivf_topk").foreach { m =>
-      scaleSizes.foreach { case (label, _) =>
-        results(s"${m}_$label") = scaleMin(s"${m}_$label")
+    deferResult {
+      Seq("p_scale_minhash_pairs", "p_scale_dedup_cluster",
+          "p_scale_ivf_topk").foreach { m =>
+        scaleSizes.foreach { case (label, _) =>
+          results(s"${m}_$label") = scaleMin(s"${m}_$label")
+        }
+        val perDoc1m = gatedMin(s"${m}_1m") / 1e6
+        val perDoc10m = gatedMin(s"${m}_10m") / 1e7
+        val ratio = perDoc10m / perDoc1m
+        results(s"${m}_per_doc_ratio") = ratio // derived, excluded from total
+        assert(ratio <= ScaleGateFactor,
+          f"SCALE REGRESSION: $m per-doc wall-time grew $ratio%.2fx from 1M " +
+            f"to 10M docs (gate $ScaleGateFactor%.1fx) — superlinear behavior")
       }
-      val perDoc1m = gatedMin(s"${m}_1m") / 1e6
-      val perDoc10m = gatedMin(s"${m}_10m") / 1e7
-      val ratio = perDoc10m / perDoc1m
-      results(s"${m}_per_doc_ratio") = ratio // derived, excluded from total
-      assert(ratio <= ScaleGateFactor,
-        f"SCALE REGRESSION: $m per-doc wall-time grew $ratio%.2fx from 1M " +
-          f"to 10M docs (gate $ScaleGateFactor%.1fx) — superlinear behavior")
     }
 
     // ---- relational scale decade (VERDICT r10 next-round #5): the
@@ -862,15 +917,17 @@ object Bench {
         !p05.contains("CartesianProduct"), s"q05 degenerate join at 10x:\n$p05")
       // growth gate, same statistic as the p_scale rows (min over
       // stall-retried samples; per-row cost at 10x vs 1x)
-      Seq("rel_scale_q05", "rel_scale_q14").foreach { m =>
-        results(s"${m}_1x") = scaleMin(s"${m}_1x")
-        results(s"${m}_10x") = scaleMin(s"${m}_10x")
-        val ratio = (gatedMin(s"${m}_10x") / (liRows * 10)) /
-          (gatedMin(s"${m}_1x") / liRows)
-        results(s"${m}_per_row_ratio") = ratio
-        assert(ratio <= ScaleGateFactor,
-          f"SCALE REGRESSION: $m per-row wall-time grew $ratio%.2fx from " +
-            f"1x to 10x rows (gate $ScaleGateFactor%.1fx)")
+      deferResult {
+        Seq("rel_scale_q05", "rel_scale_q14").foreach { m =>
+          results(s"${m}_1x") = scaleMin(s"${m}_1x")
+          results(s"${m}_10x") = scaleMin(s"${m}_10x")
+          val ratio = (gatedMin(s"${m}_10x") / (liRows * 10)) /
+            (gatedMin(s"${m}_1x") / liRows)
+          results(s"${m}_per_row_ratio") = ratio
+          assert(ratio <= ScaleGateFactor,
+            f"SCALE REGRESSION: $m per-row wall-time grew $ratio%.2fx from " +
+              f"1x to 10x rows (gate $ScaleGateFactor%.1fx)")
+        }
       }
     }
 
@@ -890,13 +947,15 @@ object Bench {
       materialize(graft.vcf.VcfReader.variants(spark, vcf10m,
         graft.vcf.VcfReader.Options(normalize = true)))
     }
-    results("vcf_parse_10m_norm") = scaleMin("vcf_parse_10m_norm")
-    val parseDecadeRatio = (gatedMin("vcf_parse_10m_norm") / 1e7) /
-      (gatedMin("vcf_parse_1m_norm") / 1e6)
-    results("vcf_parse_decade_ratio") = parseDecadeRatio
-    assert(parseDecadeRatio <= ScaleGateFactor,
-      f"SCALE REGRESSION: per-variant parse grew $parseDecadeRatio%.2fx " +
-        f"from 1M to 10M variants (gate $ScaleGateFactor%.1fx)")
+    deferResult {
+      results("vcf_parse_10m_norm") = scaleMin("vcf_parse_10m_norm")
+      val parseDecadeRatio = (gatedMin("vcf_parse_10m_norm") / 1e7) /
+        (gatedMin("vcf_parse_1m_norm") / 1e6)
+      results("vcf_parse_decade_ratio") = parseDecadeRatio
+      assert(parseDecadeRatio <= ScaleGateFactor,
+        f"SCALE REGRESSION: per-variant parse grew $parseDecadeRatio%.2fx " +
+          f"from 1M to 10M variants (gate $ScaleGateFactor%.1fx)")
+    }
     // three probe-bracketed samples (VERDICT r11 #3: the ~15s row is
     // cheap enough to sample properly; reported value = clean median,
     // decade gate = clean min on both sides)
@@ -906,7 +965,12 @@ object Bench {
       Graft.run(spark, Array("load", vcf1m, "--db",
         "/tmp/graft_bench_loaddb1m"))
     }
-    results("vcf_load_1m") = scaleMedian("vcf_load_1m")
+    deferResult { results("vcf_load_1m") = scaleMedian("vcf_load_1m") }
+
+    // report time: the session-best probe is final — evaluate every
+    // deferred mask-dependent statistic and gate against it, in
+    // measurement order
+    deferred.foreach(_())
 
     // throughput forms of the parse metrics (what BASELINE.md quotes)
     if (results("vcf_parse_100k") > 0)
@@ -951,20 +1015,28 @@ object Bench {
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     def maskJson(mask: Seq[Boolean]) = mask.mkString("[", ",", "]")
-    val scaleCleanJson = scaleClean.map { case (k, flags) =>
-      "\"" + k + "\":" + maskJson(flags.toSeq)
+    val scaleCleanJson = scaleProbes.map { case (k, pairs) =>
+      "\"" + k + "\":" + maskJson(maskOf(pairs.toSeq))
     }.mkString("{", ",", "}")
     val cleanJson = "{\"headline\":" + maskJson(headlineMask) +
       ",\"parse\":" + maskJson(parseMask) +
       ",\"scale\":" + scaleCleanJson +
-      ",\"probe_clean_threshold_sec\":" + CleanProbeSec + "}"
+      ",\"probe_clean_threshold_sec\":" + CleanProbeSec +
+      ",\"probe_rel_clean_factor\":" + RelCleanFactor +
+      f""","probe_session_best_sec":$bestProbePar%.3f}""".stripMargin
     // derived throughput/ratio metrics are not seconds — keep them out
     // of total
     val total = results.collect {
       case (k, v) if v >= 0 && !k.endsWith("_var_s") &&
         !k.endsWith("_ratio") => v
     }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$rawJson,"clean":$cleanJson,"sf":"$sfDir"}""")
+    // raw series + clean masks first, the headline metrics line LAST
+    // (r12 verdict #3): the driver keeps a stdout TAIL, and r12's
+    // single giant line lost its leading "queries" section to the
+    // truncation — the artifact must end with the numbers the gates
+    // and the baseline comparison read
+    println(s"""{"metric":"raw_series","raw":$rawJson,"clean":$cleanJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"clean":$cleanJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
