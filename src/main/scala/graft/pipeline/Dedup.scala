@@ -447,15 +447,34 @@ object Dedup {
       .select(col(idCol), col("_sig"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("_sig"), col("c.chunk_idx"), col("c.chunk"))
 
-    // bucket-grouped pair generation (same single-shuffle shape as the
-    // minhash path): members collect once per chunk bucket, sorted so
-    // id_a < id_b falls out of i < j, hamming computed inline from the
-    // carried signatures — no self-join and no verification join at all
+    // pair generation is ONE shuffle of the chunk rows, hamming computed
+    // inline from the carried signatures — no self-join and no
+    // verification join at all. Same two shapes as the minhash path,
+    // chosen by id type: integral ids stream pairs out of a
+    // per-partition sort ([[simhashChunkPairsSorted]] — no aggregation
+    // buffers), other id types collect each bucket's member list in a
+    // groupBy ([[simhashChunkPairsGrouped]], also the sorted path's
+    // differential twin).
     // same skew guard as the minhash path: a flood of byte-identical
     // documents shares ALL maxHamming+1 chunk buckets, so each would
     // generate the quadratic pair set maxHamming+1 times over. Buckets
     // past the cap drop entirely — identical docs are exact-dedup
     // territory; run that first
+    val idType = withSig.schema(idCol).dataType
+    val pairs =
+      if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+        simhashChunkPairsSorted(banded, idCol, idType, maxBucketSize)
+      else simhashChunkPairsGrouped(banded, idCol, maxBucketSize)
+    pairs.distinct().filter(col("hamming") <= maxHamming)
+  }
+
+  /** Within-bucket (id_a, id_b, hamming) rows from simhash chunk rows,
+    * bucket-grouped — the generic-id path and
+    * [[simhashChunkPairsSorted]]'s differential twin. Members sort by
+    * struct(id, sig), so id_a < id_b falls out of i < j. */
+  private[graft] def simhashChunkPairsGrouped(
+      banded: DataFrame, idCol: String,
+      maxBucketSize: Option[Int]): DataFrame = {
     val grouped = banded.groupBy(col("chunk_idx"), col("chunk"))
       .agg(sort_array(collect_list(
         struct(col(idCol).as("id"), col("_sig").as("sig")))).as("_m"))
@@ -471,8 +490,57 @@ object Dedup {
             bit_count(a.getField("sig").bitwiseXOR(b.getField("sig")))
               .as("hamming")))))).as("_p"))
       .select(col("_p.id_a"), col("_p.id_b"), col("_p.hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Sorted-run twin of [[simhashChunkPairsGrouped]] for integral ids —
+    * the scale shape (same rationale as the minhash
+    * [[pairsFromBandsSorted]]: fold the bucket sort into a Tungsten
+    * per-partition sort instead of object list buffers in a
+    * sort-fallback ObjectHashAggregate; chunk-first sort key for the
+    * 8-byte radix prefix). Members sort by (id, sig) within a run —
+    * exactly the grouped twin's struct order — so the emitted i<j
+    * pairs and their inline hamming are bit-identical. */
+  private[graft] def simhashChunkPairsSorted(
+      banded: DataFrame, idCol: String, idType: DataType,
+      maxBucketSize: Option[Int]): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val cap = maxBucketSize.getOrElse(Int.MaxValue)
+    val sorted = banded
+      .select(col("chunk_idx").cast("int").as("chunk_idx"), col("chunk"),
+        col(idCol).cast("long").as("_id"), col("_sig"))
+      .repartition(col("chunk_idx"), col("chunk"))
+      .sortWithinPartitions(col("chunk"), col("chunk_idx"), col("_id"),
+        col("_sig"))
+      .as[(Int, Long, Long, Long)]
+    val pairs = sorted.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[scala.collection.mutable.ArrayBuffer[(Long, Long)]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): scala.collection.mutable.ArrayBuffer[(Long, Long)] = {
+          val (ci, ch, id0, sig0) = it.next()
+          var buf = scala.collection.mutable.ArrayBuffer((id0, sig0))
+          var dropped = false
+          while (it.hasNext && it.head._1 == ci && it.head._2 == ch) {
+            val (_, _, id, sig) = it.next()
+            if (!dropped) {
+              buf += ((id, sig))
+              if (buf.length > cap) { dropped = true; buf = null }
+            }
+          }
+          buf
+        }
+      }.filter(b => b != null && b.length >= 2).flatMap { b =>
+        b.indices.iterator.flatMap(i =>
+          (i + 1 until b.length).iterator.map { j =>
+            val (ia, sa) = b(i); val (ib, sb) = b(j)
+            (ia, ib, java.lang.Long.bitCount(sa ^ sb))
+          })
+      }
+    }
+    pairs.toDF("id_a", "id_b", "hamming")
+      .select(col("id_a").cast(idType), col("id_b").cast(idType),
+        col("hamming"))
   }
 
   // ---- n-gram Jaccard ----
@@ -507,7 +575,17 @@ object Dedup {
     * expected bucket membership is n / 2^planes, and within-bucket pair
     * work is quadratic in membership, so per-doc cost at fixed planes
     * grows linearly with n — planes ≈ log2(n / targetBucketSize) keeps
-    * the candidate volume per doc constant as the corpus scales. */
+    * the candidate volume per doc constant as the corpus scales.
+    *
+    * This path KEEPS the bucket-grouped collect_list shape the minhash/
+    * simhash paths replaced with sorted-run streaming: the regimes
+    * differ. Minhash/simhash group ~n×bands rows into mostly-SINGLETON
+    * buckets (160M groups at 10M docs), where per-group object buffers
+    * and the ObjectHashAggregate sort fallback dominate; here there are
+    * at most 2^planes buckets — few, large groups whose membership the
+    * sizing rule above keeps near targetBucketSize — so the aggregation
+    * state is a handful of bounded buffers and the quadratic in-bucket
+    * pair work, not the grouping machinery, is the cost that matters. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        planes: Int = 12, dim: Int = 64,

@@ -264,6 +264,55 @@ class DedupSpec extends SparkSpec {
         r.getDouble(2))).sorted.toSeq)
   }
 
+  test("simhash sorted-run pair-gen is bit-identical to the grouped twin") {
+    // same pinning as the minhash twin test: identical docs (one hot
+    // bucket shared across EVERY chunk), near-dups, a duplicate id, and
+    // caps that both spare and drop the hot bucket
+    val rnd = new scala.util.Random(11L)
+    val words = Vector("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    val corpus = (1L to 70L).map { id =>
+      val text =
+        if (id <= 8) "hot hot hot identical doc"
+        else Vector.fill(5 + rnd.nextInt(5))(words(rnd.nextInt(words.size)))
+          .mkString(" ")
+      (id, text)
+    } :+ ((33L, "dup id text dup id text"))
+    val docs = corpus.toDF("doc_id", "text")
+    val withSig = docs
+      .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
+        TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"_sig")
+    val nChunks = 4
+    val chunks = (0 until nChunks).map { c =>
+      val start = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(c).as("chunk_idx"),
+        shiftrightunsigned($"_sig", start).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val banded = withSig
+      .filter($"doc_id".isNotNull && $"_sig".isNotNull)
+      .select($"doc_id", $"_sig", explode(array(chunks: _*)).as("c"))
+      .select($"doc_id", $"_sig", $"c.chunk_idx", $"c.chunk")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    for (cap <- Seq(None, Some(3), Some(10), Some(500))) {
+      val s = canon(Dedup.simhashChunkPairsSorted(
+        banded, "doc_id", org.apache.spark.sql.types.LongType, cap))
+      val g = canon(Dedup.simhashChunkPairsGrouped(banded, "doc_id", cap))
+      assert(s == g, s"simhash pair sets diverge at cap=$cap")
+    }
+    // end-to-end: the public surface routes long ids through the sorted
+    // path; re-check the full (distinct+hamming-filter) result against
+    // a grouped-path rebuild
+    val full = Dedup.simhashPairs(docs, maxHamming = 3,
+      maxBucketSize = Some(10))
+    val fullTwin = Dedup.simhashChunkPairsGrouped(banded, "doc_id",
+      Some(10)).distinct().filter($"hamming" <= 3)
+    assert(canon(full) == canon(fullTwin))
+  }
+
   test("grouped pair-gen matches an in-memory twin on random corpora") {
     // independent oracle for the bucket/cap/pair logic (signatures have
     // their own DuckDB oracle): collect the signatures, group by the
