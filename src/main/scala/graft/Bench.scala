@@ -967,9 +967,35 @@ object Bench {
     }
     deferResult { results("vcf_load_1m") = scaleMedian("vcf_load_1m") }
 
+    // the raw-series artifact line, buildable at ANY point after
+    // measurement: it must survive a failing report-time gate (a scale
+    // regression should abort the bench loudly, but the evidence the
+    // failure is diagnosed FROM is this line)
+    def maskJson(mask: Seq[Boolean]) = mask.mkString("[", ",", "]")
+    def cleanJson: String = {
+      val scaleCleanJson = scaleProbes.map { case (k, pairs) =>
+        "\"" + k + "\":" + maskJson(maskOf(pairs.toSeq))
+      }.mkString("{", ",", "}")
+      "{\"headline\":" + maskJson(headlineMask) +
+        ",\"parse\":" + maskJson(parseMask) +
+        ",\"scale\":" + scaleCleanJson +
+        ",\"probe_clean_threshold_sec\":" + CleanProbeSec +
+        ",\"probe_rel_clean_factor\":" + RelCleanFactor +
+        f""","probe_session_best_sec":$bestProbePar%.3f}"""
+    }
+    def rawSeriesLine: String = {
+      val rawJson = raw.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"raw_series","raw":$rawJson,"clean":$cleanJson,"sf":"$sfDir"}"""
+    }
+
     // report time: the session-best probe is final — evaluate every
     // deferred mask-dependent statistic and gate against it, in
-    // measurement order
+    // measurement order (the derived-metrics section below carries two
+    // more gates; one try spans both so ANY report-time failure still
+    // emits the raw-series evidence before propagating)
+    try {
     deferred.foreach(_())
 
     // throughput forms of the parse metrics (what BASELINE.md quotes)
@@ -1008,22 +1034,12 @@ object Bench {
     if (results.getOrElse("vcf_load_cohort_append", -1.0) > 0)
       results("vcf_load_cohort_append_var_s") =
         100000.0 / results("vcf_load_cohort_append")
+    } catch {
+      case t: Throwable => println(rawSeriesLine); throw t
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val rawJson = raw.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    def maskJson(mask: Seq[Boolean]) = mask.mkString("[", ",", "]")
-    val scaleCleanJson = scaleProbes.map { case (k, pairs) =>
-      "\"" + k + "\":" + maskJson(maskOf(pairs.toSeq))
-    }.mkString("{", ",", "}")
-    val cleanJson = "{\"headline\":" + maskJson(headlineMask) +
-      ",\"parse\":" + maskJson(parseMask) +
-      ",\"scale\":" + scaleCleanJson +
-      ",\"probe_clean_threshold_sec\":" + CleanProbeSec +
-      ",\"probe_rel_clean_factor\":" + RelCleanFactor +
-      f""","probe_session_best_sec":$bestProbePar%.3f}""".stripMargin
     // derived throughput/ratio metrics are not seconds — keep them out
     // of total
     val total = results.collect {
@@ -1035,7 +1051,7 @@ object Bench {
     // single giant line lost its leading "queries" section to the
     // truncation — the artifact must end with the numbers the gates
     // and the baseline comparison read
-    println(s"""{"metric":"raw_series","raw":$rawJson,"clean":$cleanJson,"sf":"$sfDir"}""")
+    println(rawSeriesLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"clean":$cleanJson,"sf":"$sfDir"}""")
     spark.stop()
   }

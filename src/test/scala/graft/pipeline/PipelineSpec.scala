@@ -313,6 +313,54 @@ class DedupSpec extends SparkSpec {
     assert(canon(full) == canon(fullTwin))
   }
 
+  test("sorted-run vs grouped pair-gen fuzz: random band tables, " +
+    "tiny hash domain, random caps") {
+    // stress the run-detection/cap logic directly on synthetic band
+    // rows (bypassing real signatures): a TINY band_hash domain forces
+    // buckets of every size — singletons, pairs, over-cap floods — and
+    // random duplicate ids land inside runs. The two shapes must agree
+    // exactly on every draw.
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 131L)
+      val nBands = 1 + rnd.nextInt(3)
+      val rows = (0 until 300).map { _ =>
+        (rnd.nextInt(40).toLong, // ids with duplicates
+          rnd.nextInt(nBands), // band_idx
+          rnd.nextInt(12).toLong - 6L) // band_hash, incl. negatives
+      }
+      val bands = rows.toDF("doc_id", "band_idx", "band_hash")
+      val cap = rnd.nextInt(3) match {
+        case 0 => None
+        case 1 => Some(1 + rnd.nextInt(4))
+        case _ => Some(20 + rnd.nextInt(40))
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sorted.toSeq
+      val s = canon(Dedup.pairsFromBandsSorted(
+        bands, "doc_id", org.apache.spark.sql.types.LongType, cap))
+      val g = canon(Dedup.pairsFromBandsGrouped(bands, "doc_id", cap))
+      assert(s == g, s"seed=$seed cap=$cap: sorted=${s.size} grouped=${g.size}")
+    }
+    // simhash twin under the same stress (chunk rows carry a sig)
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 733L)
+      val rows = (0 until 300).map { _ =>
+        (rnd.nextInt(40).toLong, rnd.nextLong(), // doc_id, _sig
+          rnd.nextInt(4), rnd.nextInt(10).toLong) // chunk_idx, chunk
+      }
+      val banded = rows.toDF("doc_id", "_sig", "chunk_idx", "chunk")
+      val cap = if (rnd.nextBoolean()) None else Some(1 + rnd.nextInt(12))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      val s = canon(Dedup.simhashChunkPairsSorted(
+        banded, "doc_id", org.apache.spark.sql.types.LongType, cap))
+      val g = canon(Dedup.simhashChunkPairsGrouped(banded, "doc_id", cap))
+      assert(s == g, s"simhash seed=$seed cap=$cap diverged")
+    }
+  }
+
   test("grouped pair-gen matches an in-memory twin on random corpora") {
     // independent oracle for the bucket/cap/pair logic (signatures have
     // their own DuckDB oracle): collect the signatures, group by the
