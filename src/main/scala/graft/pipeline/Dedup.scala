@@ -184,7 +184,7 @@ object Dedup {
       "_sig", bands, rowsPerBand, idCol)
     val idType = withSig.schema(idCol).dataType
     val pairs = (
-      if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+      if (isIntegralId(idType))
         pairsFromBandsSorted(bandsAll, idCol, idType, maxBucketSize)
       else pairsFromBandsGrouped(bandsAll, idCol, maxBucketSize)
     ).distinct()
@@ -275,32 +275,44 @@ object Dedup {
       .sortWithinPartitions(col("band_hash"), col("band_idx"), col("_id"))
       .as[(Int, Long, Long)]
     val pairs = sorted.mapPartitions { rows =>
-      val it = rows.buffered
-      // one buffered run at a time: collect ids while the bucket key
-      // repeats, drop the buffer the moment it passes the cap (keep
-      // consuming the run's rows — the iterator must stay aligned)
-      new Iterator[scala.collection.mutable.ArrayBuffer[Long]] {
-        def hasNext: Boolean = it.hasNext
-        def next(): scala.collection.mutable.ArrayBuffer[Long] = {
-          val (bi, bh, first) = it.next()
-          var buf = scala.collection.mutable.ArrayBuffer(first)
-          var dropped = false
-          while (it.hasNext && it.head._1 == bi && it.head._2 == bh) {
-            val id = it.next()._3
-            if (!dropped) {
-              buf += id
-              if (buf.length > cap) { dropped = true; buf = null }
-            }
-          }
-          buf
-        }
-      }.filter(b => b != null && b.length >= 2).flatMap { b =>
+      cappedRuns[(Int, Long, Long), Long](rows, cap,
+        (a, b) => a._1 == b._1 && a._2 == b._2, _._3).flatMap { b =>
         b.indices.iterator.flatMap(i =>
           (i + 1 until b.length).iterator.map(j => (b(i), b(j))))
       }
     }
     pairs.toDF("id_a", "id_b")
       .select(col("id_a").cast(idType), col("id_b").cast(idType))
+  }
+
+  /** Buffer one bucket RUN at a time from a key-sorted row iterator —
+    * the streaming core both sorted pair generators share. Collects
+    * payloads while `sameKey` holds against the run's first row (the
+    * per-partition sort guarantees runs are contiguous); a run passing
+    * `cap` discards its buffer but KEEPS CONSUMING the run's rows so the
+    * iterator stays aligned on the next bucket (a pathological bucket
+    * costs O(cap) memory, not O(bucket)). Emits only runs of >= 2 — the
+    * buckets that can form pairs. */
+  private def cappedRuns[R, T](rows: Iterator[R], cap: Int,
+                               sameKey: (R, R) => Boolean, payload: R => T)
+      : Iterator[scala.collection.mutable.ArrayBuffer[T]] = {
+    val it = rows.buffered
+    new Iterator[scala.collection.mutable.ArrayBuffer[T]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): scala.collection.mutable.ArrayBuffer[T] = {
+        val first = it.next()
+        var buf = scala.collection.mutable.ArrayBuffer(payload(first))
+        var dropped = false
+        while (it.hasNext && sameKey(first, it.head)) {
+          val r = it.next()
+          if (!dropped) {
+            buf += payload(r)
+            if (buf.length > cap) { dropped = true; buf = null }
+          }
+        }
+        buf
+      }
+    }.filter(b => b != null && b.length >= 2)
   }
 
   /** Connected components over near-dup pairs — the cluster-formation
@@ -462,7 +474,7 @@ object Dedup {
     // territory; run that first
     val idType = withSig.schema(idCol).dataType
     val pairs =
-      if (Seq(ByteType, ShortType, IntegerType, LongType).contains(idType))
+      if (isIntegralId(idType))
         simhashChunkPairsSorted(banded, idCol, idType, maxBucketSize)
       else simhashChunkPairsGrouped(banded, idCol, maxBucketSize)
     pairs.distinct().filter(col("hamming") <= maxHamming)
@@ -514,23 +526,8 @@ object Dedup {
         col("_sig"))
       .as[(Int, Long, Long, Long)]
     val pairs = sorted.mapPartitions { rows =>
-      val it = rows.buffered
-      new Iterator[scala.collection.mutable.ArrayBuffer[(Long, Long)]] {
-        def hasNext: Boolean = it.hasNext
-        def next(): scala.collection.mutable.ArrayBuffer[(Long, Long)] = {
-          val (ci, ch, id0, sig0) = it.next()
-          var buf = scala.collection.mutable.ArrayBuffer((id0, sig0))
-          var dropped = false
-          while (it.hasNext && it.head._1 == ci && it.head._2 == ch) {
-            val (_, _, id, sig) = it.next()
-            if (!dropped) {
-              buf += ((id, sig))
-              if (buf.length > cap) { dropped = true; buf = null }
-            }
-          }
-          buf
-        }
-      }.filter(b => b != null && b.length >= 2).flatMap { b =>
+      cappedRuns[(Int, Long, Long, Long), (Long, Long)](rows, cap,
+        (a, b) => a._1 == b._1 && a._2 == b._2, r => (r._3, r._4)).flatMap { b =>
         b.indices.iterator.flatMap(i =>
           (i + 1 until b.length).iterator.map { j =>
             val (ia, sa) = b(i); val (ib, sb) = b(j)

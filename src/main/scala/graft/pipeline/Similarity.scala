@@ -51,7 +51,7 @@ object Similarity {
     // all-NULL neighbor ids silently (and collapse the id tie-break) —
     // fail loudly instead
     val idType = scored.schema("neighbor_id").dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+    require(isIntegralId(idType),
       s"top-k ranking requires an integral id column, got $idType")
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKExpressions.topKByScore(
@@ -258,8 +258,7 @@ object Similarity {
     // silently read 0 for every centroid — rankTopK's downstream check
     // happens to reject it today, but that is incidental coupling
     val centIdType = centDf.schema("cent_id").dataType
-    require(
-      Seq(ByteType, ShortType, IntegerType, LongType).contains(centIdType),
+    require(isIntegralId(centIdType),
       s"ivfTopK requires an integral cent_id column, got $centIdType")
     val centRows = centDf
       .select(col("cent_id").cast("long"), col("cent_vec")).collect()

@@ -178,8 +178,11 @@ object MinhashProbe {
         val sorted = bands
           .select(col("band_idx").cast("int").as("band_idx"), col("band_hash"),
             col("doc_id").cast("long").as("_id"))
+          // hash-first sort key, exactly as pairsFromBandsSorted orders it
+          // (idx-first would defeat the 8-byte radix prefix and measure a
+          // sort shape the production path never runs)
           .repartition(col("band_idx"), col("band_hash"))
-          .sortWithinPartitions(col("band_idx"), col("band_hash"), col("_id"))
+          .sortWithinPartitions(col("band_hash"), col("band_idx"), col("_id"))
         t("bands_shuffle_sort_noop") {
           sorted.write.format("noop").mode("overwrite").save()
         }
