@@ -111,9 +111,17 @@ object Bench {
     * — fixed work, so the session best is the host's demonstrated
     * capability and anything 1.2x slower is external interference.
     * All masks, medians and gates are evaluated at REPORT time against
-    * the final session best (mid-run retry decisions use the running
-    * best, which can only be an over-estimate — retries err toward
-    * re-running, never toward accepting a throttled sample). */
+    * the final session best. Mid-run decisions use the RUNNING best,
+    * and the two retry kinds err in opposite directions: the scale-row
+    * retries re-run when a sample looks slow vs the running best (an
+    * over-estimated best only makes them re-run MORE), but a group's
+    * early-stop is the reverse — rounds measured inside a sustained
+    * throttle window all look clean against the equally-throttled
+    * running best, the group banks minClean and stops, and the final
+    * mask flips them unclean. The TOP-UP pass closes that hole: after
+    * the last measurement phase (session best now final), any group
+    * short of minClean clean rounds under the FINAL mask runs its
+    * remaining round budget before the report is computed. */
   val RelCleanFactor = 1.2
 
   def main(args: Array[String]): Unit = {
@@ -179,20 +187,26 @@ object Bench {
     def maskOf(pairs: Seq[(Double, Double)]): Seq[Boolean] =
       pairs.map { case (pre, post) => probeClean(pre) && probeClean(post) }
 
-    /** Run `metrics` in interleaved probe-bracketed rounds; returns the
-      * per-round bracketing probe PAIRS (masks are derived at report
-      * time, against the final session-best probe). Early-stops at
-      * `minClean` rounds clean-so-far or `budgetSec` wall seconds
-      * (whichever first), never past `maxRounds`. */
-    def measureGroup(metrics: Seq[(String, () => Unit)], maxRounds: Int,
-                     minClean: Int, budgetSec: Double): Seq[(Double, Double)] = {
-      val pairs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    /** Run `metrics` in interleaved probe-bracketed rounds, APPENDING
+      * each round's bracketing probe pair to `pairs` (masks are derived
+      * at report time, against the final session-best probe). Stops once
+      * `minClean` rounds are clean against the RUNNING best, at
+      * `budgetSec` wall seconds, or when `pairs` reaches `maxRounds`
+      * TOTAL (across calls — the top-up pass re-enters with the same
+      * buffer and the unused round budget). The running-best clean check
+      * is LENIENT during a throttle window (the probes throttle too), so
+      * an early stop here is provisional; the top-up pass re-judges
+      * against the final best and runs the deficit. */
+    def measureGroup(metrics: Seq[(String, () => Unit)],
+                     pairs: scala.collection.mutable.ArrayBuffer[(Double, Double)],
+                     maxRounds: Int, minClean: Int, budgetSec: Double): Unit = {
       val t0 = System.nanoTime()
       def elapsed = (System.nanoTime() - t0) / 1e9
+      def more = pairs.length < maxRounds &&
+        maskOf(pairs.toSeq).count(identity) < minClean && elapsed < budgetSec
+      if (!more) return
       var pre = probePar("cpu_probe_par")
-      var r = 0
-      while (r < maxRounds && maskOf(pairs.toSeq).count(identity) < minClean &&
-             elapsed < budgetSec) {
+      while (more) {
         val gc0 = gcSeconds()
         record("cpu_probe", time { if (cpuProbe() == 0) println("") })
         metrics.foreach { case (name, body) =>
@@ -202,9 +216,7 @@ object Bench {
         val post = probePar("cpu_probe_par")
         pairs += ((pre, post))
         pre = post
-        r += 1
       }
-      pairs.toSeq
     }
 
     /** Median over clean rounds; all rounds if none were clean. */
@@ -262,9 +274,11 @@ object Bench {
 
     // minClean = 5 (was 3): with 3 samples, ONE intra-round stall that
     // slips between the probe brackets sets the median; 5 absorbs two
-    val headlinePairs = measureGroup(headline, maxRounds = 8, minClean = 5,
+    val headlinePairs =
+      scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    measureGroup(headline, headlinePairs, maxRounds = 8, minClean = 5,
       budgetSec = 900)
-    def headlineMask = maskOf(headlinePairs)
+    def headlineMask = maskOf(headlinePairs.toSeq)
     deferResult {
       headline.foreach { case (name, _) =>
         results(name) = medianClean(name, headlineMask)
@@ -534,9 +548,10 @@ object Bench {
           col("qual") > 500 && col("variant_type") === "snp" &&
           col("info").getItem("DP").cast("int") > 100))))
 
-    val parsePairs = measureGroup(parseMetrics, maxRounds = 9, minClean = 5,
+    val parsePairs = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    measureGroup(parseMetrics, parsePairs, maxRounds = 9, minClean = 5,
       budgetSec = 1800)
-    def parseMask = maskOf(parsePairs)
+    def parseMask = maskOf(parsePairs.toSeq)
     deferResult {
       parseMetrics.foreach { case (name, _) =>
         results(name) = medianClean(name, parseMask)
@@ -966,6 +981,25 @@ object Bench {
         "/tmp/graft_bench_loaddb1m"))
     }
     deferResult { results("vcf_load_1m") = scaleMedian("vcf_load_1m") }
+
+    // ---- TOP-UP pass (see RelCleanFactor's scaladoc): the session-best
+    // probe is now effectively final, so re-judge each interleaved group
+    // against it. A group that early-stopped inside a sustained throttle
+    // window (every bracketing probe inflated the same ~2x as its
+    // samples, so all rounds looked clean against the equally-throttled
+    // RUNNING best) comes up short of minClean here and spends its
+    // remaining round budget on the recovered host — instead of shipping
+    // a median over rounds the final mask flips unclean. A healthy run
+    // is a no-op (minClean already banked); a fully-throttled session
+    // exhausts maxRounds and the all-false masks prove it in-artifact.
+    // Parse keeps its hard 9-round cap: round N appends cohortVcfs(N-1)
+    // into the growing cohort db, and there are exactly 9 distinct files
+    // (re-appending one would measure the ledger's skip-by-hash path,
+    // not a load).
+    measureGroup(headline, headlinePairs, maxRounds = 8, minClean = 5,
+      budgetSec = 450)
+    measureGroup(parseMetrics, parsePairs, maxRounds = 9, minClean = 5,
+      budgetSec = 900)
 
     // the raw-series artifact line, buildable at ANY point after
     // measurement: it must survive a failing report-time gate (a scale
