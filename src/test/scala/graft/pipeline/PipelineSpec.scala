@@ -264,6 +264,45 @@ class DedupSpec extends SparkSpec {
         r.getDouble(2))).sorted.toSeq)
   }
 
+  test("sorted-run pair-gen plan: exactly ONE shuffle, zero aggregates " +
+    "(tripwire)") {
+    // the r13 rework's contract: pair generation is one hash shuffle of
+    // the band rows into a per-partition Tungsten sort, then a streaming
+    // scan — NO aggregation machinery (the grouped twin's collect_list
+    // forced ObjectHashAggregate into sort-based fallback over object
+    // buffers at 10M docs) and no join. A second Exchange or any
+    // Aggregate appearing here means the scale path regressed to a
+    // shuffle-bearing shape.
+    val docs = (1L to 60L).map(id => (id, s"tok${id % 7} tok${id % 5} " +
+      s"tok${id % 3} tok${id % 2} tok$id")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 2, 16)
+    val bands = Dedup.lshBands(
+      sigs.filter($"doc_id".isNotNull && $"_sig".isNotNull),
+      "_sig", 4, 4, "doc_id")
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // finalize AQE
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    val pm = finalPlan(Dedup.pairsFromBandsSorted(
+      bands, "doc_id", org.apache.spark.sql.types.LongType, Some(50)))
+    assert("Exchange".r.findAllIn(pm).length == 1, s"minhash sorted:\n$pm")
+    assert(!pm.contains("Aggregate") && !pm.contains("Join"),
+      s"minhash sorted grew aggregation/join machinery:\n$pm")
+    val banded = docs
+      .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
+        TextAnalysis.tokens($"text")))
+      .select($"doc_id", $"_sig",
+        explode(array((0 until 4).map(c => struct(lit(c).as("chunk_idx"),
+          shiftrightunsigned($"_sig", c * 16).bitwiseAND(lit(0xFFFFL))
+            .as("chunk"))): _*)).as("c"))
+      .select($"doc_id", $"_sig", $"c.chunk_idx", $"c.chunk")
+    val ps = finalPlan(Dedup.simhashChunkPairsSorted(
+      banded, "doc_id", org.apache.spark.sql.types.LongType, Some(50)))
+    assert("Exchange".r.findAllIn(ps).length == 1, s"simhash sorted:\n$ps")
+    assert(!ps.contains("Aggregate") && !ps.contains("Join"),
+      s"simhash sorted grew aggregation/join machinery:\n$ps")
+  }
+
   test("simhash sorted-run pair-gen is bit-identical to the grouped twin") {
     // same pinning as the minhash twin test: identical docs (one hot
     // bucket shared across EVERY chunk), near-dups, a duplicate id, and
