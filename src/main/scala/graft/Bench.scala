@@ -710,11 +710,45 @@ object Bench {
         s"gate comparator $name has NO valid samples — gate undecidable")
       v
     }
-    /** Time a gated scale row: `samples` probe-bracketed runs, then (a)
-      * retry THIS point while it lands past `gate` per-unit vs the
-      * smaller point, (b) retry the SMALLER point while its per-unit
-      * cost exceeds this point's by >10% (the impossible inversion).
-      * Every sample stays in `raw`. */
+    /** Both retry directions for one gated (big, small) scale pair —
+      * callable whenever either side's min may have moved (inline after
+      * the row's samples, and again in the post-top-up sweep, where the
+      * group-measured comparators can have gained faster post-recovery
+      * samples that stale scale mins must be re-judged against). */
+    val gatedRows = scala.collection.mutable.ArrayBuffer[
+      (String, Double, String, Double, Double)]()
+    def gateRetries(name: String, units: Double, smallName: String,
+                    smallUnits: Double, gate: Double): Unit = {
+      var tries = 0
+      def ratio = (scaleMin(name) / units) /
+        (scaleMin(smallName) / smallUnits)
+      while (tries < 2 && ratio > gate) {
+        runProbed(name, scaleBodies(name)); tries += 1
+      }
+      // inversion: the smaller point's per-unit cost exceeding the
+      // larger's is either a stalled small sample (r11 shipped an
+      // ivf_1m at 4x its real value this way) or STRUCTURAL fixed
+      // overhead (kmeans training + per-job setup amortize with size,
+      // so a fast operator's 1M point can honestly cost more per doc
+      // than its 10M point). Distinguish them by re-running: a stall
+      // retry lands far BELOW the stalled sample; a structural retry
+      // REPRODUCES it (within 15%) and the loop stops at one
+      // confirming sample instead of burning the full retry budget
+      // every round. Only rows whose body is ours to re-run
+      // (group-measured comparators already have >=5 masked samples).
+      var invTries = 0
+      var confirmed = false
+      while (invTries < 2 && !confirmed && scaleBodies.contains(smallName) &&
+             scaleMin(smallName) / smallUnits >
+               1.1 * (scaleMin(name) / units)) {
+        val before = scaleMin(smallName)
+        runProbed(smallName, scaleBodies(smallName))
+        confirmed = scaleMin(smallName) >= 0.85 * before
+        invTries += 1
+      }
+    }
+    /** Time a gated scale row: `samples` probe-bracketed runs, then both
+      * retry directions (see gateRetries). Every sample stays in `raw`. */
     def timeScaleRow(name: String, units: Double,
                      smallerKey: Option[(String, Double)],
                      gate: Double = ScaleGateFactor,
@@ -722,33 +756,8 @@ object Bench {
       scaleBodies(name) = () => body
       (0 until samples).foreach(_ => runProbed(name, () => body))
       smallerKey.foreach { case (smallName, smallUnits) =>
-        var tries = 0
-        def ratio = (scaleMin(name) / units) /
-          (scaleMin(smallName) / smallUnits)
-        while (tries < 2 && ratio > gate) {
-          runProbed(name, () => body); tries += 1
-        }
-        // inversion: the smaller point's per-unit cost exceeding the
-        // larger's is either a stalled small sample (r11 shipped an
-        // ivf_1m at 4x its real value this way) or STRUCTURAL fixed
-        // overhead (kmeans training + per-job setup amortize with size,
-        // so a fast operator's 1M point can honestly cost more per doc
-        // than its 10M point). Distinguish them by re-running: a stall
-        // retry lands far BELOW the stalled sample; a structural retry
-        // REPRODUCES it (within 15%) and the loop stops at one
-        // confirming sample instead of burning the full retry budget
-        // every round. Only rows whose body is ours to re-run
-        // (group-measured comparators already have >=5 masked samples).
-        var invTries = 0
-        var confirmed = false
-        while (invTries < 2 && !confirmed && scaleBodies.contains(smallName) &&
-               scaleMin(smallName) / smallUnits >
-                 1.1 * (scaleMin(name) / units)) {
-          val before = scaleMin(smallName)
-          runProbed(smallName, scaleBodies(smallName))
-          confirmed = scaleMin(smallName) >= 0.85 * before
-          invTries += 1
-        }
+        gatedRows += ((name, units, smallName, smallUnits, gate))
+        gateRetries(name, units, smallName, smallUnits, gate)
       }
     }
     scaleSizes.foreach { case (label, n) =>
@@ -834,9 +843,9 @@ object Bench {
           .count() >= queries.count() * 10)
       }
     }
-    scaleSizes.foreach { case (label, _) =>
-      rmrf(new java.io.File(s"/tmp/graft_bench_scale_pairs_$label"))
-    }
+    // pairs dirs are NOT cleaned up here: the post-top-up gate-retry
+    // sweep may still re-run a cluster body, which reads its pairs dir
+    // (cleanup happens after the sweep, before the report)
     // Scale GATE, not just evidence: per-doc wall-time at 10M must stay
     // within ScaleGateFactor of the 1M point (VERDICT r9 §next-round #1).
     // A lost skew cap, an accidental cartesian, or driver-sized state
@@ -1005,10 +1014,40 @@ object Bench {
     // into the growing cohort db, and there are exactly 9 distinct files
     // (re-appending one would measure the ledger's skip-by-hash path,
     // not a load).
-    measureGroup(headline, headlinePairs, maxRounds = 8, minClean = 5,
-      budgetSec = 450)
-    measureGroup(parseMetrics, parsePairs, maxRounds = 9, minClean = 5,
-      budgetSec = 900)
+    //
+    // The pass LOOPS until the session best stops moving: a later
+    // group's top-up probes can lower the best past the threshold an
+    // earlier group was judged clean under (headline tops up first; if
+    // the host only recovers during the PARSE top-up, headline's rounds
+    // all flip unclean after its own top-up already passed). Each extra
+    // pass is a no-op for satisfied groups, and the per-group maxRounds
+    // caps bound the loop regardless of how often the best improves.
+    // Each pass also re-judges every gated scale pair (gate-retry
+    // SWEEP): the top-up can add faster post-recovery samples to the
+    // GROUP-measured comparators (vcf_load_100k / vcf_parse_1m_norm
+    // feed decade-gate denominators via scaleMin) after the scale rows'
+    // inline retries already ran — a scale row whose own samples all
+    // landed in a throttle window would then fail its deferred gate
+    // against a recovered denominator as a fake regression. The sweep
+    // gives the stale side its retry budget against the current mins; a
+    // healthy run re-runs nothing. Pass cap bounds the worst case of a
+    // best that keeps creeping down ~1% at a time.
+    var pass = 0
+    var bestAtPassStart = Double.MaxValue
+    while (pass < 4 && bestProbePar < 0.99 * bestAtPassStart) {
+      bestAtPassStart = bestProbePar
+      measureGroup(headline, headlinePairs, maxRounds = 8, minClean = 5,
+        budgetSec = 450)
+      measureGroup(parseMetrics, parsePairs, maxRounds = 9, minClean = 5,
+        budgetSec = 900)
+      gatedRows.foreach { case (n, u, sn, su, g) =>
+        gateRetries(n, u, sn, su, g)
+      }
+      pass += 1
+    }
+    scaleSizes.foreach { case (label, _) =>
+      rmrf(new java.io.File(s"/tmp/graft_bench_scale_pairs_$label"))
+    }
 
     // the raw-series artifact line, buildable at ANY point after
     // measurement: it must survive a failing report-time gate (a scale

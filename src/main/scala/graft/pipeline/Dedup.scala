@@ -443,21 +443,7 @@ object Dedup {
         TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), col("_sig"))
 
-    val nChunks = maxHamming + 1
-    val chunks = (0 until nChunks).map { c =>
-      val start = c * 64 / nChunks
-      val width = (c + 1) * 64 / nChunks - start
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(c).as("chunk_idx"),
-        shiftrightunsigned(col("_sig"), start).bitwiseAND(lit(mask)).as("chunk"))
-    }
-    // explicit null drop for parity with the former equi-self-join shape
-    // (null join keys never matched, so null-sig/null-id docs silently
-    // fell out; groupBy would instead form a null-keyed bucket)
-    val banded = withSig
-      .filter(col(idCol).isNotNull && col("_sig").isNotNull)
-      .select(col(idCol), col("_sig"), explode(array(chunks: _*)).as("c"))
-      .select(col(idCol), col("_sig"), col("c.chunk_idx"), col("c.chunk"))
+    val banded = simhashChunkRows(withSig, idCol, maxHamming)
 
     // pair generation is ONE shuffle of the chunk rows, hamming computed
     // inline from the carried signatures — no self-join and no
@@ -478,6 +464,31 @@ object Dedup {
         simhashChunkPairsSorted(banded, idCol, idType, maxBucketSize)
       else simhashChunkPairsGrouped(banded, idCol, maxBucketSize)
     pairs.distinct().filter(col("hamming") <= maxHamming)
+  }
+
+  /** Chunk-banded rows (id, _sig, chunk_idx, chunk) from a simhash
+    * signature relation: maxHamming+1 contiguous bit slices of the
+    * 64-bit fingerprint (pigeonhole — a pair within maxHamming differing
+    * bits must share at least one chunk exactly). The explicit null drop
+    * keeps parity with the former equi-self-join shape (null join keys
+    * never matched, so null-sig/null-id docs silently fell out; groupBy
+    * would instead form a null-keyed bucket). Package-visible so the
+    * spec-side plan/parity pins exercise the EXACT banding production
+    * builds rather than a hand-copied reconstruction that can drift. */
+  private[graft] def simhashChunkRows(withSig: DataFrame, idCol: String,
+                                      maxHamming: Int): DataFrame = {
+    val nChunks = maxHamming + 1
+    val chunks = (0 until nChunks).map { c =>
+      val start = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(c).as("chunk_idx"),
+        shiftrightunsigned(col("_sig"), start).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    withSig
+      .filter(col(idCol).isNotNull && col("_sig").isNotNull)
+      .select(col(idCol), col("_sig"), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("_sig"), col("c.chunk_idx"), col("c.chunk"))
   }
 
   /** Within-bucket (id_a, id_b, hamming) rows from simhash chunk rows,

@@ -593,6 +593,38 @@ class SharedStoreSpec extends SparkSpec {
       .filter($"status" === "completed").count() == 1)
   }
 
+  test("isVanishedRead classification matrix") {
+    import graft.sinks.DbFs.isVanishedRead
+    // direct and cause-chain-wrapped FNF
+    assert(isVanishedRead(new java.io.FileNotFoundException("x")))
+    assert(isVanishedRead(new RuntimeException("wrap",
+      new java.io.FileNotFoundException("gone"))))
+    // the analyzer's path-not-found, produced by a REAL read of a dead
+    // path (pins the actual message text, not a synthetic guess)
+    val analyzer = intercept[Throwable] {
+      spark.read.parquet("/tmp/graft_definitely_missing_dir_xq9").collect()
+    }
+    assert(isVanishedRead(analyzer), s"analyzer miss not classified: $analyzer")
+    // cluster mode: an executor-side FNF whose cause chain was not
+    // preserved across the wire — the class name appears only in the
+    // SparkException message
+    assert(isVanishedRead(new org.apache.spark.SparkException(
+      "Job aborted due to stage failure: java.io.FileNotFoundException: " +
+        "part-00003.parquet does not exist")))
+    // non-vanish failures must PROPAGATE, not spin the retry loop
+    assert(!isVanishedRead(new org.apache.spark.SparkException(
+      "Job aborted due to stage failure: OutOfMemoryError")))
+    assert(!isVanishedRead(new RuntimeException("unrelated")))
+    assert(!isVanishedRead(new RuntimeException("outer",
+      new IllegalStateException("inner"))))
+    // a cyclic cause chain terminates at the depth cap instead of
+    // looping forever
+    val a = new RuntimeException("a")
+    val b = new RuntimeException("b", a)
+    a.initCause(b)
+    assert(!isVanishedRead(a))
+  }
+
   test("versioned db: retrying readers survive a multi-flip swap storm with ZERO failures, no quiesce") {
     // VERDICT r11 next-round #4: read-grace keeps exactly ONE previous
     // version, so a scan spanning TWO swaps of the same table can lose

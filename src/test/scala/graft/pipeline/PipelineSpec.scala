@@ -288,14 +288,10 @@ class DedupSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(pm).length == 1, s"minhash sorted:\n$pm")
     assert(!pm.contains("Aggregate") && !pm.contains("Join"),
       s"minhash sorted grew aggregation/join machinery:\n$pm")
-    val banded = docs
+    val banded = Dedup.simhashChunkRows(docs
       .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
         TextAnalysis.tokens($"text")))
-      .select($"doc_id", $"_sig",
-        explode(array((0 until 4).map(c => struct(lit(c).as("chunk_idx"),
-          shiftrightunsigned($"_sig", c * 16).bitwiseAND(lit(0xFFFFL))
-            .as("chunk"))): _*)).as("c"))
-      .select($"doc_id", $"_sig", $"c.chunk_idx", $"c.chunk")
+      .select($"doc_id", $"_sig"), "doc_id", maxHamming = 3)
     val ps = finalPlan(Dedup.simhashChunkPairsSorted(
       banded, "doc_id", org.apache.spark.sql.types.LongType, Some(50)))
     assert("Exchange".r.findAllIn(ps).length == 1, s"simhash sorted:\n$ps")
@@ -321,18 +317,9 @@ class DedupSpec extends SparkSpec {
       .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
         TextAnalysis.tokens($"text")))
       .select($"doc_id", $"_sig")
-    val nChunks = 4
-    val chunks = (0 until nChunks).map { c =>
-      val start = c * 64 / nChunks
-      val width = (c + 1) * 64 / nChunks - start
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(c).as("chunk_idx"),
-        shiftrightunsigned($"_sig", start).bitwiseAND(lit(mask)).as("chunk"))
-    }
-    val banded = withSig
-      .filter($"doc_id".isNotNull && $"_sig".isNotNull)
-      .select($"doc_id", $"_sig", explode(array(chunks: _*)).as("c"))
-      .select($"doc_id", $"_sig", $"c.chunk_idx", $"c.chunk")
+    // the production banding itself (a hand-copied reconstruction here
+    // would keep pinning a shape production no longer builds)
+    val banded = Dedup.simhashChunkRows(withSig, "doc_id", maxHamming = 3)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.distinct().collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
