@@ -592,8 +592,9 @@ object Bench {
     // 1M→10M per-doc ratio GATED below (wall-times should scale
     // ~linearly in corpus size; a quadratic candidate join or
     // driver-sized collect shows up as a gate failure or an OOM, not a
-    // slow row). Minute-scale jobs, >=2 samples each (clean min): the
-    // claim is asymptotic shape, not microsecond stability.
+    // slow row). Minute-scale jobs, >=2 samples each (all-samples min —
+    // see scaleMin): the claim is asymptotic shape, not microsecond
+    // stability.
     def scaleCorpus(n: Long, dir: String): Unit = {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) return
       val vocab = 50000
@@ -639,11 +640,13 @@ object Bench {
     //      probe (r12 verdict #1: the absolute ceiling alone passed
     //      sustained ~2x throttle windows as clean);
     //   2. every row takes >=2 samples (r12 verdict #1) and reports the
-    //      clean MIN — fixed work, so min is the honest statistic under
-    //      external capping;
-    //   3. all derived stats and gates read CLEAN samples (fall back to
-    //      all samples only when none were clean — the probe series then
-    //      proves in-artifact that every sample stalled);
+    //      MIN over all valid samples — fixed work, so capping can only
+    //      inflate a time and a fast sample is demonstrated capability
+    //      whatever its bracket flags say (see scaleMin); the flags
+    //      stay in-artifact as the throttle-exposure record;
+    //   3. MEDIAN-reported rows (vcf_load_1m) read CLEAN samples (fall
+    //      back to all samples only when none were clean — the probe
+    //      series then proves in-artifact that every sample stalled);
     //   4. per-unit cost INVERSION across adjacent sizes retries the
     //      SMALLER point: fixed overhead amortizes, so 1M/doc exceeding
     //      10M/doc by >10% is impossible on a healthy host — a free,
@@ -991,7 +994,7 @@ object Bench {
     }
     // three probe-bracketed samples (VERDICT r11 #3: the ~15s row is
     // cheap enough to sample properly; reported value = clean median,
-    // decade gate = clean min on both sides)
+    // decade gate = all-samples min on both sides — see scaleMin)
     timeScaleRow("vcf_load_1m", 1e6,
         Some(("vcf_load_100k", 1e5)), gate = 1.0, samples = 3) {
       rmrf(new java.io.File("/tmp/graft_bench_loaddb1m"))
