@@ -720,6 +720,15 @@ object Bench {
       * samples that stale scale mins must be re-judged against). */
     val gatedRows = scala.collection.mutable.ArrayBuffer[
       (String, Double, String, Double, Double)]()
+    // inversions once confirmed STRUCTURAL stay confirmed: the
+    // confirming sample already reproduced the small row's per-unit
+    // cost, so later gateRetries calls (the sweep runs every pass) must
+    // not re-spend a full Spark job per pass re-confirming the same
+    // fixed-overhead shape — without this memory the sweep's "healthy
+    // run re-runs nothing" contract would be false for every
+    // structurally-inverted pair (ivf/kmeans's 1M point honestly costs
+    // more per doc than its 10M point).
+    val confirmedInversions = scala.collection.mutable.Set[String]()
     def gateRetries(name: String, units: Double, smallName: String,
                     smallUnits: Double, gate: Double): Unit = {
       var tries = 0
@@ -740,7 +749,8 @@ object Bench {
       // every round. Only rows whose body is ours to re-run
       // (group-measured comparators already have >=5 masked samples).
       var invTries = 0
-      var confirmed = false
+      var confirmed = confirmedInversions.contains(name)
+      val invRan = !confirmed
       while (invTries < 2 && !confirmed && scaleBodies.contains(smallName) &&
              scaleMin(smallName) / smallUnits >
                1.1 * (scaleMin(name) / units)) {
@@ -748,6 +758,19 @@ object Bench {
         runProbed(smallName, scaleBodies(smallName))
         confirmed = scaleMin(smallName) >= 0.85 * before
         invTries += 1
+      }
+      if (confirmed) confirmedInversions += name
+      // an inversion retry can LOWER the gate denominator after the
+      // forward budget above already ran — a pair sitting just under
+      // the gate would then fail its deferred report-time assert with
+      // no retry opportunity left (the fake-regression abort this
+      // function exists to prevent). Re-check the forward direction
+      // against the settled denominator.
+      if (invRan && invTries > 0) {
+        var tries2 = 0
+        while (tries2 < 2 && ratio > gate) {
+          runProbed(name, scaleBodies(name)); tries2 += 1
+        }
       }
     }
     /** Time a gated scale row: `samples` probe-bracketed runs, then both
@@ -792,13 +815,14 @@ object Bench {
         // relation instead of re-executing the signature subtree on its
         // THREE branches (plan-verified: the lazy executed plan carries
         // 3 corpus FileScans, 0 ReusedExchanges —
-        // graft.tools.MinhashProbe "plan"). On local NVMe the two run
-        // within noise (10M: staged 132.6 s vs lazy 129.1 s), but the
-        // redundant re-hash scales with text volume and storage
-        // round-trips while the staged re-read scales with the small
-        // signature relation — at 100 TB nobody re-hashes the corpus 3
-        // times. Both stages timed inside the row — same deliverable,
-        // honest total.
+        // graft.tools.MinhashProbe "plan"). On local NVMe the two ran
+        // within noise under the pre-r12 signature/pair shapes (10M:
+        // staged 132.6 s vs lazy 129.1 s; the r13 staged path runs the
+        // same corpus in ~33-43 s), but the redundant re-hash scales
+        // with text volume and storage round-trips while the staged
+        // re-read scales with the small signature relation — at 100 TB
+        // nobody re-hashes the corpus 3 times. Both stages timed inside
+        // the row — same deliverable, honest total.
         graft.pipeline.Dedup.writeSignatures(
           graft.pipeline.Dedup.minhashSignatures(docs, "text", "doc_id", 3, 64),
           sigsDir)
