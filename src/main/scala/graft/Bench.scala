@@ -727,8 +727,20 @@ object Bench {
     // fixed-overhead shape — without this memory the sweep's "healthy
     // run re-runs nothing" contract would be false for every
     // structurally-inverted pair (ivf/kmeans's 1M point honestly costs
-    // more per doc than its 10M point).
-    val confirmedInversions = scala.collection.mutable.Set[String]()
+    // more per doc than its 10M point). BUT a retry that itself ran
+    // inside the throttle window leaves the min unchanged and would
+    // "confirm" (r13 advisory): so confirmation additionally requires
+    // the confirming retry's OWN bracketing probes clean, and the
+    // stored pair is re-judged against the CURRENT session best on
+    // every later read — if the best improves past what the pair was
+    // confirmed under, the entry self-evicts and the sweep re-confirms
+    // once on the recovered host.
+    val confirmedInversions =
+      scala.collection.mutable.Map[String, (Double, Double)]()
+    def inversionConfirmed(name: String): Boolean =
+      confirmedInversions.get(name).exists { case (pre, post) =>
+        probeClean(pre) && probeClean(post)
+      }
     def gateRetries(name: String, units: Double, smallName: String,
                     smallUnits: Double, gate: Double): Unit = {
       var tries = 0
@@ -749,17 +761,22 @@ object Bench {
       // every round. Only rows whose body is ours to re-run
       // (group-measured comparators already have >=5 masked samples).
       var invTries = 0
-      var confirmed = confirmedInversions.contains(name)
+      var confirmed = inversionConfirmed(name)
       val invRan = !confirmed
       while (invTries < 2 && !confirmed && scaleBodies.contains(smallName) &&
              scaleMin(smallName) / smallUnits >
                1.1 * (scaleMin(name) / units)) {
         val before = scaleMin(smallName)
         runProbed(smallName, scaleBodies(smallName))
-        confirmed = scaleMin(smallName) >= 0.85 * before
+        // a min unchanged because the retry ITSELF throttled must not
+        // count as structural — require the retry's bracket clean under
+        // the current best (r13 advisory)
+        val bracket = scaleProbes(smallName).last
+        confirmed = scaleMin(smallName) >= 0.85 * before &&
+          probeClean(bracket._1) && probeClean(bracket._2)
+        if (confirmed) confirmedInversions(name) = bracket
         invTries += 1
       }
-      if (confirmed) confirmedInversions += name
       // an inversion retry can LOWER the gate denominator after the
       // forward budget above already ran — a pair sitting just under
       // the gate would then fail its deferred report-time assert with

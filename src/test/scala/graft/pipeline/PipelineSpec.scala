@@ -279,24 +279,42 @@ class DedupSpec extends SparkSpec {
     val bands = Dedup.lshBands(
       sigs.filter($"doc_id".isNotNull && $"_sig".isNotNull),
       "_sig", 4, 4, "doc_id")
-    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
-      df.collect() // finalize AQE
-      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // structural node-type walk rather than regex over the plan STRING
+    // (r13 advisory: substring counting relies on exact AQE toString
+    // markers and also matches ReusedExchange/BroadcastExchange text —
+    // a Spark version bump could false-fail or count the wrong section).
+    // AQE wraps materialized exchanges in leaf QueryStageExec nodes, so
+    // flatten descends into them explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: flatten(a.executedPlan)
+      case q: QueryStageExec => p +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
     }
-    val pm = finalPlan(Dedup.pairsFromBandsSorted(
-      bands, "doc_id", org.apache.spark.sql.types.LongType, Some(50)))
-    assert("Exchange".r.findAllIn(pm).length == 1, s"minhash sorted:\n$pm")
-    assert(!pm.contains("Aggregate") && !pm.contains("Join"),
-      s"minhash sorted grew aggregation/join machinery:\n$pm")
+    def finalNodes(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] = {
+      df.collect() // finalize AQE
+      flatten(df.queryExecution.executedPlan)
+    }
+    def checkOneShuffleNoAggNoJoin(nodes: Seq[SparkPlan], tag: String): Unit = {
+      val planStr = nodes.headOption.map(_.toString).getOrElse("")
+      assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 1,
+        s"$tag sorted: not exactly one shuffle:\n$planStr")
+      assert(!nodes.exists(_.isInstanceOf[BaseAggregateExec]) &&
+        !nodes.exists(_.isInstanceOf[BaseJoinExec]),
+        s"$tag sorted grew aggregation/join machinery:\n$planStr")
+    }
+    checkOneShuffleNoAggNoJoin(finalNodes(Dedup.pairsFromBandsSorted(
+      bands, "doc_id", org.apache.spark.sql.types.LongType, Some(50))), "minhash")
     val banded = Dedup.simhashChunkRows(docs
       .withColumn("_sig", graft.functions.SimHashExpression.simhash64(
         TextAnalysis.tokens($"text")))
       .select($"doc_id", $"_sig"), "doc_id", maxHamming = 3)
-    val ps = finalPlan(Dedup.simhashChunkPairsSorted(
-      banded, "doc_id", org.apache.spark.sql.types.LongType, Some(50)))
-    assert("Exchange".r.findAllIn(ps).length == 1, s"simhash sorted:\n$ps")
-    assert(!ps.contains("Aggregate") && !ps.contains("Join"),
-      s"simhash sorted grew aggregation/join machinery:\n$ps")
+    checkOneShuffleNoAggNoJoin(finalNodes(Dedup.simhashChunkPairsSorted(
+      banded, "doc_id", org.apache.spark.sql.types.LongType, Some(50))), "simhash")
   }
 
   test("simhash sorted-run pair-gen is bit-identical to the grouped twin") {
