@@ -1172,13 +1172,106 @@ object Bench {
       case (k, v) if v >= 0 && !k.endsWith("_var_s") &&
         !k.endsWith("_ratio") => v
     }.sum
-    // raw series + clean masks first, the headline metrics line LAST
-    // (r12 verdict #3): the driver keeps a stdout TAIL, and r12's
-    // single giant line lost its leading "queries" section to the
-    // truncation — the artifact must end with the numbers the gates
-    // and the baseline comparison read
+    // raw series + clean masks first, then the full metrics line
+    // (r12 verdict #3), then a COMPACT line as the true LAST line
     println(rawSeriesLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"clean":$cleanJson,"sf":"$sfDir"}""")
+
+    // ---- COMPACT final line (r13 verdict what's-wrong #1/#2): the
+    // driver commits only a ~2,000-char stdout TAIL and the full
+    // metrics line is ~4.5 KB — the committed r13 artifact kept the
+    // clean-flag block but lost every headline row to the truncation.
+    // This line prints LAST and a tripwire holds it under 1.9 KB, so
+    // the truncated tail always carries every headline and scale
+    // number the gates and the BASELINE comparison read.
+    //   Key abbreviations: qNN/pNN = headline query clean-round
+    // medians in seconds (q07a/q11d = approx-percentile / double-sum
+    // scale variants); *_vs = variants-or-docs per second; lk_* =
+    // lookup latencies in seconds (_d = covering-projection direct
+    // path); mh/cl/ivf = p_scale_{minhash_pairs,dedup_cluster,
+    // ivf_topk} at 100k/1m/10m; r05/r14 = rel_scale_q05/q14 at
+    // 1x/10x; g_* = the gate ratios the report-time asserts read.
+    //   Scale-row values are the SESSION-BEST CLEAN sample (min over
+    // samples whose probe bracket is clean against the final session
+    // best) — a row with zero clean samples falls back to the
+    // all-sample min and is named in "nc", so a committed artifact
+    // never silently ships only a throttled sample for a row that
+    // measured clean elsewhere in the session.
+    val ncRows = scala.collection.mutable.ArrayBuffer[String]()
+    def bestCleanScale(name: String, short: String): Double = {
+      val ts = raw.getOrElse(name, Nil).toSeq
+      val mask = scaleProbes.get(name).map(p => maskOf(p.toSeq))
+        .getOrElse(Seq.fill(ts.length)(true))
+      val clean = ts.zipWithIndex.collect {
+        case (t, i) if t > 0 && mask.lift(i).getOrElse(false) => t
+      }
+      if (clean.nonEmpty) clean.min
+      else { ncRows += short; scaleMin(name) }
+    }
+    def rv(name: String): Double = results.getOrElse(name, -1.0)
+    def sec(v: Double): String = if (v < 0) "-1" else f"$v%.4g"
+    def thr(v: Double): String = if (v < 0) "-1" else f"$v%.0f"
+    val headlineShort = headline.map(_._1).map { n =>
+      val short = n match {
+        case "q11_pivot_daily_double" => "q11d"
+        case "q07_percentile_approx"  => "q07a"
+        case _                        => n.take(3)
+      }
+      short -> sec(rv(n))
+    }
+    val parseShort = Seq(
+      "parse100k_vs" -> thr(rv("vcf_parse_100k_var_s")),
+      "parse1m_vs"   -> thr(rv("vcf_parse_1m_var_s")),
+      "parse10m_vs"  -> thr(rv("vcf_parse_10m_var_s")),
+      "load100k_vs"  -> thr(rv("vcf_load_100k_var_s")),
+      "loadgt_vs"    -> thr(rv("vcf_load_100k_genotyped_var_s")),
+      "load1m_vs"    -> thr(rv("vcf_load_1m_var_s")),
+      "append_vs"    -> thr(rv("vcf_load_cohort_append_var_s")),
+      "gt100k_s"     -> sec(rv("vcf_genotypes_100k")),
+      "ann100k_s"    -> sec(rv("vcf_parse_100k_ann")))
+    val latencyShort = Seq(
+      "lk_pos" -> "lookup_single_pos", "lk_pos_d" -> "lookup_single_pos_direct",
+      "lk_rsid" -> "lookup_rsid", "lk_rsid_d" -> "lookup_rsid_direct",
+      "lk_gt_d" -> "lookup_genotypes_direct", "gene" -> "gene_query",
+      "lk_frag" -> "lookup_fragmented", "lk_postc" -> "lookup_post_compact",
+      "reg" -> "region_100kb", "reg_d" -> "region_100kb_direct",
+      "cfilter" -> "complex_filter_50k"
+    ).map { case (s, n) => s -> sec(rv(n)) }
+    val scaleShort = Seq(
+      "mh" -> "p_scale_minhash_pairs", "cl" -> "p_scale_dedup_cluster",
+      "ivf" -> "p_scale_ivf_topk"
+    ).flatMap { case (s, n) =>
+      Seq("100k", "1m", "10m").map(l =>
+        s"${s}_$l" -> sec(bestCleanScale(s"${n}_$l", s"${s}_$l")))
+    } ++ Seq("r05" -> "rel_scale_q05", "r14" -> "rel_scale_q14")
+      .flatMap { case (s, n) =>
+        Seq("1x", "10x").map(l =>
+          s"${s}_$l" -> sec(bestCleanScale(s"${n}_$l", s"${s}_$l")))
+      } ++ Seq(
+      "parse10m" -> sec(bestCleanScale("vcf_parse_10m_norm", "parse10m")),
+      "load1m"   -> sec(bestCleanScale("vcf_load_1m", "load1m")))
+    val gateShort = Seq(
+      "g_mh" -> "p_scale_minhash_pairs_per_doc_ratio",
+      "g_cl" -> "p_scale_dedup_cluster_per_doc_ratio",
+      "g_ivf" -> "p_scale_ivf_topk_per_doc_ratio",
+      "g_r05" -> "rel_scale_q05_per_row_ratio",
+      "g_r14" -> "rel_scale_q14_per_row_ratio",
+      "g_parse" -> "vcf_parse_decade_ratio",
+      "g_load" -> "vcf_load_decade_ratio",
+      "g_append" -> "vcf_load_cohort_append_growth_ratio",
+      "g_norm" -> "vcf_normalize_overhead_ratio"
+    ).map { case (s, n) => s -> sec(rv(n)) }
+    val compactJson =
+      (headlineShort ++ parseShort ++ latencyShort ++ scaleShort ++ gateShort)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val compactLine =
+      s"""{"metric":"compact","best":$compactJson,"nc":""" +
+        ncRows.map("\"" + _ + "\"").mkString("[", ",", "]") +
+        f""","probe_best":$bestProbePar%.3f,"sf":"$sfDir"}"""
+    assert(compactLine.length < 1900,
+      s"compact line ${compactLine.length} chars outgrew the driver's " +
+        "2,000-char stdout tail — trim it before it truncates")
+    println(compactLine)
     spark.stop()
   }
 }
