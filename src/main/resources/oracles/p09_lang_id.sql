@@ -14,30 +14,44 @@ r AS (
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS en,
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['der','die','das','und','oder','von','zu','in','ist','sind','war','es','dass','für','auf','mit','als','ein','eine'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS de,
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','les','et','ou','de','du','à','en','est','sont','était','il','que','ce','pour','sur','avec','un','une'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS fr,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','los','las','y','o','de','del','a','en','es','son','era','que','este','para','sobre','con','un','una'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS es
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','los','las','y','o','de','del','a','en','es','son','era','que','este','para','sobre','con','un','una'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS es,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['o','a','os','as','e','ou','de','do','da','em','é','são','era','que','este','para','sobre','com','um','uma'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS pt,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['il','lo','la','i','gli','le','e','o','di','del','della','in','è','sono','era','che','questo','per','su','con','un','una'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS it,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['de','het','een','en','of','van','te','in','is','zijn','was','dat','dit','voor','op','met','als'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS nl
   FROM t
+),
+s AS (
+  SELECT doc_id, lang_label, text, kana, han, hangul, cyr, arab,
+    en, de, fr, es, pt, it, nl,
+    LIST_SORT([en, de, fr, es, pt, it, nl]) AS srt
+  FROM r
+),
+p AS (
+  SELECT doc_id, lang_label,
+    CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 'unknown'
+         WHEN kana > 0.05 THEN 'ja'
+         WHEN han > 0.3 THEN 'zh'
+         WHEN hangul > 0.3 THEN 'ko'
+         WHEN cyr > 0.3 THEN 'ru'
+         WHEN arab > 0.3 THEN 'ar'
+         WHEN srt[7] = 0.0 THEN 'unknown'
+         WHEN srt[7] = en THEN 'en'
+         WHEN srt[7] = de THEN 'de'
+         WHEN srt[7] = fr THEN 'fr'
+         WHEN srt[7] = es THEN 'es'
+         WHEN srt[7] = pt THEN 'pt'
+         WHEN srt[7] = it THEN 'it'
+         ELSE 'nl' END AS lang_pred,
+    CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 0.0
+         WHEN kana > 0.05 THEN kana
+         WHEN han > 0.3 THEN han
+         WHEN hangul > 0.3 THEN hangul
+         WHEN cyr > 0.3 THEN cyr
+         WHEN arab > 0.3 THEN arab
+         WHEN srt[7] = 0.0 THEN 0.0
+         ELSE srt[7] - srt[6] END AS lang_margin
+  FROM s
 )
-SELECT doc_id, lang_label,
-  CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 'unknown'
-       WHEN kana > 0.05 THEN 'ja'
-       WHEN han > 0.3 THEN 'zh'
-       WHEN hangul > 0.3 THEN 'ko'
-       WHEN cyr > 0.3 THEN 'ru'
-       WHEN arab > 0.3 THEN 'ar'
-       WHEN GREATEST(en, de, fr, es) = 0.0 THEN 'unknown'
-       WHEN GREATEST(en, de, fr, es) = en THEN 'en'
-       WHEN GREATEST(en, de, fr, es) = de THEN 'de'
-       WHEN GREATEST(en, de, fr, es) = fr THEN 'fr'
-       ELSE 'es' END AS lang_pred,
-  lang_label = (CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 'unknown'
-       WHEN kana > 0.05 THEN 'ja'
-       WHEN han > 0.3 THEN 'zh'
-       WHEN hangul > 0.3 THEN 'ko'
-       WHEN cyr > 0.3 THEN 'ru'
-       WHEN arab > 0.3 THEN 'ar'
-       WHEN GREATEST(en, de, fr, es) = 0.0 THEN 'unknown'
-       WHEN GREATEST(en, de, fr, es) = en THEN 'en'
-       WHEN GREATEST(en, de, fr, es) = de THEN 'de'
-       WHEN GREATEST(en, de, fr, es) = fr THEN 'fr'
-       ELSE 'es' END) AS correct
-FROM r ORDER BY doc_id
+SELECT doc_id, lang_label, lang_pred, lang_margin,
+  lang_label = lang_pred AS correct
+FROM p ORDER BY doc_id

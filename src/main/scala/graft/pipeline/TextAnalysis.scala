@@ -29,6 +29,12 @@ object TextAnalysis {
     "à", "en", "est", "sont", "était", "il", "que", "ce", "pour", "sur", "avec", "un", "une")
   val EsStopwords: Seq[String] = Seq("el", "la", "los", "las", "y", "o", "de",
     "del", "a", "en", "es", "son", "era", "que", "este", "para", "sobre", "con", "un", "una")
+  val PtStopwords: Seq[String] = Seq("o", "a", "os", "as", "e", "ou", "de",
+    "do", "da", "em", "é", "são", "era", "que", "este", "para", "sobre", "com", "um", "uma")
+  val ItStopwords: Seq[String] = Seq("il", "lo", "la", "i", "gli", "le", "e",
+    "o", "di", "del", "della", "in", "è", "sono", "era", "che", "questo", "per", "su", "con", "un", "una")
+  val NlStopwords: Seq[String] = Seq("de", "het", "een", "en", "of", "van",
+    "te", "in", "is", "zijn", "was", "dat", "dit", "voor", "op", "met", "als")
 
   private def stopwordCount(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => lower(t).isin(stops: _*)))
@@ -60,10 +66,17 @@ object TextAnalysis {
   }
 
   /** Language ID: script detection for CJK/Cyrillic/Arabic/Hangul, then a
-    * stopword vote among latin-script languages — the classic cheap
-    * n-gram-free heuristic, entirely in codegen'd expressions.
-    */
-  def langIdCol(text: Column): Column = {
+    * stopword vote among SEVEN latin-script languages (en/de/fr/es/pt/it/
+    * nl — the dominant web-corpus set) — the classic cheap n-gram-free
+    * heuristic, entirely in codegen'd expressions. Returns a struct of
+    * `lang` and `lang_margin`: for a script-detected language the margin
+    * is the winning script's character ratio; for a latin-script vote it
+    * is the gap between the best and second-best stopword ratios (0.0 on
+    * a tie or with no evidence — ties break in list order, en first).
+    * BOUNDARY: languages outside these 12 resolve to whichever family
+    * shares the most function words, with a near-zero margin — filter on
+    * `lang_margin` when precision matters. */
+  def langIdWithMargin(text: Column): Column = {
     val n = greatest(length(text), lit(1))
     def scriptRatio(pattern: String): Column =
       length(regexp_replace(text, pattern, "")).cast(DoubleType) / n
@@ -80,14 +93,21 @@ object TextAnalysis {
     val de = stopwordCount(toks, DeStopwords).cast(DoubleType) / nToks
     val fr = stopwordCount(toks, FrStopwords).cast(DoubleType) / nToks
     val es = stopwordCount(toks, EsStopwords).cast(DoubleType) / nToks
-    val latinBest = greatest(en, de, fr, es)
+    val pt = stopwordCount(toks, PtStopwords).cast(DoubleType) / nToks
+    val it = stopwordCount(toks, ItStopwords).cast(DoubleType) / nToks
+    val nl = stopwordCount(toks, NlStopwords).cast(DoubleType) / nToks
+    // sorted ascending: element 7 = best, element 6 = runner-up — the
+    // margin form an external SQL oracle can reproduce bit-for-bit
+    val sortedRatios = sort_array(array(en, de, fr, es, pt, it, nl))
+    val latinBest = element_at(sortedRatios, 7)
+    val latinMargin = latinBest - element_at(sortedRatios, 6)
 
     // null/empty first: an empty text makes every script ratio 1.0 (the
     // n = max(length, 1) guard divides 0 stripped chars by 1), which
     // would otherwise classify "" as whatever script branch fires first,
     // and a NULL text would fall through every null-valued condition
     // into the final otherwise
-    when(text.isNull || length(text) === 0, "unknown")
+    val lang = when(text.isNull || length(text) === 0, "unknown")
       .when(kana > 0.05, "ja")
       .when(han > 0.3, "zh")
       .when(hangul > 0.3, "ko")
@@ -97,8 +117,27 @@ object TextAnalysis {
       .when(latinBest === en, "en")
       .when(latinBest === de, "de")
       .when(latinBest === fr, "fr")
-      .otherwise("es")
+      .when(latinBest === es, "es")
+      .when(latinBest === pt, "pt")
+      .when(latinBest === it, "it")
+      .otherwise("nl")
+    val margin = when(text.isNull || length(text) === 0, lit(0.0))
+      .when(kana > 0.05, kana)
+      .when(han > 0.3, han)
+      .when(hangul > 0.3, hangul)
+      .when(cyr > 0.3, cyr)
+      .when(arab > 0.3, arab)
+      .when(latinBest === lit(0.0), lit(0.0))
+      .otherwise(latinMargin)
+    struct(lang.as("lang"), margin.as("lang_margin"))
   }
+
+  /** The predicted language alone (see [[langIdWithMargin]] for the
+    * margin-bearing form and the 12-language boundary). Catalyst's
+    * SimplifyExtractValueOps collapses the struct-then-field shape, so
+    * this costs the same as computing the label directly. */
+  def langIdCol(text: Column): Column =
+    langIdWithMargin(text).getField("lang")
 
   /** Slice of md5(c) parsed as a long — the engine-portable hash
     * primitive (md5 is standardized; xxhash64 is Spark-specific and

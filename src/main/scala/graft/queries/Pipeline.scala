@@ -193,12 +193,15 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
-    // Language ID heuristic vs the table's labeled lang.
+    // Language ID heuristic (7 latin stopword families + 5 scripts) vs
+    // the table's labeled lang, with the decision margin.
     "p09_lang_id" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
         .select($"doc_id", $"lang".as("lang_label"),
-          TextAnalysis.langIdCol($"text").as("lang_pred"))
+          TextAnalysis.langIdWithMargin($"text").as("_lm"))
+        .select($"doc_id", $"lang_label", $"_lm.lang".as("lang_pred"),
+          $"_lm.lang_margin".as("lang_margin"))
         .withColumn("correct", $"lang_label" === $"lang_pred")
         .orderBy($"doc_id")
     },

@@ -26,11 +26,21 @@ class TextAnalysisSpec extends SparkSpec {
       ("en", "the quick brown fox is on the hill and it was a fine day for all of us"),
       ("de", "der schnelle braune fuchs ist auf dem hügel und es war ein schöner tag für alle"),
       ("fr", "le renard brun est sur la colline et il était une belle journée pour tous les gens"),
-      ("es", "el zorro marrón está en la colina y era un buen día para todos los que estaban")
+      ("es", "el zorro marrón está en la colina y era un buen día para todos los que estaban"),
+      ("pt", "a raposa marrom está na colina e era um bom dia para todos os que estavam"),
+      ("it", "la volpe marrone è sulla collina ed era una bella giornata per tutti noi"),
+      ("nl", "de snelle bruine vos is op de heuvel en het was een mooie dag voor ons allemaal")
     ).toDF("expected", "text")
-    val got = samples.withColumn("pred", TextAnalysis.langIdCol($"text"))
-      .collect().map(r => (r.getString(0), r.getString(2)))
-    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+    val got = samples
+      .withColumn("_lm", TextAnalysis.langIdWithMargin($"text"))
+      .select($"expected", $"_lm.lang".as("pred"), $"_lm.lang_margin".as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    got.foreach { case (exp, pred, margin) =>
+      assert(pred == exp, s"expected $exp got $pred")
+      // every sample is unambiguous: real evidence for the winner beyond
+      // the runner-up (script branches report the script ratio itself)
+      assert(margin > 0.0, s"$exp predicted with zero margin")
+    }
     // on the synthetic English-soup corpus, predictions are en/unknown
     val preds = graft.Tables(spark, sfDir).documents
       .select(TextAnalysis.langIdCol($"text").as("p")).distinct()
@@ -54,6 +64,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds(0) == "unknown", s"empty text predicted ${preds(0)}")
     assert(preds(1) == "unknown", s"null text predicted ${preds(1)}")
     assert(preds(2) == "unknown", s"blank text predicted ${preds(2)}")
+    // margins of no-evidence texts are 0.0, never null (a NULL margin
+    // would poison downstream `lang_margin > x` quality filters)
+    val margins = Seq(Some(""), None, Some("   "), Some("zzz qqq xxx"))
+      .toDF("text")
+      .select(TextAnalysis.langIdWithMargin($"text").getField("lang_margin"))
+      .collect().map(r => (r.isNullAt(0), if (r.isNullAt(0)) 0.0 else r.getDouble(0)))
+    margins.foreach { case (isNull, m) =>
+      assert(!isNull && m == 0.0, s"no-evidence margin was ($isNull, $m)")
+    }
   }
 
   test("fingerprint ignores leading/trailing whitespace of any kind") {
