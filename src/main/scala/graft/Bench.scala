@@ -912,6 +912,39 @@ object Bench {
       }
     }
 
+    // ---- IVF recall evidence at 1M (VERDICT r13 next-round #4): the
+    // DEPLOY nCentroids/nProbe guidance at 10M+ previously rested on
+    // small-scale spec recall only. Measure recall@10 of the benched
+    // dials (nCentroids=64, nProbe=4, trained quantizer — the same
+    // configuration the p_scale_ivf rows time) against brute-force
+    // ground truth on the 1M corpus, and GATE it: a quantizer or
+    // ranking regression that silently dropped true neighbors would
+    // otherwise ship as a suspiciously fast row. Probe sweep
+    // (RecallProbe, 1M corpus: nProbe 1/2/4/8 × trained/sampled all
+    // measure 1.0000 — this corpus's 20 well-separated base patterns
+    // are IVF's best case), so the floor sits at 0.95 with the
+    // harder-corpus guidance recorded in DEPLOY.md. The collects are
+    // bounded at queries×k = 1,000 rows.
+    {
+      val corpus = spark.read.parquet("/tmp/graft_bench_scale_1m")
+      val vecs = corpus.select(col("doc_id").as("vec_id"), col("embedding"))
+      val queries = vecs.filter(col("vec_id") % 10000L === 0)
+      val truth = graft.pipeline.Similarity
+        .bruteForceTopK(vecs, queries, k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)
+      val got = graft.pipeline.Similarity.ivfTopK(vecs, queries, k = 10,
+        nCentroids = 64, nProbe = 4, centroids = Some(cents))
+        .select("query_id", "neighbor_id").collect()
+        .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+      val recall = got / truth.size.toDouble
+      results("p_recall_ivf_1m_ratio") = recall
+      assert(recall >= 0.95,
+        f"IVF recall@10 at 1M fell to $recall%.3f (floor 0.95) — " +
+          "quantizer or ranking regression dropping true neighbors")
+    }
+
     // ---- relational scale decade (VERDICT r10 next-round #5): the
     // §2.5-2.7 shapes run at sf-dir scale only (sub-second at sf0.1,
     // noise-dominated), so the two worst shuffle-bearing shapes — q05's
@@ -1259,7 +1292,8 @@ object Bench {
       "g_parse" -> "vcf_parse_decade_ratio",
       "g_load" -> "vcf_load_decade_ratio",
       "g_append" -> "vcf_load_cohort_append_growth_ratio",
-      "g_norm" -> "vcf_normalize_overhead_ratio"
+      "g_norm" -> "vcf_normalize_overhead_ratio",
+      "recall_ivf" -> "p_recall_ivf_1m_ratio"
     ).map { case (s, n) => s -> sec(rv(n)) }
     val compactJson =
       (headlineShort ++ parseShort ++ latencyShort ++ scaleShort ++ gateShort)
