@@ -2500,4 +2500,136 @@ class GraftCliSpec extends SparkSpec {
       Graft.run(spark, Array("benchmark", "--vcf", "/no/such.vcf"))
     }
   }
+
+  test("pipeline verbs: dedup/ann-topk/text-quality/media-features round trips") {
+    import org.apache.spark.sql.functions._
+    val db = Files.createTempDirectory("graftdb_pipe").toString
+    // the p07/p15/p16 corpus shape: base docs + mutated near-dup tails
+    val d = Tables(spark, sfDir).documents.filter($"doc_id" < 200)
+    val mutated = d.filter($"doc_id" < 20)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" appended tail token")).as("text"))
+    val corpus = d.select($"doc_id", $"text").union(mutated)
+    val corpusDir =
+      Files.createTempDirectory("graft_pipe_corpus").toString + "/docs"
+    corpus.write.parquet(corpusDir)
+
+    def jsonOut(args: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, args) }
+      out.toString.linesIterator.filter(_.startsWith("{")).mkString("\n")
+    }
+
+    // ---- dedup --method minhash --staged: byte-identical to the
+    // library composition the p15/p16/p17 oracle keys pin
+    val dedupJson = jsonOut(Array("dedup", corpusDir, "--db", db,
+      "--method", "minhash", "--staged", "--json"))
+    val libPairs = graft.pipeline.Dedup.minhashCandidatePairs(corpus)
+      .filter($"est_jaccard" >= 0.5)
+    val libClusters = graft.pipeline.Dedup.clusterPairs(libPairs)
+    val libKeep =
+      graft.pipeline.Dedup.dropNearDuplicates(corpus, libClusters)
+    def keyset(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keyset(spark.read.parquet(s"$db/dedup_corpus")) == keyset(libKeep))
+    assert(spark.read.parquet(s"$db/dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      libClusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // the staged signature relation landed under the db and matches the
+    // library signatures bit-for-bit
+    val sigs = spark.read.parquet(s"$db/dedup_signatures")
+    val libSigs =
+      graft.pipeline.Dedup.minhashSignatures(corpus, "text", "doc_id", 3, 64)
+    assert(sigs.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet ==
+      libSigs.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet)
+    assert(dedupJson.contains("\"method\":\"minhash\""), dedupJson)
+    // report arithmetic: kept + dropped = docs
+    assert(dedupJson.contains(s""""docs":${corpus.count()}"""), dedupJson)
+
+    // ---- dedup --method exact: kept set = exactDedup (p01's operator)
+    val db2 = Files.createTempDirectory("graftdb_pipe_exact").toString
+    // seed exact duplicates: copy 5 docs verbatim under new ids
+    val withCopies = corpus.union(corpus.filter($"doc_id" < 5)
+      .select(($"doc_id" + 2000000).as("doc_id"), $"text"))
+    val exactDir =
+      Files.createTempDirectory("graft_pipe_exact").toString + "/docs"
+    withCopies.write.parquet(exactDir)
+    jsonOut(Array("dedup", exactDir, "--db", db2, "--json"))
+    assert(keyset(spark.read.parquet(s"$db2/dedup_corpus")) ==
+      keyset(graft.pipeline.Dedup.exactDedup(withCopies)))
+    // membership shape: the 5 copied docs cluster with their originals
+    val exClusters = spark.read.parquet(s"$db2/dedup_clusters")
+    assert(exClusters.filter($"doc_id" >= 2000000).count() == 5)
+    assert(exClusters.filter($"cluster_id" >= 2000000).count() == 0)
+
+    // ---- ann-topk: brute mode byte-identical to bruteForceTopK (p06's
+    // operator); ivf mode ships k rows per query
+    val emb = Tables(spark, sfDir).embeddings.select($"vec_id", $"embedding")
+    val embDir = Files.createTempDirectory("graft_pipe_emb").toString
+    emb.write.parquet(s"$embDir/corpus")
+    emb.filter($"vec_id" < 4).write.parquet(s"$embDir/queries")
+    val annJson = jsonOut(Array("ann-topk", "--corpus", s"$embDir/corpus",
+      "--queries", s"$embDir/queries", "--db", db, "--mode", "brute",
+      "--k", "5", "--json"))
+    def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select($"query_id", $"neighbor_id", $"cosine", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(topkSet(spark.read.parquet(s"$db/ann_topk")) ==
+      topkSet(graft.pipeline.Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" < 4), k = 5)))
+    assert(annJson.contains("\"mode\":\"brute\"") &&
+      annJson.contains("\"queries\":4"), annJson)
+    jsonOut(Array("ann-topk", "--corpus", s"$embDir/corpus",
+      "--queries", s"$embDir/queries", "--db", db, "--mode", "ivf",
+      "--k", "5", "--ncentroids", "8", "--nprobe", "2", "--trained",
+      "--json"))
+    val ivfRows = spark.read.parquet(s"$db/ann_topk")
+    assert(ivfRows.count() == 4 * 5, s"ivf rows ${ivfRows.count()}")
+
+    // ---- text-quality: per-doc relation matches the library
+    // composition (p02/p03/p09/p10 operators) on every column
+    val tqJson = jsonOut(Array("text-quality", corpusDir, "--db", db,
+      "--min-quality", "0.5", "--json"))
+    val tq = spark.read.parquet(s"$db/text_quality")
+    assert(tq.count() == corpus.count())
+    val libQ = graft.pipeline.TextAnalysis.withQuality(corpus)
+      .withColumn("_lm",
+        graft.pipeline.TextAnalysis.langIdWithMargin($"text"))
+      .select($"doc_id", $"quality_score", $"_lm.lang".as("lang"),
+        graft.pipeline.TextAnalysis.fingerprint($"text").as("fingerprint"))
+    def tqSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Double, String, Long)] =
+      df.select($"doc_id", $"quality_score", $"lang", $"fingerprint")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3)))
+        .toSet
+    assert(tqSet(tq) == tqSet(libQ))
+    assert(tq.filter($"pass" =!= ($"quality_score" >= 0.5)).count() == 0)
+    assert(tqJson.contains("\"langs\":{"), tqJson)
+
+    // ---- media-features --from-documents: decode outcomes match the
+    // library path (p11's operator). Needs the full documents shape
+    // (mediaFromDocuments reads `source`), not the trimmed dedup corpus.
+    val docsDir =
+      Files.createTempDirectory("graft_pipe_docs").toString + "/docs"
+    d.write.parquet(docsDir)
+    val mfJson = jsonOut(Array("media-features", docsDir, "--db", db,
+      "--from-documents", "--json"))
+    val mf = spark.read.parquet(s"$db/media_features")
+    val libMf = graft.pipeline.Multimodal.extractFeatures(
+      graft.pipeline.Multimodal.mediaFromDocuments(d)).toDF()
+    def mfSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long, String)] =
+      df.select($"media_id", $"media_type", $"content_hash", $"decoder")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .toSet
+    assert(mfSet(mf) == mfSet(libMf))
+    assert(mfJson.contains("\"decoders\":{"), mfJson)
+
+    // ---- verb discipline: every pipeline verb audit-logged its run
+    val audit = spark.read.parquet(s"$db/audit_log")
+    Seq("dedup", "ann-topk", "text-quality", "media-features").foreach { v =>
+      assert(audit.filter($"event_type" === v && $"success").count() >= 1,
+        s"no successful audit row for $v")
+    }
+  }
 }
