@@ -255,7 +255,29 @@ object Dedup {
     * longs and cast back, so the output schema matches the grouped
     * twin for every integral id type; duplicate ids inside a bucket
     * tie in the sort and emit the same self-pair the sorted-array twin
-    * emits. */
+    * emits.
+    *
+    * MEASURED NEGATIVE RESULT — pre-shuffle singleton filtering
+    * (`tools.PrefilterProbe`): >99.8% of band rows are singleton
+    * buckets at 10M docs (175K pairs from 160M rows), so filtering
+    * them before the shuffle looks attractive. A superset-exact
+    * "seen-twice" filter (per-partition seen/dup bitmaps, carry-save
+    * merged, broadcast back; false positives only, pair sets verified
+    * bit-identical) does cut the shuffle to 26-45M rows and this
+    * method's downstream cost from ~19-28 s to ~9-10 s — but building
+    * the filter costs what it saves: the duplicate-detection pass must
+    * itself observe every band hash globally, and the sketch is
+    * O(corpus)-bits of global state (2^29-cell bitmaps measured
+    * 12.7 s build+merge at 10M docs with 4 GB of reduce traffic —
+    * already past Spark's 1 GB maxResultSize default — for an
+    * all-in 27.9 s vs the unfiltered 28.6 s in the same JVM).
+    * Break-even at 10M, and the sketch traffic/broadcast grows
+    * linearly with corpus while this one shuffle streams disk-to-disk
+    * at any scale — at 10B docs the filter would move ~0.5 TB of
+    * bitmap merges to save a shuffle Spark handles routinely. The
+    * exact-count variant is no better: singleton keys cannot combine
+    * map-side, so a count pre-pass shuffles the same 160M rows it
+    * hopes to avoid. Keep the one-shuffle shape. */
   private[graft] def pairsFromBandsSorted(bandsAll: DataFrame, idCol: String,
                                    idType: DataType,
                                    maxBucketSize: Option[Int]): DataFrame = {
