@@ -2562,6 +2562,16 @@ class GraftCliSpec extends SparkSpec {
     assert(exClusters.filter($"doc_id" >= 2000000).count() == 5)
     assert(exClusters.filter($"cluster_id" >= 2000000).count() == 0)
 
+    // ---- dedup --method simhash: kept set matches the library
+    // composition (p08's pair operator + cluster/keep)
+    val db3 = Files.createTempDirectory("graftdb_pipe_sim").toString
+    jsonOut(Array("dedup", corpusDir, "--db", db3,
+      "--method", "simhash", "--max-hamming", "3", "--json"))
+    val simClusters = graft.pipeline.Dedup.clusterPairs(
+      graft.pipeline.Dedup.simhashPairs(corpus, maxHamming = 3))
+    assert(keyset(spark.read.parquet(s"$db3/dedup_corpus")) ==
+      keyset(graft.pipeline.Dedup.dropNearDuplicates(corpus, simClusters)))
+
     // ---- ann-topk: brute mode byte-identical to bruteForceTopK (p06's
     // operator); ivf mode ships k rows per query
     val emb = Tables(spark, sfDir).embeddings.select($"vec_id", $"embedding")
