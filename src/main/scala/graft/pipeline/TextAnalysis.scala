@@ -76,60 +76,82 @@ object TextAnalysis {
     * BOUNDARY: languages outside these 12 resolve to whichever family
     * shares the most function words, with a near-zero margin — filter on
     * `lang_margin` when precision matters. */
+  /** Evaluate `c` ONCE per row and feed the bound value to `f` — the
+    * `transform(array(c), λ)` single-element idiom. Higher-order
+    * functions are interpreted (outside whole-stage codegen and its
+    * subexpression elimination), so an expensive subtree referenced
+    * from several branches of a CASE re-evaluates per reference;
+    * binding it as a lambda variable makes every reference a variable
+    * read. Measured on langIdWithMargin: the unbound 7-family form
+    * re-evaluated the tokenize+filter tree up to ~10x per row (p09 at
+    * sf0.1: ~5-6 s vs ~1.5 s for the old 4-family form); bound, the
+    * wider vote costs about what the narrow one did. */
+  private def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   def langIdWithMargin(text: Column): Column = {
     val n = greatest(length(text), lit(1))
     def scriptRatio(pattern: String): Column =
-      length(regexp_replace(text, pattern, "")).cast(DoubleType) / n
-    // regexp_replace keeps only the script chars when we strip its complement
-    val han = lit(1.0) - scriptRatio("[\\x{4e00}-\\x{9fff}]")
-    val kana = lit(1.0) - scriptRatio("[\\x{3040}-\\x{30ff}]")
-    val hangul = lit(1.0) - scriptRatio("[\\x{ac00}-\\x{d7af}]")
-    val cyr = lit(1.0) - scriptRatio("[\\x{0400}-\\x{04ff}]")
-    val arab = lit(1.0) - scriptRatio("[\\x{0600}-\\x{06ff}]")
+      lit(1.0) - length(regexp_replace(text, pattern, "")).cast(DoubleType) / n
+    // regexp_replace keeps only the script chars when we strip its
+    // complement
 
-    val toks = tokens(text)
-    val nToks = greatest(size(toks), lit(1))
-    val en = stopwordCount(toks, EnStopwords).cast(DoubleType) / nToks
-    val de = stopwordCount(toks, DeStopwords).cast(DoubleType) / nToks
-    val fr = stopwordCount(toks, FrStopwords).cast(DoubleType) / nToks
-    val es = stopwordCount(toks, EsStopwords).cast(DoubleType) / nToks
-    val pt = stopwordCount(toks, PtStopwords).cast(DoubleType) / nToks
-    val it = stopwordCount(toks, ItStopwords).cast(DoubleType) / nToks
-    val nl = stopwordCount(toks, NlStopwords).cast(DoubleType) / nToks
-    // sorted ascending: element 7 = best, element 6 = runner-up — the
-    // margin form an external SQL oracle can reproduce bit-for-bit
-    val sortedRatios = sort_array(array(en, de, fr, es, pt, it, nl))
-    val latinBest = element_at(sortedRatios, 7)
-    val latinMargin = latinBest - element_at(sortedRatios, 6)
-
-    // null/empty first: an empty text makes every script ratio 1.0 (the
-    // n = max(length, 1) guard divides 0 stripped chars by 1), which
-    // would otherwise classify "" as whatever script branch fires first,
-    // and a NULL text would fall through every null-valued condition
-    // into the final otherwise
-    val lang = when(text.isNull || length(text) === 0, "unknown")
-      .when(kana > 0.05, "ja")
-      .when(han > 0.3, "zh")
-      .when(hangul > 0.3, "ko")
-      .when(cyr > 0.3, "ru")
-      .when(arab > 0.3, "ar")
-      .when(latinBest === lit(0.0), "unknown")
-      .when(latinBest === en, "en")
-      .when(latinBest === de, "de")
-      .when(latinBest === fr, "fr")
-      .when(latinBest === es, "es")
-      .when(latinBest === pt, "pt")
-      .when(latinBest === it, "it")
-      .otherwise("nl")
-    val margin = when(text.isNull || length(text) === 0, lit(0.0))
-      .when(kana > 0.05, kana)
-      .when(han > 0.3, han)
-      .when(hangul > 0.3, hangul)
-      .when(cyr > 0.3, cyr)
-      .when(arab > 0.3, arab)
-      .when(latinBest === lit(0.0), lit(0.0))
-      .otherwise(latinMargin)
-    struct(lang.as("lang"), margin.as("lang_margin"))
+    bindOnce(tokens(text)) { toks =>
+      val nToks = greatest(size(toks), lit(1))
+      // (ratio, priority, code) structs sorted ascending: the last
+      // element is the winning language — on ratio ties the HIGHEST
+      // priority sorts last, reproducing the en-first when-chain order
+      // of the 4-family form; the runner-up ratio (for the margin) is
+      // order-insensitive. An external SQL oracle reproduces the same
+      // values from a plain sorted ratio list.
+      def fam(stops: Seq[String], prio: Int, code: String): Column =
+        struct((stopwordCount(toks, stops).cast(DoubleType) / nToks).as("r"),
+          lit(prio).as("p"), lit(code).as("c"))
+      val sorted = sort_array(array(
+        fam(EnStopwords, 7, "en"), fam(DeStopwords, 6, "de"),
+        fam(FrStopwords, 5, "fr"), fam(EsStopwords, 4, "es"),
+        fam(PtStopwords, 3, "pt"), fam(ItStopwords, 2, "it"),
+        fam(NlStopwords, 1, "nl")))
+      // bind every expensive piece — 5 script regex ratios, the sorted
+      // vote (its best and runner-up) — so the CASE branches below read
+      // variables instead of re-running regexes and token filters
+      bindOnce(struct(
+        scriptRatio("[\\x{3040}-\\x{30ff}]").as("kana"),
+        scriptRatio("[\\x{4e00}-\\x{9fff}]").as("han"),
+        scriptRatio("[\\x{ac00}-\\x{d7af}]").as("hangul"),
+        scriptRatio("[\\x{0400}-\\x{04ff}]").as("cyr"),
+        scriptRatio("[\\x{0600}-\\x{06ff}]").as("arab"),
+        element_at(sorted, 7).as("best"),
+        element_at(sorted, 6).as("second"))) { s =>
+        val kana = s.getField("kana"); val han = s.getField("han")
+        val hangul = s.getField("hangul"); val cyr = s.getField("cyr")
+        val arab = s.getField("arab")
+        val best = s.getField("best"); val second = s.getField("second")
+        val bestR = best.getField("r")
+        // null/empty first: an empty text makes every script ratio 1.0
+        // (the n = max(length, 1) guard divides 0 stripped chars by 1),
+        // which would otherwise classify "" as whatever script branch
+        // fires first, and a NULL text would fall through every
+        // null-valued condition into the final otherwise
+        val lang = when(text.isNull || length(text) === 0, "unknown")
+          .when(kana > 0.05, "ja")
+          .when(han > 0.3, "zh")
+          .when(hangul > 0.3, "ko")
+          .when(cyr > 0.3, "ru")
+          .when(arab > 0.3, "ar")
+          .when(bestR === lit(0.0), "unknown")
+          .otherwise(best.getField("c"))
+        val margin = when(text.isNull || length(text) === 0, lit(0.0))
+          .when(kana > 0.05, kana)
+          .when(han > 0.3, han)
+          .when(hangul > 0.3, hangul)
+          .when(cyr > 0.3, cyr)
+          .when(arab > 0.3, arab)
+          .when(bestR === lit(0.0), lit(0.0))
+          .otherwise(bestR - second.getField("r"))
+        struct(lang.as("lang"), margin.as("lang_margin"))
+      }
+    }
   }
 
   /** The predicted language alone (see [[langIdWithMargin]] for the

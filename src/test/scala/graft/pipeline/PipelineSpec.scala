@@ -41,6 +41,15 @@ class TextAnalysisSpec extends SparkSpec {
       // the runner-up (script branches report the script ratio itself)
       assert(margin > 0.0, s"$exp predicted with zero margin")
     }
+    // engineered EXACT tie: every token sits in both the en and nl
+    // stopword lists (en∩nl = {of, in, is, was}), so both ratios are
+    // 1.0 — the priority tie-break must pick en (list order), with a
+    // zero margin exposing the ambiguity
+    val tie = Seq("of in is was").toDF("text")
+      .select(TextAnalysis.langIdWithMargin($"text").as("_lm"))
+      .select($"_lm.lang", $"_lm.lang_margin").head()
+    assert(tie.getString(0) == "en", s"tie broke to ${tie.getString(0)}")
+    assert(tie.getDouble(1) == 0.0, s"tie margin ${tie.getDouble(1)}")
     // on the synthetic English-soup corpus, predictions are en/unknown
     val preds = graft.Tables(spark, sfDir).documents
       .select(TextAnalysis.langIdCol($"text").as("p")).distinct()
