@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 GCLocker starvation: 32 concurrent tasks mixing JNI critical
+  // sections (parquet/snappy) with 8 MB TaskMemoryManager page allocs can
+  // fail an allocation after only the default TWO GCLocker retries and
+  // throw a spurious heap OOM with gigabytes free ("Retried waiting for
+  // GCLocker too often" — observed killing a bench run mid-write). Give
+  // the allocator a real retry budget.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=32",
 )
