@@ -40,29 +40,52 @@ object TextAnalysis {
     size(filter(toks, t => lower(t).isin(stops: _*)))
 
   /** Quality metrics + composite score (length / punctuation / stopword
-    * ratios — the standard C4/Gopher-style cheap filters). */
+    * ratios — the standard C4/Gopher-style cheap filters).
+    *
+    * All seven metrics are computed inside ONE bound expression (see
+    * [[bindOnce]]): the naive per-column spelling re-ran the regex
+    * tokenizer up to ~11x per row — each column referencing `toks`
+    * re-evaluates the split (HOFs are interpreted, no subexpression
+    * elimination), and CollapseProject inlines the metric columns into
+    * quality_score's CASEs on top. The struct column is referenced once
+    * per output field, which CollapseProject leaves uninlined (the
+    * producer expression is non-cheap) — computed once per row;
+    * identical values, so the p03 oracle is unchanged. */
   def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    val toks = tokens(text)
-    df.withColumn("n_chars", length(text))
-      .withColumn("n_tokens", size(toks))
-      .withColumn("mean_token_len",
-        when(size(toks) > 0,
-          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(toks)))
-      .withColumn("punct_ratio",
-        when(length(text) > 0,
-          length(regexp_replace(text, "[^.,!?;:]", "")).cast(DoubleType) / length(text)))
-      .withColumn("upper_ratio",
-        when(length(text) > 0,
-          length(regexp_replace(text, "[^A-Z]", "")).cast(DoubleType) / length(text)))
-      .withColumn("stopword_ratio",
-        when(size(toks) > 0,
-          stopwordCount(toks, EnStopwords).cast(DoubleType) / size(toks)))
-      .withColumn("quality_score",
-        (when(col("n_tokens").between(5, 100000), 0.25).otherwise(0.0) +
-         when(col("mean_token_len").between(2.0, 12.0), 0.25).otherwise(0.0) +
-         when(col("punct_ratio") < 0.2, 0.25).otherwise(0.0) +
-         when(col("upper_ratio") < 0.3, 0.25).otherwise(0.0)))
+    val q = bindOnce(tokens(text)) { toks =>
+      bindOnce(struct(
+        length(text).as("n_chars"),
+        size(toks).as("n_tokens"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"),
+        stopwordCount(toks, EnStopwords).as("stops"),
+        length(regexp_replace(text, "[^.,!?;:]", "")).as("punct"),
+        length(regexp_replace(text, "[^A-Z]", "")).as("upper"))) { s =>
+        val nCh = s.getField("n_chars")
+        val nTok = s.getField("n_tokens")
+        val mean =
+          when(nTok > 0, s.getField("tok_chars").cast(DoubleType) / nTok)
+        val punct = when(nCh > 0, s.getField("punct").cast(DoubleType) / nCh)
+        val upper = when(nCh > 0, s.getField("upper").cast(DoubleType) / nCh)
+        val stopr = when(nTok > 0, s.getField("stops").cast(DoubleType) / nTok)
+        struct(nCh.as("n_chars"), nTok.as("n_tokens"),
+          mean.as("mean_token_len"), punct.as("punct_ratio"),
+          upper.as("upper_ratio"), stopr.as("stopword_ratio"),
+          (when(nTok.between(5, 100000), 0.25).otherwise(0.0) +
+           when(mean.between(2.0, 12.0), 0.25).otherwise(0.0) +
+           when(punct < 0.2, 0.25).otherwise(0.0) +
+           when(upper < 0.3, 0.25).otherwise(0.0)).as("quality_score"))
+      }
+    }
+    df.withColumn("_q", q)
+      .withColumn("n_chars", col("_q.n_chars"))
+      .withColumn("n_tokens", col("_q.n_tokens"))
+      .withColumn("mean_token_len", col("_q.mean_token_len"))
+      .withColumn("punct_ratio", col("_q.punct_ratio"))
+      .withColumn("upper_ratio", col("_q.upper_ratio"))
+      .withColumn("stopword_ratio", col("_q.stopword_ratio"))
+      .withColumn("quality_score", col("_q.quality_score"))
+      .drop("_q")
   }
 
   /** Language ID: script detection for CJK/Cyrillic/Arabic/Hangul, then a
