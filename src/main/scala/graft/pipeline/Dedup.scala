@@ -575,14 +575,25 @@ object Dedup {
 
   // ---- n-gram Jaccard ----
 
-  /** Exact Jaccard similarity between two token arrays' k-shingle sets. */
-  def ngramJaccard(toksA: Column, toksB: Column, k: Int): Column = {
-    val sa = array_distinct(TextAnalysis.wordShingles(toksA, k))
-    val sb = array_distinct(TextAnalysis.wordShingles(toksB, k))
-    val inter = size(array_intersect(sa, sb))
-    val union = size(array_union(sa, sb))
-    when(union > 0, inter.cast(DoubleType) / union)
-  }
+  /** Exact Jaccard similarity between two token arrays' k-shingle sets.
+    *
+    * Both shingle sets are bound once (TextAnalysis.bindOnce — HOFs are
+    * interpreted, so each reference re-evaluates the shingle transform)
+    * and the union size comes from |A|+|B|-|A∩B| on the distinct arrays
+    * instead of a second hash-set pass over array_union — identical
+    * values, so the p05 oracle is unchanged. */
+  def ngramJaccard(toksA: Column, toksB: Column, k: Int): Column =
+    TextAnalysis.bindOnce(struct(
+      array_distinct(TextAnalysis.wordShingles(toksA, k)).as("sa"),
+      array_distinct(TextAnalysis.wordShingles(toksB, k)).as("sb"))) { s =>
+      TextAnalysis.bindOnce(struct(
+        size(array_intersect(s.getField("sa"), s.getField("sb"))).as("i"),
+        (size(s.getField("sa")) + size(s.getField("sb"))).as("t"))) { v =>
+        val inter = v.getField("i")
+        val union = v.getField("t") - inter
+        when(union > 0, inter.cast(DoubleType) / union)
+      }
+    }
 
   // ---- embedding cosine near-dup ----
 

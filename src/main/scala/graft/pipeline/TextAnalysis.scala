@@ -109,7 +109,7 @@ object TextAnalysis {
     * re-evaluated the tokenize+filter tree up to ~10x per row (p09 at
     * sf0.1: ~5-6 s vs ~1.5 s for the old 4-family form); bound, the
     * wider vote costs about what the narrow one did. */
-  private def bindOnce(c: Column)(f: Column => Column): Column =
+  private[pipeline] def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
   def langIdWithMargin(text: Column): Column = {
