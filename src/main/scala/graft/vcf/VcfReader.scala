@@ -195,6 +195,13 @@ object VcfReader {
     val gKeys = header.infoKeysWithNumber("G")
     if (aKeys.isEmpty && rKeys.isEmpty && gKeys.isEmpty) infoMap
     else
+      // single-ALT sites (the dominant case in real cohorts) pass the
+      // map through UNTOUCHED: CaseWhen is lazy, so hoisting the
+      // passthrough skips the per-row map_entries → transform →
+      // map_from_entries rebuild that the per-entry nAlts guard alone
+      // still paid (identical values either way — the inner guard made
+      // every entry a passthrough, but rebuilt the map doing it)
+      when(nAlts === 1, infoMap).otherwise(
       map_from_entries(transform(map_entries(infoMap), e => {
         val k = e.getField("key")
         val v = e.getField("value")
@@ -220,7 +227,7 @@ object VcfReader {
             .when(gKeys.headOption.map(_ => k.isin(gKeys: _*)).getOrElse(lit(false)), gVal)
             .otherwise(v)
         struct(k.as("key"), sliced.as("value"))
-      }))
+      })))
   }
 
   /** Per-(variant, sample) genotype long table (reference genotypes table,
