@@ -1117,6 +1117,20 @@ object Bench {
         budgetSec = 450)
       measureGroup(parseMetrics, parsePairs, maxRounds = 9, minClean = 5,
         budgetSec = 900)
+      // scale rows whose EVERY sample was throttle-flagged get one
+      // retry per pass — the un-gated rows (100k/1m points without a
+      // decade pair on them) otherwise keep only in-window samples for
+      // the whole session even after the host recovers, and the
+      // compact artifact line can then ship nothing but an "nc"
+      // fallback for a row that would measure clean now. Runs BEFORE
+      // the gate-retry sweep so a recovered min feeds the re-judged
+      // ratios; bounded by the rows' own body cost × the pass cap.
+      scaleBodies.keys.toSeq.sorted.foreach { name =>
+        val mask = scaleProbes.get(name).map(p => maskOf(p.toSeq))
+          .getOrElse(Seq.empty)
+        if (mask.nonEmpty && !mask.exists(identity))
+          runProbed(name, scaleBodies(name))
+      }
       gatedRows.foreach { case (n, u, sn, su, g) =>
         gateRetries(n, u, sn, su, g)
       }
