@@ -26,6 +26,18 @@ object Graft {
   }
   private def has(args: Array[String], flag: String): Boolean = args.contains(flag)
 
+  /** First positional operand (`args(1)`) for verbs whose input is a
+    * parquet path. A missing operand or a flag in its place is a USAGE
+    * error, not a literal path to read — `graft dedup --db X` must not
+    * silently read parquet at "--db", and a bare `graft dedup` must not
+    * throw ArrayIndexOutOfBounds (mirrors ann-topk's sys.error guards). */
+  private def positionalPath(args: Array[String], verb: String,
+                             what: String): String = {
+    if (args.length < 2 || args(1).startsWith("--"))
+      sys.error(s"$verb needs a $what parquet path as its first argument")
+    args(1)
+  }
+
   /** JSON string escape shared by every CLI `--json`/report face —
     * backslash, quote, and ALL control chars (a newline or tab in a file
     * path or error message must not emit invalid JSON). */
@@ -2528,29 +2540,50 @@ object Graft {
       // pipeline — so no cli.py citations here.
 
       case "dedup" =>
-        // dedup CORPUS --db DIR [--method exact|minhash|simhash]
+        // dedup CORPUS --db DIR [--method exact|minhash|simhash|embedding]
         //   [--id-col doc_id] [--text-col text] [--threshold 0.5]
         //   [--max-hamming 3] [--max-bucket N] [--shingle-k 3]
-        //   [--sig-len 64] [--bands 16] [--staged] [--json]
+        //   [--sig-len 64] [--bands 16] [--planes 12] [--dim 64]
+        //   [--vec-col embedding] [--staged] [--json]
         // Writes: $db/dedup_corpus (kept docs — the output a training
         // pipeline feeds downstream), $db/dedup_clusters (membership),
         // and with --staged the $db/dedup_signatures relation (the
         // 0.5 KB/doc minhash store the scale path re-reads instead of
-        // re-hashing the corpus).
-        val corpusPath = args(1)
+        // re-hashing the corpus). --method embedding dedups a VECTOR
+        // corpus (default --id-col vec_id) by cosine >= --threshold
+        // (default 0.95) over sign-LSH buckets — p12/p18's operator;
+        // size --planes ~ log2(n / targetBucket) and --dim to the TRUE
+        // vector length (an overstated dim degrades bucketing, see
+        // Dedup.embeddingNearDup).
+        val corpusPath = positionalPath(args, "dedup", "CORPUS")
         val method = arg(args, "--method").getOrElse("exact")
-        val idCol = arg(args, "--id-col").getOrElse("doc_id")
+        val idCol = arg(args, "--id-col").getOrElse(
+          if (method == "embedding") "vec_id" else "doc_id")
         val textCol = arg(args, "--text-col").getOrElse("text")
         val maxBucket = arg(args, "--max-bucket").map(_.toInt)
         val corpus = spark.read.parquet(corpusPath)
-        val nDocs = corpus.count()
+        // Single-pass report (r14 verdict #3): the input size is
+        // observed on the corpus scan that feeds the kept write
+        // (CollectMetrics is row-transparent, so the kept plan is
+        // byte-identical), and output sizes are observed on the written
+        // relations — no count() pre-pass over the input and no re-read
+        // of the outputs after the swap.
+        val obsIn = org.apache.spark.sql.Observation("dedup_in")
+        val obsKept = org.apache.spark.sql.Observation("dedup_kept")
+        val obsCl = org.apache.spark.sql.Observation("dedup_clusters")
+        val counted = corpus.observe(obsIn, count(lit(1)).as("n"))
         import graft.pipeline.Dedup
+        // Note on the two writes below (r14 advisory): clusterPairs
+        // returns a localCheckpoint-BACKED relation (labels materialize
+        // eagerly each round), so writing `clusters` and deriving `kept`
+        // from it share ONE execution of the candidate-pair shuffle and
+        // the iterative clustering — neither write re-runs the pair DAG.
         val (kept, clusters) = method match {
           case "exact" =>
             // clusters re-expressed in the near-dup (doc_id, cluster_id)
             // membership shape — same contract as clusterPairs: only
             // docs in a >1-member group appear, cluster_id = min id
-            (Dedup.exactDedup(corpus, textCol, idCol),
+            (Dedup.exactDedup(counted, textCol, idCol),
              Dedup.exactDupClusters(corpus, textCol, idCol)
                .select(explode($"doc_ids").as("doc_id"),
                  array_min($"doc_ids").as("cluster_id")))
@@ -2573,25 +2606,36 @@ object Graft {
               shingleK, sigLen, bands, maxBucket)
             val cl = Dedup.clusterPairs(
               pairs.filter($"est_jaccard" >= threshold))
-            (Dedup.dropNearDuplicates(corpus, cl, idCol), cl)
+            (Dedup.dropNearDuplicates(counted, cl, idCol), cl)
           case "simhash" =>
             val maxHamming =
               arg(args, "--max-hamming").map(_.toInt).getOrElse(3)
             val cl = Dedup.clusterPairs(
               Dedup.simhashPairs(corpus, textCol, idCol, maxHamming,
                 maxBucket))
-            (Dedup.dropNearDuplicates(corpus, cl, idCol), cl)
+            (Dedup.dropNearDuplicates(counted, cl, idCol), cl)
+          case "embedding" =>
+            val planes = arg(args, "--planes").map(_.toInt).getOrElse(12)
+            val dim = arg(args, "--dim").map(_.toInt).getOrElse(64)
+            val vecCol = arg(args, "--vec-col").getOrElse("embedding")
+            val threshold =
+              arg(args, "--threshold").map(_.toDouble).getOrElse(0.95)
+            val cl = Dedup.clusterPairs(Dedup.embeddingNearDup(corpus,
+              threshold, idCol, vecCol, planes, dim, maxBucket))
+            (Dedup.dropNearDuplicates(counted, cl, idCol), cl)
           case other => sys.error(s"dedup: unknown --method $other " +
-            "(expected exact|minhash|simhash)")
+            "(expected exact|minhash|simhash|embedding)")
         }
         graft.sinks.Writers.replaceInPlaceAll(Seq(
-          (kept, tbl(db, "dedup_corpus"),
+          (kept.observe(obsKept, count(lit(1)).as("n")),
+            tbl(db, "dedup_corpus"),
             (d: org.apache.spark.sql.DataFrame, p: String) => d.write.parquet(p)),
-          (clusters, tbl(db, "dedup_clusters"),
+          (clusters.observe(obsCl, count(lit(1)).as("n")),
+            tbl(db, "dedup_clusters"),
             (d: org.apache.spark.sql.DataFrame, p: String) => d.write.parquet(p))))
-        val nKept = spark.read.parquet(tbl(db, "dedup_corpus")).count()
-        val nClustered =
-          spark.read.parquet(tbl(db, "dedup_clusters")).count()
+        val nDocs = obsIn.get("n").asInstanceOf[Long]
+        val nKept = obsKept.get("n").asInstanceOf[Long]
+        val nClustered = obsCl.get("n").asInstanceOf[Long]
         if (has(args, "--json"))
           println(s"""{"method":${jsonStr(method)},"docs":$nDocs,""" +
             s""""kept":$nKept,"dropped":${nDocs - nKept},""" +
@@ -2635,11 +2679,20 @@ object Graft {
           case other => sys.error(s"ann-topk: unknown --mode $other " +
             "(expected brute|lsh|ivf)")
         }
-        graft.sinks.Writers.replaceInPlace(topk, tbl(db, "ann_topk"))(
-          (d, p) => d.write.parquet(p))
-        val written = spark.read.parquet(tbl(db, "ann_topk"))
-        val nRows = written.count()
-        val nQ = written.select($"query_id").distinct().count()
+        // Single-pass report (r14 verdict #3): rows observed during the
+        // write; "queries" = rank-1 rows (every query with >=1 neighbor
+        // ranks from 1, so rank=1 rows == distinct query_ids in the
+        // output) — an exact count with no distinct and no output
+        // re-read. sum(when) is null on an empty output, hence the
+        // Option guard.
+        val obs = org.apache.spark.sql.Observation("ann_topk")
+        graft.sinks.Writers.replaceInPlace(
+          topk.observe(obs, count(lit(1)).as("rows"),
+            sum(when($"rank" === 1, 1L).otherwise(0L)).as("queries")),
+          tbl(db, "ann_topk"))((d, p) => d.write.parquet(p))
+        val m = obs.get
+        val nRows = m("rows").asInstanceOf[Long]
+        val nQ = Option(m("queries")).map(_.asInstanceOf[Long]).getOrElse(0L)
         if (has(args, "--json"))
           println(s"""{"mode":${jsonStr(mode)},"k":$k,"queries":$nQ,""" +
             s""""rows":$nRows}""")
@@ -2654,7 +2707,7 @@ object Graft {
         // --min-quality additionally stamps a `pass` flag (the corpus
         // itself is never filtered here: quality scoring is evidence,
         // dropping is the caller's policy).
-        val corpusPath = args(1)
+        val corpusPath = positionalPath(args, "text-quality", "CORPUS")
         val idCol = arg(args, "--id-col").getOrElse("doc_id")
         val textCol = arg(args, "--text-col").getOrElse("text")
         val minQ = arg(args, "--min-quality").map(_.toDouble).getOrElse(0.5)
@@ -2669,24 +2722,44 @@ object Graft {
             $"_lm.lang".as("lang"), $"_lm.lang_margin".as("lang_margin"),
             TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
             ($"quality_score" >= minQ).as("pass"))
-        graft.sinks.Writers.replaceInPlace(tq, tbl(db, "text_quality"))(
-          (d, p) => d.write.parquet(p))
-        val written = spark.read.parquet(tbl(db, "text_quality"))
-        val summary = written.agg(count(lit(1)).as("n"),
+        // Single-pass report (r14 verdict #3): every summary value —
+        // counts, pass count, mean quality, and the language histogram —
+        // is observed DURING the write. langIdWithMargin's label set is
+        // closed (7 latin families + 5 scripts + "unknown"), so the
+        // histogram is a fixed row of conditional counts; the "other"
+        // guard trips loudly if a new label is ever added to the
+        // classifier without registering it here. avg() is null on an
+        // empty corpus — report mean_quality as null instead of the NPE
+        // the old getDouble took (r14 advisory).
+        val langs = Seq("en", "de", "fr", "es", "pt", "it", "nl",
+          "ja", "zh", "ko", "ru", "ar", "unknown")
+        val obs = org.apache.spark.sql.Observation("text_quality")
+        val aggs = Seq(count(lit(1)).as("n"),
           sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
-          avg($"quality_score").as("mean_q")).head()
-        val langHist = written.groupBy($"lang").count()
-          .orderBy($"count".desc, $"lang").collect() // ≤ 13 language rows
-          .map(r => s"${jsonStr(r.getString(0))}:${r.getLong(1)}")
+          avg($"quality_score").as("mean_q"),
+          count(when(!$"lang".isin(langs: _*), 1)).as("lang_other")) ++
+          langs.map(l => count(when($"lang" === l, 1)).as(s"lang_$l"))
+        graft.sinks.Writers.replaceInPlace(
+          tq.observe(obs, aggs.head, aggs.tail: _*), tbl(db, "text_quality"))(
+          (d, p) => d.write.parquet(p))
+        val m = obs.get
+        val n = m("n").asInstanceOf[Long]
+        val nPass = Option(m("n_pass")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val meanQ = Option(m("mean_q")).map(_.asInstanceOf[Double])
+        val langHist = (langs.map(l => (l, m(s"lang_$l").asInstanceOf[Long])) ++
+          Seq(("other", m("lang_other").asInstanceOf[Long])))
+          .filter(_._2 > 0)
+          .sortBy { case (l, c) => (-c, l) } // count desc, label asc
+          .map { case (l, c) => s"${jsonStr(l)}:$c" }
           .mkString("{", ",", "}")
         if (has(args, "--json"))
-          println(s"""{"docs":${summary.getLong(0)},""" +
-            s""""pass":${summary.getLong(1)},""" +
-            f""""mean_quality":${summary.getDouble(2)}%.4f,""" +
+          println(s"""{"docs":$n,"pass":$nPass,""" +
+            meanQ.map(q => f""""mean_quality":$q%.4f,""")
+              .getOrElse(""""mean_quality":null,""") +
             s""""min_quality":$minQ,"langs":$langHist}""")
-        else println(s"text-quality: ${summary.getLong(0)} docs, " +
-          s"${summary.getLong(1)} pass >= $minQ, " +
-          f"mean quality ${summary.getDouble(2)}%.3f, langs $langHist")
+        else println(s"text-quality: $n docs, $nPass pass >= $minQ, " +
+          meanQ.map(q => f"mean quality $q%.3f").getOrElse("mean quality n/a") +
+          s", langs $langHist")
 
       case "media-features" =>
         // media-features CORPUS --db DIR [--from-documents] [--json]
@@ -2696,7 +2769,7 @@ object Graft {
         // --from-documents synthesizes the media relation from a
         // documents table (the p11 demo shape); without it the corpus
         // must already be MediaRow-shaped parquet.
-        val corpusPath = args(1)
+        val corpusPath = positionalPath(args, "media-features", "CORPUS")
         import graft.pipeline.Multimodal
         val media =
           if (has(args, "--from-documents"))
@@ -2706,14 +2779,27 @@ object Graft {
             spark.read.parquet(corpusPath).as[Multimodal.MediaRow]
           }
         val feats = Multimodal.extractFeatures(media).toDF()
+        // Single-pass report (r14 verdict #3): the decoder label set is
+        // closed by construction (Multimodal assigns only imageio |
+        // wav_pcm | stub), so the histogram observes fixed conditional
+        // counts during the write; "other" trips loudly if a decoder is
+        // ever added without registering it here.
+        val decoders = Seq("imageio", "wav_pcm", "stub")
+        val obs = org.apache.spark.sql.Observation("media_features")
+        val aggs = Seq(count(lit(1)).as("n"),
+          count(when(!$"decoder".isin(decoders: _*), 1)).as("dec_other")) ++
+          decoders.map(dc => count(when($"decoder" === dc, 1)).as(s"dec_$dc"))
         graft.sinks.Writers.replaceInPlace(
-          feats, tbl(db, "media_features"))((d, p) => d.write.parquet(p))
-        val written = spark.read.parquet(tbl(db, "media_features"))
-        val byDecoder = written.groupBy($"decoder").count()
-          .orderBy($"decoder").collect() // ≤ 3 decoder rows
-          .map(r => s"${jsonStr(r.getString(0))}:${r.getLong(1)}")
+          feats.observe(obs, aggs.head, aggs.tail: _*),
+          tbl(db, "media_features"))((d, p) => d.write.parquet(p))
+        val m = obs.get
+        val nMedia = m("n").asInstanceOf[Long]
+        val byDecoder = (decoders.map(dc =>
+          (dc, m(s"dec_$dc").asInstanceOf[Long])) ++
+          Seq(("other", m("dec_other").asInstanceOf[Long])))
+          .filter(_._2 > 0).sortBy(_._1) // decoder asc, as before
+          .map { case (dc, c) => s"${jsonStr(dc)}:$c" }
           .mkString("{", ",", "}")
-        val nMedia = written.count()
         if (has(args, "--json"))
           println(s"""{"media":$nMedia,"decoders":$byDecoder}""")
         else println(s"media-features: $nMedia payloads, decoders $byDecoder")
@@ -2850,9 +2936,10 @@ object Graft {
       |  benchmark [--synthetic N | --vcf F] [--db DIR] [--json]
       |       [--no-normalize] [--no-human-genome] [--realistic] [--giab]
       |       (no flags: full harness)
-      |  dedup CORPUS --db DIR [--method exact|minhash|simhash] [--staged]
-      |       [--id-col C] [--text-col C] [--threshold X] [--max-hamming N]
-      |       [--max-bucket N] [--shingle-k N] [--sig-len N] [--bands N] [--json]
+      |  dedup CORPUS --db DIR [--method exact|minhash|simhash|embedding]
+      |       [--staged] [--id-col C] [--text-col C] [--threshold X]
+      |       [--max-hamming N] [--max-bucket N] [--shingle-k N] [--sig-len N]
+      |       [--bands N] [--planes N] [--dim N] [--vec-col C] [--json]
       |  ann-topk --corpus P --queries P --db DIR [--mode brute|lsh|ivf]
       |       [--k N] [--planes N] [--ncentroids N] [--nprobe N] [--trained]
       |       [--id-col C] [--vec-col C] [--json]

@@ -88,17 +88,6 @@ object TextAnalysis {
       .drop("_q")
   }
 
-  /** Language ID: script detection for CJK/Cyrillic/Arabic/Hangul, then a
-    * stopword vote among SEVEN latin-script languages (en/de/fr/es/pt/it/
-    * nl — the dominant web-corpus set) — the classic cheap n-gram-free
-    * heuristic, entirely in codegen'd expressions. Returns a struct of
-    * `lang` and `lang_margin`: for a script-detected language the margin
-    * is the winning script's character ratio; for a latin-script vote it
-    * is the gap between the best and second-best stopword ratios (0.0 on
-    * a tie or with no evidence — ties break in list order, en first).
-    * BOUNDARY: languages outside these 12 resolve to whichever family
-    * shares the most function words, with a near-zero margin — filter on
-    * `lang_margin` when precision matters. */
   /** Evaluate `c` ONCE per row and feed the bound value to `f` — the
     * `transform(array(c), λ)` single-element idiom. Higher-order
     * functions are interpreted (outside whole-stage codegen and its
@@ -112,6 +101,19 @@ object TextAnalysis {
   private[pipeline] def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
+  /** Language ID: script detection for CJK/Cyrillic/Arabic/Hangul, then a
+    * stopword vote among SEVEN latin-script languages (en/de/fr/es/pt/it/
+    * nl — the dominant web-corpus set) — the classic cheap n-gram-free
+    * heuristic, built from pure SQL expressions (no UDF; the CASE sits
+    * in interpreted HOF lambdas via [[bindOnce]] so every expensive
+    * subtree evaluates exactly once per row). Returns a struct of
+    * `lang` and `lang_margin`: for a script-detected language the margin
+    * is the winning script's character ratio; for a latin-script vote it
+    * is the gap between the best and second-best stopword ratios (0.0 on
+    * a tie or with no evidence — ties break in list order, en first).
+    * BOUNDARY: languages outside these 12 resolve to whichever family
+    * shares the most function words, with a near-zero margin — filter on
+    * `lang_margin` when precision matters. */
   def langIdWithMargin(text: Column): Column = {
     val n = greatest(length(text), lit(1))
     def scriptRatio(pattern: String): Column =

@@ -2572,6 +2572,33 @@ class GraftCliSpec extends SparkSpec {
     assert(keyset(spark.read.parquet(s"$db3/dedup_corpus")) ==
       keyset(graft.pipeline.Dedup.dropNearDuplicates(corpus, simClusters)))
 
+    // ---- dedup --method embedding: byte-identical to the library
+    // composition p12 pins (embeddingNearDup + cluster/keep); the id
+    // column defaults to vec_id for vector corpora
+    val db4 = Files.createTempDirectory("graftdb_pipe_embdd").toString
+    val embCorpus = Tables(spark, sfDir).embeddings
+      .select($"vec_id", $"embedding")
+    val embAll = embCorpus.union(embCorpus.filter($"vec_id" < 20)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+    val embCorpusDir =
+      Files.createTempDirectory("graft_pipe_embdd").toString + "/vecs"
+    embAll.write.parquet(embCorpusDir)
+    val embJson = jsonOut(Array("dedup", embCorpusDir, "--db", db4,
+      "--method", "embedding", "--threshold", "0.95", "--json"))
+    val embClusters = graft.pipeline.Dedup.clusterPairs(
+      graft.pipeline.Dedup.embeddingNearDup(embAll, threshold = 0.95))
+    def vecKeyset(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(vecKeyset(spark.read.parquet(s"$db4/dedup_corpus")) ==
+      vecKeyset(graft.pipeline.Dedup.dropNearDuplicates(
+        embAll, embClusters, "vec_id")))
+    assert(spark.read.parquet(s"$db4/dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      embClusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(embJson.contains("\"method\":\"embedding\""), embJson)
+    // report arithmetic holds on the single-pass observed counts too
+    assert(embJson.contains(s""""docs":${embAll.count()}"""), embJson)
+
     // ---- ann-topk: brute mode byte-identical to bruteForceTopK (p06's
     // operator); ivf mode ships k rows per query
     val emb = Tables(spark, sfDir).embeddings.select($"vec_id", $"embedding")
@@ -2634,6 +2661,32 @@ class GraftCliSpec extends SparkSpec {
         .toSet
     assert(mfSet(mf) == mfSet(libMf))
     assert(mfJson.contains("\"decoders\":{"), mfJson)
+
+    // ---- usage guards: a flag in the CORPUS slot (or a missing
+    // operand) is a usage error, not a parquet read of the literal
+    // "--db" and not an ArrayIndexOutOfBounds
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", "--db", db4))
+    }
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("text-quality", "--db", db4))
+    }
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("media-features", "--db", db4))
+    }
+
+    // ---- empty corpus: text-quality writes the empty relation and the
+    // report carries mean_quality:null (avg over zero rows) instead of
+    // throwing
+    val emptyDir =
+      Files.createTempDirectory("graft_pipe_empty").toString + "/docs"
+    corpus.filter(lit(false)).write.parquet(emptyDir)
+    val emptyJson =
+      jsonOut(Array("text-quality", emptyDir, "--db", db4, "--json"))
+    assert(emptyJson.contains("\"docs\":0") &&
+      emptyJson.contains("\"mean_quality\":null") &&
+      emptyJson.contains("\"langs\":{}"), emptyJson)
+    assert(spark.read.parquet(s"$db4/text_quality").count() == 0)
 
     // ---- verb discipline: every pipeline verb audit-logged its run
     val audit = spark.read.parquet(s"$db/audit_log")
