@@ -1316,6 +1316,12 @@ object Bench {
       s"""{"metric":"compact","best":$compactJson,"nc":""" +
         ncRows.map("\"" + _ + "\"").mkString("[", ",", "]") +
         f""","probe_best":$bestProbePar%.3f,"sf":"$sfDir"}"""
+    // Headroom budget (r14 verdict #6): the committed r14 line measured
+    // 1,302 chars against this 1,900 tripwire — ~600 chars spare, or
+    // ~20 more "key":0.0000 rows before trimming is needed. Spill
+    // strategy when that runs out: move the gate rows (g_*/recall_*,
+    // ~230 chars) to a SECOND compact line printed just before this
+    // one — the driver's 2,000-char tail then still carries both.
     assert(compactLine.length < 1900,
       s"compact line ${compactLine.length} chars outgrew the driver's " +
         "2,000-char stdout tail — trim it before it truncates")
