@@ -1,0 +1,31 @@
+#!/bin/bash
+# Run the full ScalaTest suite and emit a committed per-round artifact
+# (VERDICT r14 next-round #4): TESTS_r<N>.txt with the suite summary,
+# wall time, commit, and date, so "sbt test green" is evidence the
+# judge can read instead of a session claim.
+#
+# Usage: tools/run_tests.sh <round> [logfile]
+set -u
+round="${1:?usage: tools/run_tests.sh <round> [logfile]}"
+log="${2:-/tmp/graft_tests_r${round}.log}"
+cd "$(dirname "$0")/.."
+start=$(date +%s)
+sbt -batch test >"$log" 2>&1
+rc=$?
+wall=$(( $(date +%s) - start ))
+summary=$(grep -E "^\[info\] (Tests:|Total number of tests run|Suites:|All tests passed|.*Run completed)" "$log" | tail -4)
+{
+  echo "# TESTS_r${round} — full \`sbt -batch test\` run"
+  echo "date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
+  echo "commit: $(git rev-parse HEAD)"
+  echo "exit_code: ${rc}"
+  echo "wall_seconds: ${wall}"
+  echo "log: ${log} (session-local)"
+  echo
+  echo "$summary"
+  echo
+  echo "canceled tests (expected: GIAB corpus absent, ffmpeg absent):"
+  grep -E "CANCELED|!!! CANCELED" "$log" | sed 's/^\[info\] *//' | sort -u
+} > "TESTS_r${round}.txt"
+cat "TESTS_r${round}.txt"
+exit $rc
