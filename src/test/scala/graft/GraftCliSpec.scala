@@ -2695,4 +2695,61 @@ class GraftCliSpec extends SparkSpec {
         s"no successful audit row for $v")
     }
   }
+
+  test("pipeline verb reports are single-pass: no post-write rescan actions") {
+    // Structural tripwire for the r14 verdict-#3 rework: the verb
+    // `--json` reports must collect every summary value via Observation
+    // metrics DURING the write, so a verb run executes only write
+    // COMMANDS — zero non-command actions (the old report's agg.head()
+    // / groupBy.collect() rescans were exactly such actions, and any
+    // reintroduced count()/collect() trips this).
+    import org.apache.spark.sql.functions._
+    val db = Files.createTempDirectory("graftdb_onepass").toString
+    val d = Tables(spark, sfDir).documents.filter($"doc_id" < 100)
+      .select($"doc_id", $"text")
+    val dir = Files.createTempDirectory("graft_onepass").toString + "/docs"
+    d.write.parquet(dir)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = {
+        val cmd = qe.logical
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
+        events.add(s"$f:${if (cmd) "command" else qe.logical.nodeName}")
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val evs = try {
+      Console.withOut(new java.io.PrintStream(
+          new java.io.ByteArrayOutputStream())) {
+        Graft.run(spark, Array("text-quality", dir, "--db", db, "--json"))
+      }
+      // the execution-listener bus dispatches asynchronously: poll until
+      // the event stream is quiet (two consecutive equal sizes), bounded
+      var prev = -1
+      var waited = 0
+      while (waited < 10000 && events.size() != prev) {
+        prev = events.size(); Thread.sleep(250); waited += 250
+      }
+      events.toArray(Array.empty[String]).toSeq
+    } finally spark.listenerManager.unregister(listener)
+    // Allowed non-command actions: GlobalLimit probes only — the audit
+    // hash chain reads its previous tip via a limit(1).collect()
+    // (Audit.scala:464), an O(1)-row bookkeeping probe. Anything else
+    // (a count() shows as an Aggregate, a histogram collect as an
+    // Aggregate/Sort) is a reintroduced report rescan.
+    val rescans = evs.filterNot(e =>
+      e.endsWith(":command") || e.endsWith(":GlobalLimit"))
+    assert(rescans.isEmpty,
+      s"post-write rescan actions detected (report is no longer " +
+        s"single-pass): $evs")
+    // one write command for text_quality (+ the bounded tip probe);
+    // a growing command count would mean extra write passes
+    assert(evs.count(_.endsWith(":command")) == 1 && evs.size <= 3,
+      s"unexpected action count: $evs")
+  }
 }
