@@ -237,6 +237,24 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Embedding canonical-keep: cluster the p12 near-dup pairs and drop
+    // every clustered vector except its cluster's min id — the exact
+    // composition the `dedup --method embedding` verb materializes, so
+    // the verb's end-to-end output shape has its own oracle chain
+    // (p16's analogue for the vector corpus).
+    "p21_embedding_keep" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings.select($"vec_id", $"embedding")
+      val copies = e.filter($"vec_id" < 20)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+      val all = e.union(copies)
+      val cl = Dedup.clusterPairs(
+        Dedup.embeddingNearDup(all, threshold = 0.95))
+      Dedup.dropNearDuplicates(all, cl, "vec_id")
+        .select($"vec_id")
+        .orderBy($"vec_id")
+    },
+
     // Capped embedding near-dup: an identical-vector flood shares one
     // sign bucket; the maxBucketSize skew guard must drop exactly the
     // oversized buckets and nothing else — pinned against the DuckDB
