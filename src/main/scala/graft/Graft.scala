@@ -2561,6 +2561,12 @@ object Graft {
           if (method == "embedding") "vec_id" else "doc_id")
         val textCol = arg(args, "--text-col").getOrElse("text")
         val maxBucket = arg(args, "--max-bucket").map(_.toInt)
+        // --staged persists minhash signatures; on any other method it
+        // would silently no-op while the caller believes the 0.5 KB/doc
+        // signature store landed — reject instead
+        if (has(args, "--staged") && method != "minhash")
+          sys.error(s"dedup: --staged applies to --method minhash only " +
+            s"(got --method $method)")
         val corpus = spark.read.parquet(corpusPath)
         // Single-pass report (r14 verdict #3): the input size is
         // observed on the corpus scan that feeds the kept write

@@ -2674,6 +2674,12 @@ class GraftCliSpec extends SparkSpec {
     intercept[RuntimeException] {
       Graft.run(spark, Array("media-features", "--db", db4))
     }
+    // --staged persists minhash signatures only: on another method it
+    // must reject rather than silently skip the signature store
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", embCorpusDir, "--db", db4,
+        "--method", "embedding", "--staged"))
+    }
 
     // ---- empty corpus: text-quality writes the empty relation and the
     // report carries mean_quality:null (avg over zero rows) instead of
