@@ -2729,19 +2729,32 @@ class GraftCliSpec extends SparkSpec {
           e: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    // The execution-listener bus dispatches asynchronously AND a freshly
+    // registered listener can still receive queued events from earlier
+    // tests' actions. Bracket the verb with marker actions: the bus is
+    // ordered, so once a marker's event arrives, everything before it
+    // has drained — clear pre-verb noise at the first marker, stop
+    // collecting at the second.
+    def runMarkerAndAwait(): Unit = {
+      spark.range(1).collect() // "collect:Range" — nothing else collects a bare Range here
+      var waited = 0
+      while (waited < 20000 &&
+          !events.toArray(Array.empty[String]).contains("collect:Range")) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(events.toArray(Array.empty[String]).contains("collect:Range"),
+        "listener bus never delivered the marker event")
+    }
     val evs = try {
+      runMarkerAndAwait()
+      events.clear()
       Console.withOut(new java.io.PrintStream(
           new java.io.ByteArrayOutputStream())) {
         Graft.run(spark, Array("text-quality", dir, "--db", db, "--json"))
       }
-      // the execution-listener bus dispatches asynchronously: poll until
-      // the event stream is quiet (two consecutive equal sizes), bounded
-      var prev = -1
-      var waited = 0
-      while (waited < 10000 && events.size() != prev) {
-        prev = events.size(); Thread.sleep(250); waited += 250
-      }
+      runMarkerAndAwait()
       events.toArray(Array.empty[String]).toSeq
+        .filterNot(_ == "collect:Range")
     } finally spark.listenerManager.unregister(listener)
     // Allowed non-command actions: GlobalLimit probes only — the audit
     // hash chain reads its previous tip via a limit(1).collect()
