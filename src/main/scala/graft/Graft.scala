@@ -2554,7 +2554,10 @@ object Graft {
         // (default 0.95) over sign-LSH buckets — p12/p18's operator;
         // size --planes ~ log2(n / targetBucket) and --dim to the TRUE
         // vector length (an overstated dim degrades bucketing, see
-        // Dedup.embeddingNearDup).
+        // Dedup.embeddingNearDup). --bands (1..dim/planes) is the
+        // embedding recall dial (disjoint-component bands, recall
+        // 1-(1-r)^bands at ~bands x candidate volume); for minhash it
+        // keeps its signature-banding meaning (default 16).
         val corpusPath = positionalPath(args, "dedup", "CORPUS")
         val method = arg(args, "--method").getOrElse("exact")
         val idCol = arg(args, "--id-col").getOrElse(
@@ -2626,8 +2629,11 @@ object Graft {
             val vecCol = arg(args, "--vec-col").getOrElse("embedding")
             val threshold =
               arg(args, "--threshold").map(_.toDouble).getOrElse(0.95)
+            // --bands: the measured recall dial (1−(1−r)^bands over
+            // disjoint component sets) at ~bands× candidate volume
+            val bands = arg(args, "--bands").map(_.toInt).getOrElse(1)
             val cl = Dedup.clusterPairs(Dedup.embeddingNearDup(corpus,
-              threshold, idCol, vecCol, planes, dim, maxBucket))
+              threshold, idCol, vecCol, planes, dim, maxBucket, bands))
             (Dedup.dropNearDuplicates(counted, cl, idCol), cl)
           case other => sys.error(s"dedup: unknown --method $other " +
             "(expected exact|minhash|simhash|embedding)")

@@ -642,7 +642,25 @@ object Dedup {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        planes: Int = 12, dim: Int = 64,
-                       maxBucketSize: Option[Int] = None): DataFrame = {
+                       maxBucketSize: Option[Int] = None,
+                       bands: Int = 1): DataFrame = {
+    // `bands` is the RECALL dial (measured, EmbedDedupProbe): a single
+    // sign-LSH banding finds a perturbed near-dup only if NO selected
+    // component's sign flipped, recall ≈ (1−flip)^planes — 0.65 at
+    // planes=11 / eps=0.15. Band b reads the DISJOINT strided component
+    // set {i·stride + b}, so misses are independent across bands and
+    // recall composes as 1−(1−r)^bands (bands=3 at planes=11: ~0.96
+    // measured) for ~bands× candidate volume. All bands come from ONE
+    // scan (posexplode of a bucket array — never a union of per-band
+    // plans, which would evaluate the source once per child); a pair
+    // sharing several band buckets is deduped AFTER the threshold
+    // filter, where the surviving set is small. bands=1 keeps the
+    // historical single-band plan exactly (no band column, no dedup).
+    val stride = math.max(1, dim / planes)
+    require(bands >= 1 && bands <= stride,
+      s"embeddingNearDup: bands=$bands out of range — the strided sign " +
+        s"buckets admit at most stride=$stride disjoint bands at " +
+        s"planes=$planes dim=$dim")
     // null id / null vector rows fell out of the former equi-join shape
     // (null never compared under id_a < id_b; a null vector's cosine is
     // null) — drop them explicitly so the groupBy can't form pairs the
@@ -655,11 +673,25 @@ object Dedup {
     // exact expression cosine() would have evaluated per pair.
     def dotC(x: Column, y: Column): Column =
       graft.functions.VectorExpressions.vecDot(x, y)
-    val bucketed = Similarity.withLshBucket(embeddings, vecCol, planes, dim)
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("lsh_bucket"))
-      .withColumn("nrm", sqrt(dotC(col("vec"), col("vec"))))
-    val grouped = bucketed.groupBy(col("lsh_bucket"))
+    val (bucketed, groupCols) =
+      if (bands == 1) {
+        (Similarity.withLshBucket(embeddings, vecCol, planes, dim)
+          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .select(col(idCol).as("id"), col(vecCol).as("vec"),
+            col("lsh_bucket"))
+          .withColumn("nrm", sqrt(dotC(col("vec"), col("vec")))),
+          Seq(col("lsh_bucket")))
+      } else {
+        val bandBuckets = array((0 until bands).map(b =>
+          Similarity.lshBucketCol(col(vecCol), planes, dim, b)): _*)
+        (embeddings
+          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .select(col(idCol).as("id"), col(vecCol).as("vec"),
+            posexplode(bandBuckets).as(Seq("band", "lsh_bucket")))
+          .withColumn("nrm", sqrt(dotC(col("vec"), col("vec")))),
+          Seq(col("band"), col("lsh_bucket")))
+      }
+    val grouped = bucketed.groupBy(groupCols: _*)
       .agg(sort_array(collect_list(
         struct(col("id"), col("vec"), col("nrm")))).as("_m"))
     val sized = maxBucketSize match {
@@ -667,7 +699,7 @@ object Dedup {
       case Some(cap) => grouped.filter(size(col("_m")).between(2, cap))
     }
     val n = size(col("_m"))
-    sized
+    val pairs = sized
       .select(explode(flatten(transform(col("_m"), (a, i) =>
         transform(slice(col("_m"), i + lit(2), n - i - lit(1)), b =>
           struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
@@ -680,5 +712,9 @@ object Dedup {
       // sorted member list and would pair with themselves here, where
       // the join shape's id_a < id_b dropped them
       .filter(col("id_a") < col("id_b") && col("cosine") >= threshold)
+    // a pair co-bucketed in k bands appears k times with an IDENTICAL
+    // cosine (same floats, same expression) — dedup the post-threshold
+    // survivors, not the candidate stream
+    if (bands == 1) pairs else pairs.dropDuplicates("id_a", "id_b")
   }
 }

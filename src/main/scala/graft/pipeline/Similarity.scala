@@ -88,15 +88,34 @@ object Similarity {
     * oracle reproduces the buckets exactly), where seeded-Gaussian
     * hyperplanes are not; for roughly isotropic embeddings each
     * coordinate sign splits the corpus ~50/50, which is the same
-    * balance property the Gaussian planes bought. */
+    * balance property the Gaussian planes bought.
+    *
+    * `offset` selects an independent BAND: band b reads coordinates
+    * {b, stride+b, 2*stride+b, …} — disjoint from every other offset
+    * below `stride`, which is what makes multi-band recall compose as
+    * 1−(1−r)^bands (see [[graft.pipeline.Dedup.embeddingNearDup]]).
+    * offset=0 is bit-identical to the historical single-band bucket. */
   def withLshBucket(df: DataFrame, vecCol: String, planes: Int,
-                    dim: Int = 64): DataFrame = {
+                    dim: Int = 64, offset: Int = 0): DataFrame =
+    df.withColumn("lsh_bucket", lshBucketCol(col(vecCol), planes, dim, offset))
+
+  /** The bucket as a bare Column (for callers that build several bands
+    * from one scan instead of unioning per-band plans — a union of the
+    * same source evaluates it once per child). */
+  def lshBucketCol(vec: Column, planes: Int, dim: Int = 64,
+                   offset: Int = 0): Column = {
     val stride = math.max(1, dim / planes)
+    // only the offset is validated: planes overstating the real vector
+    // length keeps its historical defined-but-degraded behavior
+    // (element_at past the end reads null → constant bit)
+    require(offset >= 0 && offset < stride,
+      s"lshBucketCol: offset $offset out of range for planes=$planes " +
+        s"dim=$dim (stride $stride — at most $stride disjoint bands)")
     val bits: Seq[Column] = (0 until planes).map { i =>
-      when(element_at(col(vecCol), i * stride + 1) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
+      when(element_at(vec, i * stride + offset + 1) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
     }
-    df.withColumn("lsh_bucket", bits.reduce(_ + _))
+    bits.reduce(_ + _)
   }
 
   /** Train a coarse quantizer for `ivfTopK` with spherical k-means over

@@ -237,6 +237,21 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // Multi-band embedding near-dup (the recall dial over p12's
+    // operator): band b buckets on the disjoint strided component set
+    // {i*stride + b}, candidates union across bands, pairs found in
+    // several bands dedup to one row. Pinned against a DuckDB twin
+    // deriving both bands and DISTINCT-ing the same pair set.
+    "p22_embedding_neardup_banded" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings.select($"vec_id", $"embedding")
+      val copies = e.filter($"vec_id" < 20)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+      Dedup.embeddingNearDup(e.union(copies), threshold = 0.9, bands = 2)
+        .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Embedding canonical-keep: cluster the p12 near-dup pairs and drop
     // every clustered vector except its cluster's min id — the exact
     // composition the `dedup --method embedding` verb materializes, so

@@ -241,6 +241,11 @@ class DedupSpec extends SparkSpec {
     assert(joins(Dedup.embeddingNearDup(
       graft.Tables(spark, sfDir).embeddings.limit(50), 0.5,
       maxBucketSize = Some(50))) == 0)
+    // the multi-band form stays join-free too: bands come from ONE scan
+    // (posexplode), dedup is an aggregate, not a self-join
+    assert(joins(Dedup.embeddingNearDup(
+      graft.Tables(spark, sfDir).embeddings.limit(50), 0.5,
+      maxBucketSize = Some(50), bands = 3)) == 0)
   }
 
   test("sorted-run pair-gen is bit-identical to the grouped twin " +
@@ -634,6 +639,44 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1),
           math.round(r.getDouble(2) * 1e9))).toSet
       assert(got == expected, s"cap=$cap planes=$planes")
+    }
+  }
+
+  test("embedding bands: band-0 sign flip is found only by bands=2") {
+    // v2 flips the sign of component 0 — a coordinate band 0 reads
+    // (0-based indices 0,5,10,…) and band 1 does not (1,6,11,…). The
+    // single-band bucket differs in bit 0, so bands=1 MUST miss the
+    // pair; band 1's bucket is identical, so bands=2 MUST find it. The
+    // flipped component is tiny (0.01 of 0.1-valued coords), so the
+    // cosine stays ≈0.9997 — well over the threshold: the miss is
+    // purely the banding, which is exactly the recall gap the dial buys
+    // back.
+    val v = Array.fill(64)(0.1f); v(0) = 0.01f
+    val v2 = v.clone(); v2(0) = -0.01f
+    val df = Seq((1L, v.toSeq), (2L, v2.toSeq)).toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(df, 0.99).count() == 0)
+    val banded = Dedup.embeddingNearDup(df, 0.99, bands = 2).collect()
+    assert(banded.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    assert(banded.head.getDouble(2) > 0.99)
+  }
+
+  test("embedding bands: bands=2 is a deduped superset of bands=1") {
+    val e = graft.Tables(spark, sfDir).embeddings
+      .filter($"vec_id" < 120).select($"vec_id", $"embedding")
+    def pairs(bands: Int): Seq[(Long, Long)] =
+      Dedup.embeddingNearDup(e, 0.9, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val p1 = pairs(1)
+    val p2 = pairs(2)
+    // a pair co-bucketed in both bands appears once, not twice
+    assert(p2.distinct.size == p2.size, "duplicate pairs across bands")
+    assert(p1.toSet.subsetOf(p2.toSet),
+      "multi-band output lost single-band pairs")
+    // bands beyond the disjoint-component budget (stride = dim/planes)
+    // is a construction-time error, not silent bucket overlap
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(e, 0.9, bands = 6) // stride=5 at 12/64
     }
   }
 }

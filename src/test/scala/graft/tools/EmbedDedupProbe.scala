@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * rule planes ≈ log2(n / targetBucket) with targetBucket = 500.
   * Numbers land in COVERAGE/DEPLOY next to the sibling operators'.
   *
-  * Usage: sbt "Test/runMain graft.tools.EmbedDedupProbe [n]"
+  * Usage: sbt "Test/runMain graft.tools.EmbedDedupProbe [n] [bands]"
   */
 object EmbedDedupProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.Tables.session()
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val bands = args.lift(1).map(_.toInt).getOrElse(1)
     val dim = 64
     val planes = math.ceil(math.log(n / 500.0) / math.log(2)).toInt
     val eps = 0.15
@@ -39,8 +40,8 @@ object EmbedDedupProbe {
     val vecs = spark.range(n)
       .select(col("id").as("vec_id"), emb.as("embedding"))
       .localCheckpoint() // generation excluded from the operator timing
-    println(s"[embdedup] n=$n dim=$dim planes=$planes eps=$eps " +
-      s"expected_pairs~${n / 1000}")
+    println(s"[embdedup] n=$n dim=$dim planes=$planes bands=$bands " +
+      s"eps=$eps expected_pairs~${n / 1000}")
 
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -50,7 +51,7 @@ object EmbedDedupProbe {
     }
     val pairs = graft.pipeline.Dedup.embeddingNearDup(
       vecs, threshold = 0.95, planes = planes, dim = dim,
-      maxBucketSize = Some(2000))
+      maxBucketSize = Some(2000), bands = bands)
     val nPairs = timed("pairs(count)") { pairs.count() }
     println(s"[embdedup] pairs=$nPairs recall_of_planted~=" +
       f"${nPairs.toDouble / (n / 1000)}%.3f (sign-bucket misses + " +
