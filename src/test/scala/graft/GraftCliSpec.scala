@@ -2598,6 +2598,16 @@ class GraftCliSpec extends SparkSpec {
     assert(embJson.contains("\"method\":\"embedding\""), embJson)
     // report arithmetic holds on the single-pass observed counts too
     assert(embJson.contains(s""""docs":${embAll.count()}"""), embJson)
+    // --bands 2 routes to the multi-band recall dial (p22's operator)
+    jsonOut(Array("dedup", embCorpusDir, "--db", db4,
+      "--method", "embedding", "--threshold", "0.95", "--bands", "2",
+      "--json"))
+    val embClusters2 = graft.pipeline.Dedup.clusterPairs(
+      graft.pipeline.Dedup.embeddingNearDup(embAll, threshold = 0.95,
+        bands = 2))
+    assert(vecKeyset(spark.read.parquet(s"$db4/dedup_corpus")) ==
+      vecKeyset(graft.pipeline.Dedup.dropNearDuplicates(
+        embAll, embClusters2, "vec_id")))
 
     // ---- ann-topk: brute mode byte-identical to bruteForceTopK (p06's
     // operator); ivf mode ships k rows per query
