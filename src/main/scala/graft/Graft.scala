@@ -38,6 +38,30 @@ object Graft {
     args(1)
   }
 
+  /** Closed-label-set histogram observed during a verb's write pass
+    * (the single-pass report discipline): per-label conditional counts
+    * plus an "other" count that trips loudly when a classifier gains a
+    * label nobody registered here. */
+  private def labelHistAggs(labels: Seq[String],
+      c: org.apache.spark.sql.Column,
+      prefix: String): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{count, when, lit, not}
+    count(when(not(c.isin(labels: _*)), lit(1))).as(s"${prefix}_other") +:
+      labels.map(l => count(when(c === l, lit(1))).as(s"${prefix}_$l"))
+  }
+
+  /** Render the observed label counts as the report's JSON object —
+    * only labels that occurred, ordered by count desc then label (or
+    * label alone). */
+  private def labelHistRender(labels: Seq[String], prefix: String,
+      m: Map[String, _], byCountDesc: Boolean): String =
+    (labels.map(l => (l, m(s"${prefix}_$l").asInstanceOf[Long])) ++
+      Seq(("other", m(s"${prefix}_other").asInstanceOf[Long])))
+      .filter(_._2 > 0)
+      .sortBy { case (l, c) => (if (byCountDesc) -c else 0L, l) }
+      .map { case (l, c) => s"${jsonStr(l)}:$c" }
+      .mkString("{", ",", "}")
+
   /** JSON string escape shared by every CLI `--json`/report face —
     * backslash, quote, and ALL control chars (a newline or tab in a file
     * path or error message must not emit invalid JSON). */
@@ -2748,9 +2772,8 @@ object Graft {
         val obs = org.apache.spark.sql.Observation("text_quality")
         val aggs = Seq(count(lit(1)).as("n"),
           sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
-          avg($"quality_score").as("mean_q"),
-          count(when(!$"lang".isin(langs: _*), 1)).as("lang_other")) ++
-          langs.map(l => count(when($"lang" === l, 1)).as(s"lang_$l"))
+          avg($"quality_score").as("mean_q")) ++
+          labelHistAggs(langs, $"lang", "lang")
         graft.sinks.Writers.replaceInPlace(
           tq.observe(obs, aggs.head, aggs.tail: _*), tbl(db, "text_quality"))(
           (d, p) => d.write.parquet(p))
@@ -2758,12 +2781,7 @@ object Graft {
         val n = m("n").asInstanceOf[Long]
         val nPass = Option(m("n_pass")).map(_.asInstanceOf[Long]).getOrElse(0L)
         val meanQ = Option(m("mean_q")).map(_.asInstanceOf[Double])
-        val langHist = (langs.map(l => (l, m(s"lang_$l").asInstanceOf[Long])) ++
-          Seq(("other", m("lang_other").asInstanceOf[Long])))
-          .filter(_._2 > 0)
-          .sortBy { case (l, c) => (-c, l) } // count desc, label asc
-          .map { case (l, c) => s"${jsonStr(l)}:$c" }
-          .mkString("{", ",", "}")
+        val langHist = labelHistRender(langs, "lang", m, byCountDesc = true)
         if (has(args, "--json"))
           println(s"""{"docs":$n,"pass":$nPass,""" +
             meanQ.map(q => f""""mean_quality":$q%.4f,""")
@@ -2793,25 +2811,20 @@ object Graft {
         val feats = Multimodal.extractFeatures(media).toDF()
         // Single-pass report (r14 verdict #3): the decoder label set is
         // closed by construction (Multimodal assigns only imageio |
-        // wav_pcm | stub), so the histogram observes fixed conditional
-        // counts during the write; "other" trips loudly if a decoder is
-        // ever added without registering it here.
-        val decoders = Seq("imageio", "wav_pcm", "stub")
+        // wav_pcm | ffmpeg | stub), so the histogram observes fixed
+        // conditional counts during the write; "other" trips loudly if a
+        // decoder is ever added without registering it here.
+        val decoders = Seq("imageio", "wav_pcm", "ffmpeg", "stub")
         val obs = org.apache.spark.sql.Observation("media_features")
-        val aggs = Seq(count(lit(1)).as("n"),
-          count(when(!$"decoder".isin(decoders: _*), 1)).as("dec_other")) ++
-          decoders.map(dc => count(when($"decoder" === dc, 1)).as(s"dec_$dc"))
+        val aggs = count(lit(1)).as("n") +:
+          labelHistAggs(decoders, $"decoder", "dec")
         graft.sinks.Writers.replaceInPlace(
           feats.observe(obs, aggs.head, aggs.tail: _*),
           tbl(db, "media_features"))((d, p) => d.write.parquet(p))
         val m = obs.get
         val nMedia = m("n").asInstanceOf[Long]
-        val byDecoder = (decoders.map(dc =>
-          (dc, m(s"dec_$dc").asInstanceOf[Long])) ++
-          Seq(("other", m("dec_other").asInstanceOf[Long])))
-          .filter(_._2 > 0).sortBy(_._1) // decoder asc, as before
-          .map { case (dc, c) => s"${jsonStr(dc)}:$c" }
-          .mkString("{", ",", "}")
+        val byDecoder = // decoder asc, as before
+          labelHistRender(decoders, "dec", m, byCountDesc = false)
         if (has(args, "--json"))
           println(s"""{"media":$nMedia,"decoders":$byDecoder}""")
         else println(s"media-features: $nMedia payloads, decoders $byDecoder")

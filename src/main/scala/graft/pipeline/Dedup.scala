@@ -683,12 +683,16 @@ object Dedup {
           Seq(col("lsh_bucket")))
       } else {
         val bandBuckets = array((0 until bands).map(b =>
-          Similarity.lshBucketCol(col(vecCol), planes, dim, b)): _*)
+          Similarity.lshBucketCol(col("vec"), planes, dim, b)): _*)
+        // nrm BEFORE the posexplode: Generate evaluates per OUTPUT row,
+        // so a post-explode nrm would re-fold the self-dot once per
+        // band instead of once per vector
         (embeddings
           .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-          .select(col(idCol).as("id"), col(vecCol).as("vec"),
-            posexplode(bandBuckets).as(Seq("band", "lsh_bucket")))
-          .withColumn("nrm", sqrt(dotC(col("vec"), col("vec")))),
+          .select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .withColumn("nrm", sqrt(dotC(col("vec"), col("vec"))))
+          .select(col("id"), col("vec"), col("nrm"),
+            posexplode(bandBuckets).as(Seq("band", "lsh_bucket"))),
           Seq(col("band"), col("lsh_bucket")))
       }
     val grouped = bucketed.groupBy(groupCols: _*)

@@ -38,7 +38,7 @@ object Multimodal {
       content_hash: Long,
       feature_vec: Array[Float],
       n_frames_sampled: Int,
-      decoder: String)        // imageio | wav_pcm | stub
+      decoder: String)        // imageio | wav_pcm | ffmpeg | stub
 
   /** Demo media table synthesized from the documents table: each text
     * payload becomes an opaque binary blob with typed metadata. At scale

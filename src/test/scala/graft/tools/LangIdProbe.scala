@@ -227,7 +227,10 @@ object LangIdProbe {
       val keptIn = kept.filter(_._2)
       val correct = keptIn.count(r => r._1 == r._4)
       val leak = kept.count(!_._2)
-      println(f"[langid] $t%9.2f  ${correct.toDouble / kept.length}%9.4f" +
+      // an empty kept set is a finding, not a NaN row
+      val precision = if (kept.isEmpty) "   (empty)"
+        else f"${correct.toDouble / kept.length}%9.4f"
+      println(f"[langid] $t%9.2f  $precision" +
         f"  ${correct.toDouble / inSet.length}%8.4f" +
         f"  ${leak.toDouble / outSet.length}%11.4f")
     }
