@@ -1,0 +1,25 @@
+-- Staged embedding near-dup: the Spark side materializes the per-band
+-- bucket relation (vec_id, embedding, nrm, bucket_0, bucket_1) to
+-- parquet and derives pairs from the STORED relation — the pair set
+-- must be bit-identical to the live multi-band derivation, so the
+-- oracle is p22's: band b buckets on the sign pattern of the disjoint
+-- strided component set {i*stride + b}, candidates union across bands,
+-- co-bucketed pairs collapse to one row.
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+),
+b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, band,
+    list_sum(list_transform(range(12),
+      i -> CASE WHEN embedding[i * 5 + band + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END))
+      AS lsh_bucket
+  FROM corpus, (SELECT unnest(range(2)) AS band)
+)
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+  ROUND(list_cosine_similarity(a.v, c.v), 6) AS cosine
+FROM b a JOIN b c ON a.band = c.band AND a.lsh_bucket = c.lsh_bucket
+  AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.v, c.v) >= 0.9
+ORDER BY id_a, id_b

@@ -46,7 +46,12 @@ object Graft {
       c: org.apache.spark.sql.Column,
       prefix: String): Seq[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.functions.{count, when, lit, not}
-    count(when(not(c.isin(labels: _*)), lit(1))).as(s"${prefix}_other") +:
+    // NULL-safe: not(isin) is NULL (not true) for a NULL label, which
+    // would count the row in NEITHER bucket and desync the histogram
+    // sum from the row count — a NULL classifier output must land in
+    // "other" like any other unregistered label.
+    count(when(c.isNull || not(c.isin(labels: _*)), lit(1)))
+      .as(s"${prefix}_other") +:
       labels.map(l => count(when(c === l, lit(1))).as(s"${prefix}_$l"))
   }
 
@@ -54,13 +59,23 @@ object Graft {
     * only labels that occurred, ordered by count desc then label (or
     * label alone). */
   private def labelHistRender(labels: Seq[String], prefix: String,
-      m: Map[String, _], byCountDesc: Boolean): String =
+      m: Map[String, _], byCountDesc: Boolean): String = {
+    val other = m(s"${prefix}_other").asInstanceOf[Long]
+    // Single-pass reporting can't name an unregistered label (the
+    // groupBy that would is exactly the rescan we removed) — but a
+    // nonzero "other" should be loud enough to chase, not just a
+    // quiet bucket in the JSON.
+    if (other > 0)
+      System.err.println(s"[graft] WARNING: $other rows with an " +
+        s"unregistered '$prefix' label landed in \"other\" — a " +
+        s"classifier emitted a label not in {${labels.mkString(",")}}")
     (labels.map(l => (l, m(s"${prefix}_$l").asInstanceOf[Long])) ++
-      Seq(("other", m(s"${prefix}_other").asInstanceOf[Long])))
+      Seq(("other", other)))
       .filter(_._2 > 0)
       .sortBy { case (l, c) => (if (byCountDesc) -c else 0L, l) }
       .map { case (l, c) => s"${jsonStr(l)}:$c" }
       .mkString("{", ",", "}")
+  }
 
   /** JSON string escape shared by every CLI `--json`/report face —
     * backslash, quote, and ALL control chars (a newline or tab in a file
@@ -2571,9 +2586,12 @@ object Graft {
         //   [--vec-col embedding] [--staged] [--json]
         // Writes: $db/dedup_corpus (kept docs — the output a training
         // pipeline feeds downstream), $db/dedup_clusters (membership),
-        // and with --staged the $db/dedup_signatures relation (the
-        // 0.5 KB/doc minhash store the scale path re-reads instead of
-        // re-hashing the corpus). --method embedding dedups a VECTOR
+        // and with --staged the method's derivation store: minhash →
+        // $db/dedup_signatures (the 0.5 KB/doc signature relation the
+        // scale path re-reads instead of re-hashing the corpus),
+        // embedding → $db/dedup_vec_buckets (id, vec, nrm, one bucket
+        // column per band — threshold/bands sweeps re-read it, fewer
+        // bands column-prune). --method embedding dedups a VECTOR
         // corpus (default --id-col vec_id) by cosine >= --threshold
         // (default 0.95) over sign-LSH buckets — p12/p18's operator;
         // size --planes ~ log2(n / targetBucket) and --dim to the TRUE
@@ -2588,12 +2606,14 @@ object Graft {
           if (method == "embedding") "vec_id" else "doc_id")
         val textCol = arg(args, "--text-col").getOrElse("text")
         val maxBucket = arg(args, "--max-bucket").map(_.toInt)
-        // --staged persists minhash signatures; on any other method it
-        // would silently no-op while the caller believes the 0.5 KB/doc
-        // signature store landed — reject instead
-        if (has(args, "--staged") && method != "minhash")
-          sys.error(s"dedup: --staged applies to --method minhash only " +
-            s"(got --method $method)")
+        // --staged persists the method's re-readable derivation store
+        // (minhash: signatures; embedding: per-band buckets + norms);
+        // exact/simhash have no such store — rejecting beats a silent
+        // no-op the caller believes landed
+        if (has(args, "--staged") && method != "minhash" &&
+            method != "embedding")
+          sys.error(s"dedup: --staged applies to --method minhash or " +
+            s"embedding only (got --method $method)")
         val corpus = spark.read.parquet(corpusPath)
         // Single-pass report (r14 verdict #3): the input size is
         // observed on the corpus scan that feeds the kept write
@@ -2656,8 +2676,21 @@ object Graft {
             // --bands: the measured recall dial (1−(1−r)^bands over
             // disjoint component sets) at ~bands× candidate volume
             val bands = arg(args, "--bands").map(_.toInt).getOrElse(1)
-            val cl = Dedup.clusterPairs(Dedup.embeddingNearDup(corpus,
-              threshold, idCol, vecCol, planes, dim, maxBucket, bands))
+            val pairs = if (has(args, "--staged")) {
+              // stage the (id, vec, nrm, bucket_0..bands-1) relation —
+              // minhash's signature-store discipline for vectors: a
+              // later threshold/bands sweep re-reads this pruned
+              // columnar relation (fewer --bands column-prunes the
+              // unused buckets) instead of re-scanning the corpus
+              val dest = tbl(db, "dedup_vec_buckets")
+              graft.sinks.Writers.replaceInPlace(
+                Dedup.embeddingBuckets(corpus, idCol, vecCol, planes,
+                  dim, bands), dest)((d, p) => Dedup.writeSignatures(d, p))
+              Dedup.embeddingNearDupFromBuckets(spark.read.parquet(dest),
+                threshold, idCol, vecCol, maxBucket)
+            } else Dedup.embeddingNearDup(corpus, threshold, idCol,
+              vecCol, planes, dim, maxBucket, bands)
+            val cl = Dedup.clusterPairs(pairs)
             (Dedup.dropNearDuplicates(counted, cl, idCol), cl)
           case other => sys.error(s"dedup: unknown --method $other " +
             "(expected exact|minhash|simhash|embedding)")

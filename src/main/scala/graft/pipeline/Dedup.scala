@@ -127,7 +127,9 @@ object Dedup {
     * decompressed vectors exceeds an 8 GB driver heap (measured: the
     * staged 10M pairs run OOMs in the sig scan with default blocks,
     * passes with 32 MB). Smaller row groups also give split-based
-    * parallelism real granularity on object stores. */
+    * parallelism real granularity on object stores. The same layout
+    * discipline serves [[embeddingBuckets]]' staged relation (dense
+    * float vectors compress no better than signature longs). */
   def writeSignatures(sigs: DataFrame, path: String): Unit =
     sigs.write.option("parquet.block.size", (32 * 1024 * 1024).toString)
       .parquet(path)
@@ -644,6 +646,9 @@ object Dedup {
                        planes: Int = 12, dim: Int = 64,
                        maxBucketSize: Option[Int] = None,
                        bands: Int = 1): DataFrame = {
+    // Shared tail with [[embeddingNearDupFromBuckets]] (the staged
+    // path): both feed pre-bucketed member rows into vecBucketPairs,
+    // so the staged round trip is byte-identical by construction.
     // `bands` is the RECALL dial (measured, EmbedDedupProbe): a single
     // sign-LSH banding finds a perturbed near-dup only if NO selected
     // component's sign flipped, recall ≈ (1−flip)^planes — 0.65 at
@@ -695,6 +700,19 @@ object Dedup {
             posexplode(bandBuckets).as(Seq("band", "lsh_bucket"))),
           Seq(col("band"), col("lsh_bucket")))
       }
+    vecBucketPairs(bucketed, groupCols, threshold, maxBucketSize,
+      dedupAcrossBands = bands > 1)
+  }
+
+  /** The in-bucket pair tail shared by the live and staged embedding
+    * paths: group the (id, vec, nrm) member rows by their bucket key,
+    * emit i<j pairs with the cosine inline, filter to the threshold,
+    * and (multi-band only) dedup pairs co-bucketed in several bands. */
+  private def vecBucketPairs(bucketed: DataFrame, groupCols: Seq[Column],
+                             threshold: Double, maxBucketSize: Option[Int],
+                             dedupAcrossBands: Boolean): DataFrame = {
+    def dotC(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.vecDot(x, y)
     val grouped = bucketed.groupBy(groupCols: _*)
       .agg(sort_array(collect_list(
         struct(col("id"), col("vec"), col("nrm")))).as("_m"))
@@ -719,6 +737,83 @@ object Dedup {
     // a pair co-bucketed in k bands appears k times with an IDENTICAL
     // cosine (same floats, same expression) — dedup the post-threshold
     // survivors, not the candidate stream
-    if (bands == 1) pairs else pairs.dropDuplicates("id_a", "id_b")
+    if (dedupAcrossBands) pairs.dropDuplicates("id_a", "id_b") else pairs
+  }
+
+  /** The staged embedding-dedup relation — minhash's `dedup_signatures`
+    * discipline applied to vector corpora (the K1 projection idea: the
+    * columns pair generation needs, nothing else): per vector its id,
+    * the vector itself (cosine verification needs it), the norm
+    * computed once, and ONE BUCKET COLUMN PER BAND (`bucket_0..`).
+    *
+    * Why per-band columns instead of an array: the band count becomes
+    * self-describing in the schema (readers derive it, nothing is
+    * trusted from a side channel), and a re-run at FEWER bands than
+    * were staged column-prunes the unused buckets at the parquet scan —
+    * stage once at your max bands, then sweep `bands`/`threshold`
+    * downward re-reading only what each sweep needs, never re-scanning
+    * the corpus. Null id / null vector rows are dropped here (exactly
+    * the rows the live path drops), so pairs derived from the stored
+    * relation are byte-identical to the live path's. */
+  def embeddingBuckets(embeddings: DataFrame, idCol: String = "vec_id",
+                       vecCol: String = "embedding", planes: Int = 12,
+                       dim: Int = 64, bands: Int = 1): DataFrame = {
+    val stride = math.max(1, dim / planes)
+    require(bands >= 1 && bands <= stride,
+      s"embeddingBuckets: bands=$bands out of range — the strided sign " +
+        s"buckets admit at most stride=$stride disjoint bands at " +
+        s"planes=$planes dim=$dim")
+    def dotC(x: Column, y: Column): Column =
+      graft.functions.VectorExpressions.vecDot(x, y)
+    embeddings
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(Seq(col(idCol), col(vecCol),
+        sqrt(dotC(col(vecCol), col(vecCol))).as("nrm")) ++
+        (0 until bands).map(b =>
+          Similarity.lshBucketCol(col(vecCol), planes, dim, b)
+            .as(s"bucket_$b")): _*)
+  }
+
+  /** Near-dup pairs from an ALREADY-STAGED bucket relation
+    * ([[embeddingBuckets]], typically persisted via [[writeSignatures]]'
+    * bounded row groups) — the embedding analogue of
+    * [[minhashCandidatePairsFromSignatures]]. `bands` defaults to every
+    * `bucket_N` column present; asking for fewer uses bands 0..bands-1
+    * (the disjoint-component construction makes any prefix a valid
+    * banding) and prunes the rest at the scan. Pair output is
+    * byte-identical to [[embeddingNearDup]] at the same dials: the
+    * member rows entering the shared tail are the same rows (vector and
+    * norm round-trip parquet exactly; buckets are longs). */
+  def embeddingNearDupFromBuckets(staged: DataFrame, threshold: Double,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  maxBucketSize: Option[Int] = None,
+                                  bands: Option[Int] = None): DataFrame = {
+    val available = staged.columns.filter(_.matches("bucket_\\d+"))
+      .map(_.stripPrefix("bucket_").toInt).sorted
+    require(available.nonEmpty && available.sameElements(available.indices),
+      s"embeddingNearDupFromBuckets: staged relation has bucket columns " +
+        s"[${available.mkString(",")}] — expected contiguous bucket_0..N " +
+        s"(was it written by embeddingBuckets?)")
+    val nBands = bands.getOrElse(available.length)
+    require(nBands >= 1 && nBands <= available.length,
+      s"embeddingNearDupFromBuckets: bands=$nBands out of range — the " +
+        s"staged relation carries ${available.length} band(s)")
+    val (bucketed, groupCols) =
+      if (nBands == 1) {
+        // single band: the same (no band column) plan shape as the live
+        // bands=1 path — group keys match it exactly
+        (staged.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          col("nrm"), col("bucket_0").as("lsh_bucket")),
+          Seq(col("lsh_bucket")))
+      } else {
+        (staged.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          col("nrm"),
+          posexplode(array((0 until nBands).map(b =>
+            col(s"bucket_$b")): _*)).as(Seq("band", "lsh_bucket"))),
+          Seq(col("band"), col("lsh_bucket")))
+      }
+    vecBucketPairs(bucketed, groupCols, threshold, maxBucketSize,
+      dedupAcrossBands = nBands > 1)
   }
 }

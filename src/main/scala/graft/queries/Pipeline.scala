@@ -252,6 +252,27 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
+    // The STAGED embedding path (per-band bucket relation materialized
+    // to parquet once, pairs derived from the stored relation — the
+    // threshold/bands-sweep shape) must produce bit-identical pairs to
+    // the live multi-band composition; same oracle as p22.
+    "p23_embedding_neardup_staged" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings.select($"vec_id", $"embedding")
+      val copies = e.filter($"vec_id" < 20)
+        .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
+      val bkDir = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_p23_buckets").getPath
+      Dedup.embeddingBuckets(e.union(copies), bands = 2)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (32 * 1024 * 1024).toString)
+        .parquet(bkDir)
+      Dedup.embeddingNearDupFromBuckets(s.read.parquet(bkDir),
+          threshold = 0.9)
+        .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Embedding canonical-keep: cluster the p12 near-dup pairs and drop
     // every clustered vector except its cluster's min id — the exact
     // composition the `dedup --method embedding` verb materializes, so

@@ -41,7 +41,8 @@ object VcfOracles {
     "p13_lsh_topk", "p14_ivf_topk", "p15_dedup_clusters", "p16_dedup_keep",
     "p17_minhash_pairs_staged", "p18_embedding_neardup_capped",
     "p19_simhash_pairs_capped", "p20_minhash_pairs_capped",
-    "p21_embedding_keep", "p22_embedding_neardup_banded")
+    "p21_embedding_keep", "p22_embedding_neardup_banded",
+    "p23_embedding_neardup_staged")
 
   private def readResource(path: String): String = {
     val in = getClass.getResourceAsStream(path)

@@ -2609,6 +2609,29 @@ class GraftCliSpec extends SparkSpec {
       vecKeyset(graft.pipeline.Dedup.dropNearDuplicates(
         embAll, embClusters2, "vec_id")))
 
+    // ---- dedup --method embedding --staged: outputs byte-identical to
+    // the LIVE embedding run above (same dials), and the staged
+    // dedup_vec_buckets relation landed with the self-describing
+    // per-band schema and matches embeddingBuckets bit-for-bit
+    val db4s = Files.createTempDirectory("graftdb_pipe_embst").toString
+    jsonOut(Array("dedup", embCorpusDir, "--db", db4s,
+      "--method", "embedding", "--threshold", "0.95", "--bands", "2",
+      "--staged", "--json"))
+    assert(vecKeyset(spark.read.parquet(s"$db4s/dedup_corpus")) ==
+      vecKeyset(spark.read.parquet(s"$db4/dedup_corpus")))
+    assert(spark.read.parquet(s"$db4s/dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      embClusters2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val stagedBk = spark.read.parquet(s"$db4s/dedup_vec_buckets")
+    assert(stagedBk.columns.toSeq ==
+      Seq("vec_id", "embedding", "nrm", "bucket_0", "bucket_1"),
+      stagedBk.columns.mkString(","))
+    val libBk = graft.pipeline.Dedup.embeddingBuckets(embAll, bands = 2)
+    def bkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Float], Double, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq,
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    assert(bkSet(stagedBk) == bkSet(libBk))
+
     // ---- ann-topk: brute mode byte-identical to bruteForceTopK (p06's
     // operator); ivf mode ships k rows per query
     val emb = Tables(spark, sfDir).embeddings.select($"vec_id", $"embedding")
@@ -2684,11 +2707,15 @@ class GraftCliSpec extends SparkSpec {
     intercept[RuntimeException] {
       Graft.run(spark, Array("media-features", "--db", db4))
     }
-    // --staged persists minhash signatures only: on another method it
-    // must reject rather than silently skip the signature store
+    // --staged persists a derivation store for minhash/embedding only:
+    // on a storeless method it must reject rather than silently skip
     intercept[RuntimeException] {
-      Graft.run(spark, Array("dedup", embCorpusDir, "--db", db4,
-        "--method", "embedding", "--staged"))
+      Graft.run(spark, Array("dedup", corpusDir, "--db", db4,
+        "--method", "simhash", "--staged"))
+    }
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", corpusDir, "--db", db4,
+        "--method", "exact", "--staged"))
     }
 
     // ---- empty corpus: text-quality writes the empty relation and the
@@ -2766,16 +2793,22 @@ class GraftCliSpec extends SparkSpec {
       events.toArray(Array.empty[String]).toSeq
         .filterNot(_ == "collect:Range")
     } finally spark.listenerManager.unregister(listener)
-    // Allowed non-command actions: GlobalLimit probes only — the audit
-    // hash chain reads its previous tip via a limit(1).collect()
+    // Allowed non-command actions: exactly ONE GlobalLimit probe — the
+    // audit hash chain reads its previous tip via a limit(1).collect()
     // (Audit.scala:464), an O(1)-row bookkeeping probe. Anything else
     // (a count() shows as an Aggregate, a histogram collect as an
-    // Aggregate/Sort) is a reintroduced report rescan.
+    // Aggregate/Sort) is a reintroduced report rescan — and a SECOND
+    // GlobalLimit would be a reintroduced bounded output rescan hiding
+    // behind the tip probe's exemption (r15 verdict advisory #1), so
+    // the exemption is pinned to one event, not a node-name class.
     val rescans = evs.filterNot(e =>
       e.endsWith(":command") || e.endsWith(":GlobalLimit"))
     assert(rescans.isEmpty,
       s"post-write rescan actions detected (report is no longer " +
         s"single-pass): $evs")
+    assert(evs.count(_.endsWith(":GlobalLimit")) <= 1,
+      s"more than one bounded GlobalLimit action — only the audit " +
+        s"tip probe is exempt, a second one is an output rescan: $evs")
     // one write command for text_quality (+ the bounded tip probe);
     // a growing command count would mean extra write passes
     assert(evs.count(_.endsWith(":command")) == 1 && evs.size <= 3,

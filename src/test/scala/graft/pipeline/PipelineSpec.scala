@@ -679,6 +679,52 @@ class DedupSpec extends SparkSpec {
       Dedup.embeddingNearDup(e, 0.9, bands = 6) // stride=5 at 12/64
     }
   }
+
+  test("staged embedding buckets reproduce the live path bit-for-bit") {
+    // the staged path's contract: pairs derived from a PERSISTED
+    // embeddingBuckets relation are byte-identical to the live
+    // embeddingNearDup at the same dials — vectors and norms round-trip
+    // parquet exactly, buckets are longs, and both paths share
+    // vecBucketPairs. Exercise bands=1 (the no-band-column plan shape),
+    // multi-band, and a cap.
+    val e = graft.Tables(spark, sfDir).embeddings
+      .filter($"vec_id" < 150).select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_staged_bk").toString
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    for ((bands, cap) <- Seq((1, None), (2, None), (3, Some(8)))) {
+      val path = s"$dir/bk_$bands"
+      Dedup.writeSignatures(Dedup.embeddingBuckets(e, bands = bands), path)
+      val staged = spark.read.parquet(path)
+      assert(pairSet(Dedup.embeddingNearDupFromBuckets(staged, 0.9,
+        maxBucketSize = cap)) ==
+        pairSet(Dedup.embeddingNearDup(e, 0.9, maxBucketSize = cap,
+          bands = bands)), s"bands=$bands cap=$cap")
+    }
+    // bands-subset sweep: a relation staged at 3 bands serves a bands=2
+    // run (prefix bands are a valid banding by the disjoint-component
+    // construction) identically to the live bands=2 path
+    val staged3 = spark.read.parquet(s"$dir/bk_3")
+    assert(pairSet(Dedup.embeddingNearDupFromBuckets(staged3, 0.9,
+      bands = Some(2))) ==
+      pairSet(Dedup.embeddingNearDup(e, 0.9, bands = 2)))
+    // and the bands=2 slice only READS bucket_0/bucket_1: bucket_2 is
+    // pruned at the scan (the sweep's whole point at scale)
+    val plan2 = Dedup.embeddingNearDupFromBuckets(staged3, 0.9,
+      bands = Some(2)).queryExecution.executedPlan.toString
+    assert(!plan2.contains("bucket_2"), plan2)
+    // asking for more bands than were staged, or feeding a relation
+    // without contiguous bucket_N columns, is a construction error
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupFromBuckets(staged3, 0.9, bands = Some(4))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupFromBuckets(
+        staged3.drop("bucket_1"), 0.9)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -28,6 +28,7 @@ object HardRecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.Tables.session()
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    require(n >= 100, s"need n >= 100 (one query per n/100 rows), got $n")
     val dim = 64
     val qStride = n / 100 // 100 queries
     val plantsPerQuery = 5
