@@ -945,6 +945,59 @@ object Bench {
           "quantizer or ranking regression dropping true neighbors")
     }
 
+    // ---- HARD-corpus IVF recall gate at 100k (VERDICT r15 next-round
+    // #4): the 1M gate above runs on the bench corpus — 20
+    // well-separated base patterns, IVF's best case, where every dial
+    // measures 1.0000. HardRecallProbe's one-off 1M measurement showed
+    // the honest other end (i.i.d. uniform noise, full-truth recall
+    // 0.51→0.90 over nProbe 1→16) and that PLANTED-near-neighbor
+    // recall — what a dedup pipeline needs — saturates ≥0.99 by
+    // nProbe 4. This row turns that finding into a per-round
+    // regression guard at 100k, where brute-force truth costs ~10M dot
+    // products instead of the probe's 100M: same construction (uniform
+    // noise in [-1,1]^64, 100 queries, 5 planted eps=0.15 neighbors
+    // each), same dials as the gated rows (nCentroids=64, nProbe=4,
+    // trained), gating planted-neighbor recall ≥ 0.95. Collects are
+    // bounded at queries×k = 1,000 rows + the 8192-vector kmeans
+    // sample.
+    {
+      val n = 100000L
+      val qStride = n / 100
+      val plants = 5
+      def u(seed: org.apache.spark.sql.Column,
+            j: org.apache.spark.sql.Column) =
+        (pmod(xxhash64(seed * 64L + j), lit(2000001L)) - 1000000L)
+          .cast("double") / 1000000.0
+      val anchor = col("id") - (col("id") % qStride)
+      val isPlanted = (col("id") % qStride).between(1, plants)
+      val base = when(isPlanted, anchor).otherwise(col("id"))
+      val emb = transform(sequence(lit(0), lit(63)), j =>
+        (u(base, j) + when(isPlanted, u(col("id"), j) * 0.15)
+          .otherwise(lit(0.0))).cast("float"))
+      val vecs = spark.range(n)
+        .select(col("id").as("vec_id"), emb.as("embedding"))
+        .localCheckpoint()
+      val queries = vecs.filter(col("vec_id") % qStride === 0)
+      def planted(q: Long, nb: Long): Boolean =
+        nb == q || (nb - q >= 1 && nb - q <= plants)
+      val truthPlanted = graft.pipeline.Similarity
+        .bruteForceTopK(vecs, queries, k = 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (q, nb) => planted(q, nb) }.toSet
+      val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)
+      val got = graft.pipeline.Similarity.ivfTopK(vecs, queries, k = 10,
+        nCentroids = 64, nProbe = 4, centroids = Some(cents))
+        .select("query_id", "neighbor_id").collect()
+        .count(r => truthPlanted.contains((r.getLong(0), r.getLong(1))))
+      val recall = got / truthPlanted.size.toDouble
+      results("p_recall_ivf_hard_100k_ratio") = recall
+      assert(recall >= 0.95,
+        f"planted-neighbor IVF recall on the HARD 100k corpus fell to " +
+          f"$recall%.3f (floor 0.95 at nProbe=4) — quantizer/probe " +
+          "regression on unstructured data")
+    }
+
     // ---- relational scale decade (VERDICT r10 next-round #5): the
     // §2.5-2.7 shapes run at sf-dir scale only (sub-second at sf0.1,
     // noise-dominated), so the two worst shuffle-bearing shapes — q05's
@@ -1307,7 +1360,8 @@ object Bench {
       "g_load" -> "vcf_load_decade_ratio",
       "g_append" -> "vcf_load_cohort_append_growth_ratio",
       "g_norm" -> "vcf_normalize_overhead_ratio",
-      "recall_ivf" -> "p_recall_ivf_1m_ratio"
+      "recall_ivf" -> "p_recall_ivf_1m_ratio",
+      "recall_hard" -> "p_recall_ivf_hard_100k_ratio"
     ).map { case (s, n) => s -> sec(rv(n)) }
     val compactJson =
       (headlineShort ++ parseShort ++ latencyShort ++ scaleShort ++ gateShort)

@@ -2794,14 +2794,14 @@ object Graft {
         // Single-pass report (r14 verdict #3): every summary value —
         // counts, pass count, mean quality, and the language histogram —
         // is observed DURING the write. langIdWithMargin's label set is
-        // closed (7 latin families + 5 scripts + "unknown"), so the
+        // closed (11 latin families + 5 scripts + "unknown"), so the
         // histogram is a fixed row of conditional counts; the "other"
         // guard trips loudly if a new label is ever added to the
         // classifier without registering it here. avg() is null on an
         // empty corpus — report mean_quality as null instead of the NPE
         // the old getDouble took (r14 advisory).
         val langs = Seq("en", "de", "fr", "es", "pt", "it", "nl",
-          "ja", "zh", "ko", "ru", "ar", "unknown")
+          "sv", "pl", "tr", "ro", "ja", "zh", "ko", "ru", "ar", "unknown")
         val obs = org.apache.spark.sql.Observation("text_quality")
         val aggs = Seq(count(lit(1)).as("n"),
           sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),

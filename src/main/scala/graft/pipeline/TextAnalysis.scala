@@ -35,6 +35,25 @@ object TextAnalysis {
     "o", "di", "del", "della", "in", "è", "sono", "era", "che", "questo", "per", "su", "con", "un", "una")
   val NlStopwords: Seq[String] = Seq("de", "het", "een", "en", "of", "van",
     "te", "in", "is", "zijn", "was", "dat", "dit", "voor", "op", "met", "als")
+  // The r15 LangIdProbe measured the 7-family boundary: pl→it and ro→es
+  // misattributions at near-zero margin (sv/tr resolved to unknown).
+  // These four families close that leak. Selection rule: function words
+  // only, and NO ENGLISH HOMOGRAPHS — a word that is also common English
+  // vocabulary ("men", "go", "care", "ale", "ten", "till") would hand
+  // the new family votes on every English document, including the
+  // synthetic English-salad corpora where a single stray vote flips an
+  // "unknown" prediction.
+  val SvStopwords: Seq[String] = Seq("och", "att", "det", "som", "en", "är",
+    "av", "för", "på", "med", "ett", "var", "han", "hon", "inte", "jag",
+    "vi", "om")
+  val PlStopwords: Seq[String] = Seq("i", "w", "z", "na", "się", "jest",
+    "nie", "że", "od", "po", "za", "był", "było", "byli", "jak", "co")
+  val TrStopwords: Seq[String] = Seq("ve", "bir", "bu", "çok", "için",
+    "ile", "ama", "onu", "bence", "daha", "gibi", "sonra", "kadar", "biz",
+    "ne", "değil")
+  val RoStopwords: Seq[String] = Seq("și", "în", "de", "la", "cu", "pe",
+    "este", "sunt", "un", "o", "nu", "mai", "pentru", "din", "ce", "dar",
+    "că", "după", "ar", "fost", "să")
 
   private def stopwordCount(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => lower(t).isin(stops: _*)))
@@ -102,17 +121,22 @@ object TextAnalysis {
     element_at(transform(array(c), f), 1)
 
   /** Language ID: script detection for CJK/Cyrillic/Arabic/Hangul, then a
-    * stopword vote among SEVEN latin-script languages (en/de/fr/es/pt/it/
-    * nl — the dominant web-corpus set) — the classic cheap n-gram-free
-    * heuristic, built from pure SQL expressions (no UDF; the CASE sits
-    * in interpreted HOF lambdas via [[bindOnce]] so every expensive
-    * subtree evaluates exactly once per row). Returns a struct of
-    * `lang` and `lang_margin`: for a script-detected language the margin
-    * is the winning script's character ratio; for a latin-script vote it
-    * is the gap between the best and second-best stopword ratios (0.0 on
-    * a tie or with no evidence — ties break in list order, en first).
-    * BOUNDARY: languages outside these 12 resolve to whichever family
-    * shares the most function words, with a near-zero margin — filter on
+    * stopword vote among ELEVEN latin-script languages (en/de/fr/es/pt/
+    * it/nl + sv/pl/tr/ro since r16 — the r15 probe's measured
+    * out-of-set leak, closed by giving the leaking languages their own
+    * families) — the classic cheap n-gram-free heuristic, built from
+    * pure SQL expressions (no UDF; the CASE sits in interpreted HOF
+    * lambdas via [[bindOnce]] so every expensive subtree evaluates
+    * exactly once per row). Returns a struct of `lang` and
+    * `lang_margin`: for a script-detected language the margin is the
+    * winning script's character ratio; for a latin-script vote it is
+    * the gap between the best and second-best stopword ratios (0.0 on
+    * a tie or with no evidence — ties break in list order, en first;
+    * the four new families sit BELOW the original seven, so any text
+    * the old classifier labeled confidently keeps its label on ties).
+    * BOUNDARY: languages outside these 16 resolve to whichever family
+    * shares the most function words, with a near-zero margin (da→sv,
+    * cs→pl are the measured nearest neighbors) — filter on
     * `lang_margin` when precision matters. */
   def langIdWithMargin(text: Column): Column = {
     val n = greatest(length(text), lit(1))
@@ -133,10 +157,12 @@ object TextAnalysis {
         struct((stopwordCount(toks, stops).cast(DoubleType) / nToks).as("r"),
           lit(prio).as("p"), lit(code).as("c"))
       val sorted = sort_array(array(
-        fam(EnStopwords, 7, "en"), fam(DeStopwords, 6, "de"),
-        fam(FrStopwords, 5, "fr"), fam(EsStopwords, 4, "es"),
-        fam(PtStopwords, 3, "pt"), fam(ItStopwords, 2, "it"),
-        fam(NlStopwords, 1, "nl")))
+        fam(EnStopwords, 11, "en"), fam(DeStopwords, 10, "de"),
+        fam(FrStopwords, 9, "fr"), fam(EsStopwords, 8, "es"),
+        fam(PtStopwords, 7, "pt"), fam(ItStopwords, 6, "it"),
+        fam(NlStopwords, 5, "nl"), fam(SvStopwords, 4, "sv"),
+        fam(PlStopwords, 3, "pl"), fam(TrStopwords, 2, "tr"),
+        fam(RoStopwords, 1, "ro")))
       // bind every expensive piece — 5 script regex ratios, the sorted
       // vote (its best and runner-up) — so the CASE branches below read
       // variables instead of re-running regexes and token filters
@@ -146,8 +172,8 @@ object TextAnalysis {
         scriptRatio("[\\x{ac00}-\\x{d7af}]").as("hangul"),
         scriptRatio("[\\x{0400}-\\x{04ff}]").as("cyr"),
         scriptRatio("[\\x{0600}-\\x{06ff}]").as("arab"),
-        element_at(sorted, 7).as("best"),
-        element_at(sorted, 6).as("second"))) { s =>
+        element_at(sorted, 11).as("best"),
+        element_at(sorted, 10).as("second"))) { s =>
         val kana = s.getField("kana"); val han = s.getField("han")
         val hangul = s.getField("hangul"); val cyr = s.getField("cyr")
         val arab = s.getField("arab")

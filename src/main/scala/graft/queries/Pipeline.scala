@@ -193,7 +193,7 @@ object Pipeline {
         .orderBy($"id_a", $"id_b")
     },
 
-    // Language ID heuristic (7 latin stopword families + 5 scripts) vs
+    // Language ID heuristic (11 latin stopword families + 5 scripts) vs
     // the table's labeled lang, with the decision margin.
     "p09_lang_id" -> { (s, dir) =>
       import s.implicits._

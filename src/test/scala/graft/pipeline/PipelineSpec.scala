@@ -29,7 +29,12 @@ class TextAnalysisSpec extends SparkSpec {
       ("es", "el zorro marrón está en la colina y era un buen día para todos los que estaban"),
       ("pt", "a raposa marrom está na colina e era um bom dia para todos os que estavam"),
       ("it", "la volpe marrone è sulla collina ed era una bella giornata per tutti noi"),
-      ("nl", "de snelle bruine vos is op de heuvel en het was een mooie dag voor ons allemaal")
+      ("nl", "de snelle bruine vos is op de heuvel en het was een mooie dag voor ons allemaal"),
+      // the four r16 families (the r15 probe's measured out-of-set leak)
+      ("sv", "jag tror att det är en bra dag och vi ska gå ut i parken med hunden"),
+      ("pl", "myślę że to jest bardzo dobry dzień i nie chcę po prostu siedzieć w domu"),
+      ("tr", "bence bu çok güzel bir gün ve biz parka gitmek için hazırız ama hava soğuk"),
+      ("ro", "cred că este o zi bună și nu vreau să stau în casă pentru că vremea este frumoasă")
     ).toDF("expected", "text")
     val got = samples
       .withColumn("_lm", TextAnalysis.langIdWithMargin($"text"))

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   * Numbers land in COVERAGE/DEPLOY next to the sibling operators'.
   *
   * Usage: sbt "Test/runMain graft.tools.EmbedDedupProbe [n] [bands]"
+  * A third arg `staged` measures the r16 staged path instead: one-time
+  * embeddingBuckets write, then per-sweep pairs-from-staged cost at two
+  * thresholds vs the live path's two full recomputations — the
+  * staged-vs-live 10M point DEPLOY cites.
   */
 object EmbedDedupProbe {
   def main(args: Array[String]): Unit = {
@@ -48,6 +52,35 @@ object EmbedDedupProbe {
       val r = f
       println(f"[embdedup] $label wall=${(System.nanoTime() - t0) / 1e9}%.1f")
       r
+    }
+    if (args.lift(2).contains("staged")) {
+      val dir = s"/tmp/graft_embprobe_staged_$n"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      timed("stage(write buckets)") {
+        graft.pipeline.Dedup.writeSignatures(
+          graft.pipeline.Dedup.embeddingBuckets(
+            vecs, planes = planes, dim = dim, bands = bands), dir)
+      }
+      val staged = spark.read.parquet(dir)
+      // one threshold at 10M (each pairs run is ~3 min there — the
+      // two-threshold sweep is the 1M measurement); two at smaller n
+      val thresholds = if (n >= 5000000L) Seq(0.95) else Seq(0.95, 0.97)
+      for (t <- thresholds) {
+        val nS = timed(s"staged pairs(count) t=$t") {
+          graft.pipeline.Dedup.embeddingNearDupFromBuckets(staged, t,
+            maxBucketSize = Some(2000)).count()
+        }
+        val nL = timed(s"live pairs(count) t=$t") {
+          graft.pipeline.Dedup.embeddingNearDup(vecs, t, planes = planes,
+            dim = dim, maxBucketSize = Some(2000), bands = bands).count()
+        }
+        assert(nS == nL, s"staged/live diverged at t=$t: $nS vs $nL")
+        println(s"[embdedup] t=$t pairs=$nS (staged == live)")
+      }
+      spark.stop()
+      return
     }
     val pairs = graft.pipeline.Dedup.embeddingNearDup(
       vecs, threshold = 0.95, planes = planes, dim = dim,

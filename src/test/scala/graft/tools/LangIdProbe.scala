@@ -11,12 +11,15 @@ import org.apache.spark.sql.functions._
   * "accuracy" there measures label frequency, not linguistics). This
   * probe measures real accuracy on a hand-written corpus of natural
   * sentences:
-  *   - 10 per IN-SET language (en/de/fr/es/pt/it/nl latin families +
-  *     ja/zh/ko/ru/ar scripts) — everyday topics, normal punctuation;
-  *   - 5 per OUT-OF-SET language (sv/pl/tr/ro) to measure the
-  *     documented boundary: out-of-set text resolves to whichever
-  *     family shares function words, and the margin filter is what
-  *     rejects it.
+  *   - 10 per original IN-SET language (en/de/fr/es/pt/it/nl latin
+  *     families + ja/zh/ko/ru/ar scripts) and 5 per r16-added family
+  *     (sv/pl/tr/ro — the r15 out-of-set leak, promoted to in-set with
+  *     their own stopword families) — everyday topics, normal
+  *     punctuation;
+  *   - 5 per OUT-OF-SET language (da/cs — the nearest neighbors of the
+  *     new sv/pl families) to keep measuring the documented boundary:
+  *     out-of-set text resolves to whichever family shares function
+  *     words, and the margin filter is what rejects it.
   * Reports overall + per-language accuracy, every misclassification,
   * and a margin-threshold sweep: precision and coverage of kept in-set
   * docs plus the out-of-set leak rate at each threshold — the numbers
@@ -25,7 +28,7 @@ import org.apache.spark.sql.functions._
   * Usage: sbt "Test/runMain graft.tools.LangIdProbe"
   */
 object LangIdProbe {
-  // (true language, in classifier's 12-language set?, sentences)
+  // (true language, in classifier's 16-language set?, sentences)
   private val corpus: Seq[(String, Boolean, Seq[String])] = Seq(
     ("en", true, Seq(
       "The weather was cold and the streets were empty for most of the evening.",
@@ -159,30 +162,42 @@ object LangIdProbe {
       "أريد أن أسافر مع عائلتي إلى البحر في الصيف.",
       "تعلم اللغة العربية صعب لكنه ممتع جدا.",
       "إنها تمطر في الخارج فخذ معك المظلة.")),
-    ("sv", false, Seq(
+    ("sv", true, Seq(
       "Tåget var försenat igen och folk på perrongen var otåliga.",
       "Barnen leker i trädgården och vädret är fint för årstiden.",
       "Det gamla huset har stått tomt i flera år och ingen vill köpa det.",
       "Jag tror att filmen är mycket bra och att vi borde se den tillsammans.",
       "På morgonen är luften fortfarande sval men eftermiddagen var varm och solig.")),
-    ("pl", false, Seq(
+    ("pl", true, Seq(
       "Pociąg znowu się spóźnił i ludzie na peronie byli zniecierpliwieni.",
       "Dzieci bawią się w ogrodzie a pogoda jest piękna jak na tę porę roku.",
       "Stary dom stoi pusty od lat i nikt nie chce go kupić.",
       "Myślę że ten film jest bardzo dobry i powinniśmy go obejrzeć razem.",
       "Rano powietrze jest jeszcze chłodne ale popołudnie było ciepłe i słoneczne.")),
-    ("tr", false, Seq(
+    ("tr", true, Seq(
       "Tren yine gecikti ve perondaki insanlar sabırsızlanıyordu.",
       "Çocuklar bahçede oynuyor ve hava mevsime göre çok güzel.",
       "Eski ev yıllardır boş duruyor ve kimse onu almak istemiyor.",
       "Bence bu film çok iyi ve onu birlikte izlemeliyiz.",
       "Sabah hava hâlâ serin ama öğleden sonra sıcak ve güneşliydi.")),
-    ("ro", false, Seq(
+    ("ro", true, Seq(
       "Trenul a întârziat din nou și oamenii de pe peron erau nerăbdători.",
       "Copiii se joacă în grădină și vremea este frumoasă pentru acest sezon.",
       "Casa veche stă goală de ani de zile și nimeni nu vrea să o cumpere.",
       "Cred că filmul este foarte bun și ar trebui să îl vedem împreună.",
-      "Dimineața aerul este încă rece dar după amiaza a fost caldă și însorită.")))
+      "Dimineața aerul este încă rece dar după amiaza a fost caldă și însorită.")),
+    ("da", false, Seq(
+      "Toget var forsinket igen og folk på perronen var utålmodige.",
+      "Børnene leger i haven og vejret er fint for årstiden.",
+      "Det gamle hus har stået tomt i mange år og ingen vil købe det.",
+      "Jeg tror at filmen er meget god og at vi bør se den sammen.",
+      "Om morgenen er luften stadig kølig men eftermiddagen var varm og solrig.")),
+    ("cs", false, Seq(
+      "Vlak měl opět zpoždění a lidé na nástupišti byli netrpěliví.",
+      "Děti si hrají na zahradě a počasí je na tuto roční dobu krásné.",
+      "Starý dům je už léta prázdný a nikdo ho nechce koupit.",
+      "Myslím že ten film je velmi dobrý a měli bychom ho vidět spolu.",
+      "Ráno je vzduch ještě chladný ale odpoledne bylo teplé a slunečné.")))
 
   def main(args: Array[String]): Unit = {
     val spark = graft.Tables.session()
