@@ -957,29 +957,20 @@ object Bench {
     // products instead of the probe's 100M: same construction (uniform
     // noise in [-1,1]^64, 100 queries, 5 planted eps=0.15 neighbors
     // each), same dials as the gated rows (nCentroids=64, nProbe=4,
-    // trained), gating planted-neighbor recall ≥ 0.95. Collects are
-    // bounded at queries×k = 1,000 rows + the 8192-vector kmeans
-    // sample.
+    // trained), gating planted-neighbor recall ≥ 0.95. The corpus
+    // construction and the planted classifier live in
+    // graft.tools.ProbeCorpora, SHARED with HardRecallProbe so the
+    // gate and the probe can never measure different constructions.
+    // Collects are bounded at queries×k = 1,000 rows + the 8192-vector
+    // kmeans sample.
     {
       val n = 100000L
       val qStride = n / 100
       val plants = 5
-      def u(seed: org.apache.spark.sql.Column,
-            j: org.apache.spark.sql.Column) =
-        (pmod(xxhash64(seed * 64L + j), lit(2000001L)) - 1000000L)
-          .cast("double") / 1000000.0
-      val anchor = col("id") - (col("id") % qStride)
-      val isPlanted = (col("id") % qStride).between(1, plants)
-      val base = when(isPlanted, anchor).otherwise(col("id"))
-      val emb = transform(sequence(lit(0), lit(63)), j =>
-        (u(base, j) + when(isPlanted, u(col("id"), j) * 0.15)
-          .otherwise(lit(0.0))).cast("float"))
-      val vecs = spark.range(n)
-        .select(col("id").as("vec_id"), emb.as("embedding"))
-        .localCheckpoint()
+      val vecs = graft.tools.ProbeCorpora.hardCorpus(spark, n,
+        qStride = qStride, plants = plants)
       val queries = vecs.filter(col("vec_id") % qStride === 0)
-      def planted(q: Long, nb: Long): Boolean =
-        nb == q || (nb - q >= 1 && nb - q <= plants)
+      val planted = graft.tools.ProbeCorpora.isPlantedNeighbor(plants) _
       val truthPlanted = graft.pipeline.Similarity
         .bruteForceTopK(vecs, queries, k = 10)
         .select("query_id", "neighbor_id").collect()

@@ -2583,7 +2583,7 @@ object Graft {
         //   [--id-col doc_id] [--text-col text] [--threshold 0.5]
         //   [--max-hamming 3] [--max-bucket N] [--shingle-k 3]
         //   [--sig-len 64] [--bands 16] [--planes 12] [--dim 64]
-        //   [--vec-col embedding] [--staged] [--json]
+        //   [--vec-col embedding] [--staged | --use-staged] [--json]
         // Writes: $db/dedup_corpus (kept docs — the output a training
         // pipeline feeds downstream), $db/dedup_clusters (membership),
         // and with --staged the method's derivation store: minhash →
@@ -2608,12 +2608,30 @@ object Graft {
         val maxBucket = arg(args, "--max-bucket").map(_.toInt)
         // --staged persists the method's re-readable derivation store
         // (minhash: signatures; embedding: per-band buckets + norms);
+        // --use-staged derives pairs from the EXISTING store without
+        // re-staging — the sweep workflow (stage once at max dials,
+        // then threshold/bands sweeps re-read the store; a re-run with
+        // --staged would instead overwrite it at the new dials).
         // exact/simhash have no such store — rejecting beats a silent
         // no-op the caller believes landed
-        if (has(args, "--staged") && method != "minhash" &&
-            method != "embedding")
+        val stagedStoreMethods = Set("minhash", "embedding")
+        if (has(args, "--staged") && !stagedStoreMethods(method))
           sys.error(s"dedup: --staged applies to --method minhash or " +
             s"embedding only (got --method $method)")
+        if (has(args, "--use-staged") && !stagedStoreMethods(method))
+          sys.error(s"dedup: --use-staged applies to --method minhash " +
+            s"or embedding only (got --method $method)")
+        if (has(args, "--use-staged") && has(args, "--staged"))
+          sys.error("dedup: pick one of --staged (re-stage the store, " +
+            "then derive) or --use-staged (derive from the existing " +
+            "store without touching it)")
+        def stagedStore(table: String, stageHint: String): String = {
+          val src = tbl(db, table)
+          if (!graft.sinks.DbFs.exists(src))
+            sys.error(s"dedup: --use-staged found no $table under $db " +
+              s"— run `dedup ... $stageHint --staged` once to stage it")
+          src
+        }
         val corpus = spark.read.parquet(corpusPath)
         // Single-pass report (r14 verdict #3): the input size is
         // observed on the corpus scan that feeds the kept write
@@ -2646,7 +2664,21 @@ object Graft {
             val bands = arg(args, "--bands").map(_.toInt).getOrElse(16)
             val threshold =
               arg(args, "--threshold").map(_.toDouble).getOrElse(0.5)
-            val pairs = if (has(args, "--staged")) {
+            val pairs = if (has(args, "--use-staged")) {
+              val sigs = spark.read.parquet(
+                stagedStore("dedup_signatures", "--method minhash"))
+              // the stored signature length decides rowsPerBand — a
+              // --sig-len that disagrees with the store would silently
+              // band the wrong slices. O(1) probe (one row).
+              val stored = sigs.select(size(col("_sig")).as("n"))
+                .limit(1).collect()
+              if (stored.nonEmpty && stored(0).getInt(0) != sigLen)
+                sys.error(s"dedup: staged signatures carry " +
+                  s"${stored(0).getInt(0)} hashes but --sig-len is " +
+                  s"$sigLen — re-stage with --staged or match the dial")
+              Dedup.minhashCandidatePairsFromSignatures(
+                sigs, idCol, "_sig", sigLen, bands, maxBucket)
+            } else if (has(args, "--staged")) {
               val sigDest = tbl(db, "dedup_signatures")
               graft.sinks.Writers.replaceInPlace(
                 Dedup.minhashSignatures(corpus, textCol, idCol,
@@ -2676,12 +2708,23 @@ object Graft {
             // --bands: the measured recall dial (1−(1−r)^bands over
             // disjoint component sets) at ~bands× candidate volume
             val bands = arg(args, "--bands").map(_.toInt).getOrElse(1)
-            val pairs = if (has(args, "--staged")) {
+            val pairs = if (has(args, "--use-staged")) {
+              // the sweep path: derive pairs from the store staged by a
+              // previous --staged run. An explicit --bands selects the
+              // first N staged bands (column-pruning the rest at the
+              // scan); without it, every staged band is used.
+              Dedup.embeddingNearDupFromBuckets(
+                spark.read.parquet(
+                  stagedStore("dedup_vec_buckets", "--method embedding")),
+                threshold, idCol, vecCol, maxBucket,
+                bands = arg(args, "--bands").map(_.toInt))
+            } else if (has(args, "--staged")) {
               // stage the (id, vec, nrm, bucket_0..bands-1) relation —
               // minhash's signature-store discipline for vectors: a
-              // later threshold/bands sweep re-reads this pruned
-              // columnar relation (fewer --bands column-prunes the
-              // unused buckets) instead of re-scanning the corpus
+              // later threshold/bands sweep (--use-staged) re-reads
+              // this pruned columnar relation (fewer --bands
+              // column-prune the unused buckets) instead of
+              // re-scanning the corpus
               val dest = tbl(db, "dedup_vec_buckets")
               graft.sinks.Writers.replaceInPlace(
                 Dedup.embeddingBuckets(corpus, idCol, vecCol, planes,
@@ -2995,7 +3038,7 @@ object Graft {
       |       [--no-normalize] [--no-human-genome] [--realistic] [--giab]
       |       (no flags: full harness)
       |  dedup CORPUS --db DIR [--method exact|minhash|simhash|embedding]
-      |       [--staged] [--id-col C] [--text-col C] [--threshold X]
+      |       [--staged | --use-staged] [--id-col C] [--text-col C] [--threshold X]
       |       [--max-hamming N] [--max-bucket N] [--shingle-k N] [--sig-len N]
       |       [--bands N] [--planes N] [--dim N] [--vec-col C] [--json]
       |  ann-topk --corpus P --queries P --db DIR [--mode brute|lsh|ivf]

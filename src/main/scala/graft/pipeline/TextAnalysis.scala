@@ -46,7 +46,12 @@ object TextAnalysis {
   val SvStopwords: Seq[String] = Seq("och", "att", "det", "som", "en", "är",
     "av", "för", "på", "med", "ett", "var", "han", "hon", "inte", "jag",
     "vi", "om")
-  val PlStopwords: Seq[String] = Seq("i", "w", "z", "na", "się", "jest",
+  // "i" (Polish "and") is deliberately absent despite being the most
+  // common Polish word: lowered English "I" collides with it (the same
+  // collision ItStopwords already carries), and since Italian counts
+  // "i" too it adds ZERO pl-vs-it discrimination on Polish text — only
+  // runner-up noise on English prose.
+  val PlStopwords: Seq[String] = Seq("w", "z", "na", "się", "jest",
     "nie", "że", "od", "po", "za", "był", "było", "byli", "jak", "co")
   val TrStopwords: Seq[String] = Seq("ve", "bir", "bu", "çok", "için",
     "ile", "ama", "onu", "bence", "daha", "gibi", "sonra", "kadar", "biz",

@@ -2632,6 +2632,27 @@ class GraftCliSpec extends SparkSpec {
         r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
     assert(bkSet(stagedBk) == bkSet(libBk))
 
+    // ---- --use-staged: the sweep path derives from the EXISTING store
+    // without re-staging. Without --bands it uses every staged band
+    // (here 2) — outputs identical to the staged run above; with
+    // --bands 1 it slices the store down to the live bands=1 result
+    // (embClusters). The store itself must be untouched either way.
+    jsonOut(Array("dedup", embCorpusDir, "--db", db4s,
+      "--method", "embedding", "--threshold", "0.95", "--use-staged",
+      "--json"))
+    assert(spark.read.parquet(s"$db4s/dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      embClusters2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    jsonOut(Array("dedup", embCorpusDir, "--db", db4s,
+      "--method", "embedding", "--threshold", "0.95", "--use-staged",
+      "--bands", "1", "--json"))
+    assert(spark.read.parquet(s"$db4s/dedup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      embClusters.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(spark.read.parquet(s"$db4s/dedup_vec_buckets").columns.toSeq ==
+      Seq("vec_id", "embedding", "nrm", "bucket_0", "bucket_1"),
+      "--use-staged must not rewrite the staged store")
+
     // ---- ann-topk: brute mode byte-identical to bruteForceTopK (p06's
     // operator); ivf mode ships k rows per query
     val emb = Tables(spark, sfDir).embeddings.select($"vec_id", $"embedding")
@@ -2716,6 +2737,32 @@ class GraftCliSpec extends SparkSpec {
     intercept[RuntimeException] {
       Graft.run(spark, Array("dedup", corpusDir, "--db", db4,
         "--method", "exact", "--staged"))
+    }
+    // --use-staged guards: storeless method, --staged conflict, and a
+    // db with no staged store must all reject loudly
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", corpusDir, "--db", db4,
+        "--method", "exact", "--use-staged"))
+    }
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", embCorpusDir, "--db", db4s,
+        "--method", "embedding", "--staged", "--use-staged"))
+    }
+    intercept[RuntimeException] {
+      // db4 never staged vec buckets
+      Graft.run(spark, Array("dedup", embCorpusDir, "--db", db4,
+        "--method", "embedding", "--use-staged"))
+    }
+    // minhash --use-staged: derives from the dedup_signatures staged in
+    // the first run of this test — same kept set as that run — and a
+    // --sig-len disagreeing with the stored signature width rejects
+    Graft.run(spark, Array("dedup", corpusDir, "--db", db,
+      "--method", "minhash", "--use-staged"))
+    assert(keyset(spark.read.parquet(s"$db/dedup_corpus")) ==
+      keyset(libKeep))
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", corpusDir, "--db", db,
+        "--method", "minhash", "--use-staged", "--sig-len", "32"))
     }
 
     // ---- empty corpus: text-quality writes the empty relation and the

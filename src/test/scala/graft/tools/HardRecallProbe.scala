@@ -28,29 +28,22 @@ object HardRecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.Tables.session()
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
-    require(n >= 100, s"need n >= 100 (one query per n/100 rows), got $n")
+    // n >= 1000 keeps qStride > plantsPerQuery: below that, "planted"
+    // ids spill into neighboring queries' strides and the planted
+    // classifier mislabels them (ProbeCorpora.hardCorpus also rejects
+    // such a construction)
+    require(n >= 1000, s"need n >= 1000 (one query per n/100 rows, 5 " +
+      s"plants per stride), got $n")
     val dim = 64
     val qStride = n / 100 // 100 queries
     val plantsPerQuery = 5
     val eps = 0.15
 
-    // uniform component in [-1,1] derived from (seed, j) — deterministic,
-    // no Math.random, reproducible across runs/sessions
-    def u(seed: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
-      (pmod(xxhash64(seed * 64L + j), lit(2000001L)) - 1000000L)
-        .cast("double") / 1000000.0
-    // planted rows (id % qStride in 1..plantsPerQuery) perturb their
-    // query's base vector; everything else is pure noise
-    val anchor = col("id") - (col("id") % qStride)
-    val isPlanted = (col("id") % qStride).between(1, plantsPerQuery)
-    val base = when(isPlanted, anchor).otherwise(col("id"))
-    val emb = transform(sequence(lit(0), lit(dim - 1)), j =>
-      (u(base, j) +
-        when(isPlanted, u(col("id"), j) * eps).otherwise(lit(0.0)))
-        .cast("float"))
-    val vecs = spark.range(n)
-      .select(col("id").as("vec_id"), emb.as("embedding"))
-      .localCheckpoint() // generate once; probe timings exclude codegen of the generator
+    // corpus construction + planted classifier shared with the bench's
+    // recall_hard gate (graft.tools.ProbeCorpora) so probe and gate can
+    // never drift apart
+    val vecs = graft.tools.ProbeCorpora.hardCorpus(spark, n, dim,
+      qStride, plantsPerQuery, eps)
     val queries = vecs.filter(col("vec_id") % qStride === 0)
     val nQ = queries.count()
 
@@ -59,8 +52,7 @@ object HardRecallProbe {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val truth = truthRows.toSet
-    def planted(q: Long, nb: Long): Boolean =
-      nb == q || (nb - q >= 1 && nb - q <= plantsPerQuery)
+    val planted = graft.tools.ProbeCorpora.isPlantedNeighbor(plantsPerQuery) _
     val truthPlanted = truthRows.filter { case (q, nb) => planted(q, nb) }.toSet
     println(s"[hardrecall] n=$n dim=$dim queries=$nQ eps=$eps " +
       s"truth=${truth.size} planted_in_truth=${truthPlanted.size} " +
