@@ -20,7 +20,7 @@ r AS (
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['de','het','een','en','of','van','te','in','is','zijn','was','dat','dit','voor','op','met','als'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS nl,
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['och','att','det','som','en','är','av','för','på','med','ett','var','han','hon','inte','jag','vi','om'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS sv,
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['w','z','na','się','jest','nie','że','od','po','za','był','było','byli','jak','co'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS pl,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['ve','bir','bu','çok','için','ile','ama','onu','bence','daha','gibi','sonra','kadar','biz','ne','değil'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS tr,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['ve','bir','bu','çok','için','ile','ama','onu','bence','daha','gibi','sonra','kadar','biz','ne','değil'], REPLACE(LOWER(x), CHR(775), '')))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS tr,
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['și','în','de','la','cu','pe','este','sunt','un','o','nu','mai','pentru','din','ce','dar','că','după','ar','fost','să'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS ro
   FROM t
 ),

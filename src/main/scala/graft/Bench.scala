@@ -976,6 +976,13 @@ object Bench {
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .filter { case (q, nb) => planted(q, nb) }.toSet
+      // a broken corpus construction (zero planted truth rows) must
+      // fail loudly as such, not as a NaN "recall regression" from the
+      // division below (r16 advisory)
+      assert(truthPlanted.nonEmpty,
+        "hard-recall gate: brute-force truth contains ZERO planted " +
+          "neighbors — the ProbeCorpora construction is broken (this " +
+          "is not a recall regression)")
       val cents = graft.pipeline.Similarity.kmeansCentroids(vecs, 64)
       val got = graft.pipeline.Similarity.ivfTopK(vecs, queries, k = 10,
         nCentroids = 64, nProbe = 4, centroids = Some(cents))

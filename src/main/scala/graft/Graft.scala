@@ -2625,6 +2625,23 @@ object Graft {
           sys.error("dedup: pick one of --staged (re-stage the store, " +
             "then derive) or --use-staged (derive from the existing " +
             "store without touching it)")
+        // --use-staged derives at the dials the store was STAGED with:
+        // embedding buckets fix --planes/--dim, minhash signatures fix
+        // --sig-len/--shingle-k. An explicit flag for a store-fixed
+        // dial would be silently overridden by the store — reject it
+        // (same class as the storeless-method guard above; r16
+        // advisory). The sweep dials — --threshold, --bands,
+        // --max-bucket — stay live.
+        if (has(args, "--use-staged")) {
+          val storeFixed =
+            if (method == "embedding") Seq("--planes", "--dim")
+            else Seq("--sig-len", "--shingle-k")
+          for (f <- storeFixed if arg(args, f).isDefined)
+            sys.error(s"dedup: $f is fixed by the staged store and " +
+              "would be ignored with --use-staged — re-stage with " +
+              s"--staged $f ... to change it (sweep dials: " +
+              "--threshold, --bands, --max-bucket)")
+        }
         def stagedStore(table: String, stageHint: String): String = {
           val src = tbl(db, table)
           if (!graft.sinks.DbFs.exists(src))
@@ -2667,17 +2684,18 @@ object Graft {
             val pairs = if (has(args, "--use-staged")) {
               val sigs = spark.read.parquet(
                 stagedStore("dedup_signatures", "--method minhash"))
-              // the stored signature length decides rowsPerBand — a
-              // --sig-len that disagrees with the store would silently
-              // band the wrong slices. O(1) probe (one row).
+              // the stored signature width IS the dial (explicit
+              // --sig-len is rejected above): the store decides
+              // rowsPerBand, so a store staged at 128 hashes sweeps
+              // correctly with no flag. O(1) probe (one row); the
+              // default only survives on an empty store, where there
+              // are no pairs either way.
               val stored = sigs.select(size(col("_sig")).as("n"))
                 .limit(1).collect()
-              if (stored.nonEmpty && stored(0).getInt(0) != sigLen)
-                sys.error(s"dedup: staged signatures carry " +
-                  s"${stored(0).getInt(0)} hashes but --sig-len is " +
-                  s"$sigLen — re-stage with --staged or match the dial")
+              val storedLen =
+                if (stored.nonEmpty) stored(0).getInt(0) else sigLen
               Dedup.minhashCandidatePairsFromSignatures(
-                sigs, idCol, "_sig", sigLen, bands, maxBucket)
+                sigs, idCol, "_sig", storedLen, bands, maxBucket)
             } else if (has(args, "--staged")) {
               val sigDest = tbl(db, "dedup_signatures")
               graft.sinks.Writers.replaceInPlace(
@@ -2812,17 +2830,27 @@ object Graft {
 
       case "text-quality" =>
         // text-quality CORPUS --db DIR [--id-col doc_id] [--text-col text]
-        //   [--min-quality Q] [--json]
+        //   [--min-quality Q] [--min-lang-margin M] [--json]
         // Writes $db/text_quality: the C4/Gopher-style quality ratios +
         // language id with margin + fingerprint + token counts — the
         // per-doc relation a corpus-filtering pipeline joins on.
         // --min-quality additionally stamps a `pass` flag (the corpus
         // itself is never filtered here: quality scoring is evidence,
         // dropping is the caller's policy).
+        // --min-lang-margin M surfaces the measured precision dial
+        // (LangIdProbe: latin-vote margin >= 0.10 -> ~0.98 precision;
+        // out-of-set neighbors da->sv at 0.11, cs->pl at 0.035): a
+        // latin-script vote below M is counted as "unknown" in the
+        // REPORT histogram. Report-side only — the written per-doc
+        // relation keeps the raw (lang, lang_margin) pair so callers
+        // apply their own policy, and script-detected labels
+        // (ja/zh/ko/ru/ar, margin = character ratio on a different
+        // scale) are never reclassified.
         val corpusPath = positionalPath(args, "text-quality", "CORPUS")
         val idCol = arg(args, "--id-col").getOrElse("doc_id")
         val textCol = arg(args, "--text-col").getOrElse("text")
         val minQ = arg(args, "--min-quality").map(_.toDouble).getOrElse(0.5)
+        val minLangMargin = arg(args, "--min-lang-margin").map(_.toDouble)
         val corpus = spark.read.parquet(corpusPath)
         import graft.pipeline.TextAnalysis
         val tq = TextAnalysis.withQuality(corpus, textCol)
@@ -2843,13 +2871,22 @@ object Graft {
         // classifier without registering it here. avg() is null on an
         // empty corpus — report mean_quality as null instead of the NPE
         // the old getDouble took (r14 advisory).
-        val langs = Seq("en", "de", "fr", "es", "pt", "it", "nl",
-          "sv", "pl", "tr", "ro", "ja", "zh", "ko", "ru", "ar", "unknown")
+        val latinLangs = Seq("en", "de", "fr", "es", "pt", "it", "nl",
+          "sv", "pl", "tr", "ro")
+        val langs = latinLangs ++
+          Seq("ja", "zh", "ko", "ru", "ar", "unknown")
+        // the histogram's lang under --min-lang-margin: one extra
+        // conditional inside the same observe (still single-pass)
+        val histLang = minLangMargin match {
+          case Some(m) => when($"lang".isin(latinLangs: _*) &&
+            $"lang_margin" < m, "unknown").otherwise($"lang")
+          case None => $"lang"
+        }
         val obs = org.apache.spark.sql.Observation("text_quality")
         val aggs = Seq(count(lit(1)).as("n"),
           sum(when($"pass", 1L).otherwise(0L)).as("n_pass"),
           avg($"quality_score").as("mean_q")) ++
-          labelHistAggs(langs, $"lang", "lang")
+          labelHistAggs(langs, histLang, "lang")
         graft.sinks.Writers.replaceInPlace(
           tq.observe(obs, aggs.head, aggs.tail: _*), tbl(db, "text_quality"))(
           (d, p) => d.write.parquet(p))
@@ -2862,9 +2899,13 @@ object Graft {
           println(s"""{"docs":$n,"pass":$nPass,""" +
             meanQ.map(q => f""""mean_quality":$q%.4f,""")
               .getOrElse(""""mean_quality":null,""") +
-            s""""min_quality":$minQ,"langs":$langHist}""")
+            s""""min_quality":$minQ,""" +
+            minLangMargin.map(m => s""""min_lang_margin":$m,""")
+              .getOrElse("") +
+            s""""langs":$langHist}""")
         else println(s"text-quality: $n docs, $nPass pass >= $minQ, " +
           meanQ.map(q => f"mean quality $q%.3f").getOrElse("mean quality n/a") +
+          minLangMargin.map(m => s", lang margin >= $m").getOrElse("") +
           s", langs $langHist")
 
       case "media-features" =>
@@ -3045,6 +3086,6 @@ object Graft {
       |       [--k N] [--planes N] [--ncentroids N] [--nprobe N] [--trained]
       |       [--id-col C] [--vec-col C] [--json]
       |  text-quality CORPUS --db DIR [--id-col C] [--text-col C]
-      |       [--min-quality Q] [--json]
+      |       [--min-quality Q] [--min-lang-margin M] [--json]
       |  media-features CORPUS --db DIR [--from-documents] [--json]""".stripMargin)
 }

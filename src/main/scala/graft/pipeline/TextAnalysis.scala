@@ -63,6 +63,18 @@ object TextAnalysis {
   private def stopwordCount(toks: Column, stops: Seq[String]): Column =
     size(filter(toks, t => lower(t).isin(stops: _*)))
 
+  /** tr family only: dotted capital İ (U+0130) lowercases under Unicode
+    * default casing to "i" + COMBINING U+0307, so sentence-initial
+    * Turkish function words ("İçin", "İle") would fail the exact match
+    * above — strip the combining dot after lowering. Deliberately NOT
+    * applied globally: a standalone Turkish "İ" stripped to bare "i"
+    * would hand Italian (whose list carries "i") a vote. DuckDB's LOWER
+    * produces the same combining form, and the p09 oracle mirrors the
+    * strip (REPLACE(LOWER(x), CHR(775), '')). */
+  private def stopwordCountTr(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t =>
+      translate(lower(t), "\u0307", "").isin(stops: _*)))
+
   /** Quality metrics + composite score (length / punctuation / stopword
     * ratios — the standard C4/Gopher-style cheap filters).
     *
@@ -158,9 +170,12 @@ object TextAnalysis {
       // of the 4-family form; the runner-up ratio (for the margin) is
       // order-insensitive. An external SQL oracle reproduces the same
       // values from a plain sorted ratio list.
-      def fam(stops: Seq[String], prio: Int, code: String): Column =
-        struct((stopwordCount(toks, stops).cast(DoubleType) / nToks).as("r"),
+      def fam(stops: Seq[String], prio: Int, code: String): Column = {
+        val cnt = if (code == "tr") stopwordCountTr(toks, stops)
+                  else stopwordCount(toks, stops)
+        struct((cnt.cast(DoubleType) / nToks).as("r"),
           lit(prio).as("p"), lit(code).as("c"))
+      }
       val sorted = sort_array(array(
         fam(EnStopwords, 11, "en"), fam(DeStopwords, 10, "de"),
         fam(FrStopwords, 9, "fr"), fam(EsStopwords, 8, "es"),

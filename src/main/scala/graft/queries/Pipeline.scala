@@ -261,16 +261,23 @@ object Pipeline {
       val e = Tables(s, dir).embeddings.select($"vec_id", $"embedding")
       val copies = e.filter($"vec_id" < 20)
         .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")
-      val bkDir = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_p23_buckets").getPath
-      Dedup.embeddingBuckets(e.union(copies), bands = 2)
-        .write.mode("overwrite")
-        .option("parquet.block.size", (32 * 1024 * 1024).toString)
-        .parquet(bkDir)
-      Dedup.embeddingNearDupFromBuckets(s.read.parquet(bkDir),
-          threshold = 0.9)
-        .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
-        .orderBy($"id_a", $"id_b")
+      // Per-invocation staging dir (a fixed name raced two concurrent
+      // Verify runs on one host — r16 advisory); the derived result is
+      // localCheckpoint'ed off the parquet lineage so the dir can be
+      // deleted before this query's output is consumed.
+      val bkDir = java.nio.file.Files
+        .createTempDirectory("graft_p23_buckets_").toString
+      try {
+        Dedup.embeddingBuckets(e.union(copies), bands = 2)
+          .write.mode("overwrite")
+          .option("parquet.block.size", (32 * 1024 * 1024).toString)
+          .parquet(bkDir)
+        Dedup.embeddingNearDupFromBuckets(s.read.parquet(bkDir),
+            threshold = 0.9)
+          .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
+          .orderBy($"id_a", $"id_b")
+          .localCheckpoint(true)
+      } finally graft.sinks.DbFs.deleteRecursive(bkDir)
     },
 
     // Embedding canonical-keep: cluster the p12 near-dup pairs and drop

@@ -2754,16 +2754,39 @@ class GraftCliSpec extends SparkSpec {
         "--method", "embedding", "--use-staged"))
     }
     // minhash --use-staged: derives from the dedup_signatures staged in
-    // the first run of this test — same kept set as that run — and a
-    // --sig-len disagreeing with the stored signature width rejects
+    // the first run of this test — same kept set as that run
     Graft.run(spark, Array("dedup", corpusDir, "--db", db,
       "--method", "minhash", "--use-staged"))
     assert(keyset(spark.read.parquet(s"$db/dedup_corpus")) ==
       keyset(libKeep))
-    intercept[RuntimeException] {
-      Graft.run(spark, Array("dedup", corpusDir, "--db", db,
-        "--method", "minhash", "--use-staged", "--sig-len", "32"))
-    }
+    // store-fixed dials REJECT with --use-staged instead of being
+    // silently overridden by the store (r16 advisory) — including a
+    // --sig-len that happens to MATCH the stored width (honoring it
+    // would be coincidence, not contract)
+    for (extra <- Seq(Array("--sig-len", "32"), Array("--sig-len", "64"),
+        Array("--shingle-k", "4")))
+      intercept[RuntimeException] {
+        Graft.run(spark, Array("dedup", corpusDir, "--db", db,
+          "--method", "minhash", "--use-staged") ++ extra)
+      }
+    // ...and the embedding twins against the vec-bucket store in db4s
+    for (extra <- Seq(Array("--planes", "20"), Array("--dim", "32")))
+      intercept[RuntimeException] {
+        Graft.run(spark, Array("dedup", embCorpusDir, "--db", db4s,
+          "--method", "embedding", "--use-staged") ++ extra)
+      }
+    // a store staged at a NON-default signature width sweeps with no
+    // width flag: the stored width IS the dial (pre-r17 this path
+    // rejected, mistaking the default 64 for a user ask)
+    val db5 = Files.createTempDirectory("graftdb_pipe_mh32").toString
+    jsonOut(Array("dedup", corpusDir, "--db", db5, "--method", "minhash",
+      "--sig-len", "32", "--staged", "--json"))
+    val staged32 = keyset(spark.read.parquet(s"$db5/dedup_corpus"))
+    jsonOut(Array("dedup", corpusDir, "--db", db5, "--method", "minhash",
+      "--use-staged", "--json"))
+    assert(keyset(spark.read.parquet(s"$db5/dedup_corpus")) == staged32,
+      "--use-staged must derive at the STORED width (32), matching " +
+        "the staged run")
 
     // ---- empty corpus: text-quality writes the empty relation and the
     // report carries mean_quality:null (avg over zero rows) instead of
@@ -2784,6 +2807,46 @@ class GraftCliSpec extends SparkSpec {
       assert(audit.filter($"event_type" === v && $"success").count() >= 1,
         s"no successful audit row for $v")
     }
+  }
+
+  test("text-quality --min-lang-margin: below-margin latin votes report as unknown") {
+    import org.apache.spark.sql.functions._
+    // doc 2 is an engineered sv/fr TIE ("och att en est sont" — both
+    // families score 3/5), which the priority break labels fr at
+    // margin 0.0; doc 1 is unambiguous English. The dial reclassifies
+    // the zero-margin vote to unknown in the REPORT histogram only —
+    // the written per-doc relation keeps the raw (lang, lang_margin).
+    val corpus = Seq(
+      (1L, "the cat is on the mat and it was a good day for all of us"),
+      (2L, "och att en est sont")).toDF("doc_id", "text")
+    val dir =
+      Files.createTempDirectory("graft_tq_margin").toString + "/docs"
+    corpus.write.parquet(dir)
+    def jsonOut(args: Array[String]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { Graft.run(spark, args) }
+      out.toString.linesIterator.filter(_.startsWith("{")).mkString("\n")
+    }
+    // without the dial: the tie reports as fr
+    val db = Files.createTempDirectory("graftdb_tq_margin").toString
+    val plain = jsonOut(Array("text-quality", dir, "--db", db, "--json"))
+    assert(plain.contains(""""en":1""") && plain.contains(""""fr":1"""),
+      plain)
+    assert(!plain.contains("min_lang_margin"), plain)
+    // with it: the zero-margin fr vote migrates to unknown; en (margin
+    // well above 0.05) stays
+    val gated = jsonOut(Array("text-quality", dir, "--db", db,
+      "--min-lang-margin", "0.05", "--json"))
+    assert(gated.contains(""""min_lang_margin":0.05"""), gated)
+    assert(gated.contains(""""en":1""") &&
+      gated.contains(""""unknown":1""") && !gated.contains(""""fr""""),
+      gated)
+    // report-side only: the written relation keeps the raw vote
+    val rows = spark.read.parquet(s"$db/text_quality")
+      .select($"doc_id", $"lang", $"lang_margin").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(rows(2L) == (("fr", 0.0)), rows.toString)
+    assert(rows(1L)._1 == "en" && rows(1L)._2 > 0.05, rows.toString)
   }
 
   test("pipeline verb reports are single-pass: no post-write rescan actions") {

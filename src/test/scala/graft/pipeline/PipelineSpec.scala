@@ -62,6 +62,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds.subsetOf(Set("en", "unknown")))
   }
 
+  test("language ID: Turkish dotted İ at sentence starts still votes tr") {
+    // İ (U+0130) lowercases under Unicode default casing to i +
+    // COMBINING U+0307, so without the tr-family combining-dot strip
+    // the capitalized function words below contributed ZERO tr votes
+    // (r16 advisory; DuckDB LOWER agrees, p09's oracle mirrors the
+    // strip)
+    val lowerT = "için ile bence bu çok güzel ama hava soğuk değil"
+    val capT = "İçin İle bence bu çok güzel ama hava soğuk değil"
+    val got = Seq(lowerT, capT).toDF("text")
+      .select(TextAnalysis.langIdWithMargin($"text").as("_lm"))
+      .select($"_lm.lang", $"_lm.lang_margin")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.forall(_._1 == "tr"), got.mkString(","))
+    // the strip makes İçin/İle equal to için/ile — identical vote
+    // ratios, hence identical margins
+    assert(got(0)._2 == got(1)._2, got.mkString(","))
+    assert(got(0)._2 > 0.0, got.mkString(","))
+    // and the strip is tr-SCOPED: a standalone "İ" must not collapse
+    // to a bare "i" Italian vote (ItStopwords carries "i")
+    val solo = Seq("İ İ İ").toDF("text")
+      .select(TextAnalysis.langIdCol($"text")).head().getString(0)
+    assert(solo == "unknown", s"standalone İ voted $solo")
+  }
+
   test("word shingles") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextAnalysis.wordShingles(TextAnalysis.tokens($"text"), 3).as("sh"))
