@@ -11,17 +11,17 @@ r AS (
     1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{ac00}-\x{d7af}]', '', 'g')) AS DOUBLE) / n AS hangul,
     1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{0400}-\x{04ff}]', '', 'g')) AS DOUBLE) / n AS cyr,
     1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[\x{0600}-\x{06ff}]', '', 'g')) AS DOUBLE) / n AS arab,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS en,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['der','die','das','und','oder','von','zu','in','ist','sind','war','es','dass','für','auf','mit','als','ein','eine'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS de,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','les','et','ou','de','du','à','en','est','sont','était','il','que','ce','pour','sur','avec','un','une'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS fr,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','los','las','y','o','de','del','a','en','es','son','era','que','este','para','sobre','con','un','una'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS es,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['o','a','os','as','e','ou','de','do','da','em','é','são','era','que','este','para','sobre','com','um','uma'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS pt,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['il','lo','la','i','gli','le','e','o','di','del','della','in','è','sono','era','che','questo','per','su','con','un','una'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS it,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['de','het','een','en','of','van','te','in','is','zijn','was','dat','dit','voor','op','met','als'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS nl,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['och','att','det','som','en','är','av','för','på','med','ett','var','han','hon','inte','jag','vi','om'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS sv,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['w','z','na','się','jest','nie','że','od','po','za','był','było','byli','jak','co'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS pl,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS en,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['der','die','das','und','oder','von','zu','in','ist','sind','war','es','dass','für','auf','mit','als','ein','eine'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS de,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['le','la','les','et','ou','de','du','à','en','est','sont','était','il','que','ce','pour','sur','avec','un','une'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS fr,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['el','la','los','las','y','o','de','del','a','en','es','son','era','que','este','para','sobre','con','un','una'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS es,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['o','a','os','as','e','ou','de','do','da','em','é','são','era','que','este','para','sobre','com','um','uma'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS pt,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['il','lo','la','i','gli','le','e','o','di','del','della','in','è','sono','era','che','questo','per','su','con','un','una'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS it,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['de','het','een','en','of','van','te','in','is','zijn','was','dat','dit','voor','op','met','als'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS nl,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['och','att','det','som','en','är','av','för','på','med','ett','var','han','hon','inte','jag','vi','om'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS sv,
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['w','z','na','się','jest','nie','że','od','po','za','był','było','byli','jak','co'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS pl,
     CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['ve','bir','bu','çok','için','ile','ama','onu','bence','daha','gibi','sonra','kadar','biz','ne','değil'], REPLACE(LOWER(x), CHR(775), '')))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS tr,
-    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['și','în','de','la','cu','pe','este','sunt','un','o','nu','mai','pentru','din','ce','dar','că','după','ar','fost','să'], LOWER(x)))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS ro
+    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['și','în','de','la','cu','pe','este','sunt','un','o','nu','mai','pentru','din','ce','dar','că','după','ar','fost','să'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / GREATEST(LEN(toks), 1) AS ro
   FROM t
 ),
 s AS (

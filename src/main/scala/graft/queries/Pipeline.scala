@@ -365,7 +365,7 @@ object Pipeline {
         |    CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS DOUBLE) / n_chars END, 6)
         |    AS upper_ratio,
         |  ROUND(CASE WHEN LEN(toks) > 0 THEN
-        |    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], LOWER(x)))) AS DOUBLE) / LEN(toks) END, 6)
+        |    CAST(LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(['the','a','an','and','or','of','to','in','is','are','was','it','that','this','for','on','with','as'], LOWER(REPLACE(x, CHR(304), CHR(105) || CHR(775)))))) AS DOUBLE) / LEN(toks) END, 6)
         |    AS stopword_ratio,
         |  CAST(CASE WHEN LEN(toks) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END +
         |   CASE WHEN (CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)) BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END +
