@@ -86,6 +86,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(solo == "unknown", s"standalone İ voted $solo")
   }
 
+  test("language ID fuzz: closed label set, margin bounded, never null") {
+    // the text-quality verb's histogram tripwire ("other" warns loudly)
+    // assumes langIdWithMargin's label set is CLOSED over arbitrary
+    // input; pin that, plus margin ∈ [0,1] and non-nullness, under a
+    // seeded unicode fuzz (mixed scripts, combining marks, İ/Σ special
+    // casing, emoji, whitespace runs, empties)
+    val labels = Set("en", "de", "fr", "es", "pt", "it", "nl", "sv",
+      "pl", "tr", "ro", "ja", "zh", "ko", "ru", "ar", "unknown")
+    val rng = new scala.util.Random(20260816L)
+    val alphabets = Seq(
+      "abcdefghij ", "äöüßéàçñ ", "İıŞşĞğ ", "ΑΒΓΔΣΟ ς ",
+      "あいうえおカキク ", "汉字文档测试 ", "한국어텍스트 ", "привет мир ",
+      "مرحبا بالعالم ", "̇́̈", "🙂🚀💡 ", "0123456789.,!? ",
+      "the of und le el ")
+    val texts = (1 to 400).map { _ =>
+      val n = rng.nextInt(120)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        val a = alphabets(rng.nextInt(alphabets.length))
+        sb.append(a.charAt(rng.nextInt(a.length)))
+      }
+      sb.toString
+    } ++ Seq("", "   ", "\t\n", "İ", "Σ", "ß")
+    val rows = texts.toDF("text")
+      .select(TextAnalysis.langIdWithMargin($"text").as("_lm"))
+      .select($"_lm.lang", $"_lm.lang_margin").collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"null field in $r")
+      val (lang, m) = (r.getString(0), r.getDouble(1))
+      assert(labels.contains(lang), s"label '$lang' escaped the closed set")
+      assert(m >= 0.0 && m <= 1.0 && !m.isNaN, s"margin $m out of [0,1]")
+    }
+  }
+
   test("word shingles") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(TextAnalysis.wordShingles(TextAnalysis.tokens($"text"), 3).as("sh"))
