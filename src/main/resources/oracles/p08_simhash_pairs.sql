@@ -4,7 +4,7 @@ WITH corpus AS (
   SELECT doc_id + 1000000, text || ' x' FROM documents WHERE doc_id < 20
 ),
 toks AS (
-  SELECT doc_id, unnest(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS t
+  SELECT doc_id, unnest(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[\s\x0b]+'), x -> x != '')) AS t
   FROM corpus
 ),
 th AS (

@@ -1,7 +1,7 @@
 WITH t AS (
   SELECT doc_id, lang AS lang_label, text,
     GREATEST(LENGTH(text), 1) AS n,
-    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS toks
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[\s\x0b]+'), x -> x != '') AS toks
   FROM documents
 ),
 r AS (

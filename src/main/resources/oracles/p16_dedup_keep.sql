@@ -9,7 +9,7 @@ WITH RECURSIVE corpus AS (
 ),
 toks AS (
   SELECT doc_id,
-    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS t
+    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[\s\x0b]+'), x -> x != '') AS t
   FROM corpus
 ),
 sh AS (

@@ -13,7 +13,7 @@ WITH corpus AS (
   FROM range(30) r
 ),
 toks AS (
-  SELECT doc_id, unnest(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS t
+  SELECT doc_id, unnest(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[\s\x0b]+'), x -> x != '')) AS t
   FROM corpus
 ),
 th AS (

@@ -345,14 +345,14 @@ object Pipeline {
 
     "p02_doc_token_stats" ->
       """SELECT doc_id, LENGTH(text) AS n_chars,
-        |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '')) AS n_tokens,
-        |  LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s]')) AS n_bpeish
+        |  LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[\s\x0b]+'), x -> x != '')) AS n_tokens,
+        |  LEN(REGEXP_EXTRACT_ALL(text, '\w+|[^\w\s\x0b]')) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p03_doc_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text, LENGTH(text) AS n_chars,
-        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS toks
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[\s\x0b]+'), x -> x != '') AS toks
         |  FROM documents)
         |SELECT doc_id, n_chars, LEN(toks) AS n_tokens,
         |  ROUND(CASE WHEN LEN(toks) > 0 THEN
@@ -377,7 +377,7 @@ object Pipeline {
     "p05_ngram_jaccard_adjacent" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'), x -> x != '') AS toks
+        |    LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '[\s\x0b]+'), x -> x != '') AS toks
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,

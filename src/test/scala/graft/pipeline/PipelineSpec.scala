@@ -13,6 +13,14 @@ class TextAnalysisSpec extends SparkSpec {
     val r = df.head()
     assert(r.getInt(0) == 4)           // hello, world! two spaces
     assert(r.getInt(1) == 6)           // hello , world ! two spaces
+    // Java \s includes vertical tab U+000B (RE2's does not — the DuckDB
+    // oracles emulate it with [\s\x0b], r17 divergence class #3): the
+    // ENGINE side must split on it and not emit it as a bpeish token
+    val vt = Seq("a\u000Bb\u000B\u000Bc").toDF("text")
+      .select(size(TextAnalysis.tokens($"text")).as("n"),
+        TextAnalysis.bpeishTokenCount($"text").as("b")).head()
+    assert(vt.getInt(0) == 3, s"VT token count ${vt.getInt(0)}")
+    assert(vt.getInt(1) == 3, s"VT bpeish count ${vt.getInt(1)}")
   }
 
   test("language ID: script detection + stopword vote") {

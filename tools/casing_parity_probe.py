@@ -70,11 +70,37 @@ def main() -> int:
             print(f"FAIL fingerprint: {s!r}: duckdb_lower={got_lower!r} "
                   f"python_lower={want_lower!r}")
             failures += 1
+    # 3) whitespace-class emulation (r17 class #3): Java \s includes
+    #    vertical tab U+000B, RE2's does not — the oracles' tokenizer
+    #    regexes use [\s\x0b]+ / [^\w\s\x0b] to match Java exactly.
+    WS_CASES = [
+        "a\x0bb word",            # vertical tab: the divergent char
+        "a\x0cb\tc\nd\re f",      # every Java \s member
+        "a\xa0b  c",         # unicode spaces: NOT \s in either engine
+        "x\x1cy",                 # file separator: not \s in either
+        "tab\tand\x0b\x0bdouble",
+    ]
+    for s in WS_CASES:
+        duck_toks = [t for t in con.execute(
+            r"SELECT REGEXP_SPLIT_TO_ARRAY(?, '[\s\x0b]+')", [s]
+        ).fetchone()[0] if t != ""]
+        java_toks = [t for t in re.split("[ \t\n\x0b\f\r]+", s) if t != ""]
+        if duck_toks != java_toks:
+            print(f"FAIL tokens: {s!r}: duckdb={duck_toks} java={java_toks}")
+            failures += 1
+        duck_bp = con.execute(
+            r"SELECT LEN(REGEXP_EXTRACT_ALL(?, '\w+|[^\w\s\x0b]'))", [s]
+        ).fetchone()[0]
+        java_bp = len(re.findall("[0-9A-Za-z_]+|[^0-9A-Za-z_ \t\n\x0b\f\r]", s))
+        if duck_bp != java_bp:
+            print(f"FAIL bpeish: {s!r}: duckdb={duck_bp} java={java_bp}")
+            failures += 1
     if failures:
         print(f"{failures} failures")
         return 1
-    print(f"casing parity OK on {len(CASES)} adversarial strings "
-          "(dotted I + final sigma, stopword + fingerprint expressions)")
+    print(f"casing parity OK on {len(CASES)} casing + {len(WS_CASES)} "
+          "whitespace adversarial strings (dotted I, final sigma, "
+          "vertical tab; stopword, fingerprint, tokenizer expressions)")
     return 0
 
 
