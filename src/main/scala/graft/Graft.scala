@@ -2681,6 +2681,14 @@ object Graft {
             val bands = arg(args, "--bands").map(_.toInt).getOrElse(16)
             val threshold =
               arg(args, "--threshold").map(_.toDouble).getOrElse(0.5)
+            // live / --staged: the width is sigLen, known up front —
+            // reject a too-wide --bands before the signature job runs
+            // (--use-staged checks against the store-probed width below)
+            if (!has(args, "--use-staged") && (bands < 1 || bands > sigLen))
+              sys.error(s"dedup: --bands $bands out of range for " +
+                s"--sig-len $sigLen — need 1 <= bands <= sig-len " +
+                "(an over-wide banding slices empty bands where every " +
+                "document collides)")
             val pairs = if (has(args, "--use-staged")) {
               val sigs = spark.read.parquet(
                 stagedStore("dedup_signatures", "--method minhash"))
@@ -2694,6 +2702,16 @@ object Graft {
                 .limit(1).collect()
               val storedLen =
                 if (stored.nonEmpty) stored(0).getInt(0) else sigLen
+              // --bands stays a live sweep dial, but it sweeps WITHIN
+              // the stored width: more bands than stored hashes would
+              // slice empty bands where every doc collides (the Dedup
+              // require catches it too; fail here with the store's
+              // width in the message, before any job runs)
+              if (bands > storedLen)
+                sys.error(s"dedup: --bands $bands exceeds the staged " +
+                  s"signature width $storedLen — sweep with --bands <= " +
+                  s"$storedLen, or re-stage wider with " +
+                  s"--staged --sig-len N")
               Dedup.minhashCandidatePairsFromSignatures(
                 sigs, idCol, "_sig", storedLen, bands, maxBucket)
             } else if (has(args, "--staged")) {

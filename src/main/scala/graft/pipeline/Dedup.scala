@@ -160,6 +160,17 @@ object Dedup {
       sigs: DataFrame, idCol: String = "doc_id", sigCol: String = "_sig",
       numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Option[Int] = None): DataFrame = {
+    // bands > numHashes would make rowsPerBand 0 (integer division):
+    // every band slice becomes the empty array, every doc collides in
+    // every band, and the "candidate" set degenerates to all-pairs —
+    // silently, since empty slices are valid arrays. Guard here so
+    // every caller (live, --staged, --use-staged with a store-probed
+    // width) inherits the check.
+    require(bands >= 1 && bands <= numHashes,
+      s"minhash banding: bands=$bands out of range for signature " +
+        s"width $numHashes — need 1 <= bands <= width (rows per band " +
+        "would be " + (if (bands < 1) "undefined" else "0, an " +
+        "empty-slice band where EVERY document collides") + ")")
     val rowsPerBand = numHashes / bands
     val withSig =
       if (sigCol == "_sig") sigs else sigs.withColumnRenamed(sigCol, "_sig")

@@ -2787,6 +2787,25 @@ class GraftCliSpec extends SparkSpec {
     assert(keyset(spark.read.parquet(s"$db5/dedup_corpus")) == staged32,
       "--use-staged must derive at the STORED width (32), matching " +
         "the staged run")
+    // --bands stays a live sweep dial but must sweep WITHIN the width:
+    // more bands than hashes would slice empty bands (rowsPerBand = 0)
+    // where every document collides — reject against the STORE-probed
+    // width on --use-staged and against --sig-len on a live run
+    // (r17 advisory)
+    val eBands = intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", corpusDir, "--db", db5,
+        "--method", "minhash", "--use-staged", "--bands", "48"))
+    }
+    assert(eBands.getMessage.contains("32"),
+      s"bands-over-width rejection should name the stored width: $eBands")
+    intercept[RuntimeException] {
+      Graft.run(spark, Array("dedup", corpusDir, "--db", db4,
+        "--method", "minhash", "--sig-len", "32", "--bands", "48"))
+    }
+    // ...and a within-width non-divisor sweep still runs (banding uses
+    // the first bands*floor(width/bands) hashes)
+    jsonOut(Array("dedup", corpusDir, "--db", db5, "--method", "minhash",
+      "--use-staged", "--bands", "5", "--json"))
 
     // ---- empty corpus: text-quality writes the empty relation and the
     // report carries mean_quality:null (avg over zero rows) instead of
