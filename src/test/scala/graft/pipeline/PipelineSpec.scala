@@ -155,6 +155,41 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint lowering follows Java full casing incl. Final_Sigma") {
+    // The p10 oracle emulates Java String.toLowerCase in DuckDB SQL
+    // (İ full mapping + the Final_Sigma context rule with its
+    // case-ignorable skips) and tools/casing_parity_probe.py pins that
+    // emulation against CPython, which implements the same Unicode
+    // rule. This is the ENGINE half of the triangle: Spark's lower()
+    // must itself produce the Python/Java-derived expected strings —
+    // capital Σ lowers to ς only word-finally (skipping case-ignorables
+    // like ' ’ : . and combining marks; uncased letters like 的 are not
+    // cased context; Ⅰ ª ⓐ ARE), and a PRE-LOWERED word-final σ stays σ
+    // (the r18 fuzz found the oracle's old post-LOWER fix flipping it).
+    val cases = Seq(
+      ("ΟΔΟΣ ΚΑΙ ΣΑ", "οδος και σα"),
+      ("οδοσ οδος ς σ xσ", "οδοσ οδος ς σ xσ"),
+      ("Α'Σ κάτι", "α'ς κάτι"),
+      ("ΟΔΟΣ’ και", "οδος’ και"),
+      ("ΟΣ: x", "ος: x"),
+      ("ΟΣ. ΟΣ.Α", "ος. οσ.α"),
+      ("ΟΣ, ΟΣ,Α", "ος, ος,α"),
+      ("ΑΣ̈ ΑΣ̈Α", "ας̈ ασ̈α"),
+      ("ΑΣ᾿Α ΑΣ᾿ ", "ασ᾿α ας᾿"),
+      ("的Σ ΟΣ的", "的σ ος的"),
+      ("ⅠΣ ªΣ ⓐΣ!", "ⅰς ªς ⓐς!"),
+      ("İΣ Σİ", "i̇ς σi̇"),
+      ("a\u000bΟΣ\u000bΟΣ", "a ος ος")) // VT: Java \s member
+    val got = cases.map(_._1).toDF("text")
+      .select(lower(trim(regexp_replace($"text", "\\s+", " "))))
+      .collect().map(_.getString(0)).toSeq
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"Spark lower diverged from Java/Python full " +
+        s"casing on ${in.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+        s"got '$g' want '$want'")
+    }
+  }
+
   test("fingerprint ignores leading/trailing whitespace of any kind") {
     val df = Seq("hello  world", "hello world\n", "\thello world ")
       .toDF("text").select(TextAnalysis.fingerprint($"text").as("f"))

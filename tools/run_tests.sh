@@ -13,6 +13,14 @@ start=$(date +%s)
 sbt -batch test >"$log" 2>&1
 rc=$?
 wall=$(( $(date +%s) - start ))
+# Oracle-emulation parity (r17 verdict #1b): the probe reads the
+# emulated expressions FROM the committed oracle files and
+# differential-tests them against CPython's Java-equivalent casing /
+# whitespace semantics — run it per round so parity is a committed
+# artifact, and fold its rc into the suite's.
+parity=$(python3 tools/casing_parity_probe.py 2>&1)
+parity_rc=$?
+[ $parity_rc -ne 0 ] && rc=$(( rc == 0 ? parity_rc : rc ))
 summary=$(grep -E "^\[info\] (Tests:|Total number of tests run|Suites:|All tests passed|.*Run completed)" "$log" | tail -4)
 {
   echo "# TESTS_r${round} — full \`sbt -batch test\` run"
@@ -26,6 +34,9 @@ summary=$(grep -E "^\[info\] (Tests:|Total number of tests run|Suites:|All tests
   echo
   echo "canceled tests (expected: GIAB corpus absent, ffmpeg absent):"
   grep -E "CANCELED|!!! CANCELED" "$log" | sed 's/^\[info\] *//' | sort -u
+  echo
+  echo "casing_parity_probe (rc ${parity_rc}):"
+  echo "$parity"
 } > "TESTS_r${round}.txt"
 cat "TESTS_r${round}.txt"
 exit $rc
