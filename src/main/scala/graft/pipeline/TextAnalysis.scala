@@ -75,6 +75,52 @@ object TextAnalysis {
     size(filter(toks, t =>
       translate(lower(t), "\u0307", "").isin(stops: _*)))
 
+  /** The eleven latin-script vote families in priority order:
+    * (stopwords, tie-break priority, language code). Priority
+    * reproduces the en-first when-chain order of the original 4-family
+    * form on exact ratio ties. */
+  private[pipeline] val LatinFamilies: Seq[(Seq[String], Int, String)] =
+    Seq((EnStopwords, 11, "en"), (DeStopwords, 10, "de"),
+      (FrStopwords, 9, "fr"), (EsStopwords, 8, "es"),
+      (PtStopwords, 7, "pt"), (ItStopwords, 6, "it"),
+      (NlStopwords, 5, "nl"), (SvStopwords, 4, "sv"),
+      (PlStopwords, 3, "pl"), (TrStopwords, 2, "tr"),
+      (RoStopwords, 1, "ro"))
+
+  /** Per-family stopword hit counts over the token array in ONE
+    * traversal: lower every token once (`transform`, bound so the
+    * lowered array materializes once), then a single `aggregate` pass
+    * carries an 11-wide count array, each token adding its 0/1
+    * membership per family \u2014 the family tests inside the lambda read
+    * the lowered token as a variable, so the per-token cost is one
+    * lower + one tr dot-strip + 11 set probes. The pre-r18 shape ran
+    * 11 separate `size(filter(toks, lower(t).isin(...)))` traversals
+    * (one per family), re-lowering every token 11\u00d7 in interpreted HOF
+    * lambdas; [[langVoteCountsMultiPass]] keeps that shape as the
+    * differential twin (VotePassProbe measures the difference, the
+    * fuzz spec pins equality). */
+  private[graft] def langVoteCounts(toks: Column): Column =
+    bindOnce(transform(toks, t => lower(t))) { lows =>
+      aggregate(lows, array(LatinFamilies.map(_ => lit(0)): _*),
+        (acc, lt) => array(LatinFamilies.zipWithIndex.map {
+          case ((stops, _, code), i) =>
+            val key =
+              if (code == "tr") translate(lt, "\u0307", "") else lt
+            element_at(acc, i + 1) + when(key.isin(stops: _*), 1)
+              .otherwise(0)
+        }: _*))
+    }
+
+  /** The pre-r18 11-traversal vote shape \u2014 [[langVoteCounts]]'s
+    * differential twin (spec-pinned equal on the unicode fuzz corpus;
+    * kept for the A/B probe and as the readable spelling of the
+    * semantics). */
+  private[graft] def langVoteCountsMultiPass(toks: Column): Column =
+    array(LatinFamilies.map { case (stops, _, code) =>
+      if (code == "tr") stopwordCountTr(toks, stops)
+      else stopwordCount(toks, stops)
+    }: _*)
+
   /** Quality metrics + composite score (length / punctuation / stopword
     * ratios — the standard C4/Gopher-style cheap filters).
     *
@@ -164,25 +210,22 @@ object TextAnalysis {
 
     bindOnce(tokens(text)) { toks =>
       val nToks = greatest(size(toks), lit(1))
-      // (ratio, priority, code) structs sorted ascending: the last
-      // element is the winning language — on ratio ties the HIGHEST
-      // priority sorts last, reproducing the en-first when-chain order
-      // of the 4-family form; the runner-up ratio (for the margin) is
-      // order-insensitive. An external SQL oracle reproduces the same
-      // values from a plain sorted ratio list.
-      def fam(stops: Seq[String], prio: Int, code: String): Column = {
-        val cnt = if (code == "tr") stopwordCountTr(toks, stops)
-                  else stopwordCount(toks, stops)
-        struct((cnt.cast(DoubleType) / nToks).as("r"),
-          lit(prio).as("p"), lit(code).as("c"))
-      }
-      val sorted = sort_array(array(
-        fam(EnStopwords, 11, "en"), fam(DeStopwords, 10, "de"),
-        fam(FrStopwords, 9, "fr"), fam(EsStopwords, 8, "es"),
-        fam(PtStopwords, 7, "pt"), fam(ItStopwords, 6, "it"),
-        fam(NlStopwords, 5, "nl"), fam(SvStopwords, 4, "sv"),
-        fam(PlStopwords, 3, "pl"), fam(TrStopwords, 2, "tr"),
-        fam(RoStopwords, 1, "ro")))
+      // ONE traversal computes all 11 hit counts (r18; the prior
+      // per-family filter shape re-walked and re-lowered the token
+      // array 11×, measured by VotePassProbe), bound so best and
+      // runner-up below share it. (ratio, priority, code) structs
+      // sorted ascending: the last element is the winning language —
+      // on ratio ties the HIGHEST priority sorts last, reproducing the
+      // en-first when-chain order of the 4-family form; the runner-up
+      // ratio (for the margin) is order-insensitive. An external SQL
+      // oracle reproduces the same values from a plain sorted ratio
+      // list.
+      bindOnce(langVoteCounts(toks)) { cnts =>
+      val sorted = sort_array(array(LatinFamilies.zipWithIndex.map {
+        case ((_, prio, code), i) =>
+          struct((element_at(cnts, i + 1).cast(DoubleType) / nToks)
+            .as("r"), lit(prio).as("p"), lit(code).as("c"))
+      }: _*))
       // bind every expensive piece — 5 script regex ratios, the sorted
       // vote (its best and runner-up) — so the CASE branches below read
       // variables instead of re-running regexes and token filters
@@ -221,6 +264,7 @@ object TextAnalysis {
           .when(bestR === lit(0.0), lit(0.0))
           .otherwise(bestR - second.getField("r"))
         struct(lang.as("lang"), margin.as("lang_margin"))
+      }
       }
     }
   }

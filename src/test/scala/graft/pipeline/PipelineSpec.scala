@@ -126,6 +126,16 @@ class TextAnalysisSpec extends SparkSpec {
       assert(labels.contains(lang), s"label '$lang' escaped the closed set")
       assert(m >= 0.0 && m <= 1.0 && !m.isNaN, s"margin $m out of [0,1]")
     }
+    // the r18 single-pass vote must count exactly like its 11-traversal
+    // differential twin on the same fuzz corpus (the twin is the
+    // readable spelling of the semantics; VotePassProbe measures why
+    // the single-pass form ships)
+    val toks = TextAnalysis.tokens($"text")
+    val diff = texts.toDF("text")
+      .select(TextAnalysis.langVoteCounts(toks).as("one"),
+        TextAnalysis.langVoteCountsMultiPass(toks).as("eleven"))
+      .filter(not($"one" <=> $"eleven"))
+    assert(diff.isEmpty, s"vote shapes diverged: ${diff.head(3).toSeq}")
   }
 
   test("word shingles") {
