@@ -36,9 +36,17 @@ object MinHashUtil {
     v
   }
 
-  /** The [null,…] signature the relational form produced for a
-    * document with NO hashable shingle (null text → null token array →
-    * the [null] shingle whose md5 is null). */
+  /** The [null,…] signature of a document with NO hashable shingle:
+    * NULL text (null token array → the [null] shingle whose md5 is
+    * null in the relational form) and, since r18, the EMPTY token
+    * array too — an empty document has no shingles, so "min over the
+    * shingle hashes" is vacuous. Pre-r18 the empty case hashed the
+    * empty string as a real shingle, giving every empty/whitespace-only
+    * document the SAME signature: they all co-bucketed in every band
+    * and formed one quadratic candidate bucket at corpus scale (found
+    * by tools/adversarial_corpus.py; the DuckDB oracle already excluded
+    * them). All-null signatures are dropped before banding in
+    * Dedup.minhashCandidatePairsFromSignatures. */
   def allNullSignature(numHashes: Int): GenericArrayData =
     new GenericArrayData(new Array[Any](numHashes))
 
@@ -48,9 +56,10 @@ object MinHashUtil {
     * semantics) into one md5, WITHOUT materializing the shingle
     * strings. The shingle set matches `TextAnalysis.wordShingles`
     * exactly: a sliding window of k tokens when the array has ≥ k
-    * elements, otherwise the single all-tokens joined form (the empty
-    * string for an empty array — hashed, not null, exactly as the
-    * relational form hashed `""`). Motivation: the Spark-side
+    * elements, the single all-tokens joined form for 1..k-1 elements,
+    * and the all-null signature for ZERO elements (no shingles — see
+    * [[allNullSignature]]; pre-r18 this hashed `""` as a real shingle,
+    * co-bucketing every empty document). Motivation: the Spark-side
     * `transform(sequence…, array_join(slice…))` shingling runs through
     * INTERPRETED higher-order functions and measured 32 s of the 48 s
     * signature stage at 10M docs (`tools.SigProfile`); this streams the
@@ -87,6 +96,7 @@ object MinHashUtil {
       }
     }
 
+    if (n == 0) return allNullSignature(numHashes)
     if (n >= shingleK) {
       var i = 0
       while (i <= n - shingleK) { hashWindow(i, shingleK); i += 1 }

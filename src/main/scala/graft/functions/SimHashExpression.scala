@@ -32,8 +32,13 @@ object SimHashUtil {
     h
   }
 
-  /** 64-bit SimHash over an ArrayData of UTF8String tokens (null tokens
-    * skipped); empty/absent input → 0. */
+  /** 64-bit SimHash over a NON-EMPTY ArrayData of UTF8String tokens
+    * (null tokens skipped). Empty input is the caller's problem: the
+    * [[SimHash64]] expression maps it to NULL — a token-less document
+    * has no feature evidence, and the pre-r18 constant 0L gave every
+    * empty/whitespace-only document the same signature, co-bucketing
+    * them all at hamming 0 (r18 adversarial corpus find; the DuckDB
+    * oracle's token CTE never emitted them). */
   def simhash64(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     if (n == 0) return 0L
@@ -78,12 +83,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
           s"simhash64 expects array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any =
-    SimHashUtil.simhash64(input.asInstanceOf[ArrayData])
+  // empty token array → NULL, not a signature: a token-less document
+  // has no features to hash, and the old constant 0L made every
+  // empty/whitespace-only document a hamming-0 "near-duplicate" of
+  // every other — one quadratic bucket at corpus scale (r18
+  // adversarial corpus find). simhashChunkRows' existing null drop
+  // then excludes them from banding.
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() == 0) null else SimHashUtil.simhash64(a)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.SimHashUtil.simhash64($a);")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if ($a.numElements() == 0) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.SimHashUtil.simhash64($a);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

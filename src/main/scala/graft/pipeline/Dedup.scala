@@ -191,9 +191,19 @@ object Dedup {
     // null drop for parity with an equi-join shape: a null id or null
     // signature (possible in a user-supplied sigs relation; never
     // produced by minhashSignatures) would otherwise form a null-keyed
-    // bucket under groupBy where a join key would have dropped it
+    // bucket under groupBy where a join key would have dropped it.
+    // The element_at probe drops ALL-NULL signatures — the "no
+    // shingles" signature minhashSignatures produces for NULL-text and
+    // (since r18) empty/whitespace-only documents. Slots are all-or-
+    // nothing (one hashed window fills every slot), so probing slot 1
+    // suffices. Without it, xxhash64 over a slice of nulls is a
+    // CONSTANT per band: every no-content document lands in the same
+    // bucket in every band — at corpus scale, a single quadratic
+    // candidate bucket of empty documents (r18 adversarial corpus
+    // find; the DuckDB oracle never generated them).
     val bandsAll = lshBands(
-      withSig.filter(col(idCol).isNotNull && col("_sig").isNotNull),
+      withSig.filter(col(idCol).isNotNull && col("_sig").isNotNull &&
+        element_at(col("_sig"), 1).isNotNull),
       "_sig", bands, rowsPerBand, idCol)
     val idType = withSig.schema(idCol).dataType
     val pairs = (
@@ -464,12 +474,12 @@ object Dedup {
     sig
   }
 
-  // null-in → null-out, matching the native SimHash64 expression's
-  // nullSafeEval short-circuit (a 0L here would make the twins diverge
-  // on null-text documents: signature 0 clusters with empty-text docs,
-  // NULL drops out of the banded join)
+  // null-in → null-out AND empty-in → null-out, matching the native
+  // SimHash64 expression: a token-less document has no features, and
+  // any non-null value here would cluster every empty-text document
+  // with every other at hamming 0 (NULL drops out of the banded join)
   val simhashUdf = udf((toks: Seq[String]) =>
-    if (toks == null) null.asInstanceOf[java.lang.Long]
+    if (toks == null || toks.isEmpty) null.asInstanceOf[java.lang.Long]
     else java.lang.Long.valueOf(simhash64(toks)))
 
   /** Near-dup pairs by SimHash: band the 64-bit signature into
@@ -611,13 +621,22 @@ object Dedup {
     TextAnalysis.bindOnce(struct(
       array_distinct(TextAnalysis.wordShingles(toksA, k)).as("sa"),
       array_distinct(TextAnalysis.wordShingles(toksB, k)).as("sb"))) { s =>
-      TextAnalysis.bindOnce(struct(
-        size(array_intersect(s.getField("sa"), s.getField("sb"))).as("i"),
-        (size(s.getField("sa")) + size(s.getField("sb"))).as("t"))) { v =>
-        val inter = v.getField("i")
-        val union = v.getField("t") - inter
-        when(union > 0, inter.cast(DoubleType) / union)
-      }
+      val sa = s.getField("sa")
+      val sb = s.getField("sb")
+      // explicit NULL guard: a NULL shingle set (NULL text) must yield a
+      // NULL similarity, and without the guard the legacy size(NULL) = -1
+      // (ANSI off) flows into the |A|+|B| arithmetic as a NEGATIVE count
+      // (r18 adversarial corpus find). Two EMPTY sets fall through to the
+      // union > 0 guard below: 0/0 → NULL, while empty-vs-nonempty is a
+      // legitimate 0.0
+      when(sa.isNotNull && sb.isNotNull,
+        TextAnalysis.bindOnce(struct(
+          size(array_intersect(sa, sb)).as("i"),
+          (size(sa) + size(sb)).as("t"))) { v =>
+          val inter = v.getField("i")
+          val union = v.getField("t") - inter
+          when(union > 0, inter.cast(DoubleType) / union)
+        })
     }
 
   // ---- embedding cosine near-dup ----

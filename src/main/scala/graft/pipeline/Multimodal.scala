@@ -34,8 +34,9 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
-      n_bytes: Long,
-      content_hash: Long,
+      n_bytes: Option[Long],   // None = payload ABSENT (null content) —
+      content_hash: Option[Long], // distinct from a 0-byte payload,
+                               // whose hash is the real empty-bytes hash
       feature_vec: Array[Float],
       n_frames_sampled: Int,
       decoder: String)        // imageio | wav_pcm | ffmpeg | stub
@@ -285,15 +286,26 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition scope: a codec needing init/teardown hooks in here
       rows.map { r =>
-        val content = if (r.content == null) Array.emptyByteArray else r.content
+        // NULL content = payload ABSENT: size and hash are NULL (the
+        // r18 adversarial gate caught the old empty-bytes coalesce,
+        // which hashed every missing payload to the SAME value as a
+        // genuinely 0-byte file — at scale that turns "a billion rows
+        // with a missing blob" into one giant exact-dup cluster). The
+        // decode stub still runs on empty bytes so the feature/frame
+        // plumbing keeps its shape on such rows.
+        val absent = r.content == null
+        val content = if (absent) Array.emptyByteArray else r.content
         val (vec, frames, decoder) = decode(content) match {
           case Some(d) => (d.featureVec, d.nFrames, d.decoder)
           case None =>
             val (v, f) = decodeStub(content, r.media_type)
             (v, f, "stub")
         }
-        MediaFeatures(r.media_id, r.media_type, content.length.toLong,
-          graft.functions.SimHashUtil.tokenHash60(content), vec, frames, decoder)
+        MediaFeatures(r.media_id, r.media_type,
+          if (absent) None else Some(content.length.toLong),
+          if (absent) None
+          else Some(graft.functions.SimHashUtil.tokenHash60(content)),
+          vec, frames, decoder)
       }
     }
   }

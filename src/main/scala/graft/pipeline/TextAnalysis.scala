@@ -17,9 +17,18 @@ object TextAnalysis {
     filter(split(text, "\\s+"), t => t =!= "")
 
   /** BPE-ish subword proxy: word pieces + isolated punctuation
-    * (`\w+|[^\w\s]`), the standard pre-tokenizer shape. */
+    * (`\w+|[^\w\s]`), the standard pre-tokenizer shape. NULL text →
+    * NULL count (the bare `size()` spelling leaks Spark's legacy
+    * size(NULL) = -1 when ANSI is off — found by the r18 adversarial
+    * corpus gate, tools/adversarial_corpus.py). */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+    when(text.isNotNull,
+      size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))))
+
+  /** Whitespace token count, NULL-safe: NULL text → NULL, not the
+    * legacy size(NULL) = -1. */
+  def tokenCount(text: Column): Column =
+    when(text.isNotNull, size(tokens(text)))
 
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "are", "was", "it", "that", "this", "for", "on", "with", "as")
@@ -150,7 +159,13 @@ object TextAnalysis {
         val punct = when(nCh > 0, s.getField("punct").cast(DoubleType) / nCh)
         val upper = when(nCh > 0, s.getField("upper").cast(DoubleType) / nCh)
         val stopr = when(nTok > 0, s.getField("stops").cast(DoubleType) / nTok)
-        struct(nCh.as("n_chars"), nTok.as("n_tokens"),
+        // NULL text → NULL n_tokens (size() of the null token array is
+        // the legacy -1 with ANSI off); every OTHER field already
+        // null-propagates through its when-guards, and quality_score's
+        // four otherwise(0.0) branches deliberately score a NULL
+        // document 0.0 on both engine and oracle (CASE..ELSE fires)
+        struct(nCh.as("n_chars"),
+          when(text.isNotNull, nTok).as("n_tokens"),
           mean.as("mean_token_len"), punct.as("punct_ratio"),
           upper.as("upper_ratio"), stopr.as("stopword_ratio"),
           (when(nTok.between(5, 100000), 0.25).otherwise(0.0) +
@@ -293,11 +308,22 @@ object TextAnalysis {
     md5Bits(lower(trim(regexp_replace(text, "\\s+", " "))), 1, 15)
 
   /** Word k-shingles as space-joined strings (basis for minhash /
-    * jaccard). Documents shorter than k words yield their single joined
-    * form. */
+    * jaccard). Documents with 1 to k-1 words yield their single joined
+    * form; ZERO words yield the EMPTY set and a NULL token array stays
+    * NULL. The pre-r18 spelling gave an empty document the shingle set
+    * {""} — a real set that made every empty document a near-duplicate
+    * of every other: jaccard 1.0, a shared minhash signature, and at
+    * corpus scale a single quadratic pair bucket over every
+    * empty/whitespace-only document (found by the adversarial corpus
+    * gate, tools/adversarial_corpus.py; the DuckDB oracles already
+    * excluded them because ARRAY_TO_STRING([]) is NULL there and
+    * LIST_DISTINCT drops it). Zero shingles = no content evidence =
+    * excluded from every pair path. */
   def wordShingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+    when(toks.isNull, lit(null).cast(ArrayType(StringType)))
+      .when(size(toks) === 0, slice(toks, 1, 0))
+      .when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => array_join(slice(toks, i + 1, lit(k)), " ")))
       .otherwise(array(array_join(toks, " ")))
 }

@@ -31,7 +31,7 @@ object Pipeline {
       Tables(s, dir).documents.select(
         $"doc_id",
         length($"text").as("n_chars"),
-        size(TextAnalysis.tokens($"text")).as("n_tokens"),
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
         TextAnalysis.bpeishTokenCount($"text").as("n_bpeish"))
         .orderBy($"doc_id")
     },
@@ -381,13 +381,18 @@ object Pipeline {
         |  FROM documents),
         |sh AS (
         |  SELECT doc_id,
-        |    LIST_DISTINCT(CASE WHEN LEN(toks) >= 3 THEN
+        |    LIST_DISTINCT(CASE
+        |      WHEN toks IS NULL THEN NULL
+        |      WHEN LEN(toks) = 0 THEN []
+        |      WHEN LEN(toks) >= 3 THEN
         |      LIST_TRANSFORM(RANGE(LEN(toks) - 2),
         |        i -> CONCAT_WS(' ', toks[i+1], toks[i+2], toks[i+3]))
         |      ELSE [ARRAY_TO_STRING(toks, ' ')] END) AS shingles
         |  FROM t)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  ROUND(CASE WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) > 0 THEN
+        |  ROUND(CASE
+        |    WHEN a.shingles IS NULL OR b.shingles IS NULL THEN NULL
+        |    WHEN LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) > 0 THEN
         |    CAST(LEN(LIST_INTERSECT(a.shingles, b.shingles)) AS DOUBLE) /
         |    LEN(LIST_DISTINCT(LIST_CONCAT(a.shingles, b.shingles))) END, 6) AS jaccard3
         |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id

@@ -53,9 +53,17 @@ class SimHashExpressionSpec extends graft.SparkSpec {
     ).toDF("text")
     val toks = graft.pipeline.TextAnalysis.tokens($"text")
     val rows = docs.select(
+      $"text",
       graft.functions.SimHashExpression.simhash64(toks).as("native"),
       graft.pipeline.Dedup.simhashUdf(toks).as("udf")).collect()
-    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"null-ness diverged for ${r.getString(0)}")
+      if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2))
+    }
+    // r18: a token-less document has NO signature — both twins NULL
+    // (the old constant 0L co-bucketed every empty doc at hamming 0)
+    assert(rows.find(_.getString(0) == "").exists(_.isNullAt(1)))
   }
 
   test("SimHash64 is SQL-registered and codegen survives wholestage") {

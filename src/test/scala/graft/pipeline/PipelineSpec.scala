@@ -256,10 +256,11 @@ class DedupSpec extends SparkSpec {
         .select($"doc_id",
           array((0 until numHashes).map(i => col(s"_m$i")): _*).as("_sig"))
     }
-    // adversarial texts: empty (→ [""] shingle), shorter than k, exact
-    // duplicates, duplicate shingles inside one doc (array_distinct on
-    // the twin, duplicate-insensitive min on the expression), unicode,
-    // collapsible whitespace — plus the sf documents table for volume
+    // adversarial texts: empty (→ NO shingles since r18), shorter than
+    // k, exact duplicates, duplicate shingles inside one doc
+    // (array_distinct on the twin, duplicate-insensitive min on the
+    // expression), unicode, collapsible whitespace — plus the sf
+    // documents table for volume
     // ids offset past the sf table's id space: a collision would make
     // the twin's groupBy MERGE two docs while the per-row expression
     // keeps them separate — a test artifact, not a semantics difference
@@ -269,23 +270,34 @@ class DedupSpec extends SparkSpec {
       (9000103L, Some("a a a a a a a a")), // every shingle identical
       (9000104L, Some("héllo wörld ünïcode tokens again héllo wörld ünïcode")),
       (9000105L, Some("  spaced\tout\n\nwhitespace   forms  here  ")),
-      // null text: the relational twin keeps the doc with an all-null
-      // signature ([null] shingle → null hash → all mins null); the
-      // expression must reproduce that, not drop the row or null the
-      // array itself
-      (9000106L, None: Option[String]))
+      (9000106L, None: Option[String]),   // null text: no shingles
+      (9000107L, Some(" \t ")))     // whitespace-only: no shingles
       .toDF("doc_id", "text")
     val corpus = graft.Tables(spark, sfDir).documents
       .select($"doc_id", $"text").union(weird)
       .union(docs.select(($"doc_id" + 9000200L).as("doc_id"), $"text"))
+    // r18 no-shingle semantics: the twin's explode emits NO row for an
+    // empty/whitespace-only/null text (wordShingles → []/NULL), while
+    // the per-row expression keeps the doc with the ALL-NULL signature
+    // — both spell "no shingles, excluded from banding". The twin
+    // equality therefore holds on the shingle-bearing docs, and every
+    // doc the twin drops must be exactly an all-null-signature doc.
     Seq((3, 64), (2, 16), (5, 7)).foreach { case (k, n) =>
       val expected = relationalSigs(corpus, k, n).collect()
         .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
       val got = Dedup.minhashSignatures(corpus, "text", "doc_id", k, n)
         .collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
-      assert(got.keySet == expected.keySet, s"doc set diverged at k=$k n=$n")
-      got.foreach { case (id, sig) =>
-        assert(sig == expected(id), s"signature diverged for doc $id at k=$k n=$n")
+      val noShingle = got.keySet -- expected.keySet
+      assert(noShingle == Set(9000100L, 9000106L, 9000107L),
+        s"no-shingle doc set diverged at k=$k n=$n: $noShingle")
+      noShingle.foreach { id =>
+        assert(got(id).forall(_ == null),
+          s"no-shingle doc $id must carry the all-null signature at k=$k")
+      }
+      assert((expected.keySet -- got.keySet).isEmpty,
+        s"expression dropped docs at k=$k n=$n")
+      expected.foreach { case (id, sig) =>
+        assert(got(id) == sig, s"signature diverged for doc $id at k=$k n=$n")
       }
     }
     // scale shape: signatures are a bare map over the corpus — no
@@ -919,7 +931,10 @@ class IvfSpec extends SparkSpec {
       .collect()
     assert(feats.length == 1)
     assert(feats.head.decoder == "stub")
-    assert(feats.head.n_bytes == 0L)
+    // r18: an absent payload reports NULL size/hash, not the 0-byte
+    // payload's values (which would exact-dup-cluster every missing
+    // blob with every genuinely empty file)
+    assert(feats.head.n_bytes.isEmpty && feats.head.content_hash.isEmpty)
   }
 
   test("IVF default quantizer works on non-dense, non-zero-based ids") {
@@ -1270,11 +1285,21 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.count() == 50)
     val f = feats.filter(_.media_id == 1L).head()
     assert(f.feature_vec.length == 16)
-    assert(f.n_bytes > 0)
+    assert(f.n_bytes.exists(_ > 0))
     // determinism: re-extraction yields identical hashes
     val again = Multimodal.extractFeatures(media)
       .filter(_.media_id == 1L).head()
-    assert(again.content_hash == f.content_hash)
+    assert(f.content_hash.isDefined && again.content_hash == f.content_hash)
+    // r18: an ABSENT payload (null content) is not a 0-byte payload —
+    // size and hash are NULL, so a billion missing blobs can't form one
+    // giant exact-dup cluster with genuinely empty files
+    val withNull = Multimodal.mediaFromDocuments(
+      graft.Tables(spark, sfDir).documents.limit(3)
+        .withColumn("text", org.apache.spark.sql.functions.lit(null)
+          .cast("string")))
+    val nf = Multimodal.extractFeatures(withNull).head()
+    assert(nf.n_bytes.isEmpty && nf.content_hash.isEmpty)
+    assert(nf.feature_vec.length == 16) // plumbing keeps its shape
   }
 
   test("frame-sample plan targets videos only") {
