@@ -22,15 +22,20 @@
 --                        U+FE52 U+FE55 U+FF07 U+FF0E U+FF1A)
 --     derived empirically against CPython's Final_Sigma implementation
 --     over every codepoint (Java implements the same spec rule).
+--   * trim is spelled with the EXPLICIT ' ' charset (r18): DuckDB's
+--     one-argument trim strips every Unicode Zs space separator (NBSP,
+--     figure/ideographic/ogham spaces...) while Spark's trim strips
+--     only ASCII 0x20 — divergence class #4, found by the adversarial
+--     corpus gate on an NBSP-only document (tools/adversarial_corpus.py).
 -- tools/casing_parity_probe.py reads the md5 argument FROM THIS FILE
 -- and differential-tests it against Python's full-casing semantics on
--- an adversarial corpus; OracleDisciplineSpec tripwires the whitespace
--- and casing discipline across every committed oracle.
+-- an adversarial corpus; OracleDisciplineSpec tripwires the whitespace,
+-- casing and trim discipline across every committed oracle.
 SELECT doc_id,
   CAST(('0x' || substr(md5(
     LOWER(REPLACE(
       REGEXP_REPLACE(
-        trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g')),
+        trim(regexp_replace(text, '[\s\x0b]+', ' ', 'g'), ' '),
         '([\p{Lu}\p{Ll}\p{Lt}\x{aa}\x{ba}\x{2160}-\x{217f}\x{24b6}-\x{24e9}\x{1f130}-\x{1f149}\x{1f150}-\x{1f169}\x{1f170}-\x{1f189}][\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}''’.:·\x{387}\x{55f}\x{5f4}\x{2018}\x{2024}\x{2027}\x{fe13}\x{fe52}\x{fe55}\x{ff07}\x{ff0e}\x{ff1a}]*)Σ([\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}''’.:·\x{387}\x{55f}\x{5f4}\x{2018}\x{2024}\x{2027}\x{fe13}\x{fe52}\x{fe55}\x{ff07}\x{ff0e}\x{ff1a}]*([^\p{Lu}\p{Ll}\p{Lt}\x{aa}\x{ba}\x{2160}-\x{217f}\x{24b6}-\x{24e9}\x{1f130}-\x{1f149}\x{1f150}-\x{1f169}\x{1f170}-\x{1f189}\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}''’.:·\x{387}\x{55f}\x{5f4}\x{2018}\x{2024}\x{2027}\x{fe13}\x{fe52}\x{fe55}\x{ff07}\x{ff0e}\x{ff1a}]|$))',
         '\1ς\2', 'g'),
       CHR(304), CHR(105) || CHR(775)))), 1, 15)) AS BIGINT) AS fingerprint

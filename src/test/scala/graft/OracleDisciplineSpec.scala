@@ -14,6 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *      (emulated in p10; pinned by tools/casing_parity_probe.py).
   *   3. Java's regex \s includes vertical tab U+000B; RE2's does not.
   *      Oracle tokenizer classes must spell it: [\s\x0b]+, [^\w\s\x0b].
+  *   4. (r18, found by tools/adversarial_corpus.py on an NBSP-only
+  *      document) DuckDB's ONE-argument trim strips every Unicode Zs
+  *      space separator (NBSP, figure/ideographic/ogham spaces...);
+  *      Spark's trim strips ASCII 0x20 only. Free-text oracles must
+  *      spell the charset: trim(x, ' ').
   *
   * The emulations are hand-maintained strings scattered across the
   * committed oracle SQL — a NEW oracle written with a bare '\s+' or a
@@ -82,6 +87,37 @@ class OracleDisciplineSpec extends AnyFunSuite {
       !hasPreSub && !trForm
     }.toSeq
 
+  /** Offsets of ONE-argument trim( calls — DuckDB's default charset is
+    * every Unicode Zs space separator while Spark's trim strips ASCII
+    * 0x20 only (class 4); free-text oracles must spell trim(x, ' ').
+    * ltrim/rtrim are excluded by the preceding-letter guard (they share
+    * the same default but no committed free-text oracle uses them; add
+    * them here if one ever does). */
+  private[graft] def trimViolations(sql: String): Seq[Int] =
+    raw"(?i)(?<![a-z])trim\(".r.findAllMatchIn(sql).map(_.start).filter {
+      i =>
+        val arg = parenArg(sql, i + 4)
+        // a compliant call has a TOP-level comma separating the
+        // explicit charset argument
+        var depth = 0
+        var inStr = false
+        var topComma = false
+        var j = 0
+        while (j < arg.length && !topComma) {
+          val c = arg.charAt(j)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case ',' if depth == 0 => topComma = true
+            case _ =>
+          }
+          j += 1
+        }
+        !topComma
+    }.toSeq
+
   /** An oracle is in scope for the casing rule when it reads the
     * free-text corpus; VCF-domain oracles lower ASCII-constrained
     * header/INFO fields where simple and full mappings agree. */
@@ -104,6 +140,24 @@ class OracleDisciplineSpec extends AnyFunSuite {
     assert(lowerViolations(
       "LOWER(REPLACE(LOWER(x), CHR(304), CHR(105) || CHR(775)))")
       .sizeIs == 1)
+    // trim: DuckDB's 1-arg default strips Unicode Zs, Spark's only 0x20
+    assert(trimViolations("trim(regexp_replace(text, '[\\s\\x0b]+', ' ', 'g'))").nonEmpty)
+    assert(trimViolations("TRIM(x)").nonEmpty)
+    assert(trimViolations("trim(regexp_replace(text, '[\\s\\x0b]+', ' ', 'g'), ' ')").isEmpty)
+    assert(trimViolations("ltrim(x) || rtrim(y)").isEmpty) // different fns
+    assert(trimViolations("trim(f(a, b))").nonEmpty) // inner comma ≠ charset
+  }
+
+  test("every free-text oracle trim carries an explicit ASCII charset") {
+    for ((key, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+         if freeText(sql)) {
+      val bad = trimViolations(sql)
+      assert(bad.isEmpty,
+        s"oracle $key has a 1-argument trim( at offset(s) $bad over " +
+          "free text — DuckDB's default charset strips every Unicode " +
+          "Zs space separator (NBSP, ideographic space, ...) while " +
+          "Spark's trim strips ASCII 0x20 only; spell it trim(x, ' ')")
+    }
   }
 
   test("every committed oracle uses the Java-\\s whitespace class") {

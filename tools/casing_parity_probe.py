@@ -128,6 +128,13 @@ def main() -> int:
         "的Σ ΟΣ的",                      # uncased letters: not cased context
         "ⅠΣ ªΣ ⓐΣ!",                    # Other_Uppercase/Lowercase ARE cased
         "a\x0bΟΣ\x0bΟΣ",                # VT as the whitespace collapse char
+        # divergence class #4 (r18): DuckDB 1-arg trim strips Unicode Zs
+        # separators, Spark trim strips ASCII 0x20 only — these edge
+        # spaces must SURVIVE the oracle's trim(x, ' ')
+        "\xa0",                         # NBSP-only doc (the r18 find)
+        "\xa0ΟΣ λέξη\xa0",              # NBSP at both edges
+        "\u3000全角\u3000",           # ideographic space edges
+        "\u2007fig\u2007 \u1680og\u1680",  # figure + ogham space edges
     ]
     for s in CASES:
         # 1) stopword-matching emulation == python/Java full lowercase
@@ -218,8 +225,10 @@ def main() -> int:
 
 
 def py_fingerprint_text(s: str) -> str:
-    # Java \s+ collapse (includes VT), trim, Java-equivalent full lower
-    return re.sub("[ \t\n\x0b\f\r]+", " ", s).strip().lower()
+    # Java \s+ collapse (includes VT), SPARK trim (ASCII 0x20 ONLY —
+    # a bare .strip() here would strip NBSP/Zs like DuckDB's 1-arg trim
+    # and mask divergence class #4), Java-equivalent full lower
+    return re.sub("[ \t\n\x0b\f\r]+", " ", s).strip(" ").lower()
 
 
 if __name__ == "__main__":
