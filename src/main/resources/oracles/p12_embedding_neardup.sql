@@ -1,7 +1,17 @@
-WITH corpus AS (
+WITH dom AS (
+  -- similarity domain (r18): non-NULL, finite, positive-norm vectors
+  -- only -- mirrors Similarity.finiteVectorPredicate (zero vectors have
+  -- no direction; NaN/Inf poison ranking and IVF assignment; DuckDB's
+  -- list_cosine_similarity errors on NULL-bearing input)
   SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+    AND list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM dom
   UNION ALL
-  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+  SELECT vec_id + 1000000, embedding FROM dom WHERE vec_id < 20
 ),
 b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -1,5 +1,15 @@
-WITH c AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+WITH dom AS (
+  -- similarity domain (r18): non-NULL, finite, positive-norm vectors
+  -- only -- mirrors Similarity.finiteVectorPredicate (zero vectors have
+  -- no direction; NaN/Inf poison ranking and IVF assignment; DuckDB's
+  -- list_cosine_similarity errors on NULL-bearing input)
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+    AND list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM dom
 ),
 cent AS (SELECT vec_id AS cent_id, v AS cv FROM c WHERE vec_id < 8),
 assigned AS (

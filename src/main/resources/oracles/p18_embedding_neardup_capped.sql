@@ -4,11 +4,21 @@
 -- oversized bucket) and nothing else. Threshold -1 keeps every
 -- surviving candidate pair visible so the compare covers the full
 -- generated set, not only the high-cosine tail.
-WITH corpus AS (
+WITH dom AS (
+  -- similarity domain (r18): non-NULL, finite, positive-norm vectors
+  -- only -- mirrors Similarity.finiteVectorPredicate (zero vectors have
+  -- no direction; NaN/Inf poison ranking and IVF assignment; DuckDB's
+  -- list_cosine_similarity errors on NULL-bearing input)
   SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+    AND list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0
+),
+corpus AS (
+  SELECT vec_id, embedding FROM dom
   UNION ALL
   SELECT 2000000 + r.range AS vec_id, e.embedding
-  FROM embeddings e CROSS JOIN range(30) r
+  FROM dom e CROSS JOIN range(30) r
   WHERE e.vec_id = 3
 ),
 b AS (

@@ -696,10 +696,13 @@ object Dedup {
       s"embeddingNearDup: bands=$bands out of range — the strided sign " +
         s"buckets admit at most stride=$stride disjoint bands at " +
         s"planes=$planes dim=$dim")
-    // null id / null vector rows fell out of the former equi-join shape
-    // (null never compared under id_a < id_b; a null vector's cosine is
-    // null) — drop them explicitly so the groupBy can't form pairs the
-    // join shape never emitted
+    // null id rows fell out of the former equi-join shape (null never
+    // compared under id_a < id_b) — drop them explicitly so the groupBy
+    // can't form pairs the join shape never emitted. The vector side
+    // applies the full similarity-domain predicate (non-NULL, finite,
+    // positive norm — Similarity.finiteVectorPredicate): zero vectors
+    // all share one sign bucket, and a NaN norm ranks GREATEST under
+    // Spark's NaN ordering (r18 adversarial-embeddings find)
     // norms computed ONCE per member before the groupBy (the same
     // norms-once discipline bruteForceTopK/ivfTopK apply): the naive
     // cosine() per pair re-folds both self-dot-products, 3 vecDots per
@@ -711,7 +714,8 @@ object Dedup {
     val (bucketed, groupCols) =
       if (bands == 1) {
         (Similarity.withLshBucket(embeddings, vecCol, planes, dim)
-          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .filter(col(idCol).isNotNull &&
+            Similarity.finiteVectorPredicate(vecCol))
           .select(col(idCol).as("id"), col(vecCol).as("vec"),
             col("lsh_bucket"))
           .withColumn("nrm", sqrt(dotC(col("vec"), col("vec")))),
@@ -723,7 +727,8 @@ object Dedup {
         // so a post-explode nrm would re-fold the self-dot once per
         // band instead of once per vector
         (embeddings
-          .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .filter(col(idCol).isNotNull &&
+            Similarity.finiteVectorPredicate(vecCol))
           .select(col(idCol).as("id"), col(vecCol).as("vec"))
           .withColumn("nrm", sqrt(dotC(col("vec"), col("vec"))))
           .select(col("id"), col("vec"), col("nrm"),
@@ -796,7 +801,8 @@ object Dedup {
     def dotC(x: Column, y: Column): Column =
       graft.functions.VectorExpressions.vecDot(x, y)
     embeddings
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .filter(col(idCol).isNotNull &&
+        Similarity.finiteVectorPredicate(vecCol))
       .select(Seq(col(idCol), col(vecCol),
         sqrt(dotC(col(vecCol), col(vecCol))).as("nrm")) ++
         (0 until bands).map(b =>

@@ -35,6 +35,30 @@ object Similarity {
   private def dotCol(x: Column, y: Column): Column =
     graft.functions.VectorExpressions.vecDot(x, y)
 
+  /** The similarity DOMAIN predicate: a vector participates only if it
+    * is non-NULL with a positive, finite squared norm. Everything else
+    * — NULL rows, zero vectors (no direction), vectors with NaN/Inf
+    * components (failed encoder batches, at corpus scale a certainty) —
+    * is excluded at every operator entry. This is not just hygiene:
+    * Spark orders NaN GREATER than every double, so one NaN vector
+    * would rank FIRST in every top-k it touches and poison the IVF
+    * centroid it lands on; DuckDB's list_cosine_similarity ERRORS
+    * outright on such input (r18 adversarial-embeddings find,
+    * tools/adversarial_corpus.py). The oracles carry the same filter
+    * (isfinite(Σx²) AND Σx² > 0). NaN needs the explicit isnan guard
+    * precisely because of the NaN-is-greatest ordering: NaN > 0 is
+    * TRUE in Spark SQL. */
+  def finiteVectorPredicate(vecCol: String): Column = {
+    val v = col(vecCol)
+    val n2 = dotCol(v, v)
+    v.isNotNull && !isnan(n2) && n2 > 0 &&
+      n2 < lit(Double.PositiveInfinity)
+  }
+
+  /** [[finiteVectorPredicate]] as a relation filter. */
+  def finiteVectors(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.filter(finiteVectorPredicate(vecCol))
+
   /** Shared ranking tail of the three top-k operators: the k best
     * candidates per query from a `scored` relation holding (query_id,
     * neighbor_id, cosine). A map-side bounded-heap aggregate
@@ -70,9 +94,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val q = finiteVectors(queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = finiteVectors(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -139,7 +165,8 @@ object Similarity {
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       sampleSize: Int = 8192): DataFrame = {
     val spark = corpus.sparkSession
-    val sample: Array[Array[Double]] = corpus.orderBy(col(idCol))
+    val sample: Array[Array[Double]] = finiteVectors(corpus, vecCol)
+      .orderBy(col(idCol))
       .limit(sampleSize).select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "kmeansCentroids: empty corpus")
@@ -228,11 +255,17 @@ object Similarity {
               nCentroids: Int = 8, nProbe: Int = 2,
               centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // domain filter FIRST: it also protects the default quantizer — a
+    // zero/NaN vector among the first nCentroids ids would otherwise
+    // become a centroid no valid vector can score against (and a NaN
+    // centroid out-ranks every real one under NaN-is-greatest)
+    val corpusD = finiteVectors(corpus, vecCol)
+    val queriesD = finiteVectors(queries, vecCol)
     // the default quantizer is literally "the first nCentroids vectors
     // by id" — orderBy + limit, NOT filter(id < n), which assumes dense
     // 0-based ids and silently returns an EMPTY result set for a corpus
     // whose ids start anywhere else
-    val centDf = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCentroids)
+    val centDf = centroids.getOrElse(corpusD.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec")))
     val cent = centDf
       .withColumn("_cent_norm", sqrt(dotCol(col("cent_vec"), col("cent_vec"))))
@@ -284,16 +317,16 @@ object Similarity {
     val cset = graft.functions.CentroidSet.fromRows(
       centRows.toSeq.map(r =>
         (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[Any](1))))
-    val lists = corpus
+    val lists = corpusD
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cent_id",
         graft.functions.VectorExpressions.nearestCentroid(col("c_vec"), cset))
       .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
 
     val probes = nearestCentroids(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      queriesD.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "query_id", "q_vec", nProbe)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val q = queriesD.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .join(probes, "query_id")
       .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
 
@@ -320,10 +353,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               planes: Int = 8): DataFrame = {
-    val c = withLshBucket(corpus, vecCol, planes)
+    val c = withLshBucket(finiteVectors(corpus, vecCol), vecCol, planes)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("lsh_bucket"))
       .withColumn("c_norm", sqrt(dotCol(col("c_vec"), col("c_vec"))))
-    val q = withLshBucket(queries, vecCol, planes)
+    val q = withLshBucket(finiteVectors(queries, vecCol), vecCol, planes)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("lsh_bucket"))
       .withColumn("q_norm", sqrt(dotCol(col("q_vec"), col("q_vec"))))
     // queries are the small side — PIN the broadcast (same contract as

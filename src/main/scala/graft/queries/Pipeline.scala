@@ -399,13 +399,19 @@ object Pipeline {
         |ORDER BY id_a""".stripMargin,
 
     "p06_embedding_topk" ->
-      """WITH q AS (
+      """WITH dom AS (
+        |  -- similarity domain (r18): mirrors Similarity.finiteVectorPredicate
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND isfinite(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+        |    AND list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum') > 0),
+        |q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
-        |  FROM embeddings WHERE vec_id < 4),
+        |  FROM dom WHERE vec_id < 4),
         |scored AS (
         |  SELECT query_id, e.vec_id AS neighbor_id,
         |    LIST_COSINE_SIMILARITY(q_vec, CAST(e.embedding AS DOUBLE[])) AS cos
-        |  FROM embeddings e CROSS JOIN q
+        |  FROM dom e CROSS JOIN q
         |  WHERE e.vec_id != query_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, cos,

@@ -148,6 +148,20 @@ class OracleDisciplineSpec extends AnyFunSuite {
     assert(trimViolations("trim(f(a, b))").nonEmpty) // inner comma ≠ charset
   }
 
+  test("every embedding oracle carries the similarity-domain filter") {
+    // a new embedding oracle written without the dom CTE would pass on
+    // the shared corpus (finite, non-zero vectors only) and silently
+    // diverge — or hard-error in DuckDB — the moment a NULL/NaN/zero
+    // vector appears (r18 adversarial-embeddings find). The engine
+    // twin is Similarity.finiteVectorPredicate at every operator entry.
+    for ((key, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+         if sql.toLowerCase.contains("embeddings")) {
+      assert(sql.contains("isfinite(") && sql.contains("> 0"),
+        s"oracle $key reads embeddings without the similarity-domain " +
+          "filter (isfinite(Σx²) AND Σx² > 0 — see any p12-p23 dom CTE)")
+    }
+  }
+
   test("every free-text oracle trim carries an explicit ASCII charset") {
     for ((key, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
          if freeText(sql)) {

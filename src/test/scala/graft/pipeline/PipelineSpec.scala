@@ -892,6 +892,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("similarity domain: zero/NaN/Inf/NULL vectors excluded at every entry (r18)") {
+    // Spark orders NaN GREATER than any double, so without the domain
+    // filter a NaN vector ranks FIRST in every top-k it reaches; a zero
+    // vector has no direction; DuckDB's oracle side hard-errors on such
+    // input. The adversarial-embeddings gate found all of these — this
+    // pins the engine half (oracle half: the dom CTE + discipline spec).
+    val dim = 64
+    def const(x: Float) = Seq.fill(dim)(x)
+    val nan = const(0.1f).updated(0, Float.NaN)
+    val inf = const(0.1f).updated(0, Float.PositiveInfinity)
+    val rows = Seq(
+      (0L, Option(const(0.1f))),            // valid
+      (1L, Option(const(0.2f))),            // valid, parallel to 0 → cos 1
+      (2L, Option(const(0.0f))),            // zero: no direction
+      (3L, Option(nan)),                    // NaN component
+      (4L, Option(inf)),                    // Inf component
+      (5L, None: Option[Seq[Float]]),       // NULL embedding
+      (6L, Option(const(1e30f))),           // huge but FINITE Σx² → valid
+      (7L, Option(const(1e-30f)))           // tiny but positive → valid
+    ).toDF("vec_id", "embedding")
+    val dom = Similarity.finiteVectors(rows).collect().map(_.getLong(0)).toSet
+    assert(dom == Set(0L, 1L, 6L, 7L))
+    // brute force: degenerate queries return nothing, degenerate corpus
+    // rows never surface as neighbors — and NaN does NOT rank first
+    val top = Similarity.bruteForceTopK(rows, rows, k = 10)
+    val byQuery = top.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Set(0L, 1L, 6L, 7L))
+    assert(byQuery.values.flatten
+      .forall(r => dom.contains(r.getAs[Long]("neighbor_id"))))
+    // near-dup: only in-domain pairs; parallel constants all hit cos 1
+    val pairs = Dedup.embeddingNearDup(rows, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 6L), (0L, 7L), (1L, 6L), (1L, 7L),
+      (6L, 7L)))
+    // IVF: the default quantizer must skip degenerate would-be centroids
+    val ivf = Similarity.ivfTopK(rows, rows, k = 10,
+      nCentroids = 3, nProbe = 3)
+    val ivfRows = ivf.collect()
+    assert(ivfRows.map(_.getAs[Long]("query_id")).toSet == Set(0L, 1L, 6L, 7L))
+    assert(ivfRows.forall(r => dom.contains(r.getAs[Long]("neighbor_id"))))
+    // trained quantizer: the sample skips degenerates too
+    val cents = Similarity.kmeansCentroids(rows, nCentroids = 4)
+      .collect().map(_.getSeq[Float](1))
+    assert(cents.forall(c => c != null &&
+      c.forall(x => !x.isNaN && !x.isInfinite)))
+  }
+
   test("LSH top-k bucket join broadcasts the query side (plan tripwire)") {
     // lsh_bucket has only 2^planes distinct values: a sort-merge join on
     // it would shuffle the WHOLE corpus and skew into few partitions.
@@ -1235,9 +1282,11 @@ class TopKAggSpec extends SparkSpec {
   }
 
   test("ANN operators end-to-end: aggregate tail equals the window tail") {
-    // duplicate + zero vectors force ties and null cosines through the
-    // REAL operator pipelines (brute force exercises the tail on every
-    // corpus row; ivf through the probed lists)
+    // duplicate vectors force ties through the REAL operator pipelines;
+    // the zero-vector query pins the r18 DOMAIN semantics — it is
+    // excluded up front, NOT ranked with 8 arbitrary null-cosine
+    // neighbors as the pre-r18 tail did (null-cosine tail behavior
+    // itself stays covered by the synthetic twin test above)
     val e = graft.Tables(spark, sfDir).embeddings.limit(150)
       .select($"vec_id", $"embedding")
     val dup = e.filter($"vec_id" === 3L)
@@ -1247,11 +1296,15 @@ class TopKAggSpec extends SparkSpec {
     val corpus = e.union(dup).union(zero)
     val q = corpus.filter($"vec_id".isin(3L, 1003L, 2004L, 7L))
     val brute = Similarity.bruteForceTopK(corpus, q, k = 8)
-    // rebuild the same scored relation and rank it with the window twin
-    val qq = q.select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
+    assert(!brute.collect().map(_.getAs[Long]("query_id")).contains(2004L),
+      "zero-vector query must be excluded by the similarity domain")
+    // rebuild the same scored relation (domain-filtered like the
+    // operator) and rank it with the window twin
+    val qq = Similarity.finiteVectors(q)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_vec"))
       .withColumn("q_norm", sqrt(graft.functions.VectorExpressions
         .vecDot($"q_vec", $"q_vec")))
-    val scored = corpus
+    val scored = Similarity.finiteVectors(corpus)
       .select($"vec_id".as("neighbor_id"), $"embedding".as("c_vec"))
       .withColumn("c_norm", sqrt(graft.functions.VectorExpressions
         .vecDot($"c_vec", $"c_vec")))

@@ -125,6 +125,42 @@ def build_texts(seed):
     return texts
 
 
+def build_embeddings(seed, n=500, dim=64):
+    """Adversarial embeddings: mostly well-behaved seeded vectors, plus
+    the degenerate rows a 100 TB corpus actually contains — zero
+    vectors (no direction), NaN/Inf components (failed encoder
+    batches), magnitude extremes, exact/opposite/scaled duplicates,
+    and a NULL vector. vec_id 2 sits in the p06/p13/p14 QUERY window
+    so a degenerate query is exercised, not just degenerate corpus
+    rows."""
+    rng = random.Random(seed + 7)
+    def vec():
+        return [rng.gauss(0.0, 0.125) for _ in range(dim)]
+    vecs = [vec() for _ in range(n)]
+    vecs[2] = [0.0] * dim                        # zero-vector QUERY
+    # duplicate structure among normal ids for near-dup signal
+    vecs[30] = list(vecs[10])                    # exact dup
+    vecs[31] = [-x for x in vecs[10]]            # opposite (cos -1)
+    vecs[32] = [x * 1e-20 for x in vecs[10]]     # same direction, tiny norm
+    vecs[33] = [x + rng.gauss(0, 1e-4) for x in vecs[10]]  # near dup
+    nasty = {
+        480: [0.0] * dim,                        # zero vector
+        481: [0.0] * dim,                        # second zero (pairable?)
+        482: vecs[482][:1] + [float("nan")] + vecs[482][2:],
+        483: [float("nan")] * dim,
+        484: vecs[484][:5] + [float("inf")] + vecs[484][6:],
+        485: vecs[485][:5] + [float("-inf")] + vecs[485][6:],
+        486: [1e30] * dim,                       # norm overflows double dot
+        487: [1e-30] * dim,                      # denormal-range norm
+        488: list(vecs[10]),                     # far-id exact dup
+        489: [0.5] * dim,
+        490: None,                               # NULL embedding row
+    }
+    for i, v in nasty.items():
+        vecs[i] = v
+    return vecs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
@@ -135,11 +171,23 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     base = Path(args.base)
     for p in base.glob("*.parquet"):
-        if p.stem == "documents":
+        if p.stem in ("documents", "embeddings"):
             continue
         dst = out / p.name
         if not dst.exists():
             dst.symlink_to(p)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    vecs = build_embeddings(args.seed)
+    erng = random.Random(args.seed + 9)
+    etab = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(
+            [None if v is None else [float(x) for x in v] for v in vecs],
+            pa.list_(pa.float32())),
+        "label": pa.array([erng.randrange(8) for _ in vecs], pa.int32()),
+    })
+    pq.write_table(etab, out / "embeddings.parquet")
     texts = build_texts(args.seed)
     rng = random.Random(args.seed + 3)
     df = pd.DataFrame({
@@ -153,8 +201,9 @@ def main():
     df["n_chars"] = df["n_chars"].astype("Int64")
     df.to_parquet(out / "documents.parquet", index=False)
     n_null = sum(t is None for t in texts)
-    print(f"wrote {len(texts)} docs ({n_null} NULL texts) to "
-          f"{out}/documents.parquet; {args.base} tables symlinked")
+    print(f"wrote {len(texts)} docs ({n_null} NULL texts) and "
+          f"{len(vecs)} embeddings (zero/NaN/Inf/NULL rows included) to "
+          f"{out}; {args.base} tables symlinked")
 
 
 if __name__ == "__main__":

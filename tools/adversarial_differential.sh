@@ -19,7 +19,11 @@
 # counts, empty-document shingle {""} forming a quadratic near-dup
 # bucket across minhash/simhash/jaccard, DuckDB 1-arg trim stripping
 # Unicode Zs (class #4), and NULL-payload media rows hashing like
-# 0-byte payloads.
+# 0-byte payloads. The embeddings side (zero/NaN/Inf/NULL vectors)
+# then forced the explicit similarity domain: Spark ranks NaN ABOVE
+# every finite cosine while DuckDB's list_cosine_similarity hard-errors
+# — every similarity operator now filters to finite positive-norm
+# vectors at entry, mirrored by the oracles' dom CTE.
 #
 # Usage: tools/adversarial_differential.sh <round>
 set -u
@@ -43,7 +47,9 @@ wall=$(( $(date +%s) - start ))
   echo "commit: $(git rev-parse HEAD)"
   echo "verify_rc: ${vrc}  compare_rc: ${crc}  wall_seconds: ${wall}"
   echo "corpus: tools/adversarial_corpus.py --seed 18 (500 docs, 2 NULL texts,"
-  echo "  chain window doc_id<200 carries the near-dup clusters + nasty singles)"
+  echo "  chain window doc_id<200 carries the near-dup clusters + nasty singles;"
+  echo "  500 embeddings incl. zero/NaN/Inf/NULL/1e30/1e-30 vectors, a zero-vector"
+  echo "  QUERY at vec_id 2, and duplicate/opposite/scaled-parallel structure)"
   echo
   echo "$compare" | tail -20
 } > "ADVERSARIAL_r${round}.txt"
