@@ -25,15 +25,18 @@
 # — every similarity operator now filters to finite positive-norm
 # vectors at entry, mirrored by the oracles' dom CTE.
 #
-# Usage: tools/adversarial_differential.sh <round>
+# Usage: tools/adversarial_differential.sh <round> [seed]
+# (seed defaults to 18; the r18 fixes were confirmed seed-independent
+# with an 18/19/42 sweep — 84/84 at each)
 set -u
-round="${1:?usage: tools/adversarial_differential.sh <round>}"
+round="${1:?usage: tools/adversarial_differential.sh <round> [seed]}"
+seed="${2:-18}"
 cd "$(dirname "$0")/.."
 corpus=$(mktemp -d /tmp/graft_adv_sf.XXXXXX)
 out=$(mktemp -d /tmp/graft_adv_verify.XXXXXX)
 trap 'rm -rf "$corpus" "$out"' EXIT
 start=$(date +%s)
-python3 tools/adversarial_corpus.py "$corpus" || exit 2
+python3 tools/adversarial_corpus.py "$corpus" --seed "$seed" || exit 2
 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify $corpus $out" \
   > /tmp/graft_adv_verify_r${round}.log 2>&1
@@ -46,7 +49,7 @@ wall=$(( $(date +%s) - start ))
   echo "date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
   echo "commit: $(git rev-parse HEAD)"
   echo "verify_rc: ${vrc}  compare_rc: ${crc}  wall_seconds: ${wall}"
-  echo "corpus: tools/adversarial_corpus.py --seed 18 (500 docs, 2 NULL texts,"
+  echo "corpus: tools/adversarial_corpus.py --seed ${seed} (500 docs, 2 NULL texts,"
   echo "  chain window doc_id<200 carries the near-dup clusters + nasty singles;"
   echo "  500 embeddings incl. zero/NaN/Inf/NULL/1e30/1e-30 vectors, a zero-vector"
   echo "  QUERY at vec_id 2, and duplicate/opposite/scaled-parallel structure)"
