@@ -399,11 +399,21 @@ object Dedup {
       .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint() // run the (possibly LSH-expensive) pair plan once
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // r18 optimization: initialization FUSED with round 1. The former
+    // init (labels = distinct node ids, cluster_id = own id) spent one
+    // distinct+checkpoint pass, and the first loop round then computed
+    // min(self, min neighbor ids) through a full join. But that round-1
+    // result is directly expressible as ONE aggregation over the edge
+    // list — for every node with an edge, min(self, min(neighbors)) —
+    // since at init every neighbor's label IS its id. Same labels after
+    // every subsequent round (spec-pinned), one distinct pass and one
+    // join round cheaper; the loop below continues from round 2's state.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+      .withColumnRenamed("src", "doc_id")
       .localCheckpoint()
     var converged = false
-    var round = 0
+    var round = 1 // the fused init above IS round 1
     while (!converged && round < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))

@@ -48,14 +48,21 @@ object Relational {
     // key keeps that semantics (max_price is unaffected: the null group
     // still carries its rows' max). Same results, measured
     // 17.4 -> 11.9 s cold / 11.0 -> 10.1 s warm on the 6M-row 10x fact.
-    val qualifying = lineitem
+    // r18: hash-spread the single-row-group local scan ON THE GROUP/JOIN
+    // KEY — the exchange replaces the aggregate's own (clustering on
+    // l_orderkey satisfies both groupBys), both branches reuse the one
+    // shuffle (ReusedExchange), and every downstream operator runs on
+    // every slot (identity at scale — see Tables.spreadBy; measured:
+    // round-robin spread here LOST 0.9 s by adding two exchanges)
+    val li = Tables.spreadBy(lineitem, col("l_orderkey"))
+    val qualifying = li
       .groupBy(col("l_orderkey"), col("l_partkey"))
       .agg(max(col("l_extendedprice")).as("_mp"))
       .groupBy(col("l_orderkey"))
       .agg(count(col("l_partkey")).as("n_parts"), max(col("_mp")).as("max_price"))
       .filter(col("n_parts") >= 2 && col("max_price") > 90000.0)
       .select(col("l_orderkey"))
-    lineitem.join(qualifying, Seq("l_orderkey"), "left_semi")
+    li.join(qualifying, Seq("l_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_extendedprice"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -64,7 +71,8 @@ object Relational {
   /** q14's shape on arbitrary fact/dim tables — see q05Shape. */
   def q14Shape(lineitem: DataFrame, orders: DataFrame,
                part: DataFrame, supplier: DataFrame): DataFrame =
-    lineitem
+    lineitem // r18: spread measured +0.77 s here — the BHJ probes + tiny
+      // partial agg are cheaper than one added exchange; left alone
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(part, col("l_partkey") === col("p_partkey"), "left")
       .join(supplier, col("l_suppkey") === col("s_suppkey"), "left")
@@ -79,7 +87,7 @@ object Relational {
     "q01_pricing_summary" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      t.lineitem
+      Tables.spread(t.lineitem) // r18: parallel decimal partial agg
         .filter($"l_shipdate" <= lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
@@ -96,7 +104,11 @@ object Relational {
     "q02_revenue_by_priority" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      t.orders.join(t.lineitem, $"o_orderkey" === $"l_orderkey")
+      // r18: hash-spread on the join+agg key (see q05Shape) — the BHJ
+      // preserves the streamed side's clustering, so the (priority,
+      // orderkey) distinct-count aggregate reuses this one exchange
+      t.orders.join(Tables.spreadBy(t.lineitem, $"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey")
         .groupBy($"o_orderpriority")
         .agg(
           revenue($"l_extendedprice", $"l_discount").as("revenue"),

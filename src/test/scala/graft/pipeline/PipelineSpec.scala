@@ -660,6 +660,18 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L))
   }
 
+  test("clusterPairs fused init equals one propagation round (r18)") {
+    // the r18 fused initialization must leave the state the pre-r18
+    // shape had after its FIRST join round: every edged node labeled
+    // min(self, min(neighbors)). maxRounds=1 stops right after the
+    // fused init, so the diameter-2 chain must show the half-propagated
+    // labels the old round 1 produced (3 sees only neighbor 2, not 1).
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.clusterPairs(chain, maxRounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("clusterPairs matches a union-find oracle on random graphs") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 3) {
