@@ -206,14 +206,44 @@ object Dedup {
         element_at(col("_sig"), 1).isNotNull),
       "_sig", bands, rowsPerBand, idCol)
     val idType = withSig.schema(idCol).dataType
+    // r18 optimization (guide §3.2 + §5 localCheckpoint): the candidate
+    // pair set is materialized ONCE (localCheckpoint — MapPartitions in
+    // the sorted-run path defeats sameResult, so WITHOUT this any plan
+    // branch touching `pairs` re-executes the whole bucket shuffle;
+    // measured: a lazily shared pairs subtree ran 3× when the id-filter
+    // below referenced it), and the two est_jaccard verification joins
+    // run against a signature relation REDUCED to the ids that appear
+    // in pairs. Unreduced, the planner sized the verify joins off the
+    // FULL signature relation (10M × ~0.5 KB at the bench decade) and
+    // sort-merge-shuffled it — measured 25 s of the 38 s pairs stage at
+    // 10M docs (MhStageProbe: full 38.6 s vs 13.4 s through
+    // pairs+distinct). The id list is explicitly broadcast (its size is
+    // KNOWN once pairs is checkpointed — ≤ 2·|pairs| longs), which
+    // filters each signature scan stream-side with no exchange; above
+    // the parameterized bound (spark.graft.minhash.verifyBroadcastMaxPairs,
+    // default 5M pairs ≈ ≤80 MB of broadcast ids) the pre-r18 shuffled
+    // join shape is kept — at that scale shuffling the pair-matched
+    // signatures is the right plan and a forced broadcast would be the
+    // bug. Semi-join then inner joins on the same keys: bit-identical
+    // rows; the checkpoint only cuts lineage.
     val pairs = (
       if (isIntegralId(idType))
         pairsFromBandsSorted(bandsAll, idCol, idType, maxBucketSize)
       else pairsFromBandsGrouped(bandsAll, idCol, maxBucketSize)
-    ).distinct()
-
-    val sigA = withSig.select(col(idCol).as("id_a"), col("_sig").as("sig_a"))
-    val sigB = withSig.select(col(idCol).as("id_b"), col("_sig").as("sig_b"))
+    ).distinct().localCheckpoint()
+    val spark = sigs.sparkSession
+    val maxBroadcastPairs = spark.conf
+      .get("spark.graft.minhash.verifyBroadcastMaxPairs", "5000000").toLong
+    val sigSource =
+      if (pairs.count() <= maxBroadcastPairs) {
+        val pairIds = pairs
+          .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+          .distinct()
+        withSig.join(broadcast(pairIds), Seq(idCol), "left_semi")
+          .localCheckpoint()
+      } else withSig
+    val sigA = sigSource.select(col(idCol).as("id_a"), col("_sig").as("sig_a"))
+    val sigB = sigSource.select(col(idCol).as("id_b"), col("_sig").as("sig_b"))
     pairs.join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),

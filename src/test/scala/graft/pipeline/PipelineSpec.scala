@@ -347,6 +347,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("verify-join broadcast id-filter equals the shuffled fallback (r18)") {
+    // r18: the est_jaccard verification joins read a signature relation
+    // reduced by a broadcast semi-join on the pair ids, UNLESS the pair
+    // count exceeds spark.graft.minhash.verifyBroadcastMaxPairs (then
+    // the pre-r18 full-relation join shape runs). Both branches must be
+    // bit-identical — force the fallback with a zero bound and compare.
+    def pairsSorted() = Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val viaBroadcast = pairsSorted()
+    spark.conf.set("spark.graft.minhash.verifyBroadcastMaxPairs", "0")
+    try {
+      val viaFallback = pairsSorted()
+      assert(viaBroadcast == viaFallback)
+      assert(viaBroadcast.nonEmpty)
+    } finally spark.conf.unset("spark.graft.minhash.verifyBroadcastMaxPairs")
+  }
+
   test("pair generation is bucket-grouped, not a self-join (plan tripwire)") {
     // the grouped shape's whole point: ONE shuffle of the band rows and
     // no join in pair generation. minhash keeps exactly its two
