@@ -206,7 +206,8 @@ object Dedup {
         element_at(col("_sig"), 1).isNotNull),
       "_sig", bands, rowsPerBand, idCol)
     val idType = withSig.schema(idCol).dataType
-    // r18 optimization (guide §3.2 + §5 localCheckpoint): the candidate
+    // r18 optimization (guide §3.2 + §5 localCheckpoint), engaged only
+    // for LARGE signature relations (size gate below): the candidate
     // pair set is materialized ONCE (localCheckpoint — MapPartitions in
     // the sorted-run path defeats sameResult, so WITHOUT this any plan
     // branch touching `pairs` re-executes the whole bucket shuffle;
@@ -225,23 +226,39 @@ object Dedup {
     // join shape is kept — at that scale shuffling the pair-matched
     // signatures is the right plan and a forced broadcast would be the
     // bug. Semi-join then inner joins on the same keys: bit-identical
-    // rows; the checkpoint only cuts lineage.
-    val pairs = (
+    // rows; the checkpoint only cuts lineage. All three shapes are
+    // spec-pinned pairwise identical.
+    val lazyPairs = (
       if (isIntegralId(idType))
         pairsFromBandsSorted(bandsAll, idCol, idType, maxBucketSize)
       else pairsFromBandsGrouped(bandsAll, idCol, maxBucketSize)
-    ).distinct().localCheckpoint()
+    ).distinct()
     val spark = sigs.sparkSession
-    val maxBroadcastPairs = spark.conf
-      .get("spark.graft.minhash.verifyBroadcastMaxPairs", "5000000").toLong
-    val sigSource =
-      if (pairs.count() <= maxBroadcastPairs) {
-        val pairIds = pairs
-          .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-          .distinct()
-        withSig.join(broadcast(pairIds), Seq(idCol), "left_semi")
-          .localCheckpoint()
-      } else withSig
+    // the id-filter machinery below costs two eager jobs (checkpoint +
+    // count) and a broadcast build — ~0.3-0.4 s of fixed overhead that
+    // only pays once the signature relation is big enough for the
+    // shuffled verify joins to hurt. Gate on the optimizer's own size
+    // estimate of the signature relation (a file size for the staged
+    // path, a derived estimate for the lazy one): small relations keep
+    // the pre-r18 fully-lazy shape bit-for-bit.
+    val verifyFilterMinBytes = spark.conf
+      .get("spark.graft.minhash.verifyFilterMinBytes",
+        (64L * 1024 * 1024).toString).toLong
+    val sigBytes = withSig.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (pairs, sigSource) =
+      if (sigBytes < verifyFilterMinBytes) (lazyPairs, withSig)
+      else {
+        val pairsCk = lazyPairs.localCheckpoint()
+        val maxBroadcastPairs = spark.conf
+          .get("spark.graft.minhash.verifyBroadcastMaxPairs", "5000000").toLong
+        if (pairsCk.count() <= maxBroadcastPairs) {
+          val pairIds = pairsCk
+            .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+            .distinct()
+          (pairsCk, withSig.join(broadcast(pairIds), Seq(idCol), "left_semi")
+            .localCheckpoint())
+        } else (pairsCk, withSig)
+      }
     val sigA = sigSource.select(col(idCol).as("id_a"), col("_sig").as("sig_a"))
     val sigB = sigSource.select(col(idCol).as("id_b"), col("_sig").as("sig_b"))
     pairs.join(sigA, "id_a").join(sigB, "id_b")

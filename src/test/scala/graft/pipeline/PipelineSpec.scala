@@ -355,13 +355,19 @@ class DedupSpec extends SparkSpec {
     // bit-identical — force the fallback with a zero bound and compare.
     def pairsSorted() = Dedup.minhashCandidatePairs(docs, maxBucketSize = Some(5))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
-    val viaBroadcast = pairsSorted()
-    spark.conf.set("spark.graft.minhash.verifyBroadcastMaxPairs", "0")
+    val viaLazy = pairsSorted() // small relation → size gate keeps the lazy shape
     try {
-      val viaFallback = pairsSorted()
-      assert(viaBroadcast == viaFallback)
-      assert(viaBroadcast.nonEmpty)
-    } finally spark.conf.unset("spark.graft.minhash.verifyBroadcastMaxPairs")
+      spark.conf.set("spark.graft.minhash.verifyFilterMinBytes", "0")
+      val viaBroadcast = pairsSorted() // forced id-filter path
+      spark.conf.set("spark.graft.minhash.verifyBroadcastMaxPairs", "0")
+      val viaFallback = pairsSorted() // forced checkpointed shuffled fallback
+      assert(viaLazy == viaBroadcast)
+      assert(viaLazy == viaFallback)
+      assert(viaLazy.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.minhash.verifyFilterMinBytes")
+      spark.conf.unset("spark.graft.minhash.verifyBroadcastMaxPairs")
+    }
   }
 
   test("pair generation is bucket-grouped, not a self-join (plan tripwire)") {
