@@ -77,9 +77,18 @@ object Tables {
     * downstream operators REUSE — a groupBy/join clustered by a subset
     * of `keys` then needs no exchange of its own, and two plan branches
     * repartitioned identically share one shuffle via ReusedExchange.
-    * Same identity-at-scale condition as [[spread]]. */
+    * Hash placement is also retry-deterministic for free, so unlike the
+    * round-robin form it pays no local sort-before-repartition. The
+    * partition count is EXPLICIT: a bare repartition(cols) is
+    * AQE-coalescible, and on a kilobyte-scale local table AQE folds it
+    * back to one post-shuffle partition — measured: the un-pinned form
+    * lost every win on the documents table (19 KB/partition, coalesced
+    * to 1) while keeping the exchange cost. Same identity-at-scale
+    * condition as [[spread]]. */
   def spreadBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
-    if (underParallel(df)) df.repartition(keys: _*) else df
+    if (underParallel(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+    else df
 
   private def underParallel(df: DataFrame): Boolean = {
     val spark = df.sparkSession

@@ -176,10 +176,18 @@ object Similarity {
       var s = 0.0; var i = 0
       while (i < dim) { s += a(i) * b(i); i += 1 }; s
     }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
-      if (na > 0 && nb > 0) dot(a, b) / (na * nb) else -1.0
-    }
+    // r18 optimization: norms CACHED instead of recomputed inside every
+    // cosine — the former cos() folded both self-dot-products per call,
+    // 3 dot products per (sample, centroid) pair across init + `iters`
+    // Lloyd passes (~1G single-threaded mul-adds at the 8192/64
+    // defaults, paid by every IVF bench row and recall gate). The
+    // cached value is the identical sqrt(dot(v,v)) double and the
+    // cosine expression/order is unchanged, so centroids are
+    // bit-identical (spec-pinned by the existing IVF differentials).
+    val sampleNorm = sample.map(v => math.sqrt(dot(v, v)))
+    def cosWith(i: Int, c: Array[Double], cNorm: Double): Double =
+      if (sampleNorm(i) > 0 && cNorm > 0) dot(sample(i), c) / (sampleNorm(i) * cNorm)
+      else -1.0
     // farthest-point init, incremental: track each sample's similarity to
     // its nearest chosen centroid and refresh it against only the newest
     // centroid — O(k·n·dim), not O(k²·n·dim)
@@ -187,9 +195,10 @@ object Similarity {
     val nearestSim = Array.fill(sample.length)(-2.0)
     def add(c: Array[Double]): Unit = {
       cents += c.clone()
+      val cNorm = math.sqrt(dot(c, c))
       var i = 0
       while (i < sample.length) {
-        val s = cos(sample(i), c)
+        val s = cosWith(i, c, cNorm)
         if (s > nearestSim(i)) nearestSim(i) = s
         i += 1
       }
@@ -206,19 +215,23 @@ object Similarity {
     }
     // Lloyd iterations; an emptied cluster keeps its previous centroid
     (0 until iters).foreach { _ =>
+      val centNorm = cents.map(c => math.sqrt(dot(c, c))).toArray
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
+      var si = 0
+      while (si < sample.length) {
+        val v = sample(si)
         var best = 0; var bestSim = -2.0
         var c = 0
         while (c < k) {
-          val s = cos(v, cents(c))
+          val s = cosWith(si, cents(c), centNorm(c))
           if (s > bestSim) { bestSim = s; best = c }
           c += 1
         }
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
+        si += 1
       }
       (0 until k).foreach { c =>
         if (counts(c) > 0)

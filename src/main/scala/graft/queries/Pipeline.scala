@@ -39,7 +39,8 @@ object Pipeline {
     // Quality scoring ratios.
     "p03_doc_quality" -> { (s, dir) =>
       import s.implicits._
-      TextAnalysis.withQuality(Tables.spread(Tables(s, dir).documents))
+      TextAnalysis.withQuality( // r18: keyed spread, see Tables.spreadBy
+        Tables.spreadBy(Tables(s, dir).documents, $"doc_id"))
         .select($"doc_id", $"n_chars", $"n_tokens",
           round($"mean_token_len", 6).as("mean_token_len"),
           round($"punct_ratio", 6).as("punct_ratio"),
@@ -52,7 +53,8 @@ object Pipeline {
     // n-gram Jaccard between adjacent doc ids (deterministic pairing).
     "p05_ngram_jaccard_adjacent" -> { (s, dir) =>
       import s.implicits._
-      val d = Tables.spread(Tables(s, dir).documents) // r18: parallel shingling
+      val d = // r18: keyed spread — parallel shingling on both join sides
+        Tables.spreadBy(Tables(s, dir).documents, $"doc_id")
       val a = d.select($"doc_id".as("id_a"), TextAnalysis.tokens($"text").as("toks_a"))
       val b = d.select($"doc_id".as("id_b"), TextAnalysis.tokens($"text").as("toks_b"))
       a.join(b, $"id_a" + 1 === $"id_b")
@@ -197,7 +199,7 @@ object Pipeline {
     // the table's labeled lang, with the decision margin.
     "p09_lang_id" -> { (s, dir) =>
       import s.implicits._
-      Tables.spread(Tables(s, dir).documents) // r18: parallel langId
+      Tables.spreadBy(Tables(s, dir).documents, $"doc_id") // r18: parallel langId
         .select($"doc_id", $"lang".as("lang_label"),
           TextAnalysis.langIdWithMargin($"text").as("_lm"))
         .select($"doc_id", $"lang_label", $"_lm.lang".as("lang_pred"),

@@ -87,7 +87,10 @@ object Relational {
     "q01_pricing_summary" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
-      Tables.spread(t.lineitem) // r18: parallel decimal partial agg
+      // r18: hash-spread (keyed — a round-robin repartition pays a local
+      // sort-before-repartition; hash placement is retry-deterministic
+      // for free) so the decimal partial agg runs on every slot
+      Tables.spreadBy(t.lineitem, $"l_orderkey")
         .filter($"l_shipdate" <= lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
