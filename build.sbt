@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract (r18 verdict #2): the driver captures the
+// bench's stdout and parses the final JSON metrics line, but the default
+// forked-run output strategy routes the child's stdout through sbt's
+// logger, prefixing every line with "[info] " — and sbt appends its own
+// "[success] Total time ..." trailer as the true last line. Both broke
+// the parse in all 19 committed BENCH_r*.json (parsed: null). Fix:
+// forked run/runMain output goes STRAIGHT to stdout (no prefix, immune
+// to log level), and the success trailer is suppressed build-wide, so
+// the bench's own final println is the last stdout line. Test-framework
+// summaries are unaffected (they flow through sbt's test reporter, not
+// the forked process's stdout).
+Compile / run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by a task — exclude it
+// from the unused-key lint noise
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

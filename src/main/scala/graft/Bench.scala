@@ -6,12 +6,15 @@ import org.apache.spark.sql.types.MapType
 
 /** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR plus the
   * VCF parsing-throughput benchmarks that correspond to BASELINE.md's
-  * published numbers. Prints a raw-series JSON line (all samples, probe
-  * series, clean masks), then the headline metrics JSON as the LAST
-  * stdout line:
+  * published numbers. Prints, in order: a raw-series JSON line (all
+  * samples, probe series, clean masks), the full-precision metrics line,
+  * the ~1.3 KB compact line, and — as the LAST stdout line AND a
+  * bench_result.json sidecar — the round-contract metrics JSON:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
-  * — last so the driver's stdout-tail capture always keeps the numbers
-  * the gates and the baseline comparison read.
+  * (6-significant-digit values, tail-critical entries ordered last; see
+  * the final-line block at the end of main and build.sbt's
+  * outputStrategy/showSuccess settings, which keep sbt from prefixing
+  * or trailing the line — the r18 verdict's #2 harness-contract fix).
   *
   * Measurement honesty (the round-2 verdict's gate):
   *
@@ -143,6 +146,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // stale-sidecar hygiene: a crashed run must not leave a previous
+    // run's bench_result.json looking current (see the final-line
+    // contract block at the end of main)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("bench_result.json"))
+
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
       body
@@ -182,6 +191,43 @@ object Bench {
       record(stream, t)
       t
     }
+    // I/O-state instrument (r18 verdict #5): the CPU probes cannot see
+    // page-cache/writeback contention, which is where the unexplained
+    // parse10m/load1m swings on identical code were attributed. Two
+    // cheap signals, recorded beside every scale sample's CPU bracket:
+    // (a) a fixed 16 MB O_DSYNC write+delete on the same ext4 volume —
+    // wall time tracks device/writeback pressure; (b) the kernel's
+    // Dirty+Writeback backlog from /proc/meminfo in MB — what the next
+    // write must queue behind. Series-only evidence (never gates, never
+    // results rows): they make environmental-regression claims
+    // adjudicable in-artifact.
+    val ioBuf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(ioBuf, 0x5A.toByte)
+    def ioProbeSec(): Double = time {
+      val p = java.nio.file.Paths.get("/tmp/graft_bench_ioprobe.bin")
+      val ch = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+        java.nio.file.StandardOpenOption.DSYNC)
+      try {
+        var i = 0
+        while (i < 16) { ch.write(java.nio.ByteBuffer.wrap(ioBuf)); i += 1 }
+      } finally ch.close()
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    def dirtyMb(): Double = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try {
+        var kb = 0L
+        src.getLines().foreach { l =>
+          if (l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+            kb += l.trim.split("\\s+")(1).toLong
+        }
+        kb / 1024.0
+      } finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
     def probeClean(t: Double): Boolean =
       t <= CleanProbeSec && t <= RelCleanFactor * bestProbePar
     def maskOf(pairs: Seq[(Double, Double)]): Seq[Boolean] =
@@ -573,16 +619,26 @@ object Bench {
       val ts = raw("vcf_load_cohort_append").zipWithIndex.collect {
         case (t, i) if t > 0 && parseMask.lift(i).getOrElse(false) => t
       }
+      def growthOf(xs: Seq[Double]): Double = {
+        val k = xs.length / 2
+        def med(ys: Seq[Double]) = ys.sorted.apply(ys.length / 2)
+        med(xs.takeRight(k)) / med(xs.take(k))
+      }
       if (ts.length >= 4) {
-        val k = ts.length / 2
-        def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
-        val headM = med(ts.take(k).toSeq)
-        val tailM = med(ts.takeRight(k).toSeq)
-        val growth = tailM / headM
+        val growth = growthOf(ts.toSeq)
         results("vcf_load_cohort_append_growth_ratio") = growth
         assert(growth <= 1.5,
           f"SCALE REGRESSION: cohort append grew $growth%.2fx while the " +
             "store grew severalfold — the append path is reading the store")
+      } else {
+        // r19 (verdict #5 tail): a throttled session used to ship
+        // g_append = -1 silently when fewer than 4 rounds were clean.
+        // Record the ALL-VALID-sample ratio as evidence (the raw array
+        // and masks expose the throttling) — but never gate on it: an
+        // unclean tail must not fail the bench as a fake regression.
+        val all = raw("vcf_load_cohort_append").filter(_ > 0)
+        if (all.length >= 4)
+          results("vcf_load_cohort_append_growth_ratio") = growthOf(all.toSeq)
       }
     }
 
@@ -657,6 +713,8 @@ object Bench {
       String, scala.collection.mutable.ArrayBuffer[(Double, Double)]]()
     def runProbed(name: String, body: () => Unit): Unit = {
       val pre = probePar("scale_probe_par")
+      record("scale_io_sec", ioProbeSec())
+      record("scale_dirty_mb", dirtyMb())
       // body failures PROPAGATE: the scale bodies carry the skew-cap and
       // row-count asserts — a cap regression must fail the bench loudly,
       // not ship as a silent -1 sample (the group rounds' -1 sentinel is
@@ -1360,7 +1418,13 @@ object Bench {
       "g_norm" -> "vcf_normalize_overhead_ratio",
       "recall_ivf" -> "p_recall_ivf_1m_ratio",
       "recall_hard" -> "p_recall_ivf_hard_100k_ratio"
-    ).map { case (s, n) => s -> sec(rv(n)) }
+      // r19: gate ratios print their ACTUAL value even when negative —
+      // sec()'s "-1 means missing" convention conflated a genuinely
+      // negative g_norm (normalize measured faster than plain, within
+      // noise) with "not computed" in the committed r18 line
+    ).map { case (s, n) =>
+      s -> results.get(n).map(v => f"$v%.4g").getOrElse("-1")
+    }
     val compactJson =
       (headlineShort ++ parseShort ++ latencyShort ++ scaleShort ++ gateShort)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -1378,6 +1442,45 @@ object Bench {
       s"compact line ${compactLine.length} chars outgrew the driver's " +
         "2,000-char stdout tail — trim it before it truncates")
     println(compactLine)
+
+    // ---- FINAL stdout line + sidecar (r18 verdict #2): the driver has
+    // never parsed a bench (parsed: null in all 19 BENCH_r*.json)
+    // because sbt's logger prefixed every line with "[info] " and
+    // appended "[success] Total time ..." as the true last line. Fixed
+    // on two fronts: build.sbt routes forked-run output straight to
+    // stdout and suppresses the success trailer, and the LAST line this
+    // program prints is the round-contract metrics JSON —
+    //   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+    // — with every `results` entry under "queries" (same keys as the
+    // full-precision line above; values rounded to 6 significant digits
+    // so the line stays compact). Entry ORDER puts the scale rows, gate
+    // ratios and headline medians LAST, so even a parser that only keeps
+    // a ~2,000-char stdout tail still carries the numbers every gate and
+    // round-over-round comparison reads. The same line is written to
+    // bench_result.json in the working directory (deleted at startup) so
+    // no stdout corruption can lose it.
+    val headlineNameSet = headline.map(_._1).toSet
+    def jnum(v: Double): String =
+      if (v.isNaN || v.isInfinite) "-1"
+      else BigDecimal(v).round(new java.math.MathContext(6))
+        .bigDecimal.stripTrailingZeros.toPlainString
+    def rankOf(k: String): Int =
+      if (headlineNameSet(k)) 3
+      else if (k.endsWith("_ratio")) 2
+      else if (k.startsWith("p_scale_") || k.startsWith("rel_scale_") ||
+        k == "vcf_parse_10m_norm" || k == "vcf_load_1m") 1
+      else 0
+    val finalQs = results.toSeq.sortBy(e => rankOf(e._1)) // stable sort
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val finalLine = s"""{"metric":"total","value":${jnum(total)}""" +
+      s""","unit":"sec","queries":$finalQs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), finalLine + "\n")
+    catch { case t: Throwable =>
+      System.err.println(s"[bench] sidecar write failed: ${t.getMessage}")
+    }
+    println(finalLine)
     spark.stop()
   }
 }

@@ -42,49 +42,40 @@ object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 
   /** Scale-adaptive scan spreading (r18 optimization; guide §2.5 "input
-    * skew" / §6 input-split sizing): when a relation's PLANNED scan
-    * parallelism is below the session's task slots, insert one
-    * round-robin exchange so the per-row work downstream (expression
-    * evaluation, partial aggregation, broadcast-join probing) uses every
-    * slot instead of the one task a single-file, single-row-group input
-    * yields — parquet cannot split below a row group, so a small
-    * driver-generated table is otherwise a one-core scan stage no matter
-    * the cluster size. The decision derives from the input layout
-    * (file bytes vs `spark.sql.files.maxPartitionBytes`) against the
-    * runtime slot count: at scale, where the scan already carries at
-    * least as many splits as slots, this is the identity and no exchange
-    * is added. Disable with spark.graft.spread=false (the A/B dial the
+    * skew" / §6 input-split sizing), keyed on the downstream
+    * join/aggregation key: when a relation's PLANNED scan parallelism is
+    * below the session's task slots, insert one hash exchange so the
+    * per-row work downstream (expression evaluation, partial
+    * aggregation, broadcast-join probing) uses every slot instead of the
+    * one task a single-file, single-row-group input yields — parquet
+    * cannot split below a row group, so a small driver-generated table
+    * is otherwise a one-core scan stage no matter the cluster size. The
+    * decision derives from the input layout (file bytes vs
+    * `spark.sql.files.maxPartitionBytes`) against the runtime slot
+    * count: at scale, where the scan already carries at least as many
+    * splits as slots, this is the identity and no exchange is added.
+    * Disable with spark.graft.spread=false (the A/B dial the
     * SpreadProbe uses).
     *
-    * Semantics-neutral by construction: a round-robin repartition only
-    * changes row placement, every aggregate downstream is either exact
-    * (decimal sums, counts, min/max) or order-canonicalized (sort_array,
-    * sorted outputs), and Spark's sort-before-repartition keeps the
-    * placement deterministic under retries.
+    * Keyed, not round-robin (measured, r18 batch 3): a hash exchange is
+    * one the downstream operators REUSE — a groupBy/join clustered by a
+    * subset of `keys` then needs no exchange of its own — and hash
+    * placement is retry-deterministic for free, where a keyless
+    * `repartition(n)` pays a local sort-before-repartition
+    * (SPARK-23207). The partition count is EXPLICIT: a bare
+    * repartition(cols) is AQE-coalescible, and on a kilobyte-scale local
+    * table AQE folds it back to one post-shuffle partition — measured:
+    * the un-pinned form lost every win on the documents table
+    * (19 KB/partition, coalesced to 1) while keeping the exchange cost.
+    * (The round-robin `spread(df)` variant was removed in r19: dead in
+    * production since batch 3, and its retry-determinism rested on
+    * sort-before-repartition, which Spark skips for unorderable column
+    * types.)
     *
-    * The planned-split estimate intentionally uses byte math, not
-    * parquet footers: it errs toward spreading (a 12 MB single-row-group
-    * file plans 3 splits but scans as 1 task; both sit far below any
-    * real slot count), and reading footers at plan time would cost more
-    * than the exchange it avoids.
-    */
-  def spread(df: DataFrame): DataFrame =
-    if (underParallel(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    else df
-
-  /** [[spread]] keyed on the downstream join/aggregation key: instead of
-    * a round-robin exchange ADDED to the plan, a hash exchange the
-    * downstream operators REUSE — a groupBy/join clustered by a subset
-    * of `keys` then needs no exchange of its own, and two plan branches
-    * repartitioned identically share one shuffle via ReusedExchange.
-    * Hash placement is also retry-deterministic for free, so unlike the
-    * round-robin form it pays no local sort-before-repartition. The
-    * partition count is EXPLICIT: a bare repartition(cols) is
-    * AQE-coalescible, and on a kilobyte-scale local table AQE folds it
-    * back to one post-shuffle partition — measured: the un-pinned form
-    * lost every win on the documents table (19 KB/partition, coalesced
-    * to 1) while keeping the exchange cost. Same identity-at-scale
-    * condition as [[spread]]. */
+    * Semantics-neutral by construction: a repartition only changes row
+    * placement, and every aggregate downstream is either exact (decimal
+    * sums, counts, min/max) or order-canonicalized (sort_array, sorted
+    * outputs). */
   def spreadBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
     if (underParallel(df))
       df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
@@ -94,13 +85,38 @@ object Tables {
     val spark = df.sparkSession
     if (!spark.conf.get("spark.graft.spread", "true").toBoolean) return false
     val slots = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    // each file is at least one split, so a relation with >= slots files
+    // can never be under-parallel — skip the per-file stats entirely
+    // (also bounds the stat work below to < slots calls at any scale)
+    if (files.length >= slots) return false
     val maxPB = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val plannedSplits = df.inputFiles.map { p =>
-      val path = try new java.net.URI(p).getPath catch { case _: Throwable => p }
-      val len = new java.io.File(path).length // 0 if unreadable → spread
-      math.max(1L, (len + maxPB - 1) / maxPB)
-    }.sum
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val plannedSplits =
+      files.map(p => plannedSplitsOf(p, maxPB, hconf, files.length)).sum
     plannedSplits < slots
+  }
+
+  /** Planned splits of one input file under `maxPB`-byte splits —
+    * [[spreadBy]]'s per-file estimate, and its test seam.
+    *
+    * Lengths come from the Hadoop FileSystem of the file's OWN scheme,
+    * not java.io.File (r19 fix, r18 verdict "what's wrong" #2 / ADVICE):
+    * java.io.File.length reads 0 for any non-local URI (hdfs://,
+    * s3a://), which made every cluster-storage file count as ONE split,
+    * so a many-file 100 TB table read as "under-parallel" and got a
+    * spurious full-table exchange — at exactly the scale the
+    * identity-at-scale invariant promises none. An UNREADABLE length now
+    * errs the other way (Long.MaxValue/`nFiles`, i.e. assume split-rich,
+    * add no exchange): a missed spread costs one under-parallel stage on
+    * a kilobyte table; a spurious exchange at 100 TB is a catastrophe. */
+  private[graft] def plannedSplitsOf(p: String, maxPB: Long,
+      hconf: org.apache.hadoop.conf.Configuration, nFiles: Int = 1): Long = {
+    val len = try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).getFileStatus(hp).getLen
+    } catch { case _: Throwable => Long.MaxValue / math.max(1, nFiles) }
+    math.max(1L, (len + maxPB - 1) / maxPB)
   }
 
   /** Builds a session configured the way this engine expects: AQE on,
